@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the synthetic testdata star schema (TESTDATA.md) plus
+  * session-level tuning every entry point applies.
+  *
+  * Scale notes (100 TB design point): all tables are read through
+  * `spark.read.parquet`, so Catalyst predicate pushdown / column pruning /
+  * partition pruning apply unchanged on a real cluster; nothing here
+  * materializes on the driver.
+  */
+object Tables {
+  val tpch: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val all: Seq[String] = tpch ++ Seq("events", "documents", "embeddings")
+
+  /** Idempotent session defaults. AQE handles runtime re-planning (skew
+    * joins, partition coalescing) — the knobs that matter at 1000-executor
+    * scale and are harmless on local[32].
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    c.set("spark.sql.session.timeZone", "UTC")
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects; read the raw int64 and convert in `apply`.
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  /** Load one table. `events.ts` arrives as int64 nanos (see `tune`) and is
+    * truncated to microseconds — the same truncation DuckDB applies when
+    * casting TIMESTAMP_NS to TIMESTAMP, keeping the oracle comparable.
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    tune(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else df
+  }
+}

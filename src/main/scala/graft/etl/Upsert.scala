@@ -1,0 +1,158 @@
+package graft.etl
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** E3 — idempotent keyed upsert (MERGE / last-write-wins) semantics.
+  *
+  * The reference gets idempotency from Postgres `ON CONFLICT (ticker,
+  * timestamp_utc) DO UPDATE` (`/root/reference/src/storage/postgres_writer.py:234-240`).
+  * Distributed, that splits into two concerns:
+  *
+  *  1. deterministic last-write-wins *within* a batch that may contain
+  *     duplicate keys (the reference relies on arrival order,
+  *     `postgres_writer.py:251-259`; Spark must pre-dedup by an explicit
+  *     version column — SURVEY.md §7 "What's hard" #2);
+  *  2. an idempotent keyed sink (JDBC ON CONFLICT writer, or a
+  *     storage-level merge for lake targets).
+  */
+object Upsert {
+
+  /** Deterministic last-write-wins dedup: keep, per key, the row with the
+    * greatest (versionCol, tieBreakers...). One shuffle on the key columns;
+    * at scale this is a single hash partitioning that the subsequent MERGE
+    * can reuse.
+    */
+  def lastWriteWins(
+      df: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      tieBreakers: Seq[String] = Nil): DataFrame = {
+    val order = (versionCol +: tieBreakers).map(c => col(c).desc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Parquet-backed MERGE: read current state (if any), union the deduped
+    * updates, keep the newest version per key, atomically swap directories.
+    * Running it twice with the same batch is a no-op (idempotency ≙ the
+    * reference's re-fetch-overlap tolerance, `README.md:37,166`).
+    *
+    * At lake scale this role is played by a table format's MERGE (Delta /
+    * Iceberg); the two-phase directory swap is the local-FS stand-in that
+    * keeps the same contract: readers never observe a partial write.
+    */
+  def mergeIntoParquet(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      tieBreakers: Seq[String] = Nil): Unit = {
+    val deduped = lastWriteWins(updates, keys, versionCol, tieBreakers)
+      .withColumn("__gen", lit(1L))
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(path)
+    val merged =
+      if (fs.exists(cur)) {
+        val existing = spark.read.parquet(path).withColumn("__gen", lit(0L))
+        // On key collision the update (__gen=1) wins regardless of version —
+        // DO UPDATE semantics (postgres_writer.py:234-240), then LWW inside
+        // each generation via versionCol.
+        lastWriteWins(existing.unionByName(deduped), keys, "__gen", versionCol +: tieBreakers)
+      } else deduped
+    val tmp = new Path(path + "__staging")
+    merged.drop("__gen").write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(path + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(cur)) fs.rename(cur, old)
+    fs.rename(tmp, cur)
+    fs.delete(old, true)
+  }
+
+  /** SQL dialects for the keyed-upsert statement. */
+  sealed trait Dialect {
+    def upsertSql(table: String, cols: Seq[String], keys: Seq[String]): String
+  }
+
+  /** Postgres `INSERT … ON CONFLICT DO UPDATE` — the reference's statement
+    * shape (`postgres_writer.py:148-154,234-240`).
+    */
+  case object Postgres extends Dialect {
+    def upsertSql(table: String, cols: Seq[String], keys: Seq[String]): String = {
+      val sets = cols.filterNot(keys.contains)
+        .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      s"""INSERT INTO $table (${cols.mkString(", ")})
+         |VALUES (${cols.map(_ => "?").mkString(", ")})
+         |ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET $sets""".stripMargin
+    }
+  }
+
+  /** ANSI MERGE for engines without ON CONFLICT (Derby, etc.). */
+  case object AnsiMerge extends Dialect {
+    def upsertSql(table: String, cols: Seq[String], keys: Seq[String]): String = {
+      val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
+      val sets = cols.filterNot(keys.contains).map(c => s"t.$c = s.$c").mkString(", ")
+      val src = cols.map(c => s"? AS $c").mkString(", ")
+      s"""MERGE INTO $table t
+         |USING (VALUES (${cols.map(_ => "?").mkString(", ")}))
+         |  AS s (${cols.mkString(", ")}) ON $on
+         |WHEN MATCHED THEN UPDATE SET $sets
+         |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+         |  VALUES (${cols.map(c => s"s.$c").mkString(", ")})""".stripMargin
+    }
+    // Note: MERGE binds the VALUES row once; parameter count == cols.size.
+  }
+
+  /** L2/L3 — distributed JDBC upsert: each partition opens one connection,
+    * writes batches of `batchSize` (the reference pages at 1000,
+    * `postgres_writer.py:259`), and commits per partition. Global atomicity
+    * is *not* promised (SURVEY.md §7 #1) — instead the statement itself is
+    * idempotent, so Spark task retries and whole-job re-runs converge, which
+    * is the reference's own recovery model (`README.md:37`).
+    *
+    * Callers must `lastWriteWins` first so a batch never carries two rows
+    * for one key (cross-partition write order is nondeterministic).
+    */
+  def upsertJdbc(
+      df: DataFrame,
+      url: String,
+      table: String,
+      keys: Seq[String],
+      dialect: Dialect = Postgres,
+      batchSize: Int = 1000,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    val cols = df.columns.toSeq
+    val sql = dialect.upsertSql(table, cols, keys)
+    val width = cols.size
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn: Connection = DriverManager.getConnection(url, props)
+        conn.setAutoCommit(false)
+        val st: PreparedStatement = conn.prepareStatement(sql)
+        try {
+          var pending = 0
+          rows.foreach { r =>
+            var i = 0
+            while (i < width) { st.setObject(i + 1, r.get(i)); i += 1 }
+            st.addBatch()
+            pending += 1
+            if (pending >= batchSize) { st.executeBatch(); pending = 0 }
+          }
+          if (pending > 0) st.executeBatch()
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally {
+          st.close(); conn.close()
+        }
+      }
+    }
+  }
+}

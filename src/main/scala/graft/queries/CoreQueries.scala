@@ -1,0 +1,461 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The declared core query surface (SURVEY.md §2.3): the reference-derived
+  * ETL operators re-expressed over the testdata star schema (E1–E3), the
+  * reference's delegated SQL surface (Q-*), and its analytical
+  * generalizations (A1–A12). Every query is deterministic (total order on a
+  * unique key) and oracle-checked against DuckDB running `oracles(name)`.
+  *
+  * Determinism discipline for the DuckDB hash-compare:
+  *  - per-row arithmetic stays raw DOUBLE — IEEE ops on identical operands
+  *    are bit-identical across engines;
+  *  - aggregates accumulate in DECIMAL (exact, order-independent) and cast
+  *    the final value to DOUBLE, sidestepping float-summation-order drift;
+  *  - timestamps are emitted as TIMESTAMP_NTZ (UTC wall time), matching
+  *    DuckDB's naive TIMESTAMP.
+  */
+object CoreQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Exact order-independent sum of a double column: accumulate as decimal,
+    * return double.
+    */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(25,$scale)")).cast("double")
+
+  private def ntz(c: Column): Column = c.cast("timestamp_ntz")
+
+  // ---------------------------------------------------------------- E1–E3
+
+  /** E1 standardize: rename + cast + UTC timestamps + broadcast enrich join
+    * (T1–T5 over the events table; nation plays the metadata dimension).
+    */
+  def e1Standardize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val nat = t(s, dir, "nation")
+    ev.select(
+        col("event_id"),
+        col("ts").as("timestamp_utc"),
+        col("event_type").as("ticker"),
+        expr("try_cast(value AS DOUBLE)").as("close"),
+        (col("user_id") % 25).as("n_key"))
+      .join(broadcast(nat), col("n_key") === col("n_nationkey"), "left")
+      .select(col("event_id"), ntz(col("timestamp_utc")).as("timestamp_utc"),
+        col("ticker"), col("close"), col("n_name").as("country"))
+      .orderBy("event_id")
+  }
+
+  /** E2 convert: derived rate_date + broadcast rate-table join + price×rate
+    * projection (T7–T11). The rate table is derived deterministically from
+    * nation so the oracle can rebuild it.
+    */
+  def e2Convert(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val rates = t(s, dir, "nation")
+      .select(col("n_nationkey"),
+        (col("n_nationkey").cast("double") / lit(100.0) + lit(1.0)).as("rate"))
+    ev.select(col("event_id"), to_date(col("ts")).as("rate_date"),
+        col("value").as("close"), (col("user_id") % 25).as("n_key"))
+      .join(broadcast(rates), col("n_key") === col("n_nationkey"), "left")
+      .select(col("event_id"), col("rate_date"), col("close"), col("rate"),
+        (col("close") * col("rate")).as("close_usd"))
+      .orderBy("event_id")
+  }
+
+  /** E3 upsert semantics: deterministic last-write-wins per key — the
+    * distributed half of ON CONFLICT DO UPDATE (reference
+    * `postgres_writer.py:234-240`).
+    */
+  def e3Upsert(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        ntz(col("ts")).as("timestamp_utc"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  // ------------------------------------------------------------------ Q-*
+
+  /** Q-recent: latest 5 rows for one key (reference `README.md:322-332`).
+    * Plans as TakeOrderedAndProject — no full sort at scale.
+    */
+  def qRecent(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), ntz(col("ts")).as("timestamp_utc"),
+        col("user_id"), col("value"))
+      .orderBy(col("timestamp_utc").desc, col("event_id"))
+      .limit(5)
+
+  /** Q-day: one key, one calendar day, ascending (reference `README.md:336-345`).
+    * The day is the key's first active day, computed as a broadcast scalar.
+    */
+  def qDay(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("event_type") === "purchase")
+    val minDay = ev.agg(min(to_date(col("ts"))).as("min_d"))
+    ev.join(broadcast(minDay), to_date(col("ts")) === col("min_d"))
+      .select(col("event_id"), ntz(col("ts")).as("timestamp_utc"),
+        col("event_type"), col("user_id"), col("value"))
+      .orderBy("timestamp_utc", "event_id")
+  }
+
+  /** Q-dim: dimension scan ordered by name (reference `README.md:350-357`). */
+  def qDim(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_name")
+
+  /** Q-any: multi-key membership + per-key top-3 by recency (reference
+    * `postgres_writer.py:371-377` generalized via row_number).
+    */
+  def qAny(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("timestamp_utc").desc, col("event_id"))
+    t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase", "error"))
+      .select(col("event_type"), col("event_id"), ntz(col("ts")).as("timestamp_utc"),
+        col("value"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
+  /** Q-audit: per-column null counts (T6, reference `standardizer.py:253-258`). */
+  def qAudit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_quantity").isNull.cast("long")).as("null_quantity"),
+      sum(col("l_extendedprice").isNull.cast("long")).as("null_extendedprice"),
+      sum(col("l_discount").isNull.cast("long")).as("null_discount"),
+      sum(col("l_shipdate").isNull.cast("long")).as("null_shipdate"))
+
+  // ---------------------------------------------------------------- A1–A12
+
+  /** A1: filter + project — predicate and column pruning reach the parquet
+    * scan (verified via explain: PushedFilters on l_shipdate/l_discount).
+    */
+  def a1FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), ntz(col("l_shipdate")).as("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** A2: TPC-H Q1-shaped hash aggregate — map-side partial agg, tiny shuffle. */
+  def a2Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 8).as("sum_disc_price"),
+        (sum(col("l_discount").cast("decimal(25,6)")).cast("double") / count(lit(1)))
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A3: fact ⋈ tiny dim — explicit broadcast, no shuffle of the fact side. */
+  def a3BroadcastJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("s_name")
+
+  /** A4: fact ⋈ fact sort-merge join on the shuffle key — the shape that
+    * dominates at 100 TB; merge hint keeps it SMJ even when one side would
+    * fit a broadcast at test scale.
+    */
+  def a4SortMergeJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders").hint("merge")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 8).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** A5: multi-way star join + aggregate — dims broadcast, facts SMJ. */
+  def a5StarJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 8).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("r_name", "n_name")
+
+  /** A6: top-k per group via row_number (Q-recent generalized). */
+  def a6TopkWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** A7: lag + moving aggregate per key — returns/moving-average shape. The
+    * 3-row moving mean is computed as exact decimal sum / window count so
+    * both engines divide identical values.
+    */
+  def a7WindowAnalytic(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val frame = w.rowsBetween(-2, 0)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), ntz(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("delta_prev", col("o_totalprice") - lag(col("o_totalprice"), 1).over(w))
+      .withColumn("ma3",
+        sum(col("o_totalprice").cast("decimal(25,4)")).over(frame).cast("double") /
+          count(lit(1)).over(frame))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** A8: semi + anti join — "keys with / without facts". */
+  def a8SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").select(col("o_custkey"))
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("grp", lit("with_orders"))
+    val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("grp", lit("without_orders"))
+    withO.unionByName(withoutO)
+      .select(col("grp"), col("c_mktsegment"), col("n"))
+      .orderBy("grp", "c_mktsegment")
+  }
+
+  /** A9: exact distinct aggregation (Catalyst Expand-based rewrite). */
+  def a9Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"))
+      .orderBy("l_returnflag")
+
+  /** A9b: approximate distinct (HLL++) — sketch path for 100 TB cardinality
+    * estimation; no DuckDB oracle (different sketch), rows-only check.
+    */
+  def a9bApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** A10: rollup over (returnflag, linestatus); subtotal rows surfaced via
+    * COALESCE so ordering is null-free in both engines.
+    */
+  def a10Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  /** A11: set ops over key sets (EXCEPT = distinct anti-union). */
+  def a11SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  /** A12: tumbling-window event aggregation — the batch face of the
+    * streaming windowed agg (same `window()` expression streams under a
+    * watermark in graft.streaming).
+    */
+  def a12TumblingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .select(ntz(col("w.start")).as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_standardize" -> (e1Standardize _),
+    "e2_convert" -> (e2Convert _),
+    "e3_upsert" -> (e3Upsert _),
+    "q_recent" -> (qRecent _),
+    "q_day" -> (qDay _),
+    "q_dim" -> (qDim _),
+    "q_any" -> (qAny _),
+    "q_audit" -> (qAudit _),
+    "a1_filter_project" -> (a1FilterProject _),
+    "a2_agg" -> (a2Agg _),
+    "a3_broadcast_join" -> (a3BroadcastJoin _),
+    "a4_sortmerge_join" -> (a4SortMergeJoin _),
+    "a5_star_join" -> (a5StarJoin _),
+    "a6_topk_window" -> (a6TopkWindow _),
+    "a7_window_analytic" -> (a7WindowAnalytic _),
+    "a8_semi_anti" -> (a8SemiAnti _),
+    "a9_distinct" -> (a9Distinct _),
+    "a9b_approx_distinct" -> (a9bApproxDistinct _),
+    "a10_rollup" -> (a10Rollup _),
+    "a11_setops" -> (a11SetOps _),
+    "a12_tumbling_window" -> (a12TumblingWindow _))
+
+  /** DuckDB oracle SQL, aligned column-for-column with the Spark plans. */
+  val oracles: Map[String, String] = Map(
+    "e1_standardize" ->
+      """SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS timestamp_utc,
+         e.event_type AS ticker, e.value AS close, n.n_name AS country
+         FROM events e LEFT JOIN nation n ON e.user_id % 25 = n.n_nationkey
+         ORDER BY e.event_id""",
+    "e2_convert" ->
+      """WITH rates AS (
+           SELECT n_nationkey, CAST(n_nationkey AS DOUBLE) / 100.0 + 1.0 AS rate
+           FROM nation)
+         SELECT e.event_id, CAST(e.ts AS DATE) AS rate_date, e.value AS close,
+                r.rate, e.value * r.rate AS close_usd
+         FROM events e LEFT JOIN rates r ON e.user_id % 25 = r.n_nationkey
+         ORDER BY e.event_id""",
+    "e3_upsert" ->
+      """SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP) AS timestamp_utc, value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+    "q_recent" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS timestamp_utc, user_id, value
+         FROM events WHERE event_type = 'click'
+         ORDER BY timestamp_utc DESC, event_id LIMIT 5""",
+    "q_day" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS timestamp_utc, event_type,
+                user_id, value
+         FROM events
+         WHERE event_type = 'purchase'
+           AND CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events
+                                   WHERE event_type = 'purchase')
+         ORDER BY timestamp_utc, event_id""",
+    "q_dim" ->
+      """SELECT n.n_nationkey, n.n_name, r.r_name
+         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         ORDER BY n.n_name""",
+    "q_any" ->
+      """SELECT event_type, event_id, timestamp_utc, value, rnk
+         FROM (SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS timestamp_utc,
+                 value, row_number() OVER (PARTITION BY event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id) AS rnk
+               FROM events WHERE event_type IN ('click','purchase','error'))
+         WHERE rnk <= 3 ORDER BY event_type, rnk""",
+    "q_audit" ->
+      """SELECT COUNT(*) AS n_rows,
+                SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_quantity,
+                SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS null_extendedprice,
+                SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS null_discount,
+                SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate
+         FROM lineitem""",
+    "a1_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_discount
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount > 0.05
+         ORDER BY l_orderkey, l_linenumber""",
+    "a2_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8))) AS DOUBLE) AS sum_disc_price,
+                CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+                COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "a3_broadcast_join" ->
+      """SELECT s.s_name,
+                CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_items
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY s.s_name ORDER BY s.s_name""",
+    "a4_sortmerge_join" ->
+      """SELECT o.o_orderpriority, COUNT(DISTINCT o.o_orderkey) AS n_orders,
+                CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,8))) AS DOUBLE) AS revenue
+         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+    "a5_star_join" ->
+      """SELECT r.r_name, n.n_name,
+                CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,8))) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_lineitems
+         FROM customer c
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""",
+    "a6_topk_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+               FROM orders)
+         WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
+    "a7_window_analytic" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                o_totalprice - lag(o_totalprice) OVER w AS delta_prev,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4)))
+                  OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "a8_semi_anti" ->
+      """SELECT 'with_orders' AS grp, c_mktsegment, COUNT(*) AS n
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY c_mktsegment
+         UNION ALL
+         SELECT 'without_orders' AS grp, c_mktsegment, COUNT(*) AS n
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY c_mktsegment
+         ORDER BY grp, c_mktsegment""",
+    "a9_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts,
+                COUNT(DISTINCT l_suppkey) AS nd_supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a10_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                COALESCE(l_linestatus, 'ALL') AS linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "a11_setops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_custkey""",
+    "a12_tumbling_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+                event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")
+}

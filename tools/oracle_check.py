@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching SQL from oracle_sql.json in DuckDB over <sfDir>'s tables, and
+compares: row count, column names (sorted), and values (doubles rounded to
+4 dp, timestamps normalized to naive us). Exits nonzero on any mismatch.
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object and len(s) and isinstance(s.iloc[0], (bytes, bytearray)):
+            df[c] = s.map(lambda b: b.hex() if isinstance(b, (bytes, bytearray)) else b)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.round(4)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+    return df.reset_index(drop=True)
+
+
+def main() -> int:
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    failures = []
+    names = sorted(d for d in os.listdir(outdir)
+                   if os.path.isdir(os.path.join(outdir, d)))
+    for name in names:
+        parts = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+        if not parts:
+            failures.append((name, "no spark output parts"))
+            continue
+        got = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
+        if name not in oracle:
+            print(f"  ~ {name}: rows-only check, rows={len(got)}")
+            if len(got) == 0:
+                failures.append((name, "0 rows (rows-only check)"))
+            continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            failures.append((name, f"oracle SQL error: {e}"))
+            continue
+        g, e = normalize(got), normalize(exp)
+        if list(g.columns) != list(e.columns):
+            failures.append((name, f"columns differ: {list(g.columns)} vs {list(e.columns)}"))
+            continue
+        if len(g) != len(e):
+            failures.append((name, f"row count {len(g)} vs {len(e)}"))
+            continue
+        diff_cols = []
+        for c in g.columns:
+            a, b = g[c], e[c]
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                eq = ((a.isna() & b.isna()) | (a == b))
+            else:
+                eq = (a.isna() & b.isna()) | (a.astype(str) == b.astype(str))
+            if not bool(eq.all()):
+                bad = (~eq).idxmax()
+                diff_cols.append(f"{c}[row {bad}]: {a.iloc[bad]!r} != {b.iloc[bad]!r}")
+        if diff_cols:
+            failures.append((name, "; ".join(diff_cols[:3])))
+        else:
+            print(f"  ✓ {name}: {len(g)} rows match")
+    print()
+    if failures:
+        for n, msg in failures:
+            print(f"  ✗ {n}: {msg}")
+        return 1
+    print(f"ALL {len(names)} queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
