@@ -125,7 +125,7 @@ object CoreQueries {
       .filter(col("event_type").isin("click", "purchase", "error"))
       .select(col("event_type"), col("event_id"), ntz(col("ts")).as("timestamp_utc"),
         col("value"))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .orderBy(col("event_type"), col("rnk"))
   }
@@ -208,7 +208,7 @@ object CoreQueries {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     t(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .orderBy("o_custkey", "rnk")
   }

@@ -1,0 +1,160 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorExpressions
+
+/** Similarity search over the `embeddings` table (vec_id, array<float> 64-d,
+  * label).
+  *
+  * Three shapes, ordered by scale path:
+  *  - X5 near-dup pairs inside a blocking key (label) — equi-join blocked,
+  *    never corpus²;
+  *  - X6 brute-force top-k for a bounded query set — broadcast the queries,
+  *    one pass over the corpus, per-query top-k via window (at cluster
+  *    scale: TakeOrdered per query key);
+  *  - X7 LSH-bucketed ANN — 8 deterministic pseudo-random hyperplanes give
+  *    a 256-bucket sign signature; queries probe only their bucket, so the
+  *    scan cost drops ~256× at the price of recall (measured in tests).
+  *
+  * All cosine math runs in the codegen'd `CosineSimilarity` Catalyst
+  * expression over `array<double>`; the DuckDB oracles run the identical
+  * left-to-right accumulation via list_reduce, giving bit-equal doubles.
+  */
+object SimilarityQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+
+  private def withCosine(df: DataFrame, a: String, b: String): DataFrame = {
+    VectorExpressions.register(df.sparkSession)
+    df.withColumn("cosine", expr(s"cosine_sim($a, $b)"))
+  }
+
+  /** X5 — embedding-cosine near-dup pairs within a label block. */
+  def x5EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val pairs = e.as("a").join(e.as("b"),
+      col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    withCosine(pairs, "a.v", "b.v")
+      .filter(col("cosine") >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** X6 — brute-force cosine top-k: the exact baseline every ANN variant is
+    * measured against. Queries (vec_id < 10) broadcast; corpus scanned once.
+    */
+  def x6AnnBruteForce(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = withCosine(
+      e.join(broadcast(q), col("vec_id") =!= col("q_id")), "qv", "v")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Sign-LSH bucket id: 8 deterministic hyperplanes; component (j,i) is
+    * ((j*64+i) * 2654435761 mod 1000003) / 1000003 - 0.5. Expressible
+    * identically in DuckDB, so the oracle reproduces the bucketing exactly.
+    */
+  private val bucketExpr: String = {
+    val bits = (0 until 8).map { j =>
+      s"""(CASE WHEN aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+            (acc, i) -> acc + element_at(v, i + 1) *
+              (CAST((($j * 64 + i) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5))
+          > 0 THEN ${1 << j} ELSE 0 END)"""
+    }
+    bits.mkString(" + ")
+  }
+
+  /** X7 — LSH-bucketed ANN: assign every vector (and query) a 256-way
+    * sign-signature bucket, search only same-bucket candidates. This is the
+    * 100 TB path: the candidate join is an equi-join on bucket, with the
+    * same per-query window top-k as X6.
+    */
+  def x7AnnLshBucketed(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = vecs(s, dir).withColumn("bucket", expr(bucketExpr))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qbucket"))
+    val scored = withCosine(
+      e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("q_id")),
+      "qv", "v")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("bucket").cast("long").as("bucket"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x5_embedding_neardup" -> (x5EmbeddingNearDup(_, _)),
+    "x6_ann_bruteforce" -> (x6AnnBruteForce(_, _, 10)),
+    "x7_ann_lsh" -> (x7AnnLshBucketed(_, _, 5)))
+
+  /** DuckDB cosine with the same left-to-right double accumulation. */
+  private def duckCosine(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, 65), i -> $a[i] * $b[i])), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> $a[i] * $a[i])), (x, y) -> x + y))
+         * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> $b[i] * $b[i])), (x, y) -> x + y))))"""
+
+  private val duckBucket: String =
+    (0 until 8).map { j =>
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(0, 64), i -> v[i + 1] *
+              (CAST((($j * 64 + i) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5))),
+            (acc, x) -> acc + x) > 0 THEN ${1 << j} ELSE 0 END)"""
+    }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "x5_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+                ${duckCosine("a.v", "b.v")} AS cosine
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE ${duckCosine("a.v", "b.v")} >= 0.4
+         ORDER BY vec_a, vec_b""",
+    "x6_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         scored AS (
+           SELECT q.q_id, e.vec_id AS neighbor_id,
+                  ${duckCosine("q.qv", "e.v")} AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM scored)
+         SELECT q_id, neighbor_id, cosine, rnk FROM ranked
+         WHERE rnk <= 10 ORDER BY q_id, rnk""",
+    "x7_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (SELECT vec_id, v, $duckBucket AS bucket FROM e),
+         q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qbucket FROM b WHERE vec_id < 10),
+         scored AS (
+           SELECT q.q_id, b.bucket, b.vec_id AS neighbor_id,
+                  ${duckCosine("q.qv", "b.v")} AS cosine
+           FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.q_id),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM scored)
+         SELECT q_id, bucket, neighbor_id, cosine, rnk FROM ranked
+         WHERE rnk <= 5 ORDER BY q_id, rnk""")
+}

@@ -1,0 +1,169 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over `documents` (doc_id, text, lang, source,
+  * n_chars): language ID (stopword-hit heuristic), quality scoring, token
+  * counting (whitespace + BPE-ish regex), and content fingerprinting
+  * (normalized sha256 + polynomial rolling hash).
+  *
+  * Everything is a single narrow projection pass — no shuffle except the
+  * final presentation sort — so these stream at parquet-scan speed on any
+  * corpus size. All expressions are chosen for exact DuckDB parity
+  * (integer arithmetic, md5/sha256 hex, same regex class syntax).
+  */
+object TextQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Stopword dictionaries for the n-gram/stopword language heuristic. */
+  val langDicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"))
+
+  private def hitCount(toks: Column, dict: Seq[String]): Column = {
+    val arr = s"array(${dict.map(w => s"'$w'").mkString(",")})"
+    expr(s"size(filter(${toks.toString()}, x -> array_contains($arr, x)))")
+  }
+
+  /** T-langid — predicted language = argmax stopword hits with a fixed
+    * tie-break order (en > de > es > fr > und). Scores are also emitted so
+    * the heuristic is inspectable.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+    val withScores = langDicts.foldLeft(scored) { case (df, (lang, dict)) =>
+      df.withColumn(s"s_$lang", hitCount(col("toks"), dict).cast("long"))
+    }
+    withScores
+      .withColumn("predicted_lang",
+        expr("""CASE
+            WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+            WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END"""))
+      .select(col("doc_id"), col("lang").as("labeled_lang"), col("predicted_lang"),
+        col("s_en"), col("s_de"), col("s_es"), col("s_fr"))
+      .orderBy("doc_id")
+  }
+
+  /** T-quality — length/punctuation/stopword-ratio quality score: the
+    * standard cheap pre-filter in LLM data pipelines. Ratios are exact
+    * integer-over-integer double divisions for cross-engine parity.
+    */
+  def quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_char", length(col("text")).cast("long"))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      .withColumn("n_stop",
+        expr("CAST(size(filter(toks, x -> array_contains(array('the','a','of','and','to','is','in'), x))) AS BIGINT)"))
+      .select(
+        col("doc_id"), col("n_char"), col("n_tok"),
+        (col("n_char").cast("double") / col("n_tok")).as("avg_tok_len"),
+        (col("n_alpha").cast("double") / col("n_char")).as("alpha_ratio"),
+        (col("n_stop").cast("double") / col("n_tok")).as("stop_ratio"),
+        // blended score: favor mid-length docs with real words
+        ((col("n_alpha").cast("double") / col("n_char")) * 0.5 +
+          (col("n_stop").cast("double") / col("n_tok")) * 0.3 +
+          when(col("n_tok") >= 20 && col("n_tok") <= 200, 0.2).otherwise(0.0))
+          .as("quality_score"))
+      .orderBy("doc_id")
+
+  /** T-tokens — whitespace token count plus a BPE-ish regex token count
+    * (letter runs | digit runs | single punctuation), the standard proxy
+    * for tokenizer cost before a real BPE pass.
+    */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("bpeish_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+      .orderBy("doc_id")
+
+  /** T-fingerprint — content fingerprints: sha256 of whitespace-normalized
+    * text, a 2-hex-char shard bucket (the partition key a 100 TB dedup
+    * would shuffle on), and a polynomial rolling hash
+    * (acc*131 + code) mod 1e9+7 over the characters.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .select(
+        col("doc_id"),
+        sha2(col("norm"), 256).as("content_sha256"),
+        substring(sha2(col("norm"), 256), 1, 2).as("shard_bucket"),
+        expr("""aggregate(split(norm, ''), CAST(0 AS BIGINT),
+                (acc, c) -> (acc * 131 + ascii(c)) % 1000000007)""").as("rolling_hash"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_langid" -> (langId _),
+    "t2_quality" -> (quality _),
+    "t3_tokens" -> (tokenCount _),
+    "t4_fingerprint" -> (fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "t1_langid" ->
+      """WITH sc AS (
+           SELECT doc_id, lang,
+             len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','to','is','in'], x))) AS s_en,
+             len(list_filter(string_split(text,' '), x -> list_contains(['der','die','das','und','ist','ein'], x))) AS s_de,
+             len(list_filter(string_split(text,' '), x -> list_contains(['el','la','los','y','es','un'], x))) AS s_es,
+             len(list_filter(string_split(text,' '), x -> list_contains(['le','les','et','est','une','dans'], x))) AS s_fr
+           FROM documents)
+         SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr' END AS predicted_lang,
+           s_en, s_de, s_es, s_fr
+         FROM sc ORDER BY doc_id""",
+    "t2_quality" ->
+      """WITH b AS (
+           SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_char,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(string_split(text,' '),
+               x -> list_contains(['the','a','of','and','to','is','in'], x))) AS BIGINT) AS n_stop
+           FROM documents)
+         SELECT doc_id, n_char, n_tok,
+           CAST(n_char AS DOUBLE) / n_tok AS avg_tok_len,
+           CAST(n_alpha AS DOUBLE) / n_char AS alpha_ratio,
+           CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+           (CAST(n_alpha AS DOUBLE) / n_char) * 0.5
+             + (CAST(n_stop AS DOUBLE) / n_tok) * 0.3
+             + (CASE WHEN n_tok >= 20 AND n_tok <= 200 THEN 0.2 ELSE 0.0 END)
+             AS quality_score
+         FROM b ORDER BY doc_id""",
+    "t3_tokens" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpeish_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual
+         FROM documents ORDER BY doc_id""",
+    "t4_fingerprint" ->
+      """WITH n AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+           FROM documents)
+         SELECT doc_id, sha256(norm) AS content_sha256,
+           substr(sha256(norm), 1, 2) AS shard_bucket,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * 131 + c) % 1000000007) AS rolling_hash
+         FROM n ORDER BY doc_id""")
+}
