@@ -1,0 +1,55 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class DedupSpec extends SparkSuite {
+
+  test("x1: exact dedup groups are content-faithful") {
+    val df = DedupQueries.x1ExactDedup(spark, sf001)
+    val docs = graft.Tables(spark, sf001, "documents")
+    // canonical ids are valid doc ids, copies sum to corpus size
+    assert(df.agg(sum("n_copies")).head.getLong(0) == docs.count())
+    assert(df.filter(col("n_copies") < 1).isEmpty)
+  }
+
+  test("x2 LSH candidates that verify are a subset of exhaustive x4 pairs") {
+    // x4 (inverted-index exhaustive, threshold 0.5) must contain every
+    // x2 pair (LSH-filtered, threshold 0.8)
+    val lsh = DedupQueries.x2MinhashLsh(spark, sf001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exhaustive = DedupQueries.x4NgramJaccard(spark, sf001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "expected planted near-dup pairs in testdata")
+    assert(lsh.subsetOf(exhaustive))
+  }
+
+  test("x2: reported jaccard within (0.8, 1.0]") {
+    val js = DedupQueries.x2MinhashLsh(spark, sf001).select("jaccard")
+      .collect().map(_.getDouble(0))
+    assert(js.forall(j => j >= 0.8 && j <= 1.0))
+  }
+
+  test("x3: simhash halves stay within 32-bit range and are deterministic") {
+    val a = DedupQueries.x3Simhash(spark, sf001).collect()
+    assert(a.forall { r =>
+      val hi = r.getLong(1); val lo = r.getLong(2)
+      hi >= 0 && hi < (1L << 32) && lo >= 0 && lo < (1L << 32)
+    })
+    val b = DedupQueries.x3Simhash(spark, sf001).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+  }
+
+  test("x3: near-identical docs have small simhash hamming distance") {
+    // the planted x4 near-dup pairs should be close in simhash space
+    val pairs = DedupQueries.x4NgramJaccard(spark, sf001)
+      .filter(col("jaccard") >= 0.9).select("doc_a", "doc_b").collect()
+    val sim = DedupQueries.x3Simhash(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1) << 32) | r.getLong(2))).toMap
+    val dists = pairs.map { r =>
+      java.lang.Long.bitCount(sim(r.getLong(0)) ^ sim(r.getLong(1)))
+    }
+    assert(dists.nonEmpty && dists.forall(_ <= 16), s"hamming: ${dists.mkString(",")}")
+  }
+}

@@ -1,0 +1,153 @@
+package graft.etl
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Unit tests for the reference-derived ETL operators, seeded from the
+  * reference's only deterministic fixture — the 7-row EUR/GBP/JPY/USD frame
+  * at `/root/reference/src/data_processing/currency_converter.py:196-218` —
+  * plus the edge cases FIXTURES.md calls out (tz-naive bars, missing dim
+  * ticker, missing rate, null volume).
+  */
+class EtlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def d(s: String) = Date.valueOf(s)
+
+  lazy val dim = Seq(
+    IndexMeta("^GDAXI", "DAX", "Germany", "XETRA", "EUR"),
+    IndexMeta("^FTSE", "FTSE 100", "United Kingdom", "LSE", "GBP"),
+    IndexMeta("^N225", "Nikkei 225", "Japan", "JPX", "JPY"),
+    IndexMeta("^GSPC", "S&P 500", "USA", "NYSE", "USD")).toDF()
+
+  /** Long-format raw bars: one per (ts, ticker), yfinance field names. */
+  lazy val bars = Seq(
+    ("2025-04-17 07:00:00", "^GDAXI", Some(21000.5), Some(1000000L)),
+    ("2025-04-17 07:00:00", "^FTSE", Some(8200.25), None),
+    ("2025-04-17 00:00:00", "^N225", Some(34000.0), Some(2000000L)),
+    ("2025-04-17 13:30:00", "^GSPC", Some(5300.75), Some(3000000L)),
+    ("2025-04-18 07:00:00", "^GDAXI", Some(21100.0), Some(1100000L)),
+    ("2025-04-18 07:00:00", "^MISSING", Some(1.0), Some(1L)), // not in dim
+    ("2025-04-19 07:00:00", "^GDAXI", None, None)) // non-trading NaN
+    .toDF("ts_s", "ticker", "Close", "Volume")
+    .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    .withColumn("Open", $"Close" - 1.0)
+    .withColumn("High", $"Close" + 2.0)
+    .withColumn("Low", $"Close" - 2.0)
+    .withColumn("Adj Close", $"Close")
+
+  lazy val standardized = Standardizer.standardize(bars, dim)
+
+  test("E1: canonical schema, enrichment, casts") {
+    assert(standardized.columns.toSeq == Schema.canonicalQuoteCols)
+    val gdaxi = standardized.filter($"ticker" === "^GDAXI" &&
+      $"timestamp_utc" === ts("2025-04-17 07:00:00")).collect().head
+    assert(gdaxi.getAs[String]("original_currency") == "EUR")
+    assert(gdaxi.getAs[String]("name") == "DAX")
+    assert(gdaxi.getAs[Double]("close") == 21000.5)
+    assert(gdaxi.getAs[Long]("volume") == 1000000L)
+    // left join keeps unknown tickers with null metadata (standardizer.py:164-171)
+    val missing = standardized.filter($"ticker" === "^MISSING").collect()
+    assert(missing.length == 1 && missing.head.isNullAt(2))
+    // row count preserved by enrich join (standardizer.py:172-176)
+    assert(standardized.count() == bars.count())
+  }
+
+  test("E1: tz-naive daily bars localized via sourceTz branch") {
+    val tokyoBars = bars.filter($"ticker" === "^N225")
+    val viaTz = Standardizer.standardize(tokyoBars, dim, sourceTz = Some("Asia/Tokyo"))
+    val got = viaTz.select($"timestamp_utc").collect().head.getTimestamp(0)
+    // 2025-04-17 00:00 JST == 2025-04-16 15:00 UTC
+    assert(got == ts("2025-04-16 15:00:00"))
+  }
+
+  test("E1: unpivot wide->long roundtrip") {
+    val wide = Seq(
+      (ts("2025-04-17 07:00:00"), 1.0, 2.0, 10.0, 20.0),
+      (ts("2025-04-17 08:00:00"), 1.5, 2.5, 11.0, 21.0))
+      .toDF("ts", "AAA:Open", "AAA:Close", "BBB:Open", "BBB:Close")
+    val long = Standardizer.unpivotWide(wide)
+    assert(long.count() == 4)
+    val aaa = long.filter($"ticker" === "AAA" && $"ts" === ts("2025-04-17 07:00:00"))
+      .collect().head
+    assert(aaa.getAs[Double]("Open") == 1.0 && aaa.getAs[Double]("Close") == 2.0)
+    assert(long.filter($"ticker" === "BBB").agg(sum($"Close")).head.getDouble(0) == 41.0)
+  }
+
+  test("E1: null audit counts") {
+    val audit = Standardizer.auditNullCounts(standardized, Schema.priceCols).collect().head
+    assert(audit.getAs[Long]("n_rows") == 7)
+    assert(audit.getAs[Long]("null_close") == 1)
+  }
+
+  test("E2: identity, conversion, and missing-rate semantics") {
+    val rates = new StaticRateProvider(Map(
+      ("EUR", d("2025-04-17")) -> 1.14,
+      ("GBP", d("2025-04-17")) -> 1.33,
+      ("EUR", d("2025-04-18")) -> 1.15))
+    // JPY 2025-04-17 intentionally missing -> null *_usd (README.md:381)
+    val converted = CurrencyConverter.convertWithProvider(spark, standardized, rates)
+    val rows = converted.select($"ticker", $"timestamp_utc", $"close", $"close_usd")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r).toMap
+    // identity: USD->USD multiplies by exactly 1.0 (currency_converter.py:32-33)
+    val gspc = rows(("^GSPC", ts("2025-04-17 13:30:00")))
+    assert(gspc.getDouble(3) == gspc.getDouble(2))
+    // EUR converts at the daily rate
+    val gdaxi = rows(("^GDAXI", ts("2025-04-17 07:00:00")))
+    assert(gdaxi.getDouble(3) == 21000.5 * 1.14)
+    // missing rate -> null (not zero, not error)
+    val n225 = rows(("^N225", ts("2025-04-17 00:00:00")))
+    assert(n225.isNullAt(3))
+    // unknown ticker (null currency) -> null
+    assert(rows(("^MISSING", ts("2025-04-18 07:00:00"))).isNullAt(3))
+    // helper columns dropped (T11)
+    assert(!converted.columns.contains("rate_date") && !converted.columns.contains("exchange_rate"))
+  }
+
+  test("E2: distinct-pair planning is bounded and skips target/null currency") {
+    val pairs = CurrencyConverter.distinctPairs(standardized, "USD")
+    assert(pairs.toSet == Set(
+      ("EUR", d("2025-04-17")), ("EUR", d("2025-04-18")), ("EUR", d("2025-04-19")),
+      ("GBP", d("2025-04-17")), ("JPY", d("2025-04-17"))))
+  }
+
+  test("E3: last-write-wins dedup is deterministic") {
+    val batch = Seq(
+      ("k1", ts("2025-01-01 00:00:00"), 1.0, 1L),
+      ("k1", ts("2025-01-02 00:00:00"), 2.0, 2L), // newest wins
+      ("k1", ts("2025-01-02 00:00:00"), 3.0, 3L), // same version: higher tiebreak wins
+      ("k2", ts("2025-01-01 00:00:00"), 9.0, 4L))
+      .toDF("key", "version_ts", "value", "seq")
+    val lww = Upsert.lastWriteWins(batch, Seq("key"), "version_ts", Seq("seq"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(lww == Map("k1" -> 3.0, "k2" -> 9.0))
+  }
+
+  test("E3: parquet merge sink is idempotent and upserts") {
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/quotes"
+    val b1 = Seq(("k1", 1L, 10.0), ("k2", 1L, 20.0)).toDF("key", "v", "price")
+    Upsert.mergeIntoParquet(spark, dir, b1, Seq("key"), "v")
+    // re-running the same batch changes nothing (idempotency, README.md:37)
+    Upsert.mergeIntoParquet(spark, dir, b1, Seq("key"), "v")
+    assert(spark.read.parquet(dir).count() == 2)
+    // overlapping re-delivery with updated values: DO UPDATE wins
+    val b2 = Seq(("k2", 2L, 25.0), ("k3", 1L, 30.0)).toDF("key", "v", "price")
+    Upsert.mergeIntoParquet(spark, dir, b2, Seq("key"), "v")
+    val state = spark.read.parquet(dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(state == Map("k1" -> 10.0, "k2" -> 25.0, "k3" -> 30.0))
+  }
+
+  test("E3: upsert SQL dialects render the reference statement shapes") {
+    val pg = Upsert.Postgres.upsertSql("quotes", Seq("ticker", "ts", "close"), Seq("ticker", "ts"))
+    assert(pg.contains("ON CONFLICT (ticker, ts) DO UPDATE SET close = EXCLUDED.close"))
+    val merge = Upsert.AnsiMerge.upsertSql("quotes", Seq("ticker", "ts", "close"), Seq("ticker", "ts"))
+    assert(merge.contains("MERGE INTO quotes") && merge.contains("WHEN MATCHED THEN UPDATE"))
+  }
+}

@@ -1,0 +1,38 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class MultimodalSpec extends SparkSuite {
+
+  test("m3: typed decode produces full coverage with sane metadata") {
+    val meta = MultimodalQueries.m3DecodeStub(spark, sf001)
+    val docs = graft.Tables(spark, sf001, "documents")
+    assert(meta.count() == docs.count())
+    val rows = meta.collect()
+    assert(rows.forall { r =>
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      w >= 16 && w < 256 && h >= 16 && h < 256 && r.getAs[Long]("n_bytes") > 0
+    })
+    assert(rows.map(_.getAs[String]("format")).toSet
+      .subsetOf(Set("img/fake-png", "img/fake-jpeg", "vid/fake-mp4")))
+  }
+
+  test("decode stub is deterministic") {
+    val bytes = "hello world".getBytes("UTF-8")
+    assert(Multimodal.decodeStub(1L, bytes) == Multimodal.decodeStub(1L, bytes))
+  }
+
+  test("m2: frame offsets are strided and within bounds") {
+    val rows = MultimodalQueries.m2FrameSample(spark, sf001)
+      .groupBy("doc_id").agg(max("frame_off").as("mx"), count(lit(1)).as("n"))
+      .join(graft.Tables(spark, sf001, "documents"), "doc_id")
+      .collect()
+    rows.foreach { r =>
+      val mx = r.getAs[Long]("mx"); val nchars = r.getAs[Long]("n_chars")
+      assert(mx < nchars, s"offset $mx beyond $nchars")
+      assert(r.getAs[Long]("n") == (nchars + 49) / 50, "stride count")
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Structural checks over the declared query surface at sf0.001. Value
+  * correctness is owned by the DuckDB oracle gate (tools/oracle_check.py);
+  * these assert invariants that don't need an oracle.
+  */
+class QueriesSpec extends SparkSuite {
+
+  test("every query runs and every oracle key points at a real query") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle without query: $k"))
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, sf001)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q_recent: 5 rows, strictly descending recency") {
+    val rows = CoreQueries.qRecent(spark, sf001).collect()
+    assert(rows.length == 5)
+    // TIMESTAMP_NTZ collects as LocalDateTime under the java8 datetime API
+    val times = rows.map(_.get(1) match {
+      case t: java.sql.Timestamp     => t.getTime
+      case i: java.time.Instant      => i.toEpochMilli
+      case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    })
+    assert(times.zip(times.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("e3_upsert: unique per (user_id, event_type)") {
+    val df = CoreQueries.e3Upsert(spark, sf001)
+    assert(df.groupBy("user_id", "event_type").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("a2: group count equals distinct (returnflag, linestatus)") {
+    val li = graft.Tables(spark, sf001, "lineitem")
+    val expected = li.select("l_returnflag", "l_linestatus").distinct().count()
+    assert(CoreQueries.a2Agg(spark, sf001).count() == expected)
+  }
+
+  test("a10_rollup: grand total row aggregates everything") {
+    val li = graft.Tables(spark, sf001, "lineitem")
+    val total = CoreQueries.a10Rollup(spark, sf001)
+      .filter(col("returnflag") === "ALL" && col("linestatus") === "ALL")
+      .collect().head
+    assert(total.getAs[Long]("n") == li.count())
+  }
+
+  test("a6: at most 3 per customer, rank within [1,3]") {
+    val df = CoreQueries.a6TopkWindow(spark, sf001)
+    assert(df.groupBy("o_custkey").count().filter(col("count") > 3).isEmpty)
+    assert(df.filter(col("rnk") < 1 || col("rnk") > 3).isEmpty)
+  }
+}

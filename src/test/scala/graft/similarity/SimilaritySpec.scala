@@ -1,0 +1,58 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.VectorExpressions
+
+class SimilaritySpec extends SparkSuite {
+
+  test("cosine_sim expression matches a driver-side computation") {
+    VectorExpressions.register(spark)
+    val vecs = graft.Tables(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(10).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val got = SimilarityQueries.x6AnnBruteForce(spark, sf001, 3)
+      .filter(col("q_id") === 0).collect()
+    got.foreach { r =>
+      val q = vecs(0L)
+      val n = graft.Tables(spark, sf001, "embeddings")
+        .filter(col("vec_id") === r.getLong(1))
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+      val dot = q.zip(n).map { case (a, b) => a * b }.sum
+      val expected = dot / (math.sqrt(q.map(x => x * x).sum) * math.sqrt(n.map(x => x * x).sum))
+      assert(math.abs(r.getDouble(2) - expected) < 1e-9)
+    }
+  }
+
+  test("x6: ranks are dense and cosine non-increasing per query") {
+    val rows = SimilarityQueries.x6AnnBruteForce(spark, sf001, 10).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10) // vec_id 0..9 exist
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to 10L))
+      val cos = sorted.map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("x7 LSH bucketing: recall against brute force is positive and measured") {
+    val bf = SimilarityQueries.x6AnnBruteForce(spark, sf001, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityQueries.x7AnnLshBucketed(spark, sf001, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = lsh.count(bf.contains).toDouble / bf.size
+    info(f"x7 recall@5 vs brute force: $recall%.2f (bucket search space ~1/256)")
+    assert(lsh.nonEmpty)
+    // every LSH hit must be a real vector pair with self excluded
+    assert(lsh.forall { case (q, n) => q != n })
+  }
+
+  test("x5: pairs are within-label and above threshold") {
+    val rows = SimilarityQueries.x5EmbeddingNearDup(spark, sf001).collect()
+    assert(rows.forall(_.getDouble(3) >= 0.4))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class TextSpec extends SparkSuite {
+
+  test("t3: token counts agree with a driver-side recount on a sample") {
+    val sample = graft.Tables(spark, sf001, "documents")
+      .select("doc_id", "text").limit(20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextQueries.tokenCount(spark, sf001)
+      .filter(col("doc_id") < 20).collect()
+    got.foreach { r =>
+      val text = sample(r.getLong(0))
+      assert(r.getLong(1) == text.split(" ", -1).length, s"ws_tokens doc ${r.getLong(0)}")
+      assert(r.getLong(3) == text.length, "n_chars_actual")
+    }
+  }
+
+  test("t2: ratios are in [0,1] and score components bounded") {
+    val rows = TextQueries.quality(spark, sf001).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1, "alpha_ratio")
+      assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1, "stop_ratio")
+      assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1.0, "quality_score")
+    }
+  }
+
+  test("t1: predictions are from the closed label set") {
+    val langs = TextQueries.langId(spark, sf001)
+      .select("predicted_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr", "und")))
+  }
+
+  test("t4: fingerprints are stable and collision-free on distinct texts") {
+    val df = TextQueries.fingerprint(spark, sf001)
+    val n = df.count()
+    // sf0.001 documents are all distinct (verified via x1) -> distinct hashes
+    assert(df.select("content_sha256").distinct().count() == n)
+    val rh = df.select("rolling_hash").collect().map(_.getLong(0))
+    assert(rh.forall(h => h >= 0 && h < 1000000007L))
+  }
+}
