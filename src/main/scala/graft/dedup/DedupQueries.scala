@@ -28,11 +28,21 @@ object DedupQueries {
   private def md5Mod(c: Column): Column =
     (conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P).as("base")
 
+  /** Spread a small input across the cluster before an explode-heavy
+    * pipeline: a 1-file local table otherwise runs the whole narrow stage on
+    * one core. No-op at scale (real inputs already have ≥ parallelism
+    * partitions, and we never *reduce* partitioning here).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Distinct 3-gram word shingles per document: explode-based, so the
     * (doc, shingle) stream partitions by shingle for inverted-index joins.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs
+    spread(docs)
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"),
@@ -60,22 +70,33 @@ object DedupQueries {
   def x2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(t(s, dir, "documents")).cache()
     val hashed = sh.withColumn("base", md5Mod(col("shingle")))
-    val ks = explode(expr(s"sequence(0, ${NumHashes - 1})")).as("k")
+    // All 24 minhashes in ONE groupBy(doc_id) — 24 parallel min() aggregates
+    // over the un-exploded shingle stream. The naive formulation (explode a
+    // 0..23 sequence, shuffle (doc, shingle)×24 rows) moves 24× the data
+    // through the exchange for identical results; this shape's map-side
+    // partial mins reduce each partition to ≤ one row per doc before the
+    // shuffle, which is what survives a 100 TB corpus.
     val minhash = hashed
-      .select(col("doc_id"), col("base"), ks)
-      .withColumn("h",
-        (((col("k") * lit(2654435761L) + 1) % P) * col("base") +
-          (col("k") * lit(40503L) + 17) % P) % P)
-      .groupBy(col("doc_id"), col("k"))
-      .agg(min(col("h")).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min((((lit(0L) * 2654435761L + 1) % P) * col("base") +
+          (lit(0L) * 40503L + 17) % P) % P).as("m0"),
+        (1 until NumHashes).map { k =>
+          min((((lit(k.toLong) * 2654435761L + 1) % P) * col("base") +
+            (lit(k.toLong) * 40503L + 17) % P) % P).as(s"m$k")
+        }: _*)
+    // 8 band hashes per doc, computed row-local (no extra shuffle), then
+    // unpivoted to (doc_id, band, bh) rows for the bucket equi-join.
+    val bandWeights = Seq(1L, 8191L, 67092481L)
+    val bandStructs = (0 until NumHashes / BandRows).map { b =>
+      val terms = (0 until BandRows).map { r =>
+        (col(s"m${b * BandRows + r}") * lit(bandWeights(r))) % P
+      }
+      struct(lit(b).as("band"), (terms.reduce(_ + _) % P).as("bh"))
+    }
     val bands = minhash
-      .withColumn("band", expr(s"k div $BandRows"))
-      .withColumn("w",
-        when(col("k") % BandRows === 0, lit(1L))
-          .when(col("k") % BandRows === 1, lit(8191L))
-          .otherwise(lit(67092481L)))
-      .groupBy(col("doc_id"), col("band"))
-      .agg((sum((col("m") * col("w")) % P) % P).as("bh"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -90,13 +111,18 @@ object DedupQueries {
     * pairs, via a shingle-equi-join intersection count.
     */
   private def jaccardOfPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.as("s1"), col("doc_a") === col("s1.doc_id"))
       .join(sh.as("s2"),
         col("doc_b") === col("s2.doc_id") && col("s1.shingle") === col("s2.shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("ni"))
+    jaccardFromIntersections(inter, sh)
+  }
+
+  /** jaccard = ni / (|a| + |b| - ni) given per-pair intersection sizes. */
+  private def jaccardFromIntersections(inter: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     inter
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
       .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
@@ -111,27 +137,40 @@ object DedupQueries {
     * order-independent grouped sum.
     */
   def x3Simhash(s: SparkSession, dir: String): DataFrame = {
-    val tokens = t(s, dir, "documents")
+    val tokens = spread(t(s, dir, "documents"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .distinct()
       .withColumn("hx", md5(col("tok")))
-    // vote on bit b of token-hash nibble b/4: (nibble >> (b % 4)) & 1
-    val voted = tokens
-      .select(col("doc_id"), col("hx"), explode(expr("sequence(0, 63)")).as("bit"))
-      .withColumn("nibble",
-        expr("CAST(conv(substring(hx, CAST(bit DIV 4 AS INT) + 1, 1), 16, 10) AS BIGINT)"))
-      .withColumn("vote",
-        expr("CASE WHEN (shiftright(nibble, CAST(bit % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END"))
-    voted
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-      .withColumn("onb", (col("v") > 0).cast("long"))
+    // Bit b of the token hash lives in md5 nibble b/4 at position b%4. The
+    // per-bit ±1 vote sum satisfies Σvotes = 2·(#tokens with bit set) − T,
+    // so all 64 votes collapse into 64 parallel sum() aggregates + count()
+    // in ONE groupBy(doc_id) — no 64-way row explosion, no
+    // (doc, bit)-keyed shuffle of 64× the token stream. That blowup is the
+    // difference between shuffling T rows and 64·T rows at corpus scale.
+    // The 16 hex nibbles are parsed once per row into two longs (hex char at
+    // 1-indexed position p holds bits 4·(15−p)..4·(15−p)+3 of the first
+    // conv); every bit extraction after that is pure shift/mask arithmetic
+    // instead of 64 string parses per row.
+    val parsed = tokens
+      .withColumn("n1", conv(substring(col("hx"), 1, 15), 16, 10).cast("long"))
+      .withColumn("n2", conv(substring(col("hx"), 16, 1), 16, 10).cast("long"))
+    val bitSums = (0 until 64).map { b =>
+      val p = b / 4 + 1 // hex-string position of this bit's nibble
+      val e =
+        if (p <= 15) shiftright(col("n1"), 4 * (15 - p) + b % 4)
+        else shiftright(col("n2"), b % 4)
+      sum(e.bitwiseAND(lit(1L))).as(s"s$b")
+    }
+    def half(bits: Range, shiftBase: Int): Column =
+      bits.map { b =>
+        when(col(s"s$b") * 2 > col("tcount"), lit(1L << (b - shiftBase))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    parsed
       .groupBy(col("doc_id"))
-      .agg(
-        sum(expr("CASE WHEN bit >= 32 THEN onb * shiftleft(CAST(1 AS BIGINT), CAST(bit - 32 AS INT)) ELSE 0 END"))
-          .as("simhash_hi"),
-        sum(expr("CASE WHEN bit < 32 THEN onb * shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) ELSE 0 END"))
-          .as("simhash_lo"))
+      .agg(count(lit(1)).as("tcount"), bitSums: _*)
+      .select(col("doc_id"),
+        half(32 until 64, 32).as("simhash_hi"),
+        half(0 until 32, 0).as("simhash_lo"))
       .orderBy("doc_id")
   }
 
@@ -142,12 +181,16 @@ object DedupQueries {
     */
   def x4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(t(s, dir, "documents")).cache()
-    val pairs = sh.as("s1")
+    // The inverted-index self-join directly yields one row per shared
+    // shingle, so grouping it counts intersections in the same pass —
+    // no pairs.distinct() + double re-join against the shingle table
+    // (3 shuffles saved; the candidate set never materializes twice).
+    val inter = sh.as("s1")
       .join(sh.as("s2"),
         col("s1.shingle") === col("s2.shingle") && col("s1.doc_id") < col("s2.doc_id"))
-      .select(col("s1.doc_id").as("doc_a"), col("s2.doc_id").as("doc_b"))
-      .distinct()
-    jaccardOfPairs(pairs, sh).filter(col("jaccard") >= 0.5)
+      .groupBy(col("s1.doc_id").as("doc_a"), col("s2.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("ni"))
+    jaccardFromIntersections(inter, sh).filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
 
