@@ -79,6 +79,11 @@ object Upsert {
   /** SQL dialects for the keyed-upsert statement. */
   sealed trait Dialect {
     def upsertSql(table: String, cols: Seq[String], keys: Seq[String]): String
+
+    /** Column names in the order the statement's `?` placeholders bind;
+      * default: one placeholder per column, in column order.
+      */
+    def bindOrder(cols: Seq[String], keys: Seq[String]): Seq[String] = cols
   }
 
   /** Postgres `INSERT … ON CONFLICT DO UPDATE` — the reference's statement
@@ -110,6 +115,36 @@ object Upsert {
     // Note: MERGE binds the VALUES row once; parameter count == cols.size.
   }
 
+  /** Derby MERGE over SYSIBM.SYSDUMMY1 (Derby's MERGE source must be a
+    * table/view, not a VALUES row). Placeholders bind keys (ON), then
+    * non-keys (UPDATE SET), then every column (INSERT VALUES).
+    */
+  case object Derby extends Dialect {
+    def upsertSql(table: String, cols: Seq[String], keys: Seq[String]): String = {
+      val on = keys.map(k => s"$table.$k = ?").mkString(" AND ")
+      val nonKeys = cols.filterNot(keys.contains)
+      val matched =
+        if (nonKeys.isEmpty) ""
+        else s"WHEN MATCHED THEN UPDATE SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} "
+      s"""MERGE INTO $table USING SYSIBM.SYSDUMMY1 ON $on
+         |${matched}WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+         |  VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin
+    }
+
+    override def bindOrder(cols: Seq[String], keys: Seq[String]): Seq[String] =
+      keys ++ cols.filterNot(keys.contains) ++ cols
+  }
+
+  /** JDBC drivers want java.sql datetime types; Spark Rows carry java.time
+    * under the (default) java8 datetime API.
+    */
+  private def jdbcValue(v: Any): Any = v match {
+    case i: java.time.Instant       => java.sql.Timestamp.from(i)
+    case d: java.time.LocalDate     => java.sql.Date.valueOf(d)
+    case t: java.time.LocalDateTime => java.sql.Timestamp.valueOf(t)
+    case x                          => x
+  }
+
   /** L2/L3 — distributed JDBC upsert: each partition opens one connection,
     * writes batches of `batchSize` (the reference pages at 1000,
     * `postgres_writer.py:259`), and commits per partition. Global atomicity
@@ -130,7 +165,8 @@ object Upsert {
       props: java.util.Properties = new java.util.Properties()): Unit = {
     val cols = df.columns.toSeq
     val sql = dialect.upsertSql(table, cols, keys)
-    val width = cols.size
+    val bindIdx = dialect.bindOrder(cols, keys).map(cols.indexOf).toArray
+    val width = bindIdx.length
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val conn: Connection = DriverManager.getConnection(url, props)
@@ -140,7 +176,7 @@ object Upsert {
           var pending = 0
           rows.foreach { r =>
             var i = 0
-            while (i < width) { st.setObject(i + 1, r.get(i)); i += 1 }
+            while (i < width) { st.setObject(i + 1, jdbcValue(r.get(bindIdx(i)))); i += 1 }
             st.addBatch()
             pending += 1
             if (pending >= batchSize) { st.executeBatch(); pending = 0 }

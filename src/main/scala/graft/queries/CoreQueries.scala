@@ -297,6 +297,55 @@ object CoreQueries {
         col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** A12b: sliding-window event aggregation (2h windows sliding by 1h) —
+    * every event lands in two windows; Spark's `window()` Expand handles the
+    * fan-out without a self-join.
+    */
+  def a12bSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .select(ntz(col("w.start")).as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** A13: as-of join — for every click, the same user's most recent purchase
+    * at or before it (the T9 rate-lookup generalized to point-in-time
+    * semantics; SURVEY.md §4 "as-of rate join").
+    *
+    * Implementation is the scalable union-and-carry plan: tag both sides,
+    * union, ONE shuffle on the key, and a running `last(..., ignoreNulls)`
+    * window carries the newest purchase forward to each click. No
+    * point-in-time cross join, no per-row probe — cost is a single
+    * sort-within-partition at any scale. Purchases are pre-aggregated per
+    * (user, ts) so ties are deterministic in both engines.
+    */
+  def a13AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("p_value"))
+      .select(col("user_id"), col("ts"), col("p_value"),
+        lit(0).as("side"), lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(null).cast("double").as("p_value"),
+        lit(1).as("side"), col("event_id"), col("value"))
+    // side=0 sorts before side=1 at equal ts ⇒ inclusive `purchase.ts <= click.ts`
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("purchase_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("purchase_value",
+        last(when(col("side") === 0, col("p_value")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), ntz(col("ts")).as("timestamp_utc"), col("user_id"),
+        col("value"), ntz(col("purchase_ts")).as("purchase_ts"), col("purchase_value"))
+      .orderBy("event_id")
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -320,7 +369,9 @@ object CoreQueries {
     "a9b_approx_distinct" -> (a9bApproxDistinct _),
     "a10_rollup" -> (a10Rollup _),
     "a11_setops" -> (a11SetOps _),
-    "a12_tumbling_window" -> (a12TumblingWindow _))
+    "a12_tumbling_window" -> (a12TumblingWindow _),
+    "a12b_sliding_window" -> (a12bSlidingWindow _),
+    "a13_asof_join" -> (a13AsofJoin _))
 
   /** DuckDB oracle SQL, aligned column-for-column with the Spark plans. */
   val oracles: Map[String, String] = Map(
@@ -457,5 +508,26 @@ object CoreQueries {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
                 event_type, COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "a12b_sliding_window" ->
+      """SELECT ws AS window_start, event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+         FROM (SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,
+                              date_trunc('hour', CAST(ts AS TIMESTAMP))]) AS ws,
+                      event_type, value
+               FROM events)
+         GROUP BY ws, event_type ORDER BY ws, event_type""",
+    "a13_asof_join" ->
+      """WITH purchases AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, MAX(value) AS p_value
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+         clicks AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS cts, value
+           FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.cts AS timestamp_utc, c.user_id, c.value,
+                p.pts AS purchase_ts, p.p_value AS purchase_value
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND p.pts <= c.cts
+         ORDER BY c.event_id""")
 }
