@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkSuite
+
+/** Physical-plan shape assertions — the properties that decide whether these
+  * plans survive a 100 TB input: filters reaching the parquet scan, column
+  * pruning, broadcast vs shuffle join selection, top-k instead of global
+  * sort, and no accidental cartesian products.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("a1: predicate pushdown and column pruning reach the scan") {
+    val p = plan(CoreQueries.a1FilterProject(spark, sf001))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_discount"), p)
+    // only the 5 projected/filter columns are read — l_quantity must be pruned
+    assert(!p.contains("l_quantity"), "scan reads a column the query never uses")
+  }
+
+  test("a3/e1: tiny-dimension joins broadcast (no fact-side shuffle)") {
+    assert(plan(CoreQueries.a3BroadcastJoin(spark, sf001)).contains("BroadcastHashJoin"))
+    assert(plan(CoreQueries.e1Standardize(spark, sf001)).contains("BroadcastHashJoin"))
+  }
+
+  test("a4: fact-to-fact join stays sort-merge") {
+    assert(plan(CoreQueries.a4SortMergeJoin(spark, sf001)).contains("SortMergeJoin"))
+  }
+
+  test("q_recent: order-by-limit plans as top-k, not a global sort") {
+    assert(plan(CoreQueries.qRecent(spark, sf001)).contains("TakeOrderedAndProject"))
+  }
+
+  test("a2: aggregation is partial (map-side) before the shuffle") {
+    val p = plan(CoreQueries.a2Agg(spark, sf001))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
+  }
+
+  test("no accidental cartesian products anywhere in the surface") {
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val p = plan(fn(spark, sf001))
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+}

@@ -55,6 +55,21 @@ class QueriesSpec extends SparkSuite {
     assert(total.getAs[Long]("n") == li.count())
   }
 
+  test("a13: every matched purchase precedes (or equals) its click") {
+    val df = CoreQueries.a13AsofJoin(spark, sf001)
+      .filter(col("purchase_ts").isNotNull)
+    assert(df.count() > 0)
+    assert(df.filter(col("purchase_ts") > col("timestamp_utc")).isEmpty,
+      "as-of join matched a purchase from the future")
+  }
+
+  test("a12b: sliding windows double-count each event exactly twice") {
+    val total = CoreQueries.a12bSlidingWindow(spark, sf001)
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    val events = graft.Tables(spark, sf001, "events").count()
+    assert(total == 2 * events, s"$total != 2 * $events")
+  }
+
   test("a6: at most 3 per customer, rank within [1,3]") {
     val df = CoreQueries.a6TopkWindow(spark, sf001)
     assert(df.groupBy("o_custkey").count().filter(col("count") > 3).isEmpty)
