@@ -309,6 +309,19 @@ object CoreQueries {
         col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** A12c: session-window aggregation — per-user sessions closed by a
+    * 30-minute silence gap (`session_window` merges events with
+    * inter-arrival < gap; end = last event + gap). The same expression
+    * streams under a watermark (graft.streaming).
+    */
+  def a12cSessionWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .select(ntz(col("w.start")).as("session_start"), ntz(col("w.end")).as("session_end"),
+        col("user_id"), col("n"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   /** A13: as-of join — for every click, the same user's most recent purchase
     * at or before it (the T9 rate-lookup generalized to point-in-time
     * semantics; SURVEY.md §4 "as-of rate join").
@@ -371,6 +384,7 @@ object CoreQueries {
     "a11_setops" -> (a11SetOps _),
     "a12_tumbling_window" -> (a12TumblingWindow _),
     "a12b_sliding_window" -> (a12bSlidingWindow _),
+    "a12c_session_window" -> (a12cSessionWindow _),
     "a13_asof_join" -> (a13AsofJoin _))
 
   /** DuckDB oracle SQL, aligned column-for-column with the Spark plans. */
@@ -517,6 +531,18 @@ object CoreQueries {
                       event_type, value
                FROM events)
          GROUP BY ws, event_type ORDER BY ws, event_type""",
+    "a12c_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         m AS (SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+               FROM e),
+         g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m)
+         SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                user_id, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+         FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "a13_asof_join" ->
       """WITH purchases AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, MAX(value) AS p_value

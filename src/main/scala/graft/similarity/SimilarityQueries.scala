@@ -1,11 +1,11 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorExpressions
+import graft.functions.{TopKAggregator, VectorExpressions}
 
 /** Similarity search over the `embeddings` table (vec_id, array<float> 64-d,
   * label).
@@ -57,13 +57,25 @@ object SimilarityQueries {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val scored = withCosine(
       e.join(broadcast(q), col("vec_id") =!= col("q_id")), "qv", "v")
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rnk"))
+    topKPerQuery(scored, k, col("q_id"))
+      .select(col("q_id"), col("neighbor_id"), col("cosine"), col("rnk"))
       .orderBy("q_id", "rnk")
   }
+
+  /** Per-query top-k via the bounded [[TopKAggregator]]: map-side partial
+    * top-k means only `partitions × k` rows per query reach the shuffle —
+    * a `row_number()` window here would shuffle and sort EVERY scored
+    * corpus row per query, which is exactly what dies at 100 TB.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int, groupCols: Column*): DataFrame =
+    scored
+      .groupBy(groupCols: _*)
+      .agg(TopKAggregator.topK(k)(col("vec_id"), col("cosine")).as("nn"))
+      .select(groupCols :+ posexplode(col("nn")): _*)
+      .select(groupCols ++ Seq(
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine")): _*)
 
   /** Sign-LSH bucket id: 8 deterministic hyperplanes; component (j,i) is
     * ((j*64+i) * 2654435761 mod 1000003) / 1000003 - 0.5. Expressible
@@ -91,12 +103,10 @@ object SimilarityQueries {
     val scored = withCosine(
       e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("q_id")),
       "qv", "v")
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("bucket").cast("long").as("bucket"), col("vec_id").as("neighbor_id"),
-        col("cosine"), col("rnk"))
+    // bucket == qbucket is constant within a query group, so it rides along
+    // as a grouping column without changing the key cardinality.
+    topKPerQuery(scored, k, col("q_id"), col("bucket").cast("long").as("bucket"))
+      .select(col("q_id"), col("bucket"), col("neighbor_id"), col("cosine"), col("rnk"))
       .orderBy("q_id", "rnk")
   }
 

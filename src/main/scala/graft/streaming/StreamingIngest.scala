@@ -1,11 +1,27 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.etl.Upsert
+
+/** Incrementally-maintained OHLC candle for one (user, hour) group —
+  * mapGroupsWithState state/output. Open/close are tracked by remembering
+  * the extreme event times, so updates are order-independent: any arrival
+  * order of the same events converges to the same candle.
+  */
+final case class Candle(
+    user_id: Long,
+    hour_start: Long, // epoch seconds of the hour bucket
+    open: Double,
+    high: Double,
+    low: Double,
+    close: Double,
+    n: Long,
+    open_ts: Long, // epoch micros of the earliest event seen
+    close_ts: Long) // epoch micros of the latest event seen
 
 /** Incremental/streaming mode (SURVEY.md §7 Phase 3).
   *
@@ -52,6 +68,55 @@ object StreamingIngest {
         sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Streaming session windows: per-user sessions closed by a silence gap —
+    * the batch A12c expression under a watermark (append mode emits a
+    * session once the watermark passes its end).
+    */
+  def sessionAgg(events: DataFrame, tsCol: String, lateness: String, gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n"))
+
+  /** Arbitrary-stateful streaming (mapGroupsWithState): incrementally build
+    * per-(user, hour) OHLC candles — the market-data-native custom-state
+    * shape the reference's 6-hourly bars generalize to. Each micro-batch
+    * emits the group's updated candle (Update output mode); because
+    * open/close ride on remembered event times, re-delivery and
+    * out-of-order arrival converge to the batch answer.
+    */
+  def candleBuilder(events: DataFrame, tsCol: String): Dataset[Candle] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col("value").cast("double"))
+      .as[(Long, Long, Double)]
+    typed
+      .groupByKey { case (user, tsUs, _) => (user, tsUs / 3600000000L * 3600L) }
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), it: Iterator[(Long, Long, Double)], st: GroupState[Candle]) =>
+          var c = st.getOption.getOrElse(
+            Candle(key._1, key._2, 0.0, Double.MinValue, Double.MaxValue, 0.0, 0L,
+              Long.MaxValue, Long.MinValue))
+          it.foreach { case (_, tsUs, v) =>
+            c = c.copy(
+              open = if (tsUs < c.open_ts) v else c.open,
+              open_ts = math.min(tsUs, c.open_ts),
+              close = if (tsUs > c.close_ts) v else c.close,
+              close_ts = math.max(tsUs, c.close_ts),
+              high = math.max(v, c.high),
+              low = math.min(v, c.low),
+              n = c.n + 1)
+          }
+          st.update(c)
+          c
+      }
+  }
 
   /** Drain everything currently in the landing dir through the keyed
     * parquet-merge upsert sink, then stop (AvailableNow ≙ one cron tick).

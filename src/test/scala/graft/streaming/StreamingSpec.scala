@@ -55,6 +55,60 @@ class StreamingSpec extends SparkSuite {
       s"watermark-closed windows missing: ${closedRows.size} closed vs ${gotRows.size} emitted")
   }
 
+  test("streaming session windows agree with the batch session aggregation") {
+    val schema = spark.read.parquet(landing).schema
+    val stream = StreamingIngest.readLanding(spark, landing, schema)
+    val q = StreamingIngest.sessionAgg(stream, "ts", "2 days", "30 minutes")
+      .writeStream
+      .format("memory").queryName("sessions").outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt_sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sessions").collect().map(_.toString).toSet
+    val batch = spark.read.parquet(landing)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n"))
+    val closed = batch
+      .join(broadcast(spark.read.parquet(landing).agg(max(col("ts")).as("max_ts"))))
+      .filter(col("session_end") <= col("max_ts") - expr("INTERVAL 2 DAYS"))
+      .drop("max_ts")
+    val batchRows = batch.collect().map(_.toString).toSet
+    val closedRows = closed.collect().map(_.toString).toSet
+    assert(got.subsetOf(batchRows), "streaming emitted a session batch disagrees with")
+    assert(closedRows.subsetOf(got),
+      s"watermark-closed sessions missing: ${closedRows.size} closed vs ${got.size} emitted")
+  }
+
+  test("mapGroupsWithState candles converge to the batch OHLC aggregation") {
+    val schema = spark.read.parquet(landing).schema
+    val stream = StreamingIngest.readLanding(spark, landing, schema)
+    val q = StreamingIngest.candleBuilder(stream, "ts")
+      .writeStream
+      .format("memory").queryName("candles").outputMode("update")
+      .option("checkpointLocation", s"$work/ckpt_candles")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // last update per key is the converged candle
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "hour_start").orderBy(col("n").desc)
+    val got = spark.table("candles")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .select("user_id", "hour_start", "open", "high", "low", "close", "n")
+    val batch = spark.read.parquet(landing)
+      .groupBy(col("user_id"),
+        (expr("unix_micros(ts) div 3600000000") * 3600).as("hour_start"))
+      .agg(expr("min_by(value, ts)").as("open"), max("value").as("high"),
+        min("value").as("low"), expr("max_by(value, ts)").as("close"),
+        count(lit(1)).as("n"))
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "streaming candles differ from batch OHLC")
+  }
+
   test("watermark dedup + AvailableNow upsert sink converge across re-delivery") {
     val schema = spark.read.parquet(landing).schema
     val target = s"$work/target"
