@@ -110,10 +110,47 @@ object SimilarityQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** X8 — IVF-style ANN: partition the corpus into 16 centroid cells (a
+    * fixed, deterministic codebook — vec_ids 10..25 — standing in for a
+    * k-means pass), then answer queries by probing only the `nprobe`
+    * nearest cells. The 100 TB shape: assignment is one broadcast pass
+    * (16-row codebook), the probe join is an equi-join on cell id, and both
+    * argmax/top-k run through the bounded [[TopKAggregator]] — scan cost per
+    * query drops to the probed cells' share of the corpus.
+    */
+  def x8AnnIvf(s: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val e = vecs(s, dir)
+    val cent = e.filter(col("vec_id") >= 10 && col("vec_id") < 26)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    // nearest-centroid assignment: broadcast the codebook, argmax via top-1
+    val assigned = withCosine(e.crossJoin(broadcast(cent)), "v", "cv")
+      .groupBy(col("vec_id"))
+      .agg(TopKAggregator.topK(1)(col("c_id"), col("cosine")).as("nc"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), element_at(col("nc"), 1).getField("id").as("cell"), col("v"))
+    // queries probe their nprobe nearest cells
+    val probes = withCosine(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+          .crossJoin(broadcast(cent)), "qv", "cv")
+      .groupBy(col("q_id"))
+      .agg(TopKAggregator.topK(nprobe)(col("c_id"), col("cosine")).as("pc"),
+        first(col("qv")).as("qv"))
+      .select(col("q_id"), col("qv"), explode(col("pc")).as("p"))
+      .select(col("q_id"), col("qv"), col("p.id").as("cell"))
+    val scored = withCosine(
+      assigned.join(broadcast(probes), Seq("cell")).filter(col("vec_id") =!= col("q_id")),
+      "qv", "v")
+    topKPerQuery(scored, k, col("q_id"))
+      .select(col("q_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x5_embedding_neardup" -> (x5EmbeddingNearDup(_, _)),
     "x6_ann_bruteforce" -> (x6AnnBruteForce(_, _, 10)),
-    "x7_ann_lsh" -> (x7AnnLshBucketed(_, _, 5)))
+    "x7_ann_lsh" -> (x7AnnLshBucketed(_, _, 5)),
+    "x8_ann_ivf" -> (x8AnnIvf(_, _, 5, 2)))
 
   /** DuckDB cosine with the same left-to-right double accumulation. */
   private def duckCosine(a: String, b: String): String =
@@ -166,5 +203,33 @@ object SimilarityQueries {
              ORDER BY cosine DESC, neighbor_id) AS rnk
            FROM scored)
          SELECT q_id, bucket, neighbor_id, cosine, rnk FROM ranked
+         WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "x8_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id >= 10 AND vec_id < 26),
+         asg AS (
+           SELECT vec_id, c_id AS cell, v FROM (
+             SELECT e.vec_id, c.c_id, e.v,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${duckCosine("e.v", "c.cv")} DESC, c.c_id) AS rn
+             FROM e CROSS JOIN cent c)
+           WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         probes AS (
+           SELECT q_id, qv, c_id AS cell FROM (
+             SELECT q.q_id, q.qv, c.c_id,
+                    row_number() OVER (PARTITION BY q.q_id
+                      ORDER BY ${duckCosine("q.qv", "c.cv")} DESC, c.c_id) AS rn
+             FROM q CROSS JOIN cent c)
+           WHERE rn <= 2),
+         scored AS (
+           SELECT p.q_id, a.vec_id AS neighbor_id,
+                  ${duckCosine("p.qv", "a.v")} AS cosine
+           FROM asg a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM scored)
+         SELECT q_id, neighbor_id, cosine, rnk FROM ranked
          WHERE rnk <= 5 ORDER BY q_id, rnk""")
 }

@@ -50,6 +50,23 @@ class SimilaritySpec extends SparkSuite {
     assert(lsh.forall { case (q, n) => q != n })
   }
 
+  test("x8 IVF: recall against brute force is measured; probes bound the search") {
+    val bf = SimilarityQueries.x6AnnBruteForce(spark, sf001, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityQueries.x8AnnIvf(spark, sf001, 5, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.count(bf.contains).toDouble / bf.size
+    info(f"x8 recall@5 vs brute force: $recall%.2f (nprobe=2 of 16 cells)")
+    assert(ivf.nonEmpty)
+    assert(ivf.forall { case (q, n) => q != n })
+    // widening the probe count can only improve (or preserve) recall
+    val ivf4 = SimilarityQueries.x8AnnIvf(spark, sf001, 5, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall4 = ivf4.count(bf.contains).toDouble / bf.size
+    info(f"x8 recall@5 with nprobe=4: $recall4%.2f")
+    assert(recall4 >= recall)
+  }
+
   test("x5: pairs are within-label and above threshold") {
     val rows = SimilarityQueries.x5EmbeddingNearDup(spark, sf001).collect()
     assert(rows.forall(_.getDouble(3) >= 0.4))
