@@ -359,6 +359,32 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** A14: correlated scalar subquery through the `spark.sql` text surface
+    * (the engine's §3.3 entry point): parts whose lineitems fall under half
+    * their part-average quantity — TPC-H Q17's shape. Catalyst decorrelates
+    * the subquery into an aggregate + self-join; no per-row re-scan ever
+    * happens (the naive reading of this SQL is O(n²)).
+    *
+    * Determinism note: AVG(l_quantity) is bit-identical across engines
+    * because quantities are integral — the double sum is exact regardless
+    * of order.
+    */
+  def a14CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    t(s, dir, "part").createOrReplaceTempView("part")
+    s.sql(a14Sql)
+  }
+
+  private val a14Sql =
+    """SELECT p.p_brand,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+       GROUP BY p.p_brand
+       ORDER BY p.p_brand"""
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -385,7 +411,8 @@ object CoreQueries {
     "a12_tumbling_window" -> (a12TumblingWindow _),
     "a12b_sliding_window" -> (a12bSlidingWindow _),
     "a12c_session_window" -> (a12cSessionWindow _),
-    "a13_asof_join" -> (a13AsofJoin _))
+    "a13_asof_join" -> (a13AsofJoin _),
+    "a14_correlated_subquery" -> (a14CorrelatedSubquery _))
 
   /** DuckDB oracle SQL, aligned column-for-column with the Spark plans. */
   val oracles: Map[String, String] = Map(
@@ -555,5 +582,6 @@ object CoreQueries {
                 p.pts AS purchase_ts, p.p_value AS purchase_value
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.user_id AND p.pts <= c.cts
-         ORDER BY c.event_id""")
+         ORDER BY c.event_id""",
+    "a14_correlated_subquery" -> a14Sql)
 }
