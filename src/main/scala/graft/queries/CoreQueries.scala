@@ -385,6 +385,56 @@ object CoreQueries {
        GROUP BY p.p_brand
        ORDER BY p.p_brand"""
 
+  /** A15: exact grouped quantiles (sort-based `percentile`, linear
+    * interpolation) — the scale-out alternative is `percentile_approx`
+    * (KLL-sketch-style, mergeable); both run as one aggregation.
+    */
+  def a15Quantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** A16: pivot — event-type counts fanned into columns. The value list is
+    * explicit, so the plan is a single pass (no extra job to discover
+    * columns) and the schema is stable at any scale.
+    */
+  def a16Pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+      .orderBy("user_id")
+  }
+
+  /** C1: composed corpus curation — the end-to-end shape of a training-data
+    * pipeline: quality-filter (text heuristics) → exact-dedup to the
+    * canonical copy → deterministic hash-mod sampling (reproducible
+    * train/holdout splits without RNG state). One narrow pass + one
+    * dedup shuffle; the sample predicate pushes into the same stage.
+    */
+  def c1Curation(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("quality_score",
+        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text"))) * 0.5 +
+          (expr("CAST(size(filter(toks, x -> array_contains(array('the','a','of','and','to','is','in'), x))) AS BIGINT)")
+            .cast("double") / size(col("toks"))) * 0.3 +
+          when(size(col("toks")).between(20, 200), 0.2).otherwise(0.0))
+      .filter(col("quality_score") >= 0.6)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("quality_score")).as("quality_score"))
+      .filter(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long") % 10 < 8)
+      .select(col("doc_id"), col("quality_score"))
+      .orderBy("doc_id")
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -412,7 +462,10 @@ object CoreQueries {
     "a12b_sliding_window" -> (a12bSlidingWindow _),
     "a12c_session_window" -> (a12cSessionWindow _),
     "a13_asof_join" -> (a13AsofJoin _),
-    "a14_correlated_subquery" -> (a14CorrelatedSubquery _))
+    "a14_correlated_subquery" -> (a14CorrelatedSubquery _),
+    "a15_quantiles" -> (a15Quantiles _),
+    "a16_pivot" -> (a16Pivot _),
+    "c1_curation" -> (c1Curation _))
 
   /** DuckDB oracle SQL, aligned column-for-column with the Spark plans. */
   val oracles: Map[String, String] = Map(
@@ -583,5 +636,37 @@ object CoreQueries {
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.user_id AND p.pts <= c.cts
          ORDER BY c.event_id""",
-    "a14_correlated_subquery" -> a14Sql)
+    "a14_correlated_subquery" -> a14Sql,
+    "a15_quantiles" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_extendedprice, 0.5) AS p50,
+                quantile_cont(l_extendedprice, 0.95) AS p95,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a16_pivot" ->
+      """SELECT user_id,
+                SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+                SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+                SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+                SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "c1_curation" ->
+      """WITH scored AS (
+           SELECT doc_id, text,
+                  (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                    / length(text)) * 0.5
+                  + (CAST(len(list_filter(string_split(text, ' '),
+                       x -> list_contains(['the','a','of','and','to','is','in'], x))) AS DOUBLE)
+                    / len(string_split(text, ' '))) * 0.3
+                  + (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 200
+                     THEN 0.2 ELSE 0.0 END) AS quality_score
+           FROM documents),
+         deduped AS (
+           SELECT MIN(doc_id) AS doc_id, MIN(quality_score) AS quality_score
+           FROM scored WHERE quality_score >= 0.6
+           GROUP BY sha256(text))
+         SELECT doc_id, quality_score FROM deduped
+         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < 8
+         ORDER BY doc_id""")
 }

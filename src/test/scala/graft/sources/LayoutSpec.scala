@@ -36,6 +36,14 @@ class LayoutSpec extends SparkSuite {
   test("bucketed tables: co-located join plans with zero exchanges") {
     val o = Tables(spark, sf001, "orders")
     val li = Tables(spark, sf001, "lineitem")
+    // the in-memory catalog is per-JVM but the warehouse dir persists:
+    // remove orphan locations from previous runs before recreating
+    Seq("orders_b", "lineitem_b").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$tbl")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     Layout.writeBucketed(o, "orders_b", 4, Seq("o_orderkey"), Seq("o_orderkey"))
     Layout.writeBucketed(li, "lineitem_b", 4, Seq("l_orderkey"), Seq("l_orderkey"))
     val joined = spark.table("lineitem_b")
