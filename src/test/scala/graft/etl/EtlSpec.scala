@@ -144,6 +144,27 @@ class EtlSpec extends SparkSuite {
     assert(state == Map("k1" -> 10.0, "k2" -> 25.0, "k3" -> 30.0))
   }
 
+  test("Pipeline: E1→E2→E3 end-to-end with observed audit metrics, idempotent") {
+    val dir = Files.createTempDirectory("graft_pipeline").toString + "/quotes"
+    val rates = new StaticRateProvider(Map(
+      ("EUR", d("2025-04-17")) -> 1.14,
+      ("GBP", d("2025-04-17")) -> 1.33,
+      ("EUR", d("2025-04-18")) -> 1.15))
+    val m1 = Pipeline.run(spark, bars, dim, rates, dir)
+    assert(m1.rows == 7)
+    assert(m1.nullClose == 1) // the non-trading NaN row
+    assert(m1.missingRate == 2) // JPY 04-17 + ^MISSING's null currency
+    val state1 = spark.read.parquet(dir)
+    assert(state1.count() == 7)
+    assert(state1.filter($"ticker" === "^GDAXI" &&
+      $"timestamp_utc" === ts("2025-04-17 07:00:00"))
+      .select($"close_usd").head.getDouble(0) == 21000.5 * 1.14)
+    // re-run ≙ the reference's 6-hourly overlap re-fetch: converges
+    val m2 = Pipeline.run(spark, bars, dim, rates, dir)
+    assert(m2.rows == 7)
+    assert(spark.read.parquet(dir).count() == 7)
+  }
+
   test("E3: upsert SQL dialects render the reference statement shapes") {
     val pg = Upsert.Postgres.upsertSql("quotes", Seq("ticker", "ts", "close"), Seq("ticker", "ts"))
     assert(pg.contains("ON CONFLICT (ticker, ts) DO UPDATE SET close = EXCLUDED.close"))
