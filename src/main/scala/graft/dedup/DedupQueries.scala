@@ -194,11 +194,58 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** X9 — near-dup clusters via connected components over the X4 pair graph:
+    * every document gets `cluster_id` = the smallest doc_id reachable through
+    * near-duplicate edges (singletons map to themselves). This is the
+    * canonical-representative step a real dedup pipeline runs after pair
+    * generation: keep one doc per cluster, drop the rest.
+    *
+    * Implementation is iterative label propagation (each round: label :=
+    * min(label, neighbors' labels)) — the standard large-scale connected
+    * components. Rounds needed = graph diameter in hops (near-dup clusters
+    * are shallow; the driver loop exits as soon as a round changes nothing,
+    * checked with one tiny aggregate per round). Each round is one
+    * equi-join + one groupBy — all shuffle-on-key, nothing corpus².
+    */
+  def x9DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = x4NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    // undirected edge list, both directions
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = t(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val next = labels
+        .join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint() // truncate lineage so plans stay constant-size
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
+      rounds += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_exact_dedup" -> (x1ExactDedup _),
     "x2_minhash_lsh" -> (x2MinhashLsh _),
     "x3_simhash" -> (x3Simhash _),
-    "x4_ngram_jaccard" -> (x4NgramJaccard _))
+    "x4_ngram_jaccard" -> (x4NgramJaccard _),
+    "x9_dedup_clusters" -> (x9DedupClusters _))
 
   private val shingleSql =
     """sh AS (
@@ -272,5 +319,20 @@ object DedupQueries {
                     ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id),
          $jaccardSql
          SELECT doc_a, doc_b, jaccard FROM jac
-         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""")
+         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+    "x9_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleSql,
+         cand AS (SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+                  FROM sh s1 JOIN sh s2
+                    ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id),
+         $jaccardSql,
+         pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         SELECT src AS doc_id, MIN(dst) AS cluster_id
+         FROM reach GROUP BY src ORDER BY doc_id""")
 }

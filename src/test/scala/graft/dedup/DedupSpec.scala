@@ -41,6 +41,26 @@ class DedupSpec extends SparkSuite {
     assert(a.map(_.toString).sameElements(b.map(_.toString)))
   }
 
+  test("x9: clusters are consistent with the pair graph") {
+    val labels = DedupQueries.x9DedupClusters(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = DedupQueries.x4NgramJaccard(spark, sf001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every near-dup pair ends in the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster ids are cluster minima and members include their representative
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid not labeled by its minimum")
+    }
+    // docs not in any pair are singletons
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    labels.filterNot { case (d, _) => inPairs(d) }.foreach { case (d, c) =>
+      assert(d == c, s"singleton $d relabeled to $c")
+    }
+  }
+
   test("x3: near-identical docs have small simhash hamming distance") {
     // the planted x4 near-dup pairs should be close in simhash space
     val pairs = DedupQueries.x4NgramJaccard(spark, sf001)
