@@ -277,6 +277,19 @@ object CoreQueries {
         col("sum_qty"), col("n"))
       .orderBy("returnflag", "linestatus")
 
+  /** A10b: cube over (returnflag, linestatus) — all 2ⁿ grouping sets in one
+    * Expand-based pass (no re-scan per grouping set).
+    */
+  def a10bCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
   /** A11: set ops over key sets (EXCEPT = distinct anti-union). */
   def a11SetOps(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
@@ -356,6 +369,28 @@ object CoreQueries {
       .filter(col("side") === 1)
       .select(col("event_id"), ntz(col("ts")).as("timestamp_utc"), col("user_id"),
         col("value"), ntz(col("purchase_ts")).as("purchase_ts"), col("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** A17: interval (range) join — per click, the same user's purchases in
+    * the preceding hour. Plans as a sort-merge join on the user key with the
+    * time-range predicate evaluated inside the merge — the equi-key bounds
+    * the pairing, so no candidate explosion beyond each user's own events.
+    * (The streaming face of this — stream-stream join under watermarks — is
+    * exercised in StreamingSpec.)
+    */
+  def a17IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+    clicks
+      .join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("ts") - expr("INTERVAL 1 HOUR") && col("p_ts") <= col("ts"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_purchases"), dsum(col("p_value"), 6).as("sum_purchase_value"))
       .orderBy("event_id")
   }
 
@@ -463,8 +498,10 @@ object CoreQueries {
     "a12c_session_window" -> (a12cSessionWindow _),
     "a13_asof_join" -> (a13AsofJoin _),
     "a14_correlated_subquery" -> (a14CorrelatedSubquery _),
+    "a10b_cube" -> (a10bCube _),
     "a15_quantiles" -> (a15Quantiles _),
     "a16_pivot" -> (a16Pivot _),
+    "a17_interval_join" -> (a17IntervalJoin _),
     "c1_curation" -> (c1Curation _))
 
   /** DuckDB oracle SQL, aligned column-for-column with the Spark plans. */
@@ -637,6 +674,23 @@ object CoreQueries {
            ON c.user_id = p.user_id AND p.pts <= c.cts
          ORDER BY c.event_id""",
     "a14_correlated_subquery" -> a14Sql,
+    "a10b_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                COALESCE(l_linestatus, 'ALL') AS linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "a17_interval_join" ->
+      """SELECT c.event_id, COUNT(*) AS n_purchases,
+                CAST(SUM(CAST(p.value AS DECIMAL(25,6))) AS DOUBLE) AS sum_purchase_value
+         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click') c
+         JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+         GROUP BY c.event_id ORDER BY c.event_id""",
     "a15_quantiles" ->
       """SELECT l_returnflag,
                 quantile_cont(l_extendedprice, 0.5) AS p50,

@@ -118,6 +118,26 @@ object StreamingIngest {
       }
   }
 
+  /** Stream-stream interval join: clicks matched to the same user's
+    * purchases within the preceding hour (the streaming face of the batch
+    * A17 range join). Both sides carry watermarks and the join condition
+    * bounds event-time distance, so Spark can prune join state — the
+    * requirement for unbounded streams; without the time bound, state grows
+    * forever.
+    */
+  def intervalJoin(events: DataFrame, tsCol: String, lateness: String): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col(tsCol).as("ts"))
+      .withWatermark("ts", lateness)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col(tsCol).as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", lateness)
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("ts") - expr("INTERVAL 1 HOUR") && col("p_ts") <= col("ts"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("p_ts"), col("p_value"))
+  }
+
   /** Drain everything currently in the landing dir through the keyed
     * parquet-merge upsert sink, then stop (AvailableNow ≙ one cron tick).
     * Running the same tick twice converges — the sink is idempotent.

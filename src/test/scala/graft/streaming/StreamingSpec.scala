@@ -109,6 +109,31 @@ class StreamingSpec extends SparkSuite {
       "streaming candles differ from batch OHLC")
   }
 
+  test("stream-stream interval join emits exactly the batch range-join pairs") {
+    val schema = spark.read.parquet(landing).schema
+    val stream = StreamingIngest.readLanding(spark, landing, schema)
+    val q = StreamingIngest.intervalJoin(stream, "ts", "2 days")
+      .writeStream
+      .format("memory").queryName("ssjoin").outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt_ssjoin")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("ssjoin").collect().map(_.toString).toSet
+    val ev = spark.read.parquet(landing)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("ts") - expr("INTERVAL 1 HOUR") && col("p_ts") <= col("ts"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("p_ts"), col("p_value"))
+      .collect().map(_.toString).toSet
+    assert(got == batch,
+      s"stream-stream join: ${got.size} pairs vs batch ${batch.size}")
+  }
+
   test("watermark dedup + AvailableNow upsert sink converge across re-delivery") {
     val schema = spark.read.parquet(landing).schema
     val target = s"$work/target"
