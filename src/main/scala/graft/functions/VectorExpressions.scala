@@ -59,3 +59,18 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
 }
+
+/** Library-style Catalyst integration: enable with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` and every session
+  * gets the engine's native functions in SQL without any imperative
+  * registration call — the standard deployment shape for a Spark library.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[CosineSimilarity].getName, "cosine_sim"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          CosineSimilarity(exprs(0), exprs(1))))
+}
