@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Deduplication operators for the LLM-data-pipeline surface: exact
-  * (hash-groupBy), MinHash+LSH near-dup, SimHash fingerprints, and
-  * inverted-index n-gram Jaccard. All are shuffle-on-key DataFrame plans —
+  * (hash-groupBy), MinHash+LSH near-dup (Broder, "On the resemblance and
+  * containment of documents", 1997; banding per Leskovec/Rajaraman/Ullman,
+  * Mining of Massive Datasets ch. 3), SimHash fingerprints (Charikar,
+  * "Similarity estimation techniques from rounding algorithms", STOC 2002),
+  * and inverted-index n-gram Jaccard. All are shuffle-on-key DataFrame plans —
   * the shapes that scale to 100 TB because nothing ever materializes an
   * all-pairs cross join: exact dedup shuffles by content hash, LSH shuffles
   * by (band, band_hash), and the Jaccard join shuffles by shingle.
