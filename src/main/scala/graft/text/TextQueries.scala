@@ -107,11 +107,39 @@ object TextQueries {
                 (acc, c) -> (acc * 131 + ascii(c)) % 1000000007)""").as("rolling_hash"))
       .orderBy("doc_id")
 
+  /** T-ngram-freq — corpus-wide top-100 word bigrams: the frequency table a
+    * tokenizer/contamination analysis starts from. Explode → one
+    * hash-partitioned count (map-side partial agg absorbs the heavy hitters)
+    * → top-k.
+    */
+  def ngramFreq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', ws[i-1], ws[i]))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(100)
+
+  /** T-lang-confusion — labeled vs predicted language counts: the eval-style
+    * query that closes the loop on the T1 heuristic.
+    */
+  def langConfusion(s: SparkSession, dir: String): DataFrame =
+    langId(s, dir)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("labeled_lang", "predicted_lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_langid" -> (langId _),
     "t2_quality" -> (quality _),
     "t3_tokens" -> (tokenCount _),
-    "t4_fingerprint" -> (fingerprint _))
+    "t4_fingerprint" -> (fingerprint _),
+    "t5_ngram_freq" -> (ngramFreq _),
+    "t6_lang_confusion" -> (langConfusion _))
 
   val oracles: Map[String, String] = Map(
     "t1_langid" ->
@@ -155,6 +183,33 @@ object TextQueries {
            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpeish_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_actual
          FROM documents ORDER BY doc_id""",
+    "t5_ngram_freq" ->
+      """SELECT bigram, COUNT(*) AS n
+         FROM (SELECT unnest(list_transform(range(2, len(ws) + 1),
+                        i -> ws[i-1] || ' ' || ws[i])) AS bigram
+               FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+               WHERE len(ws) >= 2)
+         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""",
+    "t6_lang_confusion" ->
+      """WITH sc AS (
+           SELECT doc_id, lang,
+             len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','to','is','in'], x))) AS s_en,
+             len(list_filter(string_split(text,' '), x -> list_contains(['der','die','das','und','ist','ein'], x))) AS s_de,
+             len(list_filter(string_split(text,' '), x -> list_contains(['el','la','los','y','es','un'], x))) AS s_es,
+             len(list_filter(string_split(text,' '), x -> list_contains(['le','les','et','est','une','dans'], x))) AS s_fr
+           FROM documents),
+         pred AS (
+           SELECT lang AS labeled_lang,
+             CASE
+               WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+               WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+               WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END AS predicted_lang
+           FROM sc)
+         SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+         FROM pred GROUP BY labeled_lang, predicted_lang
+         ORDER BY labeled_lang, predicted_lang""",
     "t4_fingerprint" ->
       """WITH n AS (
            SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
