@@ -83,6 +83,27 @@ object CoreQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** E4 — OHLCV resampling (SURVEY §2.2 Aggregations): per-key daily candles
+    * from finer-grained ticks via `min_by`/`max_by` — open/close ride on
+    * the extreme timestamps, high/low/volume are plain extremes/sums, all in
+    * one hash aggregate. (user_id, ts) is unique per key, so the
+    * open/close picks are deterministic.
+    */
+  def e4OhlcvResample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
+      .agg(
+        expr("min_by(value, ts)").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        expr("max_by(value, ts)").as("close"),
+        count(lit(1)).as("n_bars"),
+        dsum(col("value"), 6).as("volume_proxy"))
+      .select(col("user_id"), ntz(col("w.start")).as("day_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_bars"), col("volume_proxy"))
+      .orderBy("user_id", "day_start")
+
   // ------------------------------------------------------------------ Q-*
 
   /** Q-recent: latest 5 rows for one key (reference `README.md:322-332`).
@@ -476,6 +497,7 @@ object CoreQueries {
     "e1_standardize" -> (e1Standardize _),
     "e2_convert" -> (e2Convert _),
     "e3_upsert" -> (e3Upsert _),
+    "e4_ohlcv_resample" -> (e4OhlcvResample _),
     "q_recent" -> (qRecent _),
     "q_day" -> (qDay _),
     "q_dim" -> (qDim _),
@@ -526,6 +548,14 @@ object CoreQueries {
                  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
                FROM events)
          WHERE rn = 1 ORDER BY user_id, event_type""",
+    "e4_ohlcv_resample" ->
+      """SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start,
+                arg_min(value, CAST(ts AS TIMESTAMP)) AS open,
+                MAX(value) AS high, MIN(value) AS low,
+                arg_max(value, CAST(ts AS TIMESTAMP)) AS close,
+                COUNT(*) AS n_bars,
+                CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS volume_proxy
+         FROM events GROUP BY 1, 2 ORDER BY user_id, day_start""",
     "q_recent" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS timestamp_utc, user_id, value
          FROM events WHERE event_type = 'click'
