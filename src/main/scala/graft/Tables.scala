@@ -39,7 +39,10 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    // only the raw int64-nanos form needs conversion; a staged/derived copy
+    // of events may already carry a proper timestamp column
+    if (name == "events" &&
+      df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     else df
   }

@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev utility: scaling-linearity probe. Materializes an N× replica of the
+  * sf0.1 tables (keys offset per replica so cardinalities scale too), runs
+  * headline queries at 1× and N×, and prints the scale factor of the
+  * runtime. A plan that scales superlinearly here has a shuffle or state
+  * problem that 100 TB would amplify.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val n = if (args.nonEmpty) args(0).toInt else 10
+    val work = "/tmp/graft_scale10"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.tune(spark)
+
+    // Replicate fact tables with per-replica key offsets; dims stay as-is.
+    def replicate(name: String, keyCols: Map[String, Long]): Unit = {
+      val src = graft.Tables(spark, base, name)
+      val out = (0 until n).map { r =>
+        keyCols.foldLeft(src) { case (df, (c, stride)) =>
+          df.withColumn(c, col(c) + lit(r * stride))
+        }
+      }.reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$work/$name.parquet")
+    }
+    replicate("lineitem", Map("l_orderkey" -> 100000000L))
+    replicate("orders", Map("o_orderkey" -> 100000000L, "o_custkey" -> 10000000L))
+    replicate("customer", Map("c_custkey" -> 10000000L))
+    replicate("events", Map("event_id" -> 1000000000L, "user_id" -> 100000L))
+    replicate("documents", Map("doc_id" -> 10000000L))
+    Seq("region", "nation", "supplier", "part", "embeddings").foreach { t =>
+      graft.Tables(spark, base, t).write.mode("overwrite").parquet(s"$work/$t.parquet")
+    }
+
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      fn(spark, dir).write.mode("overwrite").format("noop").save() // warm
+      (1 to 3).map { _ => // min-of-3: the box has noisy background load
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    import graft.queries.CoreQueries._
+    import graft.dedup.DedupQueries._
+    val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "a2_agg" -> (a2Agg _),
+      "a4_sortmerge_join" -> (a4SortMergeJoin _),
+      "a5_star_join" -> (a5StarJoin _),
+      "a6_topk_window" -> (a6TopkWindow _),
+      "e4_ohlcv_resample" -> (e4OhlcvResample _),
+      "x1_exact_dedup" -> (x1ExactDedup _),
+      "x3_simhash" -> (x3Simhash _))
+    println(f"[scale] ${"query"}%-20s ${"1x"}%8s ${n + "x"}%8s  ratio (ideal <= " + n + ")")
+    probes.foreach { case (name, fn) =>
+      val t1 = time(fn, base)
+      val tn = time(fn, work)
+      println(f"[scale] $name%-20s $t1%8.2f $tn%8.2f  ${tn / t1}%.1f")
+    }
+    spark.stop()
+  }
+}
