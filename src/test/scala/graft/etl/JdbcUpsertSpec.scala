@@ -59,6 +59,24 @@ class JdbcUpsertSpec extends SparkSuite {
     assert(mx == -1.0, s"all rows must have been updated, max=$mx")
   }
 
+  test("constraint violation rolls back the partition and surfaces the error") {
+    val c = DriverManager.getConnection(url)
+    c.createStatement().execute(
+      """CREATE TABLE guarded (
+        |  k BIGINT NOT NULL PRIMARY KEY, v DOUBLE CHECK (v >= 0))""".stripMargin)
+    c.close()
+    import spark.implicits._
+    // single partition: one transaction; the violating row arrives after
+    // valid ones, so a commit-anyway bug would leave partial state behind
+    val bad = Seq((1L, 1.0), (2L, 2.0), (3L, -5.0)).toDF("k", "v").coalesce(1)
+    val e = intercept[Exception] {
+      Upsert.upsertJdbc(bad, url, "guarded", Seq("k"), Upsert.Derby)
+    }
+    assert(e.getMessage != null)
+    assert(query1("SELECT COUNT(*), 0.0 FROM guarded")._1 == 0,
+      "failed partition must leave no rows (rollback)")
+  }
+
   test("dialect statements render one placeholder per bindOrder entry") {
     val cols = Seq("k1", "k2", "a", "b")
     val keys = Seq("k1", "k2")

@@ -70,6 +70,16 @@ class QueriesSpec extends SparkSuite {
     assert(total == 2 * events, s"$total != 2 * $events")
   }
 
+  test("a9b: HLL approx distinct within 5% of the exact answer") {
+    val exact = CoreQueries.a9Distinct(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    CoreQueries.a9bApproxDistinct(spark, sf001).collect().foreach { r =>
+      val (flag, approx) = (r.getString(0), r.getLong(1))
+      val err = math.abs(approx - exact(flag)).toDouble / exact(flag)
+      assert(err <= 0.05, s"$flag: approx $approx vs exact ${exact(flag)} (err $err)")
+    }
+  }
+
   test("a6: at most 3 per customer, rank within [1,3]") {
     val df = CoreQueries.a6TopkWindow(spark, sf001)
     assert(df.groupBy("o_custkey").count().filter(col("count") > 3).isEmpty)
