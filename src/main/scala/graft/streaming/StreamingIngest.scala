@@ -155,4 +155,26 @@ object StreamingIngest {
         Upsert.mergeIntoParquet(batch.sparkSession, targetPath, batch, keys, versionCol)
       }
       .start()
+
+  /** The reference's full load path, streaming: micro-batches upserted into
+    * a relational table over JDBC (`foreachBatch` → MERGE/ON CONFLICT ≙
+    * `postgres_writer.py:181-278` run per tick). Each batch is LWW-deduped
+    * before the write so a batch never carries two rows per key.
+    */
+  def upsertJdbcAvailableNow(
+      deduped: DataFrame,
+      url: String,
+      table: String,
+      checkpoint: String,
+      keys: Seq[String],
+      versionCol: String,
+      dialect: Upsert.Dialect): StreamingQuery =
+    deduped.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Upsert.upsertJdbc(
+          Upsert.lastWriteWins(batch, keys, versionCol), url, table, keys, dialect)
+      }
+      .start()
 }

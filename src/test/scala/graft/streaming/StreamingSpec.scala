@@ -134,6 +134,34 @@ class StreamingSpec extends SparkSuite {
       s"stream-stream join: ${got.size} pairs vs batch ${batch.size}")
   }
 
+  test("streaming foreachBatch into a JDBC MERGE sink converges across re-delivery") {
+    val url = "jdbc:derby:memory:graft_stream_jdbc;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().execute(
+      """CREATE TABLE stream_quotes (
+        |  event_id BIGINT NOT NULL PRIMARY KEY, ts TIMESTAMP, value DOUBLE)""".stripMargin)
+    c.close()
+    val schema = spark.read.parquet(landing).schema
+
+    def tick(n: Int): Unit = {
+      val stream = StreamingIngest.readLanding(spark, landing, schema)
+        .select(col("event_id"), col("ts"), col("value"))
+      StreamingIngest.upsertJdbcAvailableNow(
+        stream, url, "stream_quotes", s"$work/ckpt_jdbc_$n",
+        Seq("event_id"), "ts", graft.etl.Upsert.Derby).awaitTermination()
+    }
+
+    tick(1)
+    tick(2) // fresh checkpoint ⇒ full re-delivery; the MERGE absorbs it
+    val c2 = java.sql.DriverManager.getConnection(url)
+    val r = c2.createStatement().executeQuery("SELECT COUNT(*) FROM stream_quotes")
+    r.next()
+    val got = r.getLong(1)
+    c2.close()
+    val expected = spark.read.parquet(landing).select("event_id").distinct().count()
+    assert(got == expected, s"JDBC table has $got rows, expected $expected")
+  }
+
   test("watermark dedup + AvailableNow upsert sink converge across re-delivery") {
     val schema = spark.read.parquet(landing).schema
     val target = s"$work/target"
