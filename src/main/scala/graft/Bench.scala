@@ -24,9 +24,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: full evaluation of every operator (count() would let
       // Catalyst drop sorts and prune the projection being measured).
-      // Best of two runs — GC/scheduler noise on a shared box otherwise
+      // Best of three runs — GC/scheduler noise on a shared box otherwise
       // dominates sub-second queries.
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
