@@ -41,6 +41,23 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
   }
 
+  test("e2: the rate lookup is a broadcast join — fact side never shuffles") {
+    assert(plan(CoreQueries.e2Convert(spark, sf001)).contains("BroadcastHashJoin"))
+  }
+
+  test("a13: as-of join plans as one keyed sort, no join operator at all") {
+    val p = plan(CoreQueries.a13AsofJoin(spark, sf001))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "union-and-carry as-of must not plan a per-row join")
+  }
+
+  test("a17: interval join keeps the user-key equi-join (no nested loop)") {
+    val p = plan(CoreQueries.a17IntervalJoin(spark, sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range predicate must ride on the equi-join, not force a nested loop:\n" + p)
+  }
+
   test("no accidental cartesian products anywhere in the surface") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sf001))
