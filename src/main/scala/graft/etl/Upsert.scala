@@ -104,7 +104,6 @@ object Upsert {
     def upsertSql(table: String, cols: Seq[String], keys: Seq[String]): String = {
       val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
       val sets = cols.filterNot(keys.contains).map(c => s"t.$c = s.$c").mkString(", ")
-      val src = cols.map(c => s"? AS $c").mkString(", ")
       s"""MERGE INTO $table t
          |USING (VALUES (${cols.map(_ => "?").mkString(", ")}))
          |  AS s (${cols.mkString(", ")}) ON $on
