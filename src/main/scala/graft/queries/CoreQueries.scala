@@ -104,6 +104,32 @@ object CoreQueries {
         col("n_bars"), col("volume_proxy"))
       .orderBy("user_id", "day_start")
 
+  /** E5 — calendar gap-fill + forward-fill (pandas `asfreq('D')` + `ffill`
+    * re-expressed): build each key's full daily calendar via
+    * `sequence`+`explode`, left-join the observed daily closes, and carry
+    * the last observation forward with `last(..., ignoreNulls)` over a
+    * running window. One shuffle on the key; the calendar explode is
+    * bounded by span, not data volume.
+    */
+  def e5GapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(expr("max_by(value, ts)").as("close"))
+    val calendar = daily
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar
+      .join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_close", last(col("close"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("close").isNull.cast("int"))
+      .select(col("user_id"), col("day"), col("close"), col("filled_close"), col("is_gap"))
+      .orderBy("user_id", "day")
+  }
+
   // ------------------------------------------------------------------ Q-*
 
   /** Q-recent: latest 5 rows for one key (reference `README.md:322-332`).
@@ -498,6 +524,7 @@ object CoreQueries {
     "e2_convert" -> (e2Convert _),
     "e3_upsert" -> (e3Upsert _),
     "e4_ohlcv_resample" -> (e4OhlcvResample _),
+    "e5_gap_fill" -> (e5GapFill _),
     "q_recent" -> (qRecent _),
     "q_day" -> (qDay _),
     "q_dim" -> (qDim _),
@@ -556,6 +583,23 @@ object CoreQueries {
                 COUNT(*) AS n_bars,
                 CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS volume_proxy
          FROM events GROUP BY 1, 2 ORDER BY user_id, day_start""",
+    "e5_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  arg_max(value, CAST(ts AS TIMESTAMP)) AS close
+           FROM events GROUP BY user_id, CAST(ts AS DATE)),
+         cal AS (
+           SELECT user_id,
+                  CAST(unnest(generate_series(CAST(MIN(day) AS TIMESTAMP),
+                    CAST(MAX(day) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+           FROM daily GROUP BY user_id)
+         SELECT c.user_id, c.day, d.close,
+                last_value(d.close IGNORE NULLS) OVER (
+                  PARTITION BY c.user_id ORDER BY c.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_close,
+                CAST(d.close IS NULL AS INT) AS is_gap
+         FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+         ORDER BY c.user_id, c.day""",
     "q_recent" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS timestamp_utc, user_id, value
          FROM events WHERE event_type = 'click'
