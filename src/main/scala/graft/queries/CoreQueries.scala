@@ -130,6 +130,30 @@ object CoreQueries {
       .orderBy("user_id", "day")
   }
 
+  /** E6 — 7-day rolling volatility of the daily close per key: the standard
+    * quant consumer query over the produced series. The sample variance is
+    * computed from decimal-exact rolling Σx and Σx² (order-independent),
+    * then finished in double — both engines evaluate identical operands, so
+    * even sqrt agrees bitwise. Built-in `stddev` would NOT oracle-match:
+    * its float accumulation is summation-order-dependent.
+    */
+  def e6RollingVol(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(expr("max_by(value, ts)").as("close"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day")).rowsBetween(-6, 0)
+    val sx = sum(col("close").cast("decimal(25,6)")).over(w).cast("double")
+    val sxx = sum((col("close") * col("close")).cast("decimal(30,8)")).over(w).cast("double")
+    val n = count(lit(1)).over(w).cast("double")
+    daily
+      .withColumn("vol7",
+        when(n > 1, sqrt(greatest((sxx - sx * sx / n) / (n - lit(1.0)), lit(0.0))))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("n_obs", n.cast("long"))
+      .select(col("user_id"), col("day"), col("close"), col("vol7"), col("n_obs"))
+      .orderBy("user_id", "day")
+  }
+
   // ------------------------------------------------------------------ Q-*
 
   /** Q-recent: latest 5 rows for one key (reference `README.md:322-332`).
@@ -525,6 +549,7 @@ object CoreQueries {
     "e3_upsert" -> (e3Upsert _),
     "e4_ohlcv_resample" -> (e4OhlcvResample _),
     "e5_gap_fill" -> (e5GapFill _),
+    "e6_rolling_vol" -> (e6RollingVol _),
     "q_recent" -> (qRecent _),
     "q_day" -> (qDay _),
     "q_dim" -> (qDim _),
@@ -600,6 +625,25 @@ object CoreQueries {
                 CAST(d.close IS NULL AS INT) AS is_gap
          FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
          ORDER BY c.user_id, c.day""",
+    "e6_rolling_vol" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  arg_max(value, CAST(ts AS TIMESTAMP)) AS close
+           FROM events GROUP BY user_id, CAST(ts AS DATE)),
+         roll AS (
+           SELECT user_id, day, close,
+             CAST(SUM(CAST(close AS DECIMAL(25,6))) OVER w7 AS DOUBLE) AS sx,
+             CAST(SUM(CAST(close * close AS DECIMAL(30,8))) OVER w7 AS DOUBLE) AS sxx,
+             CAST(COUNT(*) OVER w7 AS DOUBLE) AS n
+           FROM daily
+           WINDOW w7 AS (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT user_id, day, close,
+           CASE WHEN n > 1
+             THEN sqrt(greatest((sxx - sx * sx / n) / (n - 1.0), 0.0))
+             ELSE NULL END AS vol7,
+           CAST(n AS BIGINT) AS n_obs
+         FROM roll ORDER BY user_id, day""",
     "q_recent" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS timestamp_utc, user_id, value
          FROM events WHERE event_type = 'click'
