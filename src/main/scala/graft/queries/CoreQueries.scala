@@ -541,6 +541,25 @@ object CoreQueries {
       .select(col("doc_id"), col("quality_score"))
       .orderBy("doc_id")
 
+  /** C2 — deterministic stratified sampling: per-language keep-rates applied
+    * via hash-mod on the document id (no RNG state → reproducible across
+    * engines, re-runs, and cluster sizes; `sampleBy` would be none of
+    * those). The predicate is a narrow map — the sample never shuffles.
+    */
+  def c2StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val pct = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    val rate = when(col("lang") === "en", 80)
+      .when(col("lang") === "de", 50)
+      .when(col("lang") === "es", 25)
+      .otherwise(10)
+    t(s, dir, "documents")
+      .filter(pct < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -576,7 +595,8 @@ object CoreQueries {
     "a15_quantiles" -> (a15Quantiles _),
     "a16_pivot" -> (a16Pivot _),
     "a17_interval_join" -> (a17IntervalJoin _),
-    "c1_curation" -> (c1Curation _))
+    "c1_curation" -> (c1Curation _),
+    "c2_stratified_sample" -> (c2StratifiedSample _))
 
   /** DuckDB oracle SQL, aligned column-for-column with the Spark plans. */
   val oracles: Map[String, String] = Map(
@@ -840,5 +860,12 @@ object CoreQueries {
            GROUP BY sha256(text))
          SELECT doc_id, quality_score FROM deduped
          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < 8
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    "c2_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n_kept
+         FROM documents
+         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+               < (CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50
+                            WHEN 'es' THEN 25 ELSE 10 END)
+         GROUP BY lang ORDER BY lang""")
 }
