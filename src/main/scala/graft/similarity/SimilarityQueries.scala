@@ -94,7 +94,7 @@ object SimilarityQueries {
   /** X7 — LSH-bucketed ANN: assign every vector (and query) a 256-way
     * sign-signature bucket, search only same-bucket candidates. This is the
     * 100 TB path: the candidate join is an equi-join on bucket, with the
-    * same per-query window top-k as X6.
+    * same bounded-aggregate per-query top-k as X6.
     */
   def x7AnnLshBucketed(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val e = vecs(s, dir).withColumn("bucket", expr(bucketExpr))
