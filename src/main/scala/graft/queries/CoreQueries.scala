@@ -154,6 +154,39 @@ object CoreQueries {
       .orderBy("user_id", "day")
   }
 
+  /** E7 — cross-series correlation: Pearson r between every pair of user
+    * daily-close series over their shared days (≥ 20 required). The
+    * self-join is an equi-join on day — pair cardinality is keys², but each
+    * pair's stats accumulate in one grouped pass, and all sufficient
+    * statistics (Σx, Σy, Σxy, Σx², Σy²) are decimal-exact, so the final
+    * double arithmetic is bit-identical to the oracle's. Built-in `corr`
+    * would not match (float accumulation order).
+    */
+  def e7Correlation(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(expr("max_by(value, ts)").as("close"))
+    val joined = daily.as("a")
+      .join(daily.as("b"),
+        col("a.day") === col("b.day") && col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("u1"), col("b.user_id").as("u2"),
+        col("a.close").as("x"), col("b.close").as("y"))
+    def dsum30(c: Column): Column = sum(c.cast("decimal(30,8)")).cast("double")
+    joined
+      .groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum30(col("x")).as("sx"), dsum30(col("y")).as("sy"),
+        dsum30(col("x") * col("y")).as("sxy"),
+        dsum30(col("x") * col("x")).as("sxx"),
+        dsum30(col("y") * col("y")).as("syy"))
+      .filter(col("n") >= 20)
+      .select(col("u1"), col("u2"), col("n").cast("long").as("n_days"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("pearson_r"))
+      .orderBy("u1", "u2")
+  }
+
   // ------------------------------------------------------------------ Q-*
 
   /** Q-recent: latest 5 rows for one key (reference `README.md:322-332`).
@@ -569,6 +602,7 @@ object CoreQueries {
     "e4_ohlcv_resample" -> (e4OhlcvResample _),
     "e5_gap_fill" -> (e5GapFill _),
     "e6_rolling_vol" -> (e6RollingVol _),
+    "e7_correlation" -> (e7Correlation _),
     "q_recent" -> (qRecent _),
     "q_day" -> (qDay _),
     "q_dim" -> (qDim _),
@@ -664,6 +698,26 @@ object CoreQueries {
              ELSE NULL END AS vol7,
            CAST(n AS BIGINT) AS n_obs
          FROM roll ORDER BY user_id, day""",
+    "e7_correlation" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  arg_max(value, CAST(ts AS TIMESTAMP)) AS close
+           FROM events GROUP BY user_id, CAST(ts AS DATE)),
+         stats AS (
+           SELECT a.user_id AS u1, b.user_id AS u2,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(a.close AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(b.close AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(a.close * b.close AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+                  CAST(SUM(CAST(a.close * a.close AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(b.close * b.close AS DECIMAL(30,8))) AS DOUBLE) AS syy
+           FROM daily a JOIN daily b
+             ON a.day = b.day AND a.user_id < b.user_id
+           GROUP BY a.user_id, b.user_id)
+         SELECT u1, u2, CAST(n AS BIGINT) AS n_days,
+                (n * sxy - sx * sy) /
+                  sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS pearson_r
+         FROM stats WHERE n >= 20 ORDER BY u1, u2""",
     "q_recent" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS timestamp_utc, user_id, value
          FROM events WHERE event_type = 'click'
