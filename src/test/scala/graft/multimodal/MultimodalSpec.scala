@@ -24,6 +24,23 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeStub(1L, bytes) == Multimodal.decodeStub(1L, bytes))
   }
 
+  test("decode setup amortizes once per partition (mapInPandas batch contract)") {
+    // count per-partition initializations with an accumulator: a per-row
+    // decoder construction bug would show n_init == n_rows
+    val inits = spark.sparkContext.longAccumulator("decoder_inits")
+    import spark.implicits._
+    val blobs = graft.Tables(spark, sf001, "documents")
+      .select(col("doc_id").cast("long"), col("text").cast("binary").as("blob"))
+      .repartition(4)
+      .as[(Long, Array[Byte])]
+    val n = blobs.mapPartitions { it =>
+      inits.add(1) // ≙ decoder construction in Multimodal.decodeMeta
+      it.map { case (id, bytes) => Multimodal.decodeStub(id, bytes) }
+    }.count()
+    assert(n > 4)
+    assert(inits.value == 4, s"expected 4 partition inits, got ${inits.value}")
+  }
+
   test("m2: frame offsets are strided and within bounds") {
     val rows = MultimodalQueries.m2FrameSample(spark, sf001)
       .groupBy("doc_id").agg(max("frame_off").as("mx"), count(lit(1)).as("n"))
