@@ -154,10 +154,13 @@ object CoreQueries {
       .orderBy("user_id", "day")
   }
 
-  /** E7 — cross-series correlation: Pearson r between every pair of user
-    * daily-close series over their shared days (≥ 20 required). The
-    * self-join is an equi-join on day — pair cardinality is keys², but each
-    * pair's stats accumulate in one grouped pass, and all sufficient
+  /** E7 — cross-series correlation: Pearson r between each watchlist series
+    * (user_id < 50) and every other user's daily closes over their shared
+    * days (≥ 20 required). The watchlist bound keeps pair cardinality
+    * `watchlist × universe`, not `universe²` — all-pairs correlation is
+    * quadratic in series count and is exactly the query shape that must be
+    * scoped (or LSH-bucketed like X7) before it survives a large universe.
+    * Each pair's stats accumulate in one grouped pass, and all sufficient
     * statistics (Σx, Σy, Σxy, Σx², Σy²) are decimal-exact, so the final
     * double arithmetic is bit-identical to the oracle's. Built-in `corr`
     * would not match (float accumulation order).
@@ -166,7 +169,7 @@ object CoreQueries {
     val daily = t(s, dir, "events")
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(expr("max_by(value, ts)").as("close"))
-    val joined = daily.as("a")
+    val joined = daily.filter(col("user_id") < 50).as("a")
       .join(daily.as("b"),
         col("a.day") === col("b.day") && col("a.user_id") < col("b.user_id"))
       .select(col("a.user_id").as("u1"), col("b.user_id").as("u2"),
@@ -713,6 +716,7 @@ object CoreQueries {
                   CAST(SUM(CAST(b.close * b.close AS DECIMAL(30,8))) AS DOUBLE) AS syy
            FROM daily a JOIN daily b
              ON a.day = b.day AND a.user_id < b.user_id
+           WHERE a.user_id < 50
            GROUP BY a.user_id, b.user_id)
          SELECT u1, u2, CAST(n AS BIGINT) AS n_days,
                 (n * sxy - sx * sy) /

@@ -58,6 +58,12 @@ class PlanSpec extends SparkSuite {
       "range predicate must ride on the equi-join, not force a nested loop:\n" + p)
   }
 
+  test("x6: ANN top-k plans as a partial object aggregate, not a window sort") {
+    val p = plan(graft.similarity.SimilarityQueries.x6AnnBruteForce(spark, sf001, 10))
+    assert(p.contains("ObjectHashAggregate"), "TopKAggregator should plan as ObjectHashAggregate")
+    assert(!p.contains("Window"), "brute-force top-k must not fall back to a window sort")
+  }
+
   test("no accidental cartesian products anywhere in the surface") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sf001))
