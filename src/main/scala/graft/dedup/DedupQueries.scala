@@ -243,12 +243,29 @@ object DedupQueries {
     labels.orderBy("doc_id")
   }
 
+  /** X10 — per-source duplication telemetry: corpus curation's dashboard
+    * numbers (docs, distinct contents, dup ratio per source). Two stacked
+    * aggregates, both shuffle-on-key.
+    */
+  def x10SourceDedupStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"), sha2(col("text"), 256).as("h"))
+      .agg(count(lit(1)).as("copies"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("copies")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (lit(1.0) - count(lit(1)).cast("double") / sum(col("copies")))
+          .as("dup_ratio"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_exact_dedup" -> (x1ExactDedup _),
     "x2_minhash_lsh" -> (x2MinhashLsh _),
     "x3_simhash" -> (x3Simhash _),
     "x4_ngram_jaccard" -> (x4NgramJaccard _),
-    "x9_dedup_clusters" -> (x9DedupClusters _))
+    "x9_dedup_clusters" -> (x9DedupClusters _),
+    "x10_source_dedup_stats" -> (x10SourceDedupStats _))
 
   private val shingleSql =
     """sh AS (
@@ -337,5 +354,11 @@ object DedupQueries {
            UNION
            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
          SELECT src AS doc_id, MIN(dst) AS cluster_id
-         FROM reach GROUP BY src ORDER BY doc_id""")
+         FROM reach GROUP BY src ORDER BY doc_id""",
+    "x10_source_dedup_stats" ->
+      """SELECT source, SUM(copies) AS n_docs, COUNT(*) AS n_distinct,
+                1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(copies) AS dup_ratio
+         FROM (SELECT source, sha256(text) AS h, COUNT(*) AS copies
+               FROM documents GROUP BY source, sha256(text))
+         GROUP BY source ORDER BY source""")
 }
