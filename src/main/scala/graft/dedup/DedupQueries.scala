@@ -329,8 +329,8 @@ object DedupQueries {
                   CASE WHEN SUM(vote) > 0 THEN 1 ELSE 0 END AS onb
            FROM voted GROUP BY doc_id, bit)
          SELECT doc_id,
-           SUM(CASE WHEN bit >= 32 THEN onb * (1::BIGINT << (bit - 32)) ELSE 0 END) AS simhash_hi,
-           SUM(CASE WHEN bit < 32 THEN onb * (1::BIGINT << bit) ELSE 0 END) AS simhash_lo
+           CAST(SUM(CASE WHEN bit >= 32 THEN onb * (1::BIGINT << (bit - 32)) ELSE 0 END) AS BIGINT) AS simhash_hi,
+           CAST(SUM(CASE WHEN bit < 32 THEN onb * (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash_lo
          FROM perbit GROUP BY doc_id ORDER BY doc_id""",
     "x4_ngram_jaccard" ->
       s"""WITH $shingleSql,
@@ -356,7 +356,7 @@ object DedupQueries {
          SELECT src AS doc_id, MIN(dst) AS cluster_id
          FROM reach GROUP BY src ORDER BY doc_id""",
     "x10_source_dedup_stats" ->
-      """SELECT source, SUM(copies) AS n_docs, COUNT(*) AS n_distinct,
+      """SELECT source, CAST(SUM(copies) AS BIGINT) AS n_docs, COUNT(*) AS n_distinct,
                 1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(copies) AS dup_ratio
          FROM (SELECT source, sha256(text) AS h, COUNT(*) AS copies
                FROM documents GROUP BY source, sha256(text))

@@ -747,10 +747,10 @@ object CoreQueries {
          WHERE rnk <= 3 ORDER BY event_type, rnk""",
     "q_audit" ->
       """SELECT COUNT(*) AS n_rows,
-                SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_quantity,
-                SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS null_extendedprice,
-                SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS null_discount,
-                SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate
+                CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_quantity,
+                CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_extendedprice,
+                CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_discount,
+                CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate
          FROM lineitem""",
     "a1_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_discount
@@ -895,11 +895,11 @@ object CoreQueries {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "a16_pivot" ->
       """SELECT user_id,
-                SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-                SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-                SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-                SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-                SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
          FROM events GROUP BY user_id ORDER BY user_id""",
     "c1_curation" ->
       """WITH scored AS (

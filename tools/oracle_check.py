@@ -21,6 +21,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class used to detect int-vs-float drift BEFORE the lossy
+    int64 coercion in normalize(). The driver's hash gate distinguishes Spark
+    int64 from a DuckDB HUGEINT (which pandas receives as float64), so an
+    un-cast integer SUM in an oracle must fail here too, not be papered over."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "other"
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -68,6 +84,17 @@ def main() -> int:
         g, e = normalize(got), normalize(exp)
         if list(g.columns) != list(e.columns):
             failures.append((name, f"columns differ: {list(g.columns)} vs {list(e.columns)}"))
+            continue
+        # int-vs-float dtype drift fails the driver's hash gate even when the
+        # values are numerically identical — check raw dtypes before coercion.
+        drift = []
+        for c in g.columns:
+            kg, ke = dtype_class(got[c]), dtype_class(exp[c])
+            if {kg, ke} == {"int", "float"}:
+                drift.append(f"{c}: spark={kg} oracle={ke}")
+        if drift:
+            failures.append((name, "dtype class mismatch (wrap oracle SUM in "
+                             "CAST(... AS BIGINT)?): " + "; ".join(drift)))
             continue
         if len(g) != len(e):
             failures.append((name, f"row count {len(g)} vs {len(e)}"))
