@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,26 +19,55 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     Tables.all.foreach(n => Tables(spark, sfDir, n).count())
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      // Warmup failures are ignored here but resurface (and are recorded) in
+      // the measured phase below.
       try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: full evaluation of every operator (count() would let
       // Catalyst drop sorts and prune the projection being measured).
       // Best of three runs — GC/scheduler noise on a shared box otherwise
-      // dominates sub-second queries.
-      val times = (1 to 3).map { _ =>
+      // dominates sub-second queries. clearCache() between reps so one
+      // query's (or rep's) persisted data can't distort another's number;
+      // each rep measures the query fresh on a warm JVM.
+      var err: Option[String] = None
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        if (ok) Some(dt) else None
       }
-      name -> times.min
+      (name, if (times.nonEmpty) Some(times.min) else None, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jq(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _) =>
+      jq(k) + ":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => jq(k) + ":" + jq(m) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.flatMap(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // Also write to a file so the driver never has to scrape the JSON out of
+    // sbt's [info]/stderr noise.
+    Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()
+    // A crashing query must fail the bench loudly, not record a fast fake
+    // time and exit 0.
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

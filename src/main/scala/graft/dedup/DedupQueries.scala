@@ -240,6 +240,14 @@ object DedupQueries {
       labels = next
       rounds += 1
     }
+    // The 20-round cap is a backstop for pathological chain-shaped graphs
+    // (near-dup clusters are shallow in practice). Exiting through it means
+    // the labels are NOT the true transitive closure — fail loudly rather
+    // than return silently-wrong cluster_ids.
+    if (!converged)
+      throw new IllegalStateException(
+        s"x9DedupClusters: label propagation did not converge in $rounds rounds " +
+          "(duplicate-chain diameter exceeds the cap); raise the round cap")
     labels.orderBy("doc_id")
   }
 
