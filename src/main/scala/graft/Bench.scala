@@ -45,7 +45,9 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(dt) else None
       }
-      (name, if (times.nonEmpty) Some(times.min) else None, err)
+      // A query that errored on ANY rep reports no time — a time + an error
+      // for the same query would make bench_out.json ambiguous.
+      (name, if (err.isEmpty && times.nonEmpty) Some(times.min) else None, err)
     }
     def jq(s: String): String =
       "\"" + s.flatMap {

@@ -16,11 +16,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     Tables.tune(spark)
     new java.io.File(outDir).mkdirs()
+    // A failing query must not vanish from the gate: a name with no output
+    // directory would silently shrink the compared set, so every failure is
+    // recorded in failures.json and fails the process (exit 1 below).
+    var failures = Map.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
       }
       // Drop per-query caches (e.g. the dedup shingle table) so 54 queries'
       // persisted plans don't accumulate executor memory across the session.
@@ -41,6 +46,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The full expected query set (oracle-checked AND rows-only) so the gate
+    // can fail on any name that produced no output, instead of iterating
+    // only the directories that happen to exist.
+    Files.writeString(Paths.get(s"$outDir/query_names.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/failures.json"),
+      failures.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.toSeq.sorted.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -27,6 +27,15 @@ object DedupQueries {
   val NumHashes = 24
   val BandRows = 3 // 8 bands × 3 rows
 
+  /** Document-frequency cap for the inverted-index path (X4/X9): a shingle
+    * present in more than this many documents is a corpus-scale stop phrase
+    * and is dropped before candidate generation. Without the cap one hot
+    * shingle shared by k docs emits k(k−1)/2 join rows — quadratic on
+    * exactly the keys that are most common (standard near-dup practice is
+    * to cap df; cf. MMDS ch. 3 shingle selection).
+    */
+  val MaxShingleDf = 100
+
   /** 60-bit integer from the first 15 hex chars of md5, mod P. */
   private def md5Mod(c: Column): Column =
     (conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P).as("base")
@@ -53,6 +62,17 @@ object DedupQueries {
           s"i -> concat_ws(' ', slice(ws, i, $n)))")).as("shingle"))
       .distinct()
 
+  /** Shingles with corpus-common ones removed (df > maxDf). The df count is
+    * a window over the shingle key — the same hash partitioning the
+    * downstream inverted-index join shuffles on, so Catalyst reuses the
+    * exchange rather than adding one.
+    */
+  def cappedShingles(docs: DataFrame, n: Int = 3, maxDf: Int = MaxShingleDf): DataFrame =
+    shingles(docs, n)
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+
   /** X1 — exact dedup via content hash: canonical doc per sha256(text)
     * group, plus the duplicate count. One hash-partitioned aggregate.
     */
@@ -71,7 +91,13 @@ object DedupQueries {
     * buckets and shingles; candidate cardinality, not corpus², bounds cost.
     */
   def x2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(t(s, dir, "documents")).cache()
+    // localCheckpoint, not cache(): the result is lazy, so this function has
+    // no scope in which to unpersist a cache (a library caller would leak
+    // executor memory per invocation). Checkpoint blocks are freed by the
+    // ContextCleaner when the plan's RDD is GC'd — no CacheManager entry,
+    // no leak — while still materializing the shingle stream once for its
+    // four reuses (bands, sizes ×2, intersection join).
+    val sh = shingles(t(s, dir, "documents")).localCheckpoint()
     val hashed = sh.withColumn("base", md5Mod(col("shingle")))
     // All 24 minhashes in ONE groupBy(doc_id) — 24 parallel min() aggregates
     // over the un-exploded shingle stream. The naive formulation (explode a
@@ -182,8 +208,21 @@ object DedupQueries {
     * Jaccard ≥ 0.5. No LSH approximation — this is the exhaustive-but-
     * indexed path; X2 is the sub-linear path.
     */
-  def x4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(t(s, dir, "documents")).cache()
+  def x4NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    x4Pairs(t(s, dir, "documents"))
+
+  /** X4 core over an arbitrary documents frame (doc_id, text). Similarity is
+    * Jaccard over the df-capped shingle universe — dropping stop-phrase
+    * shingles from both the index AND the denominator keeps the metric
+    * coherent (it measures overlap of *informative* shingles), and the
+    * oracle mirrors the same cap.
+    */
+  def x4Pairs(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      maxDf: Int = MaxShingleDf): DataFrame = {
+    // localCheckpoint instead of cache(): see x2MinhashLsh.
+    val sh = cappedShingles(docs, 3, maxDf).localCheckpoint()
     // The inverted-index self-join directly yields one row per shared
     // shingle, so grouping it counts intersections in the same pass —
     // no pairs.distinct() + double re-join against the shingle table
@@ -193,7 +232,7 @@ object DedupQueries {
         col("s1.shingle") === col("s2.shingle") && col("s1.doc_id") < col("s2.doc_id"))
       .groupBy(col("s1.doc_id").as("doc_a"), col("s2.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("ni"))
-    jaccardFromIntersections(inter, sh).filter(col("jaccard") >= 0.5)
+    jaccardFromIntersections(inter, sh).filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -275,13 +314,24 @@ object DedupQueries {
     "x9_dedup_clusters" -> (x9DedupClusters _),
     "x10_source_dedup_stats" -> (x10SourceDedupStats _))
 
-  private val shingleSql =
-    """sh AS (
+  private def shingleCte(name: String) =
+    s"""$name AS (
          SELECT DISTINCT doc_id,
                 unnest(list_transform(range(1, len(ws) - 1),
                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
          WHERE len(ws) >= 3)"""
+
+  private val shingleSql = shingleCte("sh")
+
+  /** Shingle CTE with the X4/X9 document-frequency cap mirrored in SQL. */
+  private val cappedShingleSql =
+    s"""${shingleCte("sh0")},
+       sh AS (
+         SELECT doc_id, shingle FROM (
+           SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+           FROM sh0)
+         WHERE df <= $MaxShingleDf)"""
 
   private val jaccardSql =
     """sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -341,7 +391,7 @@ object DedupQueries {
            CAST(SUM(CASE WHEN bit < 32 THEN onb * (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash_lo
          FROM perbit GROUP BY doc_id ORDER BY doc_id""",
     "x4_ngram_jaccard" ->
-      s"""WITH $shingleSql,
+      s"""WITH $cappedShingleSql,
          cand AS (SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
                   FROM sh s1 JOIN sh s2
                     ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id),
@@ -349,7 +399,7 @@ object DedupQueries {
          SELECT doc_a, doc_b, jaccard FROM jac
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
     "x9_dedup_clusters" ->
-      s"""WITH RECURSIVE $shingleSql,
+      s"""WITH RECURSIVE $cappedShingleSql,
          cand AS (SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
                   FROM sh s1 JOIN sh s2
                     ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id),

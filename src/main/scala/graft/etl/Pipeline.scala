@@ -55,4 +55,75 @@ object Pipeline {
       nullClose = m("null_close").asInstanceOf[Long],
       missingRate = m("missing_rate").asInstanceOf[Long])
   }
+
+  /** The reference's COMPLETE db load, composed: DDL bootstrap → dim upsert →
+    * fact upsert, in FK-safe order (≙ `/root/reference/src/main.py:105-138`:
+    * `create_tables` → `upsert_indices` → `upsert_quotes`).
+    *
+    * Index metadata is extracted from the standardized frame and deduped per
+    * ticker (≙ `main.py:114-117`'s `drop_duplicates(subset=['ticker'])`);
+    * tickers with no dimension metadata are excluded from `indices` (NOT
+    * NULL name), so their quotes hit the FK and surface as an error — the
+    * reference's rollback-and-raise path (`main.py:128-132`,
+    * `postgres_writer.py:265-270` ON DELETE RESTRICT).
+    *
+    * Idempotent: re-running converges (keyed MERGE both tables); `indices`
+    * audit columns advance `updated_at` on re-merge while `created_at`
+    * stays (≙ the trigger at `postgres_writer.py:53-73`).
+    */
+  def runJdbc(
+      spark: SparkSession,
+      bars: DataFrame,
+      dim: DataFrame,
+      rates: RateProvider,
+      url: String,
+      now: java.sql.Timestamp,
+      dialect: Upsert.Dialect = Upsert.Derby,
+      targetCurrency: String = "USD",
+      sourceTz: Option[String] = None,
+      props: java.util.Properties = new java.util.Properties()): RunMetrics = {
+    Ddl.createTables(url, dialect, props)
+    val standardized = Standardizer.standardize(bars, dim, sourceTz)
+    val converted =
+      CurrencyConverter.convertWithProvider(spark, standardized, rates, targetCurrency)
+    val obs = Observation()
+    val observed = converted.observe(
+      obs,
+      count(lit(1)).as("rows"),
+      sum(col("close").isNull.cast("long")).as("null_close"),
+      sum((col("close").isNotNull &&
+        col(s"close_${targetCurrency.toLowerCase}").isNull).cast("long"))
+        .as("missing_rate"))
+    // 1) dim first (FK target). Metadata is constant per ticker (it came
+    // from the broadcast enrich join), so any deterministic pick works.
+    val indices = Upsert.lastWriteWins(
+      standardized
+        .select(col("ticker"), col("name"), col("country"), col("exchange"),
+          col("original_currency"))
+        .filter(col("name").isNotNull),
+      keys = Seq("ticker"), versionCol = "name")
+    Upsert.upsertJdbcAudited(indices, url, "indices", Seq("ticker"), now, dialect,
+      props = props)
+    // 2) facts second, FK now satisfiable. quotes carries the reference
+    // schema: raw OHLCV + converted *_usd columns; inserted_at rides the
+    // column DEFAULT (≙ postgres_writer.py:85).
+    val suffix = targetCurrency.toLowerCase
+    val deduped = Upsert.lastWriteWins(
+      observed, keys = Seq("ticker", "timestamp_utc"), versionCol = "timestamp_utc")
+    val quoteCols = (Seq("ticker", "timestamp_utc", "open", "high", "low", "close",
+      "adjusted_close", "volume") ++ Schema.priceCols.map(c => s"${c}_$suffix"))
+      .filter(deduped.columns.contains)
+    // inserted_at is writer-stamped (insert-only): Derby can't evaluate a
+    // CURRENT_TIMESTAMP DEFAULT inside MERGE (see Ddl), and the reference
+    // never updates it after first insert.
+    Upsert.upsertJdbc(
+      deduped.select(quoteCols.map(col): _*).withColumn("inserted_at", lit(now)),
+      url, "quotes", Seq("ticker", "timestamp_utc"), dialect, props = props,
+      noUpdate = Seq("inserted_at"))
+    val m = obs.get
+    RunMetrics(
+      rows = m("rows").asInstanceOf[Long],
+      nullClose = m("null_close").asInstanceOf[Long],
+      missingRate = m("missing_rate").asInstanceOf[Long])
+  }
 }

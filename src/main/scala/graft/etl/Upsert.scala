@@ -76,62 +76,88 @@ object Upsert {
     fs.delete(old, true)
   }
 
-  /** SQL dialects for the keyed-upsert statement. */
+  /** SQL dialects for the keyed-upsert statement.
+    *
+    * All column identifiers are emitted double-quoted lowercase so the
+    * reference schema's `close` column (an SQL reserved word in Derby)
+    * round-trips; matching DDL (see [[Ddl]]) quotes identifiers the same
+    * way. `noUpdate` names columns inserted but never touched on the update
+    * path — the audit-column contract (`created_at` is stable after insert,
+    * ≙ the reference trigger at `postgres_writer.py:53-73`).
+    */
   sealed trait Dialect {
-    def upsertSql(table: String, cols: Seq[String], keys: Seq[String]): String
+    def upsertSql(
+        table: String,
+        cols: Seq[String],
+        keys: Seq[String],
+        noUpdate: Seq[String] = Nil): String
 
     /** Column names in the order the statement's `?` placeholders bind;
       * default: one placeholder per column, in column order.
       */
-    def bindOrder(cols: Seq[String], keys: Seq[String]): Seq[String] = cols
+    def bindOrder(
+        cols: Seq[String],
+        keys: Seq[String],
+        noUpdate: Seq[String] = Nil): Seq[String] = cols
+
+    /** Quoted identifier. */
+    protected def q(id: String): String = "\"" + id + "\""
+
+    protected def updatable(cols: Seq[String], keys: Seq[String], noUpdate: Seq[String]) =
+      cols.filterNot(keys.contains).filterNot(noUpdate.contains)
   }
 
   /** Postgres `INSERT … ON CONFLICT DO UPDATE` — the reference's statement
     * shape (`postgres_writer.py:148-154,234-240`).
     */
   case object Postgres extends Dialect {
-    def upsertSql(table: String, cols: Seq[String], keys: Seq[String]): String = {
-      val sets = cols.filterNot(keys.contains)
-        .map(c => s"$c = EXCLUDED.$c").mkString(", ")
-      s"""INSERT INTO $table (${cols.mkString(", ")})
+    def upsertSql(table: String, cols: Seq[String], keys: Seq[String],
+        noUpdate: Seq[String] = Nil): String = {
+      val sets = updatable(cols, keys, noUpdate)
+        .map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+      s"""INSERT INTO $table (${cols.map(q).mkString(", ")})
          |VALUES (${cols.map(_ => "?").mkString(", ")})
-         |ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET $sets""".stripMargin
+         |ON CONFLICT (${keys.map(q).mkString(", ")}) DO UPDATE SET $sets""".stripMargin
     }
   }
 
   /** ANSI MERGE for engines without ON CONFLICT (Derby, etc.). */
   case object AnsiMerge extends Dialect {
-    def upsertSql(table: String, cols: Seq[String], keys: Seq[String]): String = {
-      val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
-      val sets = cols.filterNot(keys.contains).map(c => s"t.$c = s.$c").mkString(", ")
+    def upsertSql(table: String, cols: Seq[String], keys: Seq[String],
+        noUpdate: Seq[String] = Nil): String = {
+      val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val sets = updatable(cols, keys, noUpdate)
+        .map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
       s"""MERGE INTO $table t
          |USING (VALUES (${cols.map(_ => "?").mkString(", ")}))
-         |  AS s (${cols.mkString(", ")}) ON $on
+         |  AS s (${cols.map(q).mkString(", ")}) ON $on
          |WHEN MATCHED THEN UPDATE SET $sets
-         |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
-         |  VALUES (${cols.map(c => s"s.$c").mkString(", ")})""".stripMargin
+         |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
+         |  VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
     }
     // Note: MERGE binds the VALUES row once; parameter count == cols.size.
   }
 
   /** Derby MERGE over SYSIBM.SYSDUMMY1 (Derby's MERGE source must be a
     * table/view, not a VALUES row). Placeholders bind keys (ON), then
-    * non-keys (UPDATE SET), then every column (INSERT VALUES).
+    * updatable non-keys (UPDATE SET), then every column (INSERT VALUES).
     */
   case object Derby extends Dialect {
-    def upsertSql(table: String, cols: Seq[String], keys: Seq[String]): String = {
-      val on = keys.map(k => s"$table.$k = ?").mkString(" AND ")
-      val nonKeys = cols.filterNot(keys.contains)
+    def upsertSql(table: String, cols: Seq[String], keys: Seq[String],
+        noUpdate: Seq[String] = Nil): String = {
+      val on = keys.map(k => s"$table.${q(k)} = ?").mkString(" AND ")
+      val sets = updatable(cols, keys, noUpdate)
       val matched =
-        if (nonKeys.isEmpty) ""
-        else s"WHEN MATCHED THEN UPDATE SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} "
+        if (sets.isEmpty) ""
+        else s"WHEN MATCHED THEN UPDATE SET ${sets.map(c => s"${q(c)} = ?").mkString(", ")} "
       s"""MERGE INTO $table USING SYSIBM.SYSDUMMY1 ON $on
-         |${matched}WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+         |${matched}WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
          |  VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin
     }
 
-    override def bindOrder(cols: Seq[String], keys: Seq[String]): Seq[String] =
-      keys ++ cols.filterNot(keys.contains) ++ cols
+    override def bindOrder(cols: Seq[String], keys: Seq[String],
+        noUpdate: Seq[String] = Nil): Seq[String] =
+      keys ++ updatable(cols, keys, noUpdate) ++ cols
   }
 
   /** JDBC drivers want java.sql datetime types; Spark Rows carry java.time
@@ -161,10 +187,11 @@ object Upsert {
       keys: Seq[String],
       dialect: Dialect = Postgres,
       batchSize: Int = 1000,
-      props: java.util.Properties = new java.util.Properties()): Unit = {
+      props: java.util.Properties = new java.util.Properties(),
+      noUpdate: Seq[String] = Nil): Unit = {
     val cols = df.columns.toSeq
-    val sql = dialect.upsertSql(table, cols, keys)
-    val bindIdx = dialect.bindOrder(cols, keys).map(cols.indexOf).toArray
+    val sql = dialect.upsertSql(table, cols, keys, noUpdate)
+    val bindIdx = dialect.bindOrder(cols, keys, noUpdate).map(cols.indexOf).toArray
     val width = bindIdx.length
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
@@ -189,5 +216,29 @@ object Upsert {
         }
       }
     }
+  }
+
+  /** L1 parity — keyed upsert with the reference's audit columns
+    * (`postgres_writer.py:48-49` defaults + the `update_updated_at_column`
+    * trigger at `:53-73`): `created_at` and `updated_at` are both stamped on
+    * insert; on a merge update `updated_at` advances while `created_at` is
+    * never touched (it rides the `noUpdate` list). The stamp is
+    * caller-supplied so runs are deterministic and batch-constant — the
+    * distributed analogue of one transaction's NOW().
+    */
+  def upsertJdbcAudited(
+      df: DataFrame,
+      url: String,
+      table: String,
+      keys: Seq[String],
+      now: java.sql.Timestamp,
+      dialect: Dialect = Postgres,
+      batchSize: Int = 1000,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    val audited = df
+      .withColumn("created_at", lit(now))
+      .withColumn("updated_at", lit(now))
+    upsertJdbc(audited, url, table, keys, dialect, batchSize, props,
+      noUpdate = Seq("created_at"))
   }
 }

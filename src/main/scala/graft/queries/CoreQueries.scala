@@ -540,6 +540,22 @@ object CoreQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** A15b: approximate grouped quantiles via `percentile_approx`
+    * (Greenwald–Khanna-style mergeable sketch) — the 100 TB path: each
+    * reducer holds a bounded sketch instead of buffering every value the way
+    * exact `percentile` (A15) does, so memory is O(accuracy), not O(rows).
+    * No DuckDB oracle (different sketch ⇒ different exact output) — rows-only
+    * check; the ApproxQuantilesSpec test bounds its error against A15.
+    */
+  def a15bQuantilesApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** A16: pivot — event-type counts fanned into columns. The value list is
     * explicit, so the plan is a single pass (no extra job to discover
     * columns) and the schema is stable at any scale.
@@ -630,6 +646,7 @@ object CoreQueries {
     "a14_correlated_subquery" -> (a14CorrelatedSubquery _),
     "a10b_cube" -> (a10bCube _),
     "a15_quantiles" -> (a15Quantiles _),
+    "a15b_quantiles_approx" -> (a15bQuantilesApprox _),
     "a16_pivot" -> (a16Pivot _),
     "a17_interval_join" -> (a17IntervalJoin _),
     "c1_curation" -> (c1Curation _),

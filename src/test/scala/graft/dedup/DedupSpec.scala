@@ -61,6 +61,20 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("x4: document-frequency cap drops hot-shingle candidate blowup") {
+    import spark.implicits._
+    // Every doc shares one stop-phrase 3-gram; everything else is unique.
+    val docs = (1 to 40).map { i =>
+      (i.toLong, s"common shared phrase unique$i token$i filler$i word$i")
+    }.toDF("doc_id", "text")
+    // Uncapped, the hot shingle alone makes every pair a candidate: 40·39/2.
+    val uncapped = DedupQueries.x4Pairs(docs, threshold = 0.0, maxDf = Int.MaxValue)
+    assert(uncapped.count() == 40L * 39 / 2)
+    // Capped, the stop phrase leaves the index and no candidate survives —
+    // the join is bounded by informative shingles only.
+    assert(DedupQueries.x4Pairs(docs, threshold = 0.0, maxDf = 10).isEmpty)
+  }
+
   test("x3: near-identical docs have small simhash hamming distance") {
     // the planted x4 near-dup pairs should be close in simhash space
     val pairs = DedupQueries.x4NgramJaccard(spark, sf001)

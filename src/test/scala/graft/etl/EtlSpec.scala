@@ -165,10 +165,62 @@ class EtlSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() == 7)
   }
 
+  test("S1: BarSource seam — wide fetch → validate → standardize round trip") {
+    // ^GDAXI has all six fields; ^FTSE is missing Adj Close and Volume
+    // (the reference's expected-column warning path, yf_collector.py:74-92).
+    val wide = Seq(
+      (ts("2025-04-17 07:00:00"), 21000.0, 21003.0, 20998.0, 21000.5, 21000.5, 1000000L, 8200.25),
+      (ts("2025-04-17 08:00:00"), 21001.0, 21004.0, 20999.0, 21001.5, 21001.5, 1100000L, 8201.25))
+      .toDF("ts", "^GDAXI:Open", "^GDAXI:High", "^GDAXI:Low", "^GDAXI:Close",
+        "^GDAXI:Adj Close", "^GDAXI:Volume", "^FTSE:Close")
+    val source = new StaticBarSource(wide)
+    assert(BarIngest.missingFields(wide, Seq("^GDAXI", "^FTSE")) ==
+      Map("^FTSE" -> Set("Open", "High", "Low", "Adj Close", "Volume")))
+    val std = BarIngest.fetchStandardized(spark, source, Seq("^GDAXI", "^FTSE"), dim)
+    assert(std.columns.toSeq == Schema.canonicalQuoteCols)
+    assert(std.count() == 4) // 2 timestamps × 2 tickers
+    val gdaxi = std.filter($"ticker" === "^GDAXI" &&
+      $"timestamp_utc" === ts("2025-04-17 07:00:00")).collect().head
+    assert(gdaxi.getAs[String]("original_currency") == "EUR")
+    assert(gdaxi.getAs[Double]("close") == 21000.5)
+    assert(gdaxi.getAs[Long]("volume") == 1000000L)
+    // missing fields for a present ticker arrive as nulls, not failures
+    val ftse = std.filter($"ticker" === "^FTSE" &&
+      $"timestamp_utc" === ts("2025-04-17 07:00:00")).collect().head
+    assert(ftse.getAs[Double]("close") == 8200.25)
+    assert(ftse.isNullAt(std.columns.indexOf("volume")))
+    // hard-fail paths: empty ticker list; fetch with no ticker columns
+    intercept[IllegalArgumentException] {
+      BarIngest.fetchStandardized(spark, source, Nil, dim)
+    }
+    intercept[IllegalArgumentException] {
+      BarIngest.fetchStandardized(spark, source, Seq("^UNKNOWN"), dim)
+    }
+  }
+
+  test("S1: staged-parquet BarSource prunes to the requested tickers") {
+    val wide = Seq(
+      (ts("2025-04-17 07:00:00"), 1.0, 2.0),
+      (ts("2025-04-17 08:00:00"), 1.5, 2.5))
+      .toDF("ts", "AAA:Close", "BBB:Close")
+    val dir = Files.createTempDirectory("graft_bars").toString + "/bars"
+    wide.write.parquet(dir)
+    val fetched = new StagedParquetBarSource(dir)
+      .fetchWide(spark, Seq("AAA"), "7d", "60m")
+    assert(fetched.columns.toSeq == Seq("ts", "AAA:Close"))
+    assert(fetched.count() == 2)
+  }
+
   test("E3: upsert SQL dialects render the reference statement shapes") {
     val pg = Upsert.Postgres.upsertSql("quotes", Seq("ticker", "ts", "close"), Seq("ticker", "ts"))
-    assert(pg.contains("ON CONFLICT (ticker, ts) DO UPDATE SET close = EXCLUDED.close"))
+    assert(pg.contains("""ON CONFLICT ("ticker", "ts") DO UPDATE SET "close" = EXCLUDED."close""""))
     val merge = Upsert.AnsiMerge.upsertSql("quotes", Seq("ticker", "ts", "close"), Seq("ticker", "ts"))
     assert(merge.contains("MERGE INTO quotes") && merge.contains("WHEN MATCHED THEN UPDATE"))
+    // audit contract: created_at inserted but never updated on conflict
+    val audited = Upsert.Postgres.upsertSql("quotes",
+      Seq("ticker", "ts", "close", "created_at", "updated_at"), Seq("ticker", "ts"),
+      noUpdate = Seq("created_at"))
+    assert(audited.contains(""""updated_at" = EXCLUDED."updated_at""""))
+    assert(!audited.contains(""""created_at" = EXCLUDED."created_at""""))
   }
 }

@@ -28,10 +28,10 @@ class JdbcUpsertSpec extends SparkSuite {
   test("Derby MERGE sink: insert, idempotent re-run, conflicting update") {
     val c = DriverManager.getConnection(url)
     c.createStatement().execute(
-      """CREATE TABLE quotes (
-        |  user_id BIGINT NOT NULL, event_type VARCHAR(30) NOT NULL,
-        |  ts TIMESTAMP NOT NULL, value DOUBLE,
-        |  PRIMARY KEY (user_id, event_type))""".stripMargin)
+      """CREATE TABLE events_latest (
+        |  "user_id" BIGINT NOT NULL, "event_type" VARCHAR(30) NOT NULL,
+        |  "ts" TIMESTAMP NOT NULL, "value" DOUBLE,
+        |  PRIMARY KEY ("user_id", "event_type"))""".stripMargin)
     c.close()
 
     // one row per (user_id, event_type): the reference's PK shape
@@ -43,18 +43,18 @@ class JdbcUpsertSpec extends SparkSuite {
 
     val expected = batch.count()
 
-    Upsert.upsertJdbc(batch, url, "quotes", Seq("user_id", "event_type"), Upsert.Derby)
-    assert(query1("SELECT COUNT(*), 0.0 FROM quotes")._1 == expected)
+    Upsert.upsertJdbc(batch, url, "events_latest", Seq("user_id", "event_type"), Upsert.Derby)
+    assert(query1("SELECT COUNT(*), 0.0 FROM events_latest")._1 == expected)
 
     // re-run of the identical batch converges (ON CONFLICT idempotency,
     // reference README.md:37)
-    Upsert.upsertJdbc(batch, url, "quotes", Seq("user_id", "event_type"), Upsert.Derby)
-    assert(query1("SELECT COUNT(*), 0.0 FROM quotes")._1 == expected)
+    Upsert.upsertJdbc(batch, url, "events_latest", Seq("user_id", "event_type"), Upsert.Derby)
+    assert(query1("SELECT COUNT(*), 0.0 FROM events_latest")._1 == expected)
 
     // conflicting re-delivery takes the update path (DO UPDATE semantics)
     Upsert.upsertJdbc(batch.withColumn("value", lit(-1.0)),
-      url, "quotes", Seq("user_id", "event_type"), Upsert.Derby)
-    val (n, mx) = query1("SELECT COUNT(*), MAX(value) FROM quotes")
+      url, "events_latest", Seq("user_id", "event_type"), Upsert.Derby)
+    val (n, mx) = query1("""SELECT COUNT(*), MAX("value") FROM events_latest""")
     assert(n == expected)
     assert(mx == -1.0, s"all rows must have been updated, max=$mx")
   }
@@ -63,7 +63,7 @@ class JdbcUpsertSpec extends SparkSuite {
     val c = DriverManager.getConnection(url)
     c.createStatement().execute(
       """CREATE TABLE guarded (
-        |  k BIGINT NOT NULL PRIMARY KEY, v DOUBLE CHECK (v >= 0))""".stripMargin)
+        |  "k" BIGINT NOT NULL PRIMARY KEY, "v" DOUBLE CHECK ("v" >= 0))""".stripMargin)
     c.close()
     import spark.implicits._
     // single partition: one transaction; the violating row arrives after

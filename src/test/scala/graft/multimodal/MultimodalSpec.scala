@@ -24,6 +24,20 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeStub(1L, bytes) == Multimodal.decodeStub(1L, bytes))
   }
 
+  test("m3 golden values: fixed byte fixtures decode to pinned metadata") {
+    // Hand-computed from the documented fold (fold = fold*131 + b mod 1e9+7):
+    // bytes [1,2,3] → fold 17426; head 1 → jpeg; w=16+17426%240=162,
+    // h=16+(17426/240)%240=88. Changing the stub's arithmetic breaks these.
+    assert(Multimodal.decodeStub(7L, Array[Byte](1, 2, 3)) ==
+      MediaMeta(7L, 3L, "img/fake-jpeg", 162, 88, 1))
+    // bytes [2,0] → fold 262; head 2 → video; w=38, h=17, frames=1+262%32=7
+    assert(Multimodal.decodeStub(9L, Array[Byte](2, 0)) ==
+      MediaMeta(9L, 2L, "vid/fake-mp4", 38, 17, 7))
+    // empty blob: head 0 → png, fold 0 → minimum dimensions
+    assert(Multimodal.decodeStub(1L, Array.empty[Byte]) ==
+      MediaMeta(1L, 0L, "img/fake-png", 16, 16, 1))
+  }
+
   test("decode setup amortizes once per partition (mapInPandas batch contract)") {
     // count per-partition initializations with an accumulator: a per-row
     // decoder construction bug would show n_init == n_rows

@@ -80,6 +80,20 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("a15b: approx quantiles within 1% of the exact sort-based answer") {
+    val exact = CoreQueries.a15Quantiles(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = CoreQueries.a15bQuantilesApprox(spark, sf001).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (p50e, p95e) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - p50e) / p50e <= 0.01,
+        s"${r.getString(0)} p50: ${r.getDouble(1)} vs $p50e")
+      assert(math.abs(r.getDouble(2) - p95e) / p95e <= 0.01,
+        s"${r.getString(0)} p95: ${r.getDouble(2)} vs $p95e")
+    }
+  }
+
   test("a6: at most 3 per customer, rank within [1,3]") {
     val df = CoreQueries.a6TopkWindow(spark, sf001)
     assert(df.groupBy("o_custkey").count().filter(col("count") > 3).isEmpty)

@@ -139,7 +139,7 @@ class StreamingSpec extends SparkSuite {
     val c = java.sql.DriverManager.getConnection(url)
     c.createStatement().execute(
       """CREATE TABLE stream_quotes (
-        |  event_id BIGINT NOT NULL PRIMARY KEY, ts TIMESTAMP, value DOUBLE)""".stripMargin)
+        |  "event_id" BIGINT NOT NULL PRIMARY KEY, "ts" TIMESTAMP, "value" DOUBLE)""".stripMargin)
     c.close()
     val schema = spark.read.parquet(landing).schema
 

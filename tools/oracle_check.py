@@ -16,6 +16,7 @@ import sys
 
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -33,6 +34,22 @@ def dtype_class(s: pd.Series) -> str:
     if pd.api.types.is_float_dtype(s):
         return "float"
     if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "other"
+
+
+def arrow_dtype_class(field_type) -> str:
+    """Spark-side dtype class from the parquet (arrow) schema, NOT the pandas
+    dtype: pandas decodes a nullable int64 column containing NULLs as float64,
+    which would spuriously class spark=float vs oracle=int."""
+    import pyarrow as pa
+    if pa.types.is_boolean(field_type):
+        return "bool"
+    if pa.types.is_integer(field_type):
+        return "int"
+    if pa.types.is_floating(field_type):
+        return "float"
+    if pa.types.is_timestamp(field_type) or pa.types.is_date(field_type):
         return "datetime"
     return "other"
 
@@ -63,9 +80,25 @@ def main() -> int:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failures = []
-    names = sorted(d for d in os.listdir(outdir)
-                   if os.path.isdir(os.path.join(outdir, d)))
+    dirs = sorted(d for d in os.listdir(outdir)
+                  if os.path.isdir(os.path.join(outdir, d)))
+    # Expected set = every declared query (query_names.json, written by
+    # Verify) ∪ whatever is on disk — a query that crashed in Verify writes
+    # no directory and must FAIL here, not silently shrink the compared set.
+    expected = set(dirs) | set(oracle)
+    if os.path.exists(f"{outdir}/query_names.json"):
+        expected |= set(json.load(open(f"{outdir}/query_names.json")))
+    verify_failures = {}
+    if os.path.exists(f"{outdir}/failures.json"):
+        verify_failures = json.load(open(f"{outdir}/failures.json"))
+    names = sorted(expected)
     for name in names:
+        if name in verify_failures:
+            failures.append((name, f"query FAILED in Verify: {verify_failures[name]}"))
+            continue
+        if name not in dirs:
+            failures.append((name, "no spark output directory (query never ran?)"))
+            continue
         parts = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not parts:
             failures.append((name, "no spark output parts"))
@@ -87,9 +120,14 @@ def main() -> int:
             continue
         # int-vs-float dtype drift fails the driver's hash gate even when the
         # values are numerically identical — check raw dtypes before coercion.
+        # Spark side from the parquet (arrow) schema: pandas would decode a
+        # NULL-containing BIGINT as float64 and fail this check spuriously.
+        schema = pq.read_schema(parts[0])
+        spark_class = {f.name: arrow_dtype_class(f.type) for f in schema}
         drift = []
         for c in g.columns:
-            kg, ke = dtype_class(got[c]), dtype_class(exp[c])
+            kg = spark_class.get(c, dtype_class(got[c]))
+            ke = dtype_class(exp[c])
             if {kg, ke} == {"int", "float"}:
                 drift.append(f"{c}: spark={kg} oracle={ke}")
         if drift:
