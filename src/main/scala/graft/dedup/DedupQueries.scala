@@ -236,6 +236,38 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** X11 — asymmetric shingle containment (Broder 1997's second resemblance
+    * measure): containment(A in B) = |A∩B| / |A|. Catches the
+    * doc-is-a-subset-of-doc cases (quotes, snippets, re-posts with added
+    * boilerplate) that symmetric Jaccard dilutes below threshold when the
+    * containing doc is much larger. Same capped inverted index and
+    * single-pass intersection counting as X4 — one extra projection, no new
+    * shuffle shape.
+    */
+  def x11Containment(s: SparkSession, dir: String): DataFrame =
+    x11Pairs(t(s, dir, "documents"))
+
+  def x11Pairs(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      maxDf: Int = MaxShingleDf): DataFrame = {
+    val sh = cappedShingles(docs, 3, maxDf).localCheckpoint()
+    val inter = sh.as("s1")
+      .join(sh.as("s2"),
+        col("s1.shingle") === col("s2.shingle") && col("s1.doc_id") < col("s2.doc_id"))
+      .groupBy(col("s1.doc_id").as("doc_a"), col("s2.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("ni"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("ni").cast("double") / col("na.n")).as("containment_a_in_b"),
+        (col("ni").cast("double") / col("nb.n")).as("containment_b_in_a"))
+      .filter(greatest(col("containment_a_in_b"), col("containment_b_in_a")) >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** X9 — near-dup clusters via connected components over the X4 pair graph:
     * every document gets `cluster_id` = the smallest doc_id reachable through
     * near-duplicate edges (singletons map to themselves). This is the
@@ -312,7 +344,8 @@ object DedupQueries {
     "x3_simhash" -> (x3Simhash _),
     "x4_ngram_jaccard" -> (x4NgramJaccard _),
     "x9_dedup_clusters" -> (x9DedupClusters _),
-    "x10_source_dedup_stats" -> (x10SourceDedupStats _))
+    "x10_source_dedup_stats" -> (x10SourceDedupStats _),
+    "x11_containment" -> (x11Containment _))
 
   private def shingleCte(name: String) =
     s"""$name AS (
@@ -413,6 +446,22 @@ object DedupQueries {
            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
          SELECT src AS doc_id, MIN(dst) AS cluster_id
          FROM reach GROUP BY src ORDER BY doc_id""",
+    "x11_containment" ->
+      s"""WITH $cappedShingleSql,
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS ni
+           FROM sh s1 JOIN sh s2
+             ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+           GROUP BY s1.doc_id, s2.doc_id)
+         SELECT i.doc_a, i.doc_b,
+                CAST(i.ni AS DOUBLE) / na.n AS containment_a_in_b,
+                CAST(i.ni AS DOUBLE) / nb.n AS containment_b_in_a
+         FROM inter i
+         JOIN sizes na ON na.doc_id = i.doc_a
+         JOIN sizes nb ON nb.doc_id = i.doc_b
+         WHERE greatest(CAST(i.ni AS DOUBLE) / na.n, CAST(i.ni AS DOUBLE) / nb.n) >= 0.8
+         ORDER BY doc_a, doc_b""",
     "x10_source_dedup_stats" ->
       """SELECT source, CAST(SUM(copies) AS BIGINT) AS n_docs, COUNT(*) AS n_distinct,
                 1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(copies) AS dup_ratio

@@ -124,6 +124,34 @@ object TextQueries {
       .orderBy(col("n").desc, col("bigram"))
       .limit(100)
 
+  /** T-repetition — repetition-based quality signals (the Gopher/MassiveText
+    * family of filters): duplicate-token fraction and the fraction of all
+    * word bigrams taken by the single most frequent one. High values flag
+    * boilerplate/spam docs that length or stopword ratios miss. The
+    * per-token part is a narrow projection; the bigram part is two stacked
+    * doc-keyed aggregates — shuffle-on-doc_id, nothing corpus².
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("ws", split(col("text"), " "))
+    val base = docs.select(col("doc_id"),
+      size(col("ws")).cast("long").as("n_tok"),
+      size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
+    val bigrams = docs
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', ws[i-1], ws[i]))"))
+        .as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_bigram_n"), sum(col("n")).as("n_bigrams"))
+    base.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tok")).as("dup_tok_ratio"),
+        col("top_bigram_n"), col("n_bigrams"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** T-lang-confusion — labeled vs predicted language counts: the eval-style
     * query that closes the loop on the T1 heuristic.
     */
@@ -139,7 +167,8 @@ object TextQueries {
     "t3_tokens" -> (tokenCount _),
     "t4_fingerprint" -> (fingerprint _),
     "t5_ngram_freq" -> (ngramFreq _),
-    "t6_lang_confusion" -> (langConfusion _))
+    "t6_lang_confusion" -> (langConfusion _),
+    "t7_repetition" -> (repetition _))
 
   val oracles: Map[String, String] = Map(
     "t1_langid" ->
@@ -210,6 +239,29 @@ object TextQueries {
          SELECT labeled_lang, predicted_lang, COUNT(*) AS n
          FROM pred GROUP BY labeled_lang, predicted_lang
          ORDER BY labeled_lang, predicted_lang""",
+    "t7_repetition" ->
+      """WITH b AS (
+           SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+                  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         bg AS (
+           SELECT doc_id, bigram, COUNT(*) AS n
+           FROM (SELECT doc_id,
+                        unnest(list_transform(range(2, len(ws) + 1),
+                          i -> ws[i-1] || ' ' || ws[i])) AS bigram
+                 FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+                 WHERE len(ws) >= 2)
+           GROUP BY doc_id, bigram),
+         top AS (
+           SELECT doc_id, CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+                  CAST(SUM(n) AS BIGINT) AS n_bigrams
+           FROM bg GROUP BY doc_id)
+         SELECT b.doc_id, b.n_tok,
+                1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tok AS dup_tok_ratio,
+                t.top_bigram_n, t.n_bigrams,
+                CAST(t.top_bigram_n AS DOUBLE) / t.n_bigrams AS top_bigram_ratio
+         FROM b LEFT JOIN top t ON b.doc_id = t.doc_id
+         ORDER BY b.doc_id""",
     "t4_fingerprint" ->
       """WITH n AS (
            SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm

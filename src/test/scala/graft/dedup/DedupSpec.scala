@@ -75,6 +75,23 @@ class DedupSpec extends SparkSuite {
     assert(DedupQueries.x4Pairs(docs, threshold = 0.0, maxDf = 10).isEmpty)
   }
 
+  test("x11: containment catches a subset doc that symmetric Jaccard misses") {
+    import spark.implicits._
+    val words = (1 to 20).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),           // 18 shingles
+      (2L, words.take(10).mkString(" "))   // 8 shingles, strict subset of doc 1
+    ).toDF("doc_id", "text")
+    // Jaccard = 8/18 ≈ 0.44 — below x4's 0.5 threshold
+    assert(DedupQueries.x4Pairs(docs).isEmpty)
+    // but doc 2 is fully contained in doc 1
+    val c = DedupQueries.x11Pairs(docs).collect()
+    assert(c.length == 1)
+    assert(c.head.getLong(0) == 1L && c.head.getLong(1) == 2L)
+    assert(c.head.getDouble(3) == 1.0, "containment of the subset doc must be 1.0")
+    assert(math.abs(c.head.getDouble(2) - 8.0 / 18.0) < 1e-12)
+  }
+
   test("x3: near-identical docs have small simhash hamming distance") {
     // the planted x4 near-dup pairs should be close in simhash space
     val pairs = DedupQueries.x4NgramJaccard(spark, sf001)

@@ -34,6 +34,20 @@ class TextSpec extends SparkSuite {
     assert(langs.subsetOf(Set("en", "de", "es", "fr", "und")))
   }
 
+  test("t7: repetition signals are in range and bigram counts consistent") {
+    val rows = TextQueries.repetition(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getLong(1)
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) < 1, "dup_tok_ratio in [0,1)")
+      if (!r.isNullAt(4)) {
+        // a doc with >= 2 tokens has exactly n_tok - 1 bigrams
+        assert(r.getLong(4) == nTok - 1, s"n_bigrams ${r.getLong(4)} vs n_tok $nTok")
+        assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1, "top_bigram_ratio in (0,1]")
+      }
+    }
+  }
+
   test("t4: fingerprints are stable and collision-free on distinct texts") {
     val df = TextQueries.fingerprint(spark, sf001)
     val n = df.count()
