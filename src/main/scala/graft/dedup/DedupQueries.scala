@@ -322,6 +322,28 @@ object DedupQueries {
     labels.orderBy("doc_id")
   }
 
+  /** X12 — eval-set contamination check: which corpus documents share ≥ K
+    * 3-gram shingles with any document of a designated evaluation set (here
+    * the deterministic stand-in `doc_id % 20 == 0`). This is the
+    * decontamination pass every training-data pipeline runs before a model
+    * sees the corpus. The scale shape is the point: the eval set is tiny, so
+    * its shingles BROADCAST and the 100 TB corpus side streams map-only
+    * through the join — no corpus shuffle at all until the final doc-keyed
+    * count.
+    */
+  def x12Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalSh = shingles(docs.filter(col("doc_id") % 20 === 0))
+      .withColumnRenamed("doc_id", "eval_id")
+    val corpusSh = shingles(docs.filter(col("doc_id") % 20 =!= 0))
+    corpusSh
+      .join(broadcast(evalSh), "shingle")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= 5)
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** X10 — per-source duplication telemetry: corpus curation's dashboard
     * numbers (docs, distinct contents, dup ratio per source). Two stacked
     * aggregates, both shuffle-on-key.
@@ -345,7 +367,8 @@ object DedupQueries {
     "x4_ngram_jaccard" -> (x4NgramJaccard _),
     "x9_dedup_clusters" -> (x9DedupClusters _),
     "x10_source_dedup_stats" -> (x10SourceDedupStats _),
-    "x11_containment" -> (x11Containment _))
+    "x11_containment" -> (x11Containment _),
+    "x12_contamination" -> (x12Contamination _))
 
   private def shingleCte(name: String) =
     s"""$name AS (
@@ -462,6 +485,14 @@ object DedupQueries {
          JOIN sizes nb ON nb.doc_id = i.doc_b
          WHERE greatest(CAST(i.ni AS DOUBLE) / na.n, CAST(i.ni AS DOUBLE) / nb.n) >= 0.8
          ORDER BY doc_a, doc_b""",
+    "x12_contamination" ->
+      s"""WITH $shingleSql
+         SELECT c.doc_id, e.doc_id AS eval_id, COUNT(*) AS shared_shingles
+         FROM sh c JOIN sh e ON c.shingle = e.shingle
+         WHERE e.doc_id % 20 = 0 AND c.doc_id % 20 <> 0
+         GROUP BY c.doc_id, e.doc_id
+         HAVING COUNT(*) >= 5
+         ORDER BY c.doc_id, eval_id""",
     "x10_source_dedup_stats" ->
       """SELECT source, CAST(SUM(copies) AS BIGINT) AS n_docs, COUNT(*) AS n_distinct,
                 1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(copies) AS dup_ratio

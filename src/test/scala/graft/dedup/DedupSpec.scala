@@ -92,6 +92,14 @@ class DedupSpec extends SparkSuite {
     assert(math.abs(c.head.getDouble(2) - 8.0 / 18.0) < 1e-12)
   }
 
+  test("x12: contamination hits pair a non-eval doc with an eval doc, >= K shared") {
+    DedupQueries.x12Contamination(spark, sf001).collect().foreach { r =>
+      assert(r.getLong(0) % 20 != 0, "corpus side leaked an eval doc")
+      assert(r.getLong(1) % 20 == 0, "eval side contains a non-eval doc")
+      assert(r.getLong(2) >= 5)
+    }
+  }
+
   test("x3: near-identical docs have small simhash hamming distance") {
     // the planted x4 near-dup pairs should be close in simhash space
     val pairs = DedupQueries.x4NgramJaccard(spark, sf001)

@@ -94,6 +94,17 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("e8: running peak dominates close and never decreases within a series") {
+    val rows = CoreQueries.e8Drawdown(spark, sf001)
+      .select("user_id", "day", "close", "peak").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) >= r.getDouble(2), s"peak < close: $r"))
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val peaks = rs.sortBy(_.getDate(1).getTime).map(_.getDouble(3))
+      assert(peaks.zip(peaks.tail).forall { case (a, b) => b >= a }, "peak decreased")
+    }
+  }
+
   test("a6: at most 3 per customer, rank within [1,3]") {
     val df = CoreQueries.a6TopkWindow(spark, sf001)
     assert(df.groupBy("o_custkey").count().filter(col("count") > 3).isEmpty)

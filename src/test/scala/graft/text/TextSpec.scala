@@ -48,6 +48,19 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("t8: tf-idf emits at most 5 consecutively-ranked terms per doc") {
+    val rows = TextQueries.tfidf(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(4) >= 1 && r.getDouble(5) > 0)
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val rnks = rs.map(_.getLong(1)).sorted
+      assert(rnks.length <= 5 && rnks.sameElements(1L to rnks.length),
+        s"doc $doc ranks ${rnks.mkString(",")}")
+    }
+  }
+
   test("t4: fingerprints are stable and collision-free on distinct texts") {
     val df = TextQueries.fingerprint(spark, sf001)
     val n = df.count()
