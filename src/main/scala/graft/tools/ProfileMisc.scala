@@ -1,9 +1,13 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev utility: ad-hoc timing experiments at a given SF. */
+/** Dev utility: ad-hoc timing experiments at a given SF.
+  * Current experiment: e7_correlation — the self-joined `daily` aggregate is
+  * built twice (the two join branches carry different pushed filters, so
+  * ReuseExchange can't dedupe them); does materializing it once pay?
+  */
 object ProfileMisc {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -16,30 +20,47 @@ object ProfileMisc {
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.tune(spark)
 
-    def time(name: String)(df: DataFrame): Unit = {
-      df.write.mode("overwrite").format("noop").save() // warm
-      val t0 = System.nanoTime()
-      df.write.mode("overwrite").format("noop").save()
-      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    def time(name: String)(mk: => DataFrame): Unit = {
+      mk.write.mode("overwrite").format("noop").save() // warm
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[profile] $name%-34s min=${times.min}%6.2f s  (${times.map(t => f"$t%.2f").mkString(", ")})")
     }
 
-    val ev = graft.Tables(spark, dir, "events")
-    ev.count()
+    graft.Tables(spark, dir, "events").count()
 
-    time("window slide (current)")(graft.queries.CoreQueries.a12bSlidingWindow(spark, dir))
-    time("window tumbling")(graft.queries.CoreQueries.a12TumblingWindow(spark, dir))
-    time("slide agg only, no sort")(
-      ev.groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n")))
-    time("explode-2-starts variant")(
-      ev.select(
-          explode(array(date_trunc("hour", col("ts")) - expr("INTERVAL 1 HOUR"),
-            date_trunc("hour", col("ts")))).as("ws"),
-          col("event_type"), col("value"))
-        .groupBy(col("ws"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"))
-        .orderBy("ws", "event_type"))
+    def dsum30(c: Column): Column = sum(c.cast("decimal(30,8)")).cast("double")
+
+    def corrFrom(daily: DataFrame): DataFrame = {
+      val joined = daily.filter(col("user_id") < 50).as("a")
+        .join(daily.as("b"),
+          col("a.day") === col("b.day") && col("a.user_id") < col("b.user_id"))
+        .select(col("a.user_id").as("u1"), col("b.user_id").as("u2"),
+          col("a.close").as("x"), col("b.close").as("y"))
+      joined
+        .groupBy(col("u1"), col("u2"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum30(col("x")).as("sx"), dsum30(col("y")).as("sy"),
+          dsum30(col("x") * col("y")).as("sxy"),
+          dsum30(col("x") * col("x")).as("sxx"),
+          dsum30(col("y") * col("y")).as("syy"))
+        .filter(col("n") >= 20)
+        .select(col("u1"), col("u2"), col("n").cast("long").as("n_days"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")))).as("pearson_r"))
+        .orderBy("u1", "u2")
+    }
+
+    def daily: DataFrame = graft.Tables(spark, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(expr("max_by(value, ts)").as("close"))
+
+    time("e7 current (recomputed daily)")(graft.queries.CoreQueries.e7Correlation(spark, dir))
+    time("e7 localCheckpoint daily")(corrFrom(daily.localCheckpoint()))
     spark.stop()
   }
 }

@@ -37,7 +37,18 @@ object ScaleProbe {
     replicate("orders", Map("o_orderkey" -> 100000000L, "o_custkey" -> 10000000L))
     replicate("customer", Map("c_custkey" -> 10000000L))
     replicate("events", Map("event_id" -> 1000000000L, "user_id" -> 100000L))
-    replicate("documents", Map("doc_id" -> 10000000L))
+    // documents: offset ids AND perturb every token per replica — verbatim
+    // copies would make the near-dup probes measure the (by-design
+    // superlinear) duplicate workload instead of scan/shuffle scaling.
+    locally {
+      val src = graft.Tables(spark, base, "documents")
+      (0 until n).map { r =>
+        src.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+          .withColumn("text",
+            expr(s"array_join(transform(split(text, ' '), t -> concat('r${r}_', t)), ' ')"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    }
     Seq("region", "nation", "supplier", "part", "embeddings").foreach { t =>
       graft.Tables(spark, base, t).write.mode("overwrite").parquet(s"$work/$t.parquet")
     }
@@ -59,8 +70,14 @@ object ScaleProbe {
       "a5_star_join" -> (a5StarJoin _),
       "a6_topk_window" -> (a6TopkWindow _),
       "e4_ohlcv_resample" -> (e4OhlcvResample _),
+      "e8_drawdown" -> (e8Drawdown _),
       "x1_exact_dedup" -> (x1ExactDedup _),
-      "x3_simhash" -> (x3Simhash _))
+      "x2_minhash_lsh" -> (x2MinhashLsh _),
+      "x3_simhash" -> (x3Simhash _),
+      "x4_ngram_jaccard" -> (x4NgramJaccard _),
+      "x12_contamination" -> (x12Contamination _),
+      "t7_repetition" -> (graft.text.TextQueries.repetition _),
+      "t8_tfidf" -> (graft.text.TextQueries.tfidf _))
     println(f"[scale] ${"query"}%-20s ${"1x"}%8s ${n + "x"}%8s  ratio (ideal <= " + n + ")")
     probes.foreach { case (name, fn) =>
       val t1 = time(fn, base)

@@ -64,6 +64,23 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), "brute-force top-k must not fall back to a window sort")
   }
 
+  test("x12: the eval-set side of the contamination join broadcasts") {
+    val p = plan(graft.dedup.DedupQueries.x12Contamination(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"),
+      "eval shingles must broadcast — the corpus side streams map-only:\n" + p)
+  }
+
+  test("e8: drawdown is one window pass, no join operator") {
+    val p = plan(CoreQueries.e8Drawdown(spark, sf001))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), "running-max drawdown must not plan a join")
+  }
+
+  test("t8: the corpus-size scalar joins as a broadcast, not a cartesian") {
+    val p = plan(graft.text.TextQueries.tfidf(spark, sf001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no accidental cartesian products anywhere in the surface") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sf001))
