@@ -94,8 +94,27 @@ object Pipeline {
       sum((col("close").isNotNull &&
         col(s"close_${targetCurrency.toLowerCase}").isNull).cast("long"))
         .as("missing_rate"))
-    // 1) dim first (FK target). Metadata is constant per ticker (it came
-    // from the broadcast enrich join), so any deterministic pick works.
+    // 1) dim first (FK target), 2) facts second, FK now satisfiable.
+    upsertIndicesJdbc(observed, url, now, dialect, props)
+    upsertQuotesJdbc(observed, url, now, dialect, targetCurrency, props)
+    val m = obs.get
+    RunMetrics(
+      rows = m("rows").asInstanceOf[Long],
+      nullClose = m("null_close").asInstanceOf[Long],
+      missingRate = m("missing_rate").asInstanceOf[Long])
+  }
+
+  /** Dim-upsert step of the composed load (≙ `upsert_indices`,
+    * `postgres_writer.py:116-178`): metadata extracted from the standardized
+    * frame, deduped per ticker. Metadata is constant per ticker (it came
+    * from the broadcast enrich join), so any deterministic pick works.
+    */
+  def upsertIndicesJdbc(
+      standardized: DataFrame,
+      url: String,
+      now: java.sql.Timestamp,
+      dialect: Upsert.Dialect = Upsert.Derby,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
     val indices = Upsert.lastWriteWins(
       standardized
         .select(col("ticker"), col("name"), col("country"), col("exchange"),
@@ -104,26 +123,30 @@ object Pipeline {
       keys = Seq("ticker"), versionCol = "name")
     Upsert.upsertJdbcAudited(indices, url, "indices", Seq("ticker"), now, dialect,
       props = props)
-    // 2) facts second, FK now satisfiable. quotes carries the reference
-    // schema: raw OHLCV + converted *_usd columns; inserted_at rides the
-    // column DEFAULT (≙ postgres_writer.py:85).
+  }
+
+  /** Fact-upsert step of the composed load (≙ `upsert_quotes`,
+    * `postgres_writer.py:181-278`): the reference schema's raw OHLCV +
+    * converted `*_usd` columns. inserted_at is writer-stamped (insert-only):
+    * Derby can't evaluate a CURRENT_TIMESTAMP DEFAULT inside MERGE (see
+    * [[Ddl]]), and the reference never updates it after first insert.
+    */
+  def upsertQuotesJdbc(
+      converted: DataFrame,
+      url: String,
+      now: java.sql.Timestamp,
+      dialect: Upsert.Dialect = Upsert.Derby,
+      targetCurrency: String = "USD",
+      props: java.util.Properties = new java.util.Properties()): Unit = {
     val suffix = targetCurrency.toLowerCase
     val deduped = Upsert.lastWriteWins(
-      observed, keys = Seq("ticker", "timestamp_utc"), versionCol = "timestamp_utc")
+      converted, keys = Seq("ticker", "timestamp_utc"), versionCol = "timestamp_utc")
     val quoteCols = (Seq("ticker", "timestamp_utc", "open", "high", "low", "close",
       "adjusted_close", "volume") ++ Schema.priceCols.map(c => s"${c}_$suffix"))
       .filter(deduped.columns.contains)
-    // inserted_at is writer-stamped (insert-only): Derby can't evaluate a
-    // CURRENT_TIMESTAMP DEFAULT inside MERGE (see Ddl), and the reference
-    // never updates it after first insert.
     Upsert.upsertJdbc(
       deduped.select(quoteCols.map(col): _*).withColumn("inserted_at", lit(now)),
       url, "quotes", Seq("ticker", "timestamp_utc"), dialect, props = props,
       noUpdate = Seq("inserted_at"))
-    val m = obs.get
-    RunMetrics(
-      rows = m("rows").asInstanceOf[Long],
-      nullClose = m("null_close").asInstanceOf[Long],
-      missingRate = m("missing_rate").asInstanceOf[Long])
   }
 }

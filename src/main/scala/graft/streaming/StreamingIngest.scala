@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.etl.Upsert
+import graft.etl.{CurrencyConverter, Ddl, Pipeline, Standardizer, Upsert}
 
 /** Incrementally-maintained OHLC candle for one (user, hour) group —
   * mapGroupsWithState state/output. Open/close are tracked by remembering
@@ -177,4 +177,40 @@ object StreamingIngest {
           Upsert.lastWriteWins(batch, keys, versionCol), url, table, keys, dialect)
       }
       .start()
+
+  /** The reference's ENTIRE pipeline as one incremental streaming job:
+    * raw long-format bars land in a directory; each AvailableNow tick
+    * standardizes (E1, stream⋈broadcast dim), converts (E2, stream⋈static
+    * daily FX table — the provider is resolved up front, as a real
+    * deployment's rate fetch would be), and merges both tables over JDBC in
+    * FK order (L1–L4 via `Pipeline`'s batch steps). Replaces the 6-hourly
+    * cron + overlap-refetch of `airflow/dags/market_data_dag.py:15` with
+    * exactly-the-same-result incremental processing: re-running a tick, or
+    * re-delivering overlapping files, converges through the keyed MERGE.
+    *
+    * E1/E2 run INSIDE the streaming plan (narrow ops + broadcast joins — no
+    * streaming state at all); only the idempotent sink is in foreachBatch.
+    */
+  def pipelineAvailableNow(
+      rawBars: DataFrame,
+      dim: DataFrame,
+      fxRates: DataFrame,
+      url: String,
+      checkpoint: String,
+      now: java.sql.Timestamp,
+      dialect: Upsert.Dialect = Upsert.Derby,
+      targetCurrency: String = "USD",
+      sourceTz: Option[String] = None): StreamingQuery = {
+    Ddl.createTables(url, dialect)
+    val standardized = Standardizer.standardize(rawBars, dim, sourceTz)
+    val converted = CurrencyConverter.convert(standardized, fxRates, targetCurrency)
+    converted.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Pipeline.upsertIndicesJdbc(batch, url, now, dialect)
+        Pipeline.upsertQuotesJdbc(batch, url, now, dialect, targetCurrency)
+      }
+      .start()
+  }
 }

@@ -134,6 +134,57 @@ class StreamingSpec extends SparkSuite {
       s"stream-stream join: ${got.size} pairs vs batch ${batch.size}")
   }
 
+  test("full pipeline streaming: landing bars → E1→E2 → two-table JDBC load, converges") {
+    import spark.implicits._
+    import java.sql.{Date, Timestamp}
+    val url = "jdbc:derby:memory:graft_stream_pipeline;create=true"
+    val dim = Seq(
+      graft.etl.IndexMeta("^GDAXI", "DAX", "Germany", "XETRA", "EUR"),
+      graft.etl.IndexMeta("^GSPC", "S&P 500", "USA", "NYSE", "USD")).toDF()
+    val fx = Seq(
+      graft.etl.FxRate("EUR", "USD", Date.valueOf("2025-04-17"), 1.14),
+      graft.etl.FxRate("EUR", "USD", Date.valueOf("2025-04-18"), 1.15)).toDF()
+    def mkBars(rows: Seq[(String, String, Double)]) =
+      rows.toDF("ts_s", "ticker", "Close")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+        .withColumn("Open", col("Close") - 1.0)
+        .withColumn("High", col("Close") + 2.0)
+        .withColumn("Low", col("Close") - 2.0)
+        .withColumn("Adj Close", col("Close"))
+        .withColumn("Volume", lit(1000L))
+    val barsDir = s"$work/bars_landing"
+    mkBars(Seq(
+      ("2025-04-17 07:00:00", "^GDAXI", 21000.5),
+      ("2025-04-17 13:30:00", "^GSPC", 5300.75))).write.mode("overwrite").parquet(barsDir)
+    val schema = spark.read.parquet(barsDir).schema
+
+    def tick(n: Int): Unit = {
+      val stream = StreamingIngest.readLanding(spark, barsDir, schema)
+      StreamingIngest.pipelineAvailableNow(stream, dim, fx, url,
+        s"$work/ckpt_pipeline_$n", Timestamp.valueOf(s"2025-05-0$n 00:00:00"))
+        .awaitTermination()
+    }
+    tick(1)
+    // new file lands: one overlapping bar (re-delivery) + one new bar
+    mkBars(Seq(
+      ("2025-04-17 07:00:00", "^GDAXI", 21000.5),
+      ("2025-04-18 07:00:00", "^GDAXI", 21100.0))).write.mode("append").parquet(barsDir)
+    tick(1) // same checkpoint: only the new file is processed
+    tick(2) // fresh checkpoint: full re-delivery; MERGE absorbs everything
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        """SELECT COUNT(*), MIN("close_usd"), MAX("close_usd") FROM quotes""")
+      rs.next()
+      assert(rs.getLong(1) == 3, "3 distinct (ticker, ts) bars expected")
+      assert(math.abs(rs.getDouble(2) - 5300.75) < 1e-9) // USD identity rate
+      assert(math.abs(rs.getDouble(3) - 21100.0 * 1.15) < 1e-9)
+      val ri = c.createStatement().executeQuery("SELECT COUNT(*) FROM indices")
+      ri.next()
+      assert(ri.getLong(1) == 2)
+    } finally c.close()
+  }
+
   test("streaming foreachBatch into a JDBC MERGE sink converges across re-delivery") {
     val url = "jdbc:derby:memory:graft_stream_jdbc;create=true"
     val c = java.sql.DriverManager.getConnection(url)
