@@ -42,6 +42,26 @@ object MultimodalQueries {
         md5(substring(col("text"), col("frame_off").cast("int") + 1, lit(16))).as("frame_md5"))
       .orderBy("doc_id", "frame_off")
 
+  /** M4 — per-source media storage telemetry: blob counts, byte volume,
+    * distinct-content counts and the implied dedup savings — the dashboard
+    * a multimodal corpus is curated from. One hash aggregate over
+    * (source, digest), then one over source.
+    */
+  def m4StorageStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("blob", col("text").cast("binary"))
+      .groupBy(col("source"), sha2(col("blob"), 256).as("digest"))
+      .agg(count(lit(1)).as("copies"), max(length(col("blob")).cast("long")).as("blob_bytes"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("copies")).as("n_blobs"),
+        count(lit(1)).as("n_distinct_blobs"),
+        sum(col("copies") * col("blob_bytes")).as("total_bytes"),
+        sum(col("blob_bytes")).as("deduped_bytes"))
+      .withColumn("savings_ratio",
+        lit(1.0) - col("deduped_bytes").cast("double") / col("total_bytes"))
+      .orderBy("source")
+
   /** M3 — typed decode via mapPartitions (stubbed codec, real plumbing). */
   def m3DecodeStub(s: SparkSession, dir: String): DataFrame = {
     val blobs = t(s, dir, "documents")
@@ -52,7 +72,8 @@ object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
-    "m3_decode_stub" -> (m3DecodeStub _))
+    "m3_decode_stub" -> (m3DecodeStub _),
+    "m4_storage_stats" -> (m4StorageStats _))
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" ->
@@ -65,6 +86,19 @@ object MultimodalQueries {
       """SELECT doc_id, frame_off, md5(substr(text, frame_off + 1, 16)) AS frame_md5
          FROM (SELECT doc_id, text, unnest(range(0, n_chars, 50)) AS frame_off
                FROM documents WHERE n_chars > 0)
-         ORDER BY doc_id, frame_off""")
+         ORDER BY doc_id, frame_off""",
+    "m4_storage_stats" ->
+      """WITH per_digest AS (
+           SELECT source, sha256(text) AS digest, COUNT(*) AS copies,
+                  CAST(MAX(octet_length(encode(text))) AS BIGINT) AS blob_bytes
+           FROM documents GROUP BY source, sha256(text))
+         SELECT source,
+                CAST(SUM(copies) AS BIGINT) AS n_blobs,
+                COUNT(*) AS n_distinct_blobs,
+                CAST(SUM(copies * blob_bytes) AS BIGINT) AS total_bytes,
+                CAST(SUM(blob_bytes) AS BIGINT) AS deduped_bytes,
+                1.0 - CAST(SUM(blob_bytes) AS DOUBLE) / SUM(copies * blob_bytes)
+                  AS savings_ratio
+         FROM per_digest GROUP BY source ORDER BY source""")
     // m3_decode_stub: rows-only (stub decoder not SQL-expressible)
 }

@@ -55,6 +55,19 @@ class MultimodalSpec extends SparkSuite {
     assert(inits.value == 4, s"expected 4 partition inits, got ${inits.value}")
   }
 
+  test("m4: storage stats are conservation-consistent") {
+    val rows = MultimodalQueries.m4StorageStats(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables(spark, sf001, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_blobs")).sum == docs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct_blobs") <= r.getAs[Long]("n_blobs"))
+      assert(r.getAs[Long]("deduped_bytes") <= r.getAs[Long]("total_bytes"))
+      val sr = r.getAs[Double]("savings_ratio")
+      assert(sr >= 0.0 && sr < 1.0)
+    }
+  }
+
   test("m2: frame offsets are strided and within bounds") {
     val rows = MultimodalQueries.m2FrameSample(spark, sf001)
       .groupBy("doc_id").agg(max("frame_off").as("mx"), count(lit(1)).as("n"))
