@@ -77,6 +77,24 @@ class JdbcUpsertSpec extends SparkSuite {
       "failed partition must leave no rows (rollback)")
   }
 
+  test("Ddl: dialect-specific schema shapes (trigger parity vs Derby MERGE limits)") {
+    val pg = Ddl.statements(Upsert.Postgres).mkString("\n")
+    // Postgres keeps the reference's defaults, trigger, and FK cascade
+    assert(pg.contains("TIMESTAMP WITH TIME ZONE DEFAULT CURRENT_TIMESTAMP"))
+    assert(pg.contains("update_updated_at_column") && pg.contains("CREATE TRIGGER"))
+    assert(pg.contains("ON UPDATE CASCADE"))
+    // Derby: NO CURRENT_TIMESTAMP defaults — its MERGE compiler NPEs
+    // evaluating them for the insert row; the writer supplies every stamp.
+    val derby = Ddl.statements(Upsert.Derby).mkString("\n")
+    assert(!derby.contains("CURRENT_TIMESTAMP"),
+      "Derby DDL must not carry CURRENT_TIMESTAMP defaults (MERGE NPE)")
+    assert(!derby.contains("TRIGGER") && !derby.contains("ON UPDATE CASCADE"))
+    // both orders indices before quotes (FK dependency)
+    Seq(pg, derby).foreach { s =>
+      assert(s.indexOf("CREATE TABLE indices") < s.indexOf("CREATE TABLE quotes"))
+    }
+  }
+
   test("dialect statements render one placeholder per bindOrder entry") {
     val cols = Seq("k1", "k2", "a", "b")
     val keys = Seq("k1", "k2")
