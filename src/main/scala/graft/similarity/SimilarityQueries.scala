@@ -146,11 +146,39 @@ object SimilarityQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** X13 — embedding outlier detection: top-5 vectors per label by squared
+    * euclidean distance to their label's centroid — the corpus-QC pass that
+    * flags mislabeled/garbage embeddings before training. Exactness
+    * discipline: centroids are decimal-exact per-dimension means; each
+    * squared-difference term is decimal-cast before the order-independent
+    * sum, so the oracle matches bit-for-bit. Scale shape: one 64× explode
+    * into a (label, dim)-keyed aggregate whose map-side partials collapse to
+    * #labels×64 rows, a broadcastable centroid join back, and a vec-keyed
+    * sum — nothing corpus².
+    */
+  def x13EmbeddingOutliers(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val dims = vecs(s, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("v")))
+      .withColumnRenamed("col", "x")
+    val cent = dims.groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("decimal(30,8)")).cast("double") / count(lit(1))).as("c"))
+    val dist2 = dims.join(broadcast(cent), Seq("label", "pos"))
+      .withColumn("term", ((col("x") - col("c")) * (col("x") - col("c"))).cast("decimal(30,8)"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("term")).cast("double").as("dist2"))
+    val w = Window.partitionBy(col("label")).orderBy(col("dist2").desc, col("vec_id"))
+    dist2.withColumn("outlier_rank", row_number().over(w).cast("long"))
+      .filter(col("outlier_rank") <= k)
+      .select(col("label"), col("outlier_rank"), col("vec_id"), col("dist2"))
+      .orderBy("label", "outlier_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x5_embedding_neardup" -> (x5EmbeddingNearDup(_, _)),
     "x6_ann_bruteforce" -> (x6AnnBruteForce(_, _, 10)),
     "x7_ann_lsh" -> (x7AnnLshBucketed(_, _, 5)),
-    "x8_ann_ivf" -> (x8AnnIvf(_, _, 5, 2)))
+    "x8_ann_ivf" -> (x8AnnIvf(_, _, 5, 2)),
+    "x13_embedding_outliers" -> (x13EmbeddingOutliers(_, _, 5)))
 
   /** DuckDB cosine with the same left-to-right double accumulation. */
   private def duckCosine(a: String, b: String): String =
@@ -231,5 +259,22 @@ object SimilarityQueries {
              ORDER BY cosine DESC, neighbor_id) AS rnk
            FROM scored)
          SELECT q_id, neighbor_id, cosine, rnk FROM ranked
-         WHERE rnk <= 5 ORDER BY q_id, rnk""")
+         WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "x13_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         dims AS (SELECT vec_id, label, i AS pos, v[i] AS x
+                  FROM e, (SELECT unnest(range(1, 65)) AS i)),
+         cent AS (SELECT label, pos,
+                    CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS c
+                  FROM dims GROUP BY label, pos),
+         d2 AS (SELECT d.vec_id, d.label,
+                  CAST(SUM(CAST((d.x - c.c) * (d.x - c.c) AS DECIMAL(30,8))) AS DOUBLE)
+                    AS dist2
+                FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
+                GROUP BY d.vec_id, d.label),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY label
+                      ORDER BY dist2 DESC, vec_id) AS outlier_rank
+                    FROM d2)
+         SELECT label, CAST(outlier_rank AS BIGINT) AS outlier_rank, vec_id, dist2
+         FROM ranked WHERE outlier_rank <= 5 ORDER BY label, outlier_rank""")
 }

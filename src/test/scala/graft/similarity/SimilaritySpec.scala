@@ -67,6 +67,24 @@ class SimilaritySpec extends SparkSuite {
     assert(recall4 >= recall)
   }
 
+  test("x13: outlier ranks are consecutive and distances descend within a label") {
+    val all = SimilarityQueries.x13EmbeddingOutliers(spark, sf001, Int.MaxValue)
+      .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(all.nonEmpty)
+    assert(all.forall(_._4 >= 0.0), "squared distance must be non-negative")
+    all.groupBy(_._1).foreach { case (label, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to sorted.length), s"$label ranks")
+      sorted.map(_._4).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"$label distances not descending")
+        case _ => ()
+      }
+    }
+    // the declared top-5 is a prefix of the full ranking
+    val top = SimilarityQueries.x13EmbeddingOutliers(spark, sf001, 5).collect()
+    assert(top.forall(_.getLong(1) <= 5))
+  }
+
   test("x5: pairs are within-label and above threshold") {
     val rows = SimilarityQueries.x5EmbeddingNearDup(spark, sf001).collect()
     assert(rows.forall(_.getDouble(3) >= 0.4))
