@@ -344,6 +344,41 @@ object DedupQueries {
       .orderBy("doc_id", "eval_id")
   }
 
+  /** C3 — the composed training-mix pipeline, end to end: near-dup CLUSTER
+    * dedup (keep each X9 cluster's representative), quality filter (C1's
+    * blended score), deterministic per-language stratified sampling (C2's
+    * hash-mod rates), and the final mix report — documents and whitespace
+    * tokens per (lang, source) stratum. This is the query a data-curation
+    * run actually ships: every stage is one of the already-proven operators,
+    * composed into a single lazy plan + the X9 iterative labels.
+    */
+  def c3CorpusBlend(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val reps = x9DedupClusters(s, dir)
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    val pct = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    val rate = when(col("lang") === "en", 80)
+      .when(col("lang") === "de", 50)
+      .when(col("lang") === "es", 25)
+      .otherwise(10)
+    docs
+      .join(reps, "doc_id")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("quality_score",
+        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text"))) * 0.5 +
+          (expr("CAST(size(filter(toks, x -> array_contains(array('the','a','of','and','to','is','in'), x))) AS BIGINT)")
+            .cast("double") / size(col("toks"))) * 0.3 +
+          when(size(col("toks")).between(20, 200), 0.2).otherwise(0.0))
+      .filter(col("quality_score") >= 0.6)
+      .filter(pct < rate)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("total_ws_tokens"))
+      .orderBy("lang", "source")
+  }
+
   /** X10 — per-source duplication telemetry: corpus curation's dashboard
     * numbers (docs, distinct contents, dup ratio per source). Two stacked
     * aggregates, both shuffle-on-key.
@@ -368,7 +403,8 @@ object DedupQueries {
     "x9_dedup_clusters" -> (x9DedupClusters _),
     "x10_source_dedup_stats" -> (x10SourceDedupStats _),
     "x11_containment" -> (x11Containment _),
-    "x12_contamination" -> (x12Contamination _))
+    "x12_contamination" -> (x12Contamination _),
+    "c3_corpus_blend" -> (c3CorpusBlend _))
 
   private def shingleCte(name: String) =
     s"""$name AS (
@@ -403,6 +439,24 @@ object DedupQueries {
          FROM inter i
          JOIN sizes na ON na.doc_id = i.doc_a
          JOIN sizes nb ON nb.doc_id = i.doc_b)"""
+
+  /** The X9 connected-components CTE chain (shared by the x9 and c3
+    * oracles): capped shingles → candidate pairs → exact Jaccard → edges →
+    * recursive reachability.
+    */
+  private val clusterCtes =
+    s"""$cappedShingleSql,
+       cand AS (SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+                FROM sh s1 JOIN sh s2
+                  ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id),
+       $jaccardSql,
+       pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach(src, dst) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)"""
 
   val oracles: Map[String, String] = Map(
     "x1_exact_dedup" ->
@@ -455,20 +509,32 @@ object DedupQueries {
          SELECT doc_a, doc_b, jaccard FROM jac
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
     "x9_dedup_clusters" ->
-      s"""WITH RECURSIVE $cappedShingleSql,
-         cand AS (SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
-                  FROM sh s1 JOIN sh s2
-                    ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id),
-         $jaccardSql,
-         pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
-         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                   UNION ALL SELECT doc_b, doc_a FROM pairs),
-         reach(src, dst) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+      s"""WITH RECURSIVE $clusterCtes
          SELECT src AS doc_id, MIN(dst) AS cluster_id
          FROM reach GROUP BY src ORDER BY doc_id""",
+    "c3_corpus_blend" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                    FROM reach GROUP BY src),
+         reps AS (SELECT doc_id FROM labels WHERE doc_id = cluster_id),
+         scored AS (
+           SELECT d.doc_id, d.lang, d.source, d.text,
+                  (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)
+                    / length(d.text)) * 0.5
+                  + (CAST(len(list_filter(string_split(d.text, ' '),
+                       x -> list_contains(['the','a','of','and','to','is','in'], x))) AS DOUBLE)
+                    / len(string_split(d.text, ' '))) * 0.3
+                  + (CASE WHEN len(string_split(d.text, ' ')) BETWEEN 20 AND 200
+                     THEN 0.2 ELSE 0.0 END) AS quality_score
+           FROM documents d JOIN reps r ON d.doc_id = r.doc_id)
+         SELECT lang, source, COUNT(*) AS n_docs,
+                CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens
+         FROM scored
+         WHERE quality_score >= 0.6
+           AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+               < (CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50
+                            WHEN 'es' THEN 25 ELSE 10 END)
+         GROUP BY lang, source ORDER BY lang, source""",
     "x11_containment" ->
       s"""WITH $cappedShingleSql,
          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

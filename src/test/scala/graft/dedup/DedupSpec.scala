@@ -100,6 +100,20 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("c3: the composed blend is bounded by its stages") {
+    val blend = DedupQueries.c3CorpusBlend(spark, sf001).collect()
+    assert(blend.nonEmpty)
+    // per-lang totals can't exceed the sample-only counts (c2 applies no
+    // quality filter and no dedup)
+    val c2 = graft.queries.CoreQueries.c2StratifiedSample(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    blend.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val n = rows.map(_.getAs[Long]("n_docs")).sum
+      assert(n <= c2.getOrElse(lang, 0L), s"$lang: blend $n > sampled ${c2.get(lang)}")
+    }
+    blend.foreach(r => assert(r.getAs[Long]("total_ws_tokens") >= r.getAs[Long]("n_docs")))
+  }
+
   test("x3: near-identical docs have small simhash hamming distance") {
     // the planted x4 near-dup pairs should be close in simhash space
     val pairs = DedupQueries.x4NgramJaccard(spark, sf001)
