@@ -96,8 +96,10 @@ object DedupQueries {
     // executor memory per invocation). Checkpoint blocks are freed by the
     // ContextCleaner when the plan's RDD is GC'd — no CacheManager entry,
     // no leak — while still materializing the shingle stream once for its
-    // four reuses (bands, sizes ×2, intersection join).
-    val sh = shingles(t(s, dir, "documents")).localCheckpoint()
+    // four reuses (bands, sizes ×2, intersection join). eager=false keeps
+    // plan CONSTRUCTION job-free (plan-only consumers like explain() pay
+    // nothing); blocks persist on first real execution.
+    val sh = shingles(t(s, dir, "documents")).localCheckpoint(eager = false)
     val hashed = sh.withColumn("base", md5Mod(col("shingle")))
     // All 24 minhashes in ONE groupBy(doc_id) — 24 parallel min() aggregates
     // over the un-exploded shingle stream. The naive formulation (explode a
@@ -222,19 +224,25 @@ object DedupQueries {
       threshold: Double = 0.5,
       maxDf: Int = MaxShingleDf): DataFrame = {
     // localCheckpoint instead of cache(): see x2MinhashLsh.
-    val sh = cappedShingles(docs, 3, maxDf).localCheckpoint()
-    // The inverted-index self-join directly yields one row per shared
-    // shingle, so grouping it counts intersections in the same pass —
-    // no pairs.distinct() + double re-join against the shingle table
-    // (3 shuffles saved; the candidate set never materializes twice).
-    val inter = sh.as("s1")
+    val sh = cappedShingles(docs, 3, maxDf).localCheckpoint(eager = false)
+    jaccardFromIntersections(intersections(sh), sh)
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-pair shared-shingle counts straight off the inverted-index
+    * self-join: one row per shared shingle, grouped in the same pass — no
+    * pairs.distinct() + double re-join against the shingle table (3 shuffles
+    * saved; the candidate set never materializes twice). Shared by the X4
+    * Jaccard and X11 containment paths so their candidate semantics can't
+    * silently diverge.
+    */
+  private def intersections(sh: DataFrame): DataFrame =
+    sh.as("s1")
       .join(sh.as("s2"),
         col("s1.shingle") === col("s2.shingle") && col("s1.doc_id") < col("s2.doc_id"))
       .groupBy(col("s1.doc_id").as("doc_a"), col("s2.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("ni"))
-    jaccardFromIntersections(inter, sh).filter(col("jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
-  }
 
   /** X11 — asymmetric shingle containment (Broder 1997's second resemblance
     * measure): containment(A in B) = |A∩B| / |A|. Catches the
@@ -251,14 +259,9 @@ object DedupQueries {
       docs: DataFrame,
       threshold: Double = 0.8,
       maxDf: Int = MaxShingleDf): DataFrame = {
-    val sh = cappedShingles(docs, 3, maxDf).localCheckpoint()
-    val inter = sh.as("s1")
-      .join(sh.as("s2"),
-        col("s1.shingle") === col("s2.shingle") && col("s1.doc_id") < col("s2.doc_id"))
-      .groupBy(col("s1.doc_id").as("doc_a"), col("s2.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("ni"))
+    val sh = cappedShingles(docs, 3, maxDf).localCheckpoint(eager = false)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    inter
+    intersections(sh)
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
       .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -323,19 +326,23 @@ object DedupQueries {
   }
 
   /** X12 — eval-set contamination check: which corpus documents share ≥ K
-    * 3-gram shingles with any document of a designated evaluation set (here
-    * the deterministic stand-in `doc_id % 20 == 0`). This is the
-    * decontamination pass every training-data pipeline runs before a model
-    * sees the corpus. The scale shape is the point: the eval set is tiny, so
+    * 3-gram shingles with any document of a designated evaluation set. This
+    * is the decontamination pass every training-data pipeline runs before a
+    * model sees the corpus. The scale shape is the point: a real eval set
+    * is a FIXED benchmark suite whose size is independent of the corpus, so
     * its shingles BROADCAST and the 100 TB corpus side streams map-only
     * through the join — no corpus shuffle at all until the final doc-keyed
-    * count.
+    * count. The stand-in here is bounded by construction
+    * (`doc_id % 20 == 0 AND doc_id <= 10000` ⇒ ≤ 500 docs at ANY corpus
+    * size) — the forced broadcast() is safe because the build side cannot
+    * grow with the data; an unbounded eval set must drop the hint instead.
     */
   def x12Contamination(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val evalSh = shingles(docs.filter(col("doc_id") % 20 === 0))
+    val isEval = col("doc_id") % 20 === 0 && col("doc_id") <= 10000
+    val evalSh = shingles(docs.filter(isEval))
       .withColumnRenamed("doc_id", "eval_id")
-    val corpusSh = shingles(docs.filter(col("doc_id") % 20 =!= 0))
+    val corpusSh = shingles(docs.filter(!isEval))
     corpusSh
       .join(broadcast(evalSh), "shingle")
       .groupBy(col("doc_id"), col("eval_id"))
@@ -555,7 +562,8 @@ object DedupQueries {
       s"""WITH $shingleSql
          SELECT c.doc_id, e.doc_id AS eval_id, COUNT(*) AS shared_shingles
          FROM sh c JOIN sh e ON c.shingle = e.shingle
-         WHERE e.doc_id % 20 = 0 AND c.doc_id % 20 <> 0
+         WHERE (e.doc_id % 20 = 0 AND e.doc_id <= 10000)
+           AND NOT (c.doc_id % 20 = 0 AND c.doc_id <= 10000)
          GROUP BY c.doc_id, e.doc_id
          HAVING COUNT(*) >= 5
          ORDER BY c.doc_id, eval_id""",

@@ -104,10 +104,14 @@ object Ddl {
       props: java.util.Properties = new java.util.Properties()): Seq[String] = {
     val conn = DriverManager.getConnection(url, props)
     try {
-      def exists(table: String): Boolean = {
-        val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
-        try rs.next() finally rs.close()
-      }
+      // Unquoted DDL identifiers fold UPPER in Derby but lower in Postgres —
+      // probe both spellings or the check never matches on one engine and
+      // the bootstrap stops being idempotent.
+      def exists(table: String): Boolean =
+        Seq(table.toUpperCase, table.toLowerCase).exists { t =>
+          val rs = conn.getMetaData.getTables(null, null, t, null)
+          try rs.next() finally rs.close()
+        }
       val missing = Seq("indices", "quotes").filterNot(exists)
       if (missing.nonEmpty) {
         val st = conn.createStatement()

@@ -45,10 +45,18 @@ object Pipeline {
       sum((col("close").isNotNull &&
         col(s"close_${targetCurrency.toLowerCase}").isNull).cast("long"))
         .as("missing_rate"))
+    // timestamp_utc is also a key, so as versionCol alone it orders nothing
+    // within a key group — the value columns tie-break so a batch carrying
+    // an original AND a corrected bar for one key picks a DETERMINISTIC
+    // winner (the reference relies on arrival order, postgres_writer.py:251-259).
+    val tieBreakers = observed.columns.toSeq
+      .filterNot(Seq("ticker", "timestamp_utc").contains)
     val deduped = Upsert.lastWriteWins(
-      observed, keys = Seq("ticker", "timestamp_utc"), versionCol = "timestamp_utc")
+      observed, keys = Seq("ticker", "timestamp_utc"), versionCol = "timestamp_utc",
+      tieBreakers = tieBreakers)
     Upsert.mergeIntoParquet(spark, targetPath, deduped,
-      keys = Seq("ticker", "timestamp_utc"), versionCol = "timestamp_utc")
+      keys = Seq("ticker", "timestamp_utc"), versionCol = "timestamp_utc",
+      tieBreakers = tieBreakers)
     val m = obs.get
     RunMetrics(
       rows = m("rows").asInstanceOf[Long],
@@ -139,8 +147,13 @@ object Pipeline {
       targetCurrency: String = "USD",
       props: java.util.Properties = new java.util.Properties()): Unit = {
     val suffix = targetCurrency.toLowerCase
+    // Value-column tiebreakers: timestamp_utc is a key, so without them the
+    // within-batch winner among conflicting duplicates would be arbitrary
+    // (nondeterministic across reruns/retries — see run()'s note).
     val deduped = Upsert.lastWriteWins(
-      converted, keys = Seq("ticker", "timestamp_utc"), versionCol = "timestamp_utc")
+      converted, keys = Seq("ticker", "timestamp_utc"), versionCol = "timestamp_utc",
+      tieBreakers = converted.columns.toSeq
+        .filterNot(Seq("ticker", "timestamp_utc").contains))
     val quoteCols = (Seq("ticker", "timestamp_utc", "open", "high", "low", "close",
       "adjusted_close", "volume") ++ Schema.priceCols.map(c => s"${c}_$suffix"))
       .filter(deduped.columns.contains)

@@ -38,6 +38,26 @@ def dtype_class(s: pd.Series) -> str:
     return "other"
 
 
+def duck_dtype_class(type_name: str) -> str:
+    """Oracle-side dtype class from the DuckDB result type, not the pandas
+    frame: pandas decodes a NULL-containing BIGINT as float64, which would
+    spuriously class oracle=float. HUGEINT deliberately stays 'float' — the
+    driver's pandas-based gate receives it as float64, and flagging un-cast
+    HUGEINT sums is this check's whole purpose."""
+    t = type_name.upper()
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "HUGEINT" or t == "UHUGEINT":
+        return "float"  # pandas receives float64 — the drift we must catch
+    if "INT" in t and "INTERVAL" not in t:
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL") or t.startswith("DECIMAL"):
+        return "float"
+    if "TIMESTAMP" in t or t == "DATE":
+        return "datetime"
+    return "other"
+
+
 def arrow_dtype_class(field_type) -> str:
     """Spark-side dtype class from the parquet (arrow) schema, NOT the pandas
     dtype: pandas decodes a nullable int64 column containing NULLs as float64,
@@ -110,7 +130,10 @@ def main() -> int:
                 failures.append((name, "0 rows (rows-only check)"))
             continue
         try:
-            exp = con.sql(oracle[name]).df()
+            rel = con.sql(oracle[name])
+            oracle_class = {c: duck_dtype_class(str(t))
+                            for c, t in zip(rel.columns, rel.types)}
+            exp = rel.df()
         except Exception as e:
             failures.append((name, f"oracle SQL error: {e}"))
             continue
@@ -127,7 +150,7 @@ def main() -> int:
         drift = []
         for c in g.columns:
             kg = spark_class.get(c, dtype_class(got[c]))
-            ke = dtype_class(exp[c])
+            ke = oracle_class.get(c, dtype_class(exp[c]))
             if {kg, ke} == {"int", "float"}:
                 drift.append(f"{c}: spark={kg} oracle={ke}")
         if drift:
