@@ -36,7 +36,7 @@ final class StagedParquetBarSource(path: String) extends BarSource {
       period: String,
       interval: String): DataFrame = {
     val wide = spark.read.parquet(path)
-    val keep = wide.columns.filter(c =>
+    val keep = wide.columns.toIndexedSeq.filter(c =>
       c == "ts" || tickers.exists(t => c.startsWith(s"$t:")))
     wide.select(keep.map(col): _*)
   }
@@ -51,7 +51,7 @@ final class StaticBarSource(frame: DataFrame) extends BarSource {
       tickers: Seq[String],
       period: String,
       interval: String): DataFrame = {
-    val keep = frame.columns.filter(c =>
+    val keep = frame.columns.toIndexedSeq.filter(c =>
       c == "ts" || tickers.exists(t => c.startsWith(s"$t:")))
     frame.select(keep.map(col): _*)
   }

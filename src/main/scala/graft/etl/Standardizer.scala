@@ -39,7 +39,7 @@ object Standardizer {
               .as(f)): _*).as(t)
     }
     wide
-      .select((col(tsCol) +: structs): _*)
+      .select((col(tsCol) +: structs.toIndexedSeq): _*)
       .unpivot(Array(col(tsCol)), tickers.map(col), "series", "bar")
       .select(col(tsCol) +: col("bar.ticker").as("ticker") +:
         fields.map(f => col(s"bar.`$f`").as(f)): _*)

@@ -78,7 +78,7 @@ object ScaleProbe {
       "x12_contamination" -> (x12Contamination _),
       "t7_repetition" -> (graft.text.TextQueries.repetition _),
       "t8_tfidf" -> (graft.text.TextQueries.tfidf _))
-    println(f"[scale] ${"query"}%-20s ${"1x"}%8s ${n + "x"}%8s  ratio (ideal <= " + n + ")")
+    println(f"[scale] ${"query"}%-20s ${"1x"}%8s ${s"${n}x"}%8s  ratio (ideal <= $n)")
     probes.foreach { case (name, fn) =>
       val t1 = time(fn, base)
       val tn = time(fn, work)
