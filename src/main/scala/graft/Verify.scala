@@ -27,8 +27,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
       }
-      // Drop per-query caches (e.g. the dedup shingle table) so 54 queries'
-      // persisted plans don't accumulate executor memory across the session.
+      // Defensive: library queries no longer cache anything themselves, but
+      // clear the CacheManager between queries anyway so one query's
+      // persisted state (if ever reintroduced) can't distort the rest.
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -91,15 +91,15 @@ object DedupQueries {
     * buckets and shingles; candidate cardinality, not corpus², bounds cost.
     */
   def x2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint, not cache(): the result is lazy, so this function has
-    // no scope in which to unpersist a cache (a library caller would leak
-    // executor memory per invocation). Checkpoint blocks are freed by the
-    // ContextCleaner when the plan's RDD is GC'd — no CacheManager entry,
-    // no leak — while still materializing the shingle stream once for its
-    // four reuses (bands, sizes ×2, intersection join). eager=false keeps
-    // plan CONSTRUCTION job-free (plan-only consumers like explain() pay
-    // nothing); blocks persist on first real execution.
-    val sh = shingles(t(s, dir, "documents")).localCheckpoint(eager = false)
+    // Deliberately NOT persisted: a lazy-returning library function has no
+    // scope to unpersist a cache (leak), and localCheckpoint is not
+    // plan-only-safe under AQE (toRdd materializes shuffle stages at
+    // construction). The shingle subtree's reuse is handled by Spark's
+    // ReuseExchange (identical exchange subtrees execute once) — measured
+    // at sf0.1: no-persist is within noise of checkpointing on every dedup
+    // query. Callers that want explicit materialization own the scope and
+    // can cache()/unpersist() around their action.
+    val sh = shingles(t(s, dir, "documents"))
     val hashed = sh.withColumn("base", md5Mod(col("shingle")))
     // All 24 minhashes in ONE groupBy(doc_id) — 24 parallel min() aggregates
     // over the un-exploded shingle stream. The naive formulation (explode a
@@ -223,8 +223,8 @@ object DedupQueries {
       docs: DataFrame,
       threshold: Double = 0.5,
       maxDf: Int = MaxShingleDf): DataFrame = {
-    // localCheckpoint instead of cache(): see x2MinhashLsh.
-    val sh = cappedShingles(docs, 3, maxDf).localCheckpoint(eager = false)
+    // Not persisted — see x2MinhashLsh (ReuseExchange covers the reuse).
+    val sh = cappedShingles(docs, 3, maxDf)
     jaccardFromIntersections(intersections(sh), sh)
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
@@ -259,7 +259,8 @@ object DedupQueries {
       docs: DataFrame,
       threshold: Double = 0.8,
       maxDf: Int = MaxShingleDf): DataFrame = {
-    val sh = cappedShingles(docs, 3, maxDf).localCheckpoint(eager = false)
+    // Not persisted — see x2MinhashLsh (ReuseExchange covers the reuse).
+    val sh = cappedShingles(docs, 3, maxDf)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     intersections(sh)
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
@@ -360,26 +361,18 @@ object DedupQueries {
     * composed into a single lazy plan + the X9 iterative labels.
     */
   def c3CorpusBlend(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.CoreQueries.{qualityScoreExpr, samplePctExpr, sampleRateExpr}
     val docs = t(s, dir, "documents")
     val reps = x9DedupClusters(s, dir)
       .filter(col("doc_id") === col("cluster_id")).select("doc_id")
-    val pct = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long") % 100
-    val rate = when(col("lang") === "en", 80)
-      .when(col("lang") === "de", 50)
-      .when(col("lang") === "es", 25)
-      .otherwise(10)
     docs
       .join(reps, "doc_id")
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("quality_score",
-        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-          length(col("text"))) * 0.5 +
-          (expr("CAST(size(filter(toks, x -> array_contains(array('the','a','of','and','to','is','in'), x))) AS BIGINT)")
-            .cast("double") / size(col("toks"))) * 0.3 +
-          when(size(col("toks")).between(20, 200), 0.2).otherwise(0.0))
+      // the SAME expressions C1/C2 declare — shared so the composed pipeline
+      // cannot silently diverge from the stages it claims to compose
+      .withColumn("quality_score", qualityScoreExpr)
       .filter(col("quality_score") >= 0.6)
-      .filter(pct < rate)
+      .filter(samplePctExpr < sampleRateExpr)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("total_ws_tokens"))

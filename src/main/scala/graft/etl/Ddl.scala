@@ -80,19 +80,28 @@ object Ddl {
       |    END IF;
       |END $$;""".stripMargin)
 
-  /** The bootstrap statements for a dialect, FK-dependency ordered
-    * (indices before quotes, ≙ `create_tables`' command tuple).
+  /** Bootstrap statements with their target table (None = auxiliary DDL
+    * like the trigger function), FK-dependency ordered (indices before
+    * quotes, ≙ `create_tables`' command tuple).
     */
-  def statements(dialect: Upsert.Dialect): Seq[String] = dialect match {
-    case Upsert.Postgres =>
-      Seq(indicesDdl("TIMESTAMP WITH TIME ZONE", " DEFAULT CURRENT_TIMESTAMP")) ++
-        pgTriggerDdl ++
-        Seq(quotesDdl("TIMESTAMP WITH TIME ZONE", " DEFAULT CURRENT_TIMESTAMP",
-          " ON UPDATE CASCADE"))
-    case _ => // Derby / generic ANSI: no TIMESTAMPTZ, no ON UPDATE CASCADE,
-      // no CURRENT_TIMESTAMP defaults (see tsDefault note above)
-      Seq(indicesDdl("TIMESTAMP", ""), quotesDdl("TIMESTAMP", "", ""))
-  }
+  def typedStatements(dialect: Upsert.Dialect): Seq[(Option[String], String)] =
+    dialect match {
+      case Upsert.Postgres =>
+        Seq(Some("indices") ->
+          indicesDdl("TIMESTAMP WITH TIME ZONE", " DEFAULT CURRENT_TIMESTAMP")) ++
+          pgTriggerDdl.map(Option.empty[String] -> _) ++
+          Seq(Some("quotes") ->
+            quotesDdl("TIMESTAMP WITH TIME ZONE", " DEFAULT CURRENT_TIMESTAMP",
+              " ON UPDATE CASCADE"))
+      case _ => // Derby / generic ANSI: no TIMESTAMPTZ, no ON UPDATE CASCADE,
+        // no CURRENT_TIMESTAMP defaults (see tsDefault note above)
+        Seq(Some("indices") -> indicesDdl("TIMESTAMP", ""),
+          Some("quotes") -> quotesDdl("TIMESTAMP", "", ""))
+    }
+
+  /** The bootstrap statement texts for a dialect, in execution order. */
+  def statements(dialect: Upsert.Dialect): Seq[String] =
+    typedStatements(dialect).map(_._2)
 
   /** Idempotent bootstrap ≙ `create_tables`' CREATE TABLE IF NOT EXISTS:
     * runs each statement whose target table is absent (checked via JDBC
@@ -116,8 +125,7 @@ object Ddl {
       if (missing.nonEmpty) {
         val st = conn.createStatement()
         try {
-          statements(dialect).foreach { ddl =>
-            val target = Seq("indices", "quotes").find(t => ddl.contains(s"CREATE TABLE $t"))
+          typedStatements(dialect).foreach { case (target, ddl) =>
             if (target.forall(missing.contains)) st.execute(ddl)
           }
         } finally st.close()

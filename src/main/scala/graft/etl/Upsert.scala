@@ -222,9 +222,17 @@ object Upsert {
     * (`postgres_writer.py:48-49` defaults + the `update_updated_at_column`
     * trigger at `:53-73`): `created_at` and `updated_at` are both stamped on
     * insert; on a merge update `updated_at` advances while `created_at` is
-    * never touched (it rides the `noUpdate` list). The stamp is
-    * caller-supplied so runs are deterministic and batch-constant — the
-    * distributed analogue of one transaction's NOW().
+    * never touched (it rides the `noUpdate` list).
+    *
+    * Ownership of `updated_at` is dialect-split: on Postgres the DATABASE
+    * owns it — [[Ddl]] installs the reference's trigger, so the update path
+    * must NOT set the column (the trigger would see NEW≠OLD on every merge
+    * and clobber the stamp with NOW() even for no-op re-deliveries; leaving
+    * it out lets the trigger fire only on real changes, exactly the
+    * reference's semantics). On trigger-less targets (Derby/ANSI) the WRITER
+    * owns it: the caller-supplied `now` advances on every merge update —
+    * deterministic and batch-constant, the distributed analogue of one
+    * transaction's NOW().
     */
   def upsertJdbcAudited(
       df: DataFrame,
@@ -238,7 +246,10 @@ object Upsert {
     val audited = df
       .withColumn("created_at", lit(now))
       .withColumn("updated_at", lit(now))
-    upsertJdbc(audited, url, table, keys, dialect, batchSize, props,
-      noUpdate = Seq("created_at"))
+    val noUpdate = dialect match {
+      case Postgres => Seq("created_at", "updated_at") // trigger-owned
+      case _        => Seq("created_at")               // writer-owned
+    }
+    upsertJdbc(audited, url, table, keys, dialect, batchSize, props, noUpdate)
   }
 }

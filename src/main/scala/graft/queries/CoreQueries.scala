@@ -171,10 +171,17 @@ object CoreQueries {
     * (localCheckpoint) to avoid its double computation changes nothing
     * (6.45 vs 6.53 s at sf0.1), so the plan is left join-reusable and lazy.
     */
-  def e7Correlation(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(expr("max_by(value, ts)").as("close"))
+  def e7Correlation(s: SparkSession, dir: String): DataFrame =
+    e7CorrelationFrom(
+      t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(expr("max_by(value, ts)").as("close")))
+
+  /** E7 core over an arbitrary per-(user_id, day, close) frame — exposed so
+    * the profiling harness measures the PRODUCTION body under different
+    * input materializations instead of a hand-copied reformulation.
+    */
+  def e7CorrelationFrom(daily: DataFrame): DataFrame = {
     val joined = daily.filter(col("user_id") < 50).as("a")
       .join(daily.as("b"),
         col("a.day") === col("b.day") && col("a.user_id") < col("b.user_id"))
@@ -572,7 +579,11 @@ object CoreQueries {
     * reducer holds a bounded sketch instead of buffering every value the way
     * exact `percentile` (A15) does, so memory is O(accuracy), not O(rows).
     * No DuckDB oracle (different sketch ⇒ different exact output) — rows-only
-    * check; the ApproxQuantilesSpec test bounds its error against A15.
+    * check; QueriesSpec bounds its error against A15. Note the output is
+    * only approximately stable run-to-run: partial-sketch merge order varies
+    * with scheduling, so values may wobble within the sketch's rank-error
+    * bound — which is WHY this stays a rows-only + tolerance check and must
+    * never join a hash-compare gate.
     */
   def a15bQuantilesApprox(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -597,6 +608,29 @@ object CoreQueries {
       .orderBy("user_id")
   }
 
+  /** The C-family blended quality score (shared by C1 and C3 so their
+    * semantics cannot diverge); requires a `toks = split(text, ' ')` column
+    * alongside `text`.
+    */
+  val qualityScoreExpr: Column =
+    (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+      length(col("text"))) * 0.5 +
+      (expr("CAST(size(filter(toks, x -> array_contains(array('the','a','of','and','to','is','in'), x))) AS BIGINT)")
+        .cast("double") / size(col("toks"))) * 0.3 +
+      when(size(col("toks")).between(20, 200), 0.2).otherwise(0.0)
+
+  /** Deterministic hash-mod percentile of `doc_id` (shared by C2 and C3). */
+  val samplePctExpr: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+
+  /** Per-language keep rate (shared by C2 and C3). */
+  val sampleRateExpr: Column =
+    when(col("lang") === "en", 80)
+      .when(col("lang") === "de", 50)
+      .when(col("lang") === "es", 25)
+      .otherwise(10)
+
   /** C1: composed corpus curation — the end-to-end shape of a training-data
     * pipeline: quality-filter (text heuristics) → exact-dedup to the
     * canonical copy → deterministic hash-mod sampling (reproducible
@@ -606,12 +640,7 @@ object CoreQueries {
   def c1Curation(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("quality_score",
-        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-          length(col("text"))) * 0.5 +
-          (expr("CAST(size(filter(toks, x -> array_contains(array('the','a','of','and','to','is','in'), x))) AS BIGINT)")
-            .cast("double") / size(col("toks"))) * 0.3 +
-          when(size(col("toks")).between(20, 200), 0.2).otherwise(0.0))
+      .withColumn("quality_score", qualityScoreExpr)
       .filter(col("quality_score") >= 0.6)
       .groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"), min(col("quality_score")).as("quality_score"))
@@ -625,19 +654,12 @@ object CoreQueries {
     * engines, re-runs, and cluster sizes; `sampleBy` would be none of
     * those). The predicate is a narrow map — the sample never shuffles.
     */
-  def c2StratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val pct = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long") % 100
-    val rate = when(col("lang") === "en", 80)
-      .when(col("lang") === "de", 50)
-      .when(col("lang") === "es", 25)
-      .otherwise(10)
+  def c2StratifiedSample(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .filter(pct < rate)
+      .filter(samplePctExpr < sampleRateExpr)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
-  }
 
   // -------------------------------------------------------------- registry
 

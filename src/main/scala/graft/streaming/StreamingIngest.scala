@@ -200,16 +200,17 @@ object StreamingIngest {
       now: java.sql.Timestamp,
       dialect: Upsert.Dialect = Upsert.Derby,
       targetCurrency: String = "USD",
-      sourceTz: Option[String] = None): StreamingQuery = {
-    Ddl.createTables(url, dialect)
+      sourceTz: Option[String] = None,
+      props: java.util.Properties = new java.util.Properties()): StreamingQuery = {
+    Ddl.createTables(url, dialect, props)
     val standardized = Standardizer.standardize(rawBars, dim, sourceTz)
     val converted = CurrencyConverter.convert(standardized, fxRates, targetCurrency)
     converted.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Pipeline.upsertIndicesJdbc(batch, url, now, dialect)
-        Pipeline.upsertQuotesJdbc(batch, url, now, dialect, targetCurrency)
+        Pipeline.upsertIndicesJdbc(batch, url, now, dialect, props)
+        Pipeline.upsertQuotesJdbc(batch, url, now, dialect, targetCurrency, props)
       }
       .start()
   }
