@@ -54,9 +54,14 @@ object Pipeline {
     val deduped = Upsert.lastWriteWins(
       observed, keys = Seq("ticker", "timestamp_utc"), versionCol = "timestamp_utc",
       tieBreakers = tieBreakers)
-    Upsert.mergeIntoParquet(spark, targetPath, deduped,
+    // Date-partitioned sink: an incremental batch only rewrites the trade
+    // dates it carries; the rest of the (100 TB) table is untouched.
+    // p_date is functionally determined by the timestamp_utc key, as
+    // mergePartitionedParquet's contract requires.
+    Upsert.mergePartitionedParquet(spark, targetPath,
+      deduped.withColumn("p_date", to_date(col("timestamp_utc"))),
       keys = Seq("ticker", "timestamp_utc"), versionCol = "timestamp_utc",
-      tieBreakers = tieBreakers)
+      partitionCol = "p_date", tieBreakers = tieBreakers)
     val m = obs.get
     RunMetrics(
       rows = m("rows").asInstanceOf[Long],

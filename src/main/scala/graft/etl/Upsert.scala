@@ -76,6 +76,84 @@ object Upsert {
     fs.delete(old, true)
   }
 
+  /** Partition-scoped parquet MERGE — the 100 TB shape of [[mergeIntoParquet]].
+    *
+    * The whole-table variant re-reads and re-writes the ENTIRE table per
+    * batch; at lake scale with a 6-hourly incremental tick that is a
+    * full-corpus I/O pass for a few thousand changed rows. This variant
+    * scopes the merge to the partitions the update batch actually touches
+    * (≙ the reference's row-scoped `ON CONFLICT`,
+    * `postgres_writer.py:234-240`, generalized to files):
+    *
+    *  1. collect the batch's distinct `partitionCol` values (bounded by
+    *     construction — a date or shard column, one value per partition);
+    *  2. read current state ONLY for those partitions (the filter is a
+    *     partition-pruning predicate: untouched partitions are never even
+    *     listed);
+    *  3. LWW-merge and write the result to a staging dir, then swap each
+    *     affected partition directory into place with renames. Untouched
+    *     partitions' files are not read, not rewritten, and stay
+    *     byte-identical (asserted in EtlSpec).
+    *
+    * CONTRACT: `partitionCol` must be functionally determined by `keys`
+    * (e.g. key = (ticker, ts), partition = date(ts)) so every row of a key
+    * lives in exactly one partition — otherwise a conflicting old row in a
+    * different partition would survive the scoped merge.
+    *
+    * Atomicity is per partition (each directory swap is a rename), not per
+    * batch — same granularity a table format's MERGE commits at file level;
+    * re-running the batch converges regardless (idempotent LWW).
+    */
+  def mergePartitionedParquet(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      partitionCol: String,
+      tieBreakers: Seq[String] = Nil): Unit = {
+    require(updates.columns.contains(partitionCol),
+      s"updates must carry partition column '$partitionCol'")
+    val deduped = lastWriteWins(updates, keys, versionCol, tieBreakers)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(path)
+    if (!fs.exists(cur)) {
+      deduped.write.partitionBy(partitionCol).parquet(path)
+      return
+    }
+    // Bounded driver collect: one value per affected partition.
+    val affected = deduped.select(col(partitionCol)).distinct().collect().map(_.get(0))
+    if (affected.isEmpty) return
+    val pType = deduped.schema(partitionCol).dataType
+    val existing = spark.read.parquet(path)
+      .filter(col(partitionCol).isin(affected.toSeq: _*)) // partition-pruned scan
+      .withColumn(partitionCol, col(partitionCol).cast(pType))
+      .withColumn("__gen", lit(0L))
+    // On key collision the update (__gen=1) wins regardless of version —
+    // DO UPDATE semantics — then LWW inside each generation via versionCol.
+    val merged = lastWriteWins(
+      existing.unionByName(deduped.withColumn("__gen", lit(1L))),
+      keys, "__gen", versionCol +: tieBreakers).drop("__gen")
+    val staging = new Path(path + "__staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    merged.write.partitionBy(partitionCol).parquet(staging.toString)
+    // Swap each affected partition dir into place; parked old dirs live
+    // OUTSIDE the table root so a concurrent/crashed read never discovers a
+    // bogus partition value.
+    val oldRoot = new Path(path + "__old")
+    if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
+    fs.mkdirs(oldRoot)
+    fs.listStatus(staging).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      .foreach { s =>
+        val dest = new Path(cur, s.getPath.getName)
+        if (fs.exists(dest)) fs.rename(dest, new Path(oldRoot, s.getPath.getName))
+        fs.rename(s.getPath, dest)
+      }
+    fs.delete(oldRoot, true)
+    fs.delete(staging, true)
+  }
+
   /** SQL dialects for the keyed-upsert statement.
     *
     * All column identifiers are emitted double-quoted lowercase so the

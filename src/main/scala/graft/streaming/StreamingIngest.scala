@@ -141,18 +141,30 @@ object StreamingIngest {
   /** Drain everything currently in the landing dir through the keyed
     * parquet-merge upsert sink, then stop (AvailableNow ≙ one cron tick).
     * Running the same tick twice converges — the sink is idempotent.
+    *
+    * With `partitionCol` set the sink is the partition-scoped merge: a
+    * micro-batch only rewrites the partitions it touches (the scale path —
+    * the column must be functionally determined by `keys`, see
+    * [[Upsert.mergePartitionedParquet]]).
     */
   def upsertAvailableNow(
       deduped: DataFrame,
       targetPath: String,
       checkpoint: String,
       keys: Seq[String],
-      versionCol: String): StreamingQuery =
+      versionCol: String,
+      partitionCol: Option[String] = None): StreamingQuery =
     deduped.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Upsert.mergeIntoParquet(batch.sparkSession, targetPath, batch, keys, versionCol)
+        partitionCol match {
+          case Some(p) =>
+            Upsert.mergePartitionedParquet(
+              batch.sparkSession, targetPath, batch, keys, versionCol, p)
+          case None =>
+            Upsert.mergeIntoParquet(batch.sparkSession, targetPath, batch, keys, versionCol)
+        }
       }
       .start()
 

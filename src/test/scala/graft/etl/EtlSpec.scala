@@ -144,6 +144,49 @@ class EtlSpec extends SparkSuite {
     assert(state == Map("k1" -> 10.0, "k2" -> 25.0, "k3" -> 30.0))
   }
 
+  test("E3: partition-scoped merge rewrites only affected partitions") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_pmerge").toString + "/quotes"
+    // Key "key" functionally determines dt (each key has one date).
+    val b1 = Seq(
+      ("k1", "2025-01-01", 1L, 10.0),
+      ("k2", "2025-01-02", 1L, 20.0),
+      ("k3", "2025-01-03", 1L, 30.0)).toDF("key", "dt", "v", "price")
+    Upsert.mergePartitionedParquet(spark, dir, b1, Seq("key"), "v", "dt")
+
+    // Byte-level snapshot of a partition directory: name -> file bytes.
+    def snapshot(part: String): Map[String, Seq[Byte]] =
+      JFiles.walk(Paths.get(dir, part)).iterator.asScala
+        .filter(JFiles.isRegularFile(_))
+        .map(p => p.toString -> JFiles.readAllBytes(p).toSeq).toMap
+    val dt2Before = snapshot("dt=2025-01-02")
+    val dt3Before = snapshot("dt=2025-01-03")
+    assert(dt2Before.nonEmpty && dt3Before.nonEmpty)
+
+    // Batch touching only dt=2025-01-01 (update) and dt=2025-01-04 (insert).
+    val b2 = Seq(
+      ("k1", "2025-01-01", 2L, 15.0),
+      ("k4", "2025-01-04", 1L, 40.0)).toDF("key", "dt", "v", "price")
+    Upsert.mergePartitionedParquet(spark, dir, b2, Seq("key"), "v", "dt")
+
+    // Untouched partitions: same files, byte-identical.
+    assert(snapshot("dt=2025-01-02") == dt2Before)
+    assert(snapshot("dt=2025-01-03") == dt3Before)
+    // Merged state: k1 updated, k4 inserted, k2/k3 untouched.
+    val state = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Double]("price")).toMap
+    assert(state == Map("k1" -> 15.0, "k2" -> 20.0, "k3" -> 30.0, "k4" -> 40.0))
+    // Idempotent: replaying the batch converges.
+    Upsert.mergePartitionedParquet(spark, dir, b2, Seq("key"), "v", "dt")
+    val state2 = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Double]("price")).toMap
+    assert(state2 == state)
+    // No staging/parked leftovers beside the table root.
+    assert(!JFiles.exists(Paths.get(dir + "__staging")))
+    assert(!JFiles.exists(Paths.get(dir + "__old")))
+  }
+
   test("Pipeline: E1→E2→E3 end-to-end with observed audit metrics, idempotent") {
     val dir = Files.createTempDirectory("graft_pipeline").toString + "/quotes"
     val rates = new StaticRateProvider(Map(
