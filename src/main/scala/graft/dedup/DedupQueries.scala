@@ -43,11 +43,51 @@ object DedupQueries {
   /** Spread a small input across the cluster before an explode-heavy
     * pipeline: a 1-file local table otherwise runs the whole narrow stage on
     * one core. No-op at scale (real inputs already have ≥ parallelism
-    * partitions, and we never *reduce* partitioning here).
+    * files, and we never *reduce* partitioning here). The probe is
+    * `inputFiles` — a driver-side file listing, NOT `df.rdd` (under AQE,
+    * plan→RDD conversion can materialize shuffle stages at construction).
+    * A base-table scan plans at least one partition per (splittable) file,
+    * so files ≥ parallelism ⇒ the scan is already wide.
     */
   private def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (df.inputFiles.length < p) df.repartition(p) else df
+  }
+
+  /** Materialize a *bounded* intermediate to scratch parquet and return a
+    * reader over it — the leak-free alternative to cache(): a lazy-returning
+    * library function has no scope to unpersist, but a scratch FILE has a
+    * process-lifetime owner (deleted on JVM exit). Scratch lives under
+    * `graft.scratchDir` (default: `<warehouse>/_graft_scratch`) so on a real
+    * cluster it lands on SHARED storage — a java.io.tmpdir path would be
+    * driver-local and unreadable from executors. Callers only pass
+    * candidate-bounded frames here (never corpus-scale subtrees).
+    */
+  private def materialize(df: DataFrame, tag: String): DataFrame = {
+    val s = df.sparkSession
+    val base = s.conf.get("graft.scratchDir",
+      s.conf.get("spark.sql.warehouse.dir") + "/_graft_scratch")
+    val path = s"$base/${tag}_${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.parquet(path)
+    registerScratchCleanup(path, s.sparkContext.hadoopConfiguration)
+    s.read.parquet(path)
+  }
+
+  private val scratchPaths = new java.util.concurrent.ConcurrentLinkedQueue[
+    (String, org.apache.hadoop.conf.Configuration)]()
+  private lazy val scratchHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchPaths.forEach { case (p, conf) =>
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).delete(hp, true)
+        } catch { case _: Throwable => () }
+      }
+    }))
+  private def registerScratchCleanup(
+      path: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    scratchHook
+    scratchPaths.add((path, conf))
   }
 
   /** Distinct 3-gram word shingles per document: explode-based, so the
@@ -91,14 +131,17 @@ object DedupQueries {
     * buckets and shingles; candidate cardinality, not corpus², bounds cost.
     */
   def x2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // Deliberately NOT persisted: a lazy-returning library function has no
-    // scope to unpersist a cache (leak), and localCheckpoint is not
-    // plan-only-safe under AQE (toRdd materializes shuffle stages at
-    // construction). The shingle subtree's reuse is handled by Spark's
-    // ReuseExchange (identical exchange subtrees execute once) — measured
-    // at sf0.1: no-persist is within noise of checkpointing on every dedup
-    // query. Callers that want explicit materialization own the scope and
-    // can cache()/unpersist() around their action.
+    // Corpus-scale passes over the shingle explode are the cost driver here
+    // (cache() would leak — no unpersist scope in a lazy-returning library
+    // function — and localCheckpoint is not plan-only-safe under AQE). This
+    // shape holds the count to exactly TWO, both at construction time:
+    // (1) the minhash pass, driven by materializing the LSH candidate
+    // pairs (bounded output, tiny write); (2) the candidate semi-join
+    // feeding a scratch copy of just the candidate docs' shingles. The
+    // RETURNED plan reads only the two scratch files — re-running the
+    // action re-reads bounded data, never the corpus. Materializing the
+    // FULL shingle table instead would trade a corpus read for a
+    // ~3×-corpus WRITE — strictly worse at 100 TB.
     val sh = shingles(t(s, dir, "documents"))
     val hashed = sh.withColumn("base", md5Mod(col("shingle")))
     // All 24 minhashes in ONE groupBy(doc_id) — 24 parallel min() aggregates
@@ -128,27 +171,43 @@ object DedupQueries {
     val bands = minhash
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // Corpus pass #1 happens here: candidate pairs are LSH-bounded (≪
+    // corpus²), so materializing them is a tiny write that pins the minhash
+    // work to one execution.
+    val cand = materialize(
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct(),
+      "x2_cand_pairs")
+    // Corpus pass #2: shingles of candidate docs only (semi-join against the
+    // materialized pair set), again bounded, again scratch-backed so BOTH
+    // intersection-join sides and the size aggregate below read the small
+    // file, not the corpus.
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    jaccardOfPairs(cand, sh).filter(col("jaccard") >= 0.8)
-      .orderBy("doc_a", "doc_b")
-  }
-
-  /** Exact Jaccard over distinct shingle sets for given (doc_a, doc_b)
-    * pairs, via a shingle-equi-join intersection count.
-    */
-  private def jaccardOfPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val inter = pairs
-      .join(sh.as("s1"), col("doc_a") === col("s1.doc_id"))
-      .join(sh.as("s2"),
+    val shCand = materialize(sh.join(candDocs, "doc_id"), "x2_cand_shingles")
+    val inter = cand
+      .join(shCand.as("s1"), col("doc_a") === col("s1.doc_id"))
+      .join(shCand.as("s2"),
         col("doc_b") === col("s2.doc_id") && col("s1.shingle") === col("s2.shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("ni"))
-    jaccardFromIntersections(inter, sh)
+    // shCand holds EVERY shingle of each candidate doc, so the Jaccard
+    // denominators come off the scratch file too; non-candidate docs can't
+    // appear in `inter` and need no size.
+    val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("ni").cast("double") / (col("na.n") + col("nb.n") - col("ni")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** jaccard = ni / (|a| + |b| - ni) given per-pair intersection sizes. */
@@ -285,13 +344,24 @@ object DedupQueries {
     * checked with one tiny aggregate per round). Each round is one
     * equi-join + one groupBy — all shuffle-on-key, nothing corpus².
     */
-  def x9DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = x4NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+  def x9DedupClusters(s: SparkSession, dir: String): DataFrame =
+    x9ClustersFrom(
+      t(s, dir, "documents"),
+      x4NgramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+
+  /** X9 core over an arbitrary (docs, pairs) edge source — the composition
+    * seam that lets a corpus-scale pipeline feed the clustering from X2's
+    * sub-linear LSH pairs instead of X4's exhaustive inverted index (the
+    * default above, kept for the oracle's recursive-CTE parity). Any frame
+    * with (doc_a, doc_b) columns works; DedupSpec runs the x2-pairs→clusters
+    * composition and checks it against a driver-side union-find.
+    */
+  def x9ClustersFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
-    var labels = t(s, dir, "documents")
+    var labels = docs
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()
     var converged = false
@@ -321,7 +391,7 @@ object DedupQueries {
     // than return silently-wrong cluster_ids.
     if (!converged)
       throw new IllegalStateException(
-        s"x9DedupClusters: label propagation did not converge in $rounds rounds " +
+        s"x9ClustersFrom: label propagation did not converge in $rounds rounds " +
           "(duplicate-chain diameter exceeds the cap); raise the round cap")
     labels.orderBy("doc_id")
   }

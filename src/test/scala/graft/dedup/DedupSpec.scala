@@ -61,6 +61,37 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("x9ClustersFrom: x2 LSH pairs compose into clusters matching union-find") {
+    // The corpus-scale composition: sub-linear LSH pair generation feeding
+    // the clustering seam (instead of x4's exhaustive inverted index).
+    val docs = graft.Tables(spark, sf001, "documents")
+    val pairs = DedupQueries.x2MinhashLsh(spark, sf001).select("doc_a", "doc_b")
+    val collected = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = DedupQueries.x9ClustersFrom(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Driver-side union-find over the same edges = the ground truth
+    // connected components on the LSH-recalled subgraph.
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    collected.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val inPairs = collected.flatMap(p => Seq(p._1, p._2)).toSet
+    val truth = inPairs.map(d => d -> find(d)).toMap
+    inPairs.foreach { d =>
+      assert(labels(d) == truth(d),
+        s"doc $d: spark cluster ${labels(d)} != union-find ${truth(d)}")
+    }
+    // docs outside the LSH pair graph stay singletons
+    labels.filterNot { case (d, _) => inPairs(d) }.foreach { case (d, c) =>
+      assert(d == c, s"singleton $d relabeled to $c")
+    }
+  }
+
   test("x4: document-frequency cap drops hot-shingle candidate blowup") {
     import spark.implicits._
     // Every doc shares one stop-phrase 3-gram; everything else is unique.
