@@ -99,9 +99,15 @@ object BarIngest {
     require(tickers.nonEmpty, "tickers list is empty (yf_collector.py:42-44)")
     val wide = source.fetchWide(spark, tickers, period, interval)
     require(wide.columns.contains("ts"), "fetched frame has no ts column")
-    require(wide.columns.exists(_.contains(":")),
-      s"fetch returned no <ticker>:<field> columns for ${tickers.mkString(",")} " +
-        "(yf_collector.py:61-65 empty-data)")
+    // A source that ignores the requested pruning could return only OTHER
+    // tickers' columns — some ':' column existing is not enough; at least
+    // one REQUESTED ticker must have data or the fetch is empty for this
+    // call's purposes (yf_collector.py:61-65 empty-data). Fully-absent
+    // tickers among a partially-served request surface via missingFields
+    // (they map to all six expected fields).
+    require(tickers.exists(t => wide.columns.exists(_.startsWith(s"$t:"))),
+      s"fetch returned no <ticker>:<field> columns for any requested ticker " +
+        s"of ${tickers.mkString(",")} (yf_collector.py:61-65 empty-data)")
     Standardizer.standardize(Standardizer.unpivotWide(wide), dim, sourceTz)
   }
 }

@@ -1,6 +1,6 @@
 package graft.etl
 
-import java.sql.DriverManager
+import java.sql.{DriverManager, SQLException}
 
 /** L1 — DDL bootstrap mirroring the reference's `create_tables`
   * (`/root/reference/src/storage/postgres_writer.py:42-113`): the `indices`
@@ -115,10 +115,17 @@ object Ddl {
     try {
       // Unquoted DDL identifiers fold UPPER in Derby but lower in Postgres —
       // probe both spellings or the check never matches on one engine and
-      // the bootstrap stops being idempotent.
+      // the bootstrap stops being idempotent. The probe is scoped to the
+      // connection's current catalog+schema: unscoped getTables would see a
+      // same-named table in ANY schema of a shared instance (e.g. outside
+      // search_path), silently skip the DDL, and let the upserts fail.
+      val (catalog, schema) = (
+        try Option(conn.getCatalog) catch { case _: SQLException => None: Option[String] },
+        try Option(conn.getSchema) catch { case _: SQLException => None: Option[String] })
       def exists(table: String): Boolean =
         Seq(table.toUpperCase, table.toLowerCase).exists { t =>
-          val rs = conn.getMetaData.getTables(null, null, t, null)
+          val rs = conn.getMetaData.getTables(
+            catalog.orNull, schema.orNull, t, null)
           try rs.next() finally rs.close()
         }
       val missing = Seq("indices", "quotes").filterNot(exists)

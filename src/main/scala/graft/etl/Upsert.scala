@@ -311,6 +311,15 @@ object Upsert {
     * owns it: the caller-supplied `now` advances on every merge update —
     * deterministic and batch-constant, the distributed analogue of one
     * transaction's NOW().
+    *
+    * ACCEPTED cross-dialect difference: on writer-owned targets a no-op
+    * re-delivery of identical rows still advances `updated_at` (the MERGE
+    * cannot cheaply tell "matched and unchanged" apart — Derby lacks
+    * IS DISTINCT FROM, and a null-safe per-column row-differs predicate
+    * would double every statement's bind width for an audit nicety). On
+    * Postgres the trigger stamps only on real change. Callers needing
+    * replay-invariant audit rows across BOTH backends should treat
+    * `updated_at` as "last touched", not "last changed".
     */
   def upsertJdbcAudited(
       df: DataFrame,

@@ -145,6 +145,12 @@ def main() -> int:
         # values are numerically identical — check raw dtypes before coercion.
         # Spark side from the parquet (arrow) schema: pandas would decode a
         # NULL-containing BIGINT as float64 and fail this check spuriously.
+        # Verify coalesces to one part; if that ever changes, dtype drift in
+        # later parts would escape a parts[0]-only read — fail loudly instead.
+        if len(parts) != 1:
+            failures.append((name, f"expected 1 output part, got {len(parts)} "
+                                   "(schema drift check reads part 0 only)"))
+            continue
         schema = pq.read_schema(parts[0])
         spark_class = {f.name: arrow_dtype_class(f.type) for f in schema}
         drift = []
