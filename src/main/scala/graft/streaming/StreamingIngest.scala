@@ -190,6 +190,65 @@ object StreamingIngest {
       }
       .start()
 
+  /** One micro-batch through the ledgered JDBC sink: skip if this
+    * (sinkId, batchId) is already recorded, else LWW-dedup → keyed MERGE →
+    * record. Returns whether the batch was applied (false = replay
+    * suppressed). Crash windows: before the MERGE commits ⇒ replay
+    * re-applies (idempotent); between MERGE and ledger write ⇒ replay
+    * re-applies identical rows and then records (converges); after the
+    * ledger write ⇒ replay skips without touching data. The last case is
+    * the one plain at-least-once cannot express: a batch whose SOURCE data
+    * changed between delivery and replay (e.g. an overwritten landing
+    * file) must NOT be re-applied with the new content.
+    */
+  def applyJdbcBatchOnce(
+      batch: DataFrame,
+      batchId: Long,
+      url: String,
+      table: String,
+      keys: Seq[String],
+      versionCol: String,
+      dialect: Upsert.Dialect,
+      sinkId: String,
+      props: java.util.Properties = new java.util.Properties()): Boolean = {
+    BatchLedger.ensure(url, props)
+    if (BatchLedger.alreadyApplied(url, sinkId, batchId, props)) false
+    else {
+      Upsert.upsertJdbc(
+        Upsert.lastWriteWins(batch, keys, versionCol), url, table, keys, dialect,
+        props = props)
+      BatchLedger.record(url, sinkId, batchId, props)
+      true
+    }
+  }
+
+  /** [[upsertJdbcAvailableNow]] with the [[BatchLedger]] replay guard —
+    * exactly-once observable semantics instead of at-least-once-converging.
+    * `sinkId` defaults to `table@checkpoint` (batch ids are only unique per
+    * checkpoint lineage).
+    */
+  def upsertJdbcExactlyOnceAvailableNow(
+      deduped: DataFrame,
+      url: String,
+      table: String,
+      checkpoint: String,
+      keys: Seq[String],
+      versionCol: String,
+      dialect: Upsert.Dialect,
+      sinkId: Option[String] = None,
+      props: java.util.Properties = new java.util.Properties()): StreamingQuery = {
+    val sid = sinkId.getOrElse(s"$table@$checkpoint")
+    deduped.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyJdbcBatchOnce(batch, batchId, url, table, keys, versionCol, dialect,
+          sid, props)
+        ()
+      }
+      .start()
+  }
+
   /** The reference's ENTIRE pipeline as one incremental streaming job:
     * raw long-format bars land in a directory; each AvailableNow tick
     * standardizes (E1, stream⋈broadcast dim), converts (E2, stream⋈static

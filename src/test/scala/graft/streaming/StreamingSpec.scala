@@ -236,4 +236,103 @@ class StreamingSpec extends SparkSuite {
     assert(after1 == expected)
     assert(after2 == expected, "re-delivered tick must converge, not duplicate")
   }
+
+  test("exactly-once JDBC sink: batch replayed after commit-log loss is skipped") {
+    import java.sql.{DriverManager, Timestamp}
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graft_stream_xo;create=true"
+    val c = DriverManager.getConnection(url)
+    c.createStatement().execute(
+      """CREATE TABLE stream_xo (
+        |  "event_id" BIGINT NOT NULL PRIMARY KEY, "ts" TIMESTAMP, "value" DOUBLE)""".stripMargin)
+    c.close()
+    val xoLanding = s"$work/xo_landing"
+    def mk(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("event_id", "ts_s", "value")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+        .select("event_id", "ts", "value")
+    // sinkId pinned explicitly: the crash simulation below resumes from a
+    // COPIED checkpoint path, and batch identity must survive the move.
+    def run(ckpt: String): Unit = {
+      val schema = spark.read.parquet(xoLanding).schema
+      StreamingIngest.upsertJdbcExactlyOnceAvailableNow(
+        StreamingIngest.readLanding(spark, xoLanding, schema),
+        url, "stream_xo", ckpt, Seq("event_id"), "ts", graft.etl.Upsert.Derby,
+        sinkId = Some("xo")).awaitTermination()
+    }
+    def tableState(): Map[Long, Double] = {
+      val c2 = DriverManager.getConnection(url)
+      try {
+        val rs = c2.createStatement().executeQuery(
+          """SELECT "event_id", "value" FROM stream_xo""")
+        Iterator.continually(rs).takeWhile(_.next())
+          .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      } finally c2.close()
+    }
+    def ledgerCount(): Long = {
+      val c2 = DriverManager.getConnection(url)
+      try {
+        val rs = c2.createStatement().executeQuery("SELECT COUNT(*) FROM batch_ledger")
+        rs.next(); rs.getLong(1)
+      } finally c2.close()
+    }
+
+    mk(Seq((1L, "2025-04-17 07:00:00", 10.0), (2L, "2025-04-17 08:00:00", 20.0)))
+      .coalesce(1).write.parquet(xoLanding)
+    run(s"$work/ckpt_xo")
+    assert(tableState() == Map(1L -> 10.0, 2L -> 20.0))
+    assert(ledgerCount() == 1)
+
+    // Simulate a crash AFTER the sink applied+ledgered but BEFORE the engine
+    // wrote its commit log: resume from a checkpoint copy whose newest
+    // commits entry is missing → the restart replays that batchId from
+    // recorded offsets. (A copy, because Spark guards a live session's own
+    // commit log against external modification.)
+    val ckptB = s"$work/ckpt_xo_b"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$work/ckpt_xo"), new java.io.File(ckptB))
+    val commitsDir = new java.io.File(s"$ckptB/commits")
+    val commits = commitsDir.listFiles().filter(_.getName.forall(_.isDigit))
+    val newest = commits.maxBy(_.getName.toLong)
+    // the .crc sidecar must go too: a stale one makes the engine's re-write
+    // of this commit entry fail as FileAlreadyExists ("multiple queries")
+    new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+    newest.delete()
+    // Poison the replay: overwrite the landing part-file IN PLACE with
+    // different values. A sink without the ledger would re-merge these and
+    // corrupt the table; the ledger must skip them.
+    val part = new java.io.File(xoLanding).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val poisoned = s"$work/xo_poison"
+    mk(Seq((1L, "2025-04-17 07:00:00", 99.0), (2L, "2025-04-17 08:00:00", 99.0)))
+      .coalesce(1).write.parquet(poisoned)
+    val newPart = new java.io.File(poisoned).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(newPart.toPath, part.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the RawLocalFileSystem checksum sidecar the overwrite invalidated
+    new java.io.File(part.getParentFile, s".${part.getName}.crc").delete()
+    run(ckptB) // replays the deleted-commit batch
+    assert(tableState() == Map(1L -> 10.0, 2L -> 20.0),
+      "replayed batch must be suppressed by the ledger, not re-applied")
+    assert(ledgerCount() == 1)
+
+    // Fresh data still flows: a NEW file forms a new batch and applies.
+    mk(Seq((3L, "2025-04-17 09:00:00", 30.0)))
+      .coalesce(1).write.mode("append").parquet(xoLanding)
+    run(ckptB)
+    assert(tableState() == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    assert(ledgerCount() == 2)
+    // replaying the whole stream from a FRESH checkpoint (new sink id) still
+    // converges through the idempotent MERGE — the ledger only pins batch
+    // identity within one checkpoint lineage. (Landing file 1 now carries
+    // the poisoned values, which LWW absorbs deterministically.)
+    StreamingIngest.upsertJdbcExactlyOnceAvailableNow(
+      StreamingIngest.readLanding(spark, xoLanding,
+        spark.read.parquet(xoLanding).schema),
+      url, "stream_xo", s"$work/ckpt_xo2", Seq("event_id"), "ts",
+      graft.etl.Upsert.Derby).awaitTermination()
+    assert(tableState() == Map(1L -> 99.0, 2L -> 99.0, 3L -> 30.0))
+    assert(ledgerCount() == 3)
+  }
 }
