@@ -61,8 +61,38 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => jq(k) + ":" + jq(m) }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
+    // Regression gate against the committed per-query baseline
+    // (BASELINE_BENCH.json, idle-host min-of-N): a query is flagged only
+    // when BOTH the ratio exceeds the recorded noise factor AND the absolute
+    // delta exceeds the floor — sub-second queries swing up to 2× on this
+    // host from scheduler noise alone (SURVEY §6.2), so ratio alone
+    // over-flags exactly the queries that matter least.
+    val (ratios, flagged) = {
+      val p = Paths.get("BASELINE_BENCH.json")
+      if (!Files.exists(p)) ("{}", Seq.empty[String])
+      else {
+        val b = org.json4s.jackson.JsonMethods.parse(Files.readString(p))
+        import org.json4s.DefaultFormats
+        implicit val fmts: org.json4s.Formats = DefaultFormats
+        val noiseFactor = (b \ "noise_factor").extractOpt[Double].getOrElse(2.0)
+        val absFloor = (b \ "abs_floor_sec").extractOpt[Double].getOrElse(1.0)
+        val base = (b \ "queries").extractOpt[Map[String, Double]].getOrElse(Map.empty)
+        val withBase = results.collect {
+          case (k, Some(v), _) if base.contains(k) => (k, v, base(k))
+        }
+        val rj = withBase.map { case (k, v, b0) =>
+          jq(k) + ":" + (math.round(v / b0 * 100.0) / 100.0)
+        }.mkString("{", ",", "}")
+        val fl = withBase.collect {
+          case (k, v, b0) if v > noiseFactor * b0 && v - b0 > absFloor => k
+        }
+        (rj, fl)
+      }
+    }
+    val flaggedJson = flagged.map(jq).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
+        s""""vs_baseline":$ratios,"regressions":$flaggedJson,"sf":"$sfDir"}"""
     println(json)
     // Also write to a file so the driver never has to scrape the JSON out of
     // sbt's [info]/stderr noise.
