@@ -173,7 +173,43 @@ object SimilarityQueries {
       .orderBy("label", "outlier_rank")
   }
 
+  /** X14 — SemDeDup-style embedding-cluster dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus in embedding space, then prune,
+    * WITHIN each cluster, every vector that is cosine-similar above `tau`
+    * to ANY lower-id vector — the paper's keep-first policy (the lower-id
+    * side survives unless something even lower dominates it). The cluster
+    * blocking is the entire scale story: pairwise cosine runs per cell
+    * (bounded), never corpus²; assignment is one broadcast codebook pass
+    * (same 16-centroid fixed codebook as X8's IVF, standing in for the
+    * k-means step). Output: each pruned vector with its cell, the smallest
+    * dominating keeper id, and its duplicate fan-in — the decision log a
+    * curation run persists before dropping rows.
+    */
+  def x14SemDedup(s: SparkSession, dir: String, tau: Double = 0.42): DataFrame = {
+    val e = vecs(s, dir)
+    val cent = e.filter(col("vec_id") >= 10 && col("vec_id") < 26)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val assigned = withCosine(e.crossJoin(broadcast(cent)), "v", "cv")
+      .groupBy(col("vec_id"))
+      .agg(TopKAggregator.topK(1)(col("c_id"), col("cosine")).as("nc"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), element_at(col("nc"), 1).getField("id").as("cell"), col("v"))
+    val pairs = withCosine(
+      assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id")),
+      "a.v", "b.v")
+      .filter(col("cosine") >= tau)
+    pairs
+      .groupBy(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"))
+      .agg(
+        min(col("a.vec_id")).as("dup_of"),
+        count(lit(1)).as("n_dominating"),
+        max(col("cosine")).as("max_cosine"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x14_semdedup" -> (x14SemDedup(_, _, 0.42)),
     "x5_embedding_neardup" -> (x5EmbeddingNearDup(_, _)),
     "x6_ann_bruteforce" -> (x6AnnBruteForce(_, _, 10)),
     "x7_ann_lsh" -> (x7AnnLshBucketed(_, _, 5)),
@@ -198,6 +234,24 @@ object SimilarityQueries {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "x14_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id >= 10 AND vec_id < 26),
+         asg AS (
+           SELECT vec_id, c_id AS cell, v FROM (
+             SELECT e.vec_id, c.c_id, e.v,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${duckCosine("e.v", "c.cv")} DESC, c.c_id) AS rn
+             FROM e CROSS JOIN cent c)
+           WHERE rn = 1),
+         pairs AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS vec_id, b.cell AS cell,
+                  ${duckCosine("a.v", "b.v")} AS cosine
+           FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE ${duckCosine("a.v", "b.v")} >= 0.42)
+         SELECT vec_id, cell, MIN(a_id) AS dup_of, COUNT(*) AS n_dominating,
+                MAX(cosine) AS max_cosine
+         FROM pairs GROUP BY vec_id, cell ORDER BY vec_id""",
     "x5_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

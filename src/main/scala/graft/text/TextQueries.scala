@@ -190,7 +190,47 @@ object TextQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** T9 — per-source term-distribution drift: for every source, the terms
+    * most over-represented relative to the whole corpus (drift ratio =
+    * source term share / corpus term share), top 5 per source. This is the
+    * curation telemetry that catches a source gone wrong — boilerplate
+    * floods, template spam, scraper loops — before it skews the training
+    * mix. Exactness: the ratio is computed as ONE double division of two
+    * exact integer products (counts < 2^53), identical in both engines —
+    * no ratio-of-ratios, no transcendentals. Scale shape: (source, term)
+    * and term-keyed counts (map-side partials; vocab-bounded, not
+    * corpus-bounded), a broadcastable vocab join, and a per-source top-5
+    * window over vocab-sized input. The min-count floor keeps rare-term
+    * noise (share ratios of tiny counts) out of the ranking.
+    */
+  def termDrift(s: SparkSession, dir: String, minCount: Int = 20): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+    val bySource = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt_s"))
+    val totals = bySource.groupBy(col("source")).agg(sum(col("cnt_s")).as("total_s"))
+    val corpus = bySource.groupBy(col("term"))
+      .agg(sum(col("cnt_s")).as("cnt_c"))
+    val totalC = corpus.agg(sum(col("cnt_c")).as("total_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("drift").desc, col("term"))
+    bySource
+      .filter(col("cnt_s") >= minCount)
+      .join(totals, "source")
+      .join(broadcast(corpus), "term")
+      .crossJoin(broadcast(totalC))
+      .withColumn("drift",
+        (col("cnt_s") * col("total_c")).cast("double") / (col("total_s") * col("cnt_c")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("source"), col("rnk"), col("term"), col("cnt_s"), col("cnt_c"),
+        col("drift"))
+      .orderBy("source", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_term_drift" -> (termDrift(_, _, 20)),
     "t1_langid" -> (langId _),
     "t2_quality" -> (quality _),
     "t3_tokens" -> (tokenCount _),
@@ -201,6 +241,28 @@ object TextQueries {
     "t8_tfidf" -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "t9_term_drift" ->
+      """WITH toks AS (
+           SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+         bysrc AS (
+           SELECT source, term, COUNT(*) AS cnt_s FROM toks GROUP BY source, term),
+         totals AS (
+           SELECT source, CAST(SUM(cnt_s) AS BIGINT) AS total_s
+           FROM bysrc GROUP BY source),
+         corpus AS (
+           SELECT term, CAST(SUM(cnt_s) AS BIGINT) AS cnt_c FROM bysrc GROUP BY term),
+         totc AS (SELECT CAST(SUM(cnt_c) AS BIGINT) AS total_c FROM corpus),
+         ranked AS (
+           SELECT b.source, b.term, b.cnt_s, c.cnt_c,
+                  CAST(b.cnt_s * t.total_c AS DOUBLE) / (s.total_s * c.cnt_c) AS drift,
+                  row_number() OVER (PARTITION BY b.source
+                    ORDER BY CAST(b.cnt_s * t.total_c AS DOUBLE)
+                               / (s.total_s * c.cnt_c) DESC, b.term) AS rnk
+           FROM bysrc b JOIN totals s ON b.source = s.source
+                JOIN corpus c ON b.term = c.term CROSS JOIN totc t
+           WHERE b.cnt_s >= 20)
+         SELECT source, CAST(rnk AS BIGINT) AS rnk, term, cnt_s, cnt_c, drift
+         FROM ranked WHERE rnk <= 5 ORDER BY source, rnk""",
     "t1_langid" ->
       """WITH sc AS (
            SELECT doc_id, lang,

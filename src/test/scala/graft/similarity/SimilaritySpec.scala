@@ -90,4 +90,44 @@ class SimilaritySpec extends SparkSuite {
     assert(rows.forall(_.getDouble(3) >= 0.4))
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
+
+  test("x14: prune decisions agree with a driver-side brute-force replay") {
+    VectorExpressions.register(spark)
+    val tau = 0.42
+    val pruned = SimilarityQueries.x14SemDedup(spark, sf001, tau).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(pruned.nonEmpty, "threshold should prune something at sf0.001")
+    // Recompute cells + pairwise cosine on the driver (corpus is tiny here).
+    val vecs = graft.Tables(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cents = (10L until 26L).map(i => i -> vecs(i)).toMap
+    val cell = vecs.map { case (id, v) =>
+      // ties: highest cosine, then smallest centroid id (the oracle's order)
+      id -> cents.toSeq.map { case (c, cv) => (c, cos(v, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.head._1
+    }
+    val truth = vecs.keys.toSeq.sorted.flatMap { b =>
+      val dominating = vecs.keys.toSeq
+        .filter(a => a < b && cell(a) == cell(b) && cos(vecs(a), vecs(b)) >= tau)
+      if (dominating.isEmpty) None
+      else Some(b -> (cell(b), dominating.min, dominating.size.toLong))
+    }.toMap
+    assert(pruned.keySet == truth.keySet, "pruned set mismatch")
+    truth.foreach { case (b, (c, dupOf, n)) =>
+      val (gc, gd, gn) = pruned(b)
+      assert(gc == c && gd == dupOf && gn == n, s"vec $b decision mismatch")
+    }
+    // survivors: every kept pair in one cell is below tau OR ordered wrong way
+    val kept = vecs.keySet -- pruned.keySet
+    kept.foreach { b =>
+      kept.filter(a => a < b && cell(a) == cell(b)).foreach { a =>
+        assert(cos(vecs(a), vecs(b)) < tau, s"kept pair ($a,$b) above tau")
+      }
+    }
+  }
 }

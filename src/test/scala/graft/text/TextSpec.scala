@@ -69,4 +69,32 @@ class TextSpec extends SparkSuite {
     val rh = df.select("rolling_hash").collect().map(_.getLong(0))
     assert(rh.forall(h => h >= 0 && h < 1000000007L))
   }
+
+  test("t9: per-source drift agrees with a driver-side share recount") {
+    val rows = TextQueries.termDrift(spark, sf001, minCount = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // ranks dense 1..≤5 per source, drift non-increasing, floor respected
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to sorted.length), s"$src ranks")
+      val drifts = sorted.map(_._6)
+      drifts.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"$src drift not descending")
+        case _ => ()
+      }
+      assert(rs.forall(_._4 >= 20L))
+    }
+    // recount one flagged (source, term) from the raw table
+    val (src, _, term, cntS, cntC, drift) = rows.head
+    val toks = graft.Tables(spark, sf001, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+    val expCntS = toks.filter(col("source") === src && col("term") === term).count()
+    val expCntC = toks.filter(col("term") === term).count()
+    val totalS = toks.filter(col("source") === src).count()
+    val totalC = toks.count()
+    assert(cntS == expCntS && cntC == expCntC)
+    assert(math.abs(drift - (cntS.toDouble * totalC) / (totalS.toDouble * expCntC)) < 1e-12)
+  }
 }
