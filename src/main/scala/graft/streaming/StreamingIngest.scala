@@ -190,6 +190,66 @@ object StreamingIngest {
       }
       .start()
 
+  /** One micro-batch through the ledgered parquet-merge sink — the lake
+    * face of [[applyJdbcBatchOnce]]: marker files under
+    * `<targetPath>__batches/<sinkId>/` record applied batch ids (the
+    * file-system stand-in for the ledger table; on a real deployment this
+    * directory lives on the same shared storage as the table). Same crash
+    * analysis as the JDBC path: unmarkered replay re-merges and converges;
+    * markered replay is skipped even if the source bytes changed.
+    */
+  def applyMergeBatchOnce(
+      batch: DataFrame,
+      batchId: Long,
+      targetPath: String,
+      keys: Seq[String],
+      versionCol: String,
+      partitionCol: Option[String] = None,
+      sinkId: String = "default"): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(targetPath)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"${targetPath}__batches/$sinkId/$batchId")
+    if (fs.exists(marker)) false
+    else {
+      partitionCol match {
+        case Some(p) =>
+          Upsert.mergePartitionedParquet(
+            batch.sparkSession, targetPath, batch, keys, versionCol, p)
+        case None =>
+          Upsert.mergeIntoParquet(
+            batch.sparkSession, targetPath, batch, keys, versionCol)
+      }
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, false).close()
+      true
+    }
+  }
+
+  /** [[upsertAvailableNow]] with the marker-file replay guard — exactly-once
+    * observable semantics for the lake sink.
+    */
+  def upsertExactlyOnceAvailableNow(
+      deduped: DataFrame,
+      targetPath: String,
+      checkpoint: String,
+      keys: Seq[String],
+      versionCol: String,
+      partitionCol: Option[String] = None,
+      sinkId: Option[String] = None): StreamingQuery = {
+    val sid = sinkId.getOrElse(
+      java.lang.Integer.toHexString(checkpoint.hashCode))
+    deduped.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMergeBatchOnce(batch, batchId, targetPath, keys, versionCol,
+          partitionCol, sid)
+        ()
+      }
+      .start()
+  }
+
   /** One micro-batch through the ledgered JDBC sink: skip if this
     * (sinkId, batchId) is already recorded, else LWW-dedup → keyed MERGE →
     * record. Returns whether the batch was applied (false = replay

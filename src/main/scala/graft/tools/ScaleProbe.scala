@@ -77,7 +77,11 @@ object ScaleProbe {
       "x4_ngram_jaccard" -> (x4NgramJaccard _),
       "x12_contamination" -> (x12Contamination _),
       "t7_repetition" -> (graft.text.TextQueries.repetition _),
-      "t8_tfidf" -> (graft.text.TextQueries.tfidf _))
+      "t8_tfidf" -> (graft.text.TextQueries.tfidf _),
+      "t9_term_drift" -> ((s: SparkSession, d: String) =>
+        graft.text.TextQueries.termDrift(s, d, 20)),
+      "x14_semdedup" -> ((s: SparkSession, d: String) =>
+        graft.similarity.SimilarityQueries.x14SemDedup(s, d, 0.42)))
     println(f"[scale] ${"query"}%-20s ${"1x"}%8s ${s"${n}x"}%8s  ratio (ideal <= $n)")
     probes.foreach { case (name, fn) =>
       val t1 = time(fn, base)

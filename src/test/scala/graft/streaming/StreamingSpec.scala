@@ -237,6 +237,33 @@ class StreamingSpec extends SparkSuite {
     assert(after2 == expected, "re-delivered tick must converge, not duplicate")
   }
 
+  test("exactly-once parquet sink: marker files suppress re-applied batches") {
+    import spark.implicits._
+    val target = s"$work/xo_lake"
+    def batch(rows: Seq[(String, Long, Double)]) =
+      rows.toDF("key", "v", "price")
+    // batch 0 applies and is markered
+    assert(StreamingIngest.applyMergeBatchOnce(
+      batch(Seq(("k1", 1L, 10.0), ("k2", 1L, 20.0))), 0L, target,
+      Seq("key"), "v", sinkId = "lake"))
+    // a replay of batch 0 with CHANGED bytes must be suppressed
+    assert(!StreamingIngest.applyMergeBatchOnce(
+      batch(Seq(("k1", 1L, 99.0))), 0L, target, Seq("key"), "v", sinkId = "lake"))
+    val s1 = spark.read.parquet(target).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(s1 == Map("k1" -> 10.0, "k2" -> 20.0))
+    // a NEW batch id applies normally
+    assert(StreamingIngest.applyMergeBatchOnce(
+      batch(Seq(("k2", 2L, 25.0), ("k3", 1L, 30.0))), 1L, target,
+      Seq("key"), "v", sinkId = "lake"))
+    val s2 = spark.read.parquet(target).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(s2 == Map("k1" -> 10.0, "k2" -> 25.0, "k3" -> 30.0))
+    // a different sink id has its own ledger namespace
+    assert(StreamingIngest.applyMergeBatchOnce(
+      batch(Seq(("k4", 1L, 40.0))), 0L, target, Seq("key"), "v", sinkId = "other"))
+  }
+
   test("exactly-once JDBC sink: batch replayed after commit-log loss is skipped") {
     import java.sql.{DriverManager, Timestamp}
     import spark.implicits._
