@@ -58,6 +58,7 @@ object Pipeline {
     // dates it carries; the rest of the (100 TB) table is untouched.
     // p_date is functionally determined by the timestamp_utc key, as
     // mergePartitionedParquet's contract requires.
+    migrateToPartitioned(spark, targetPath)
     Upsert.mergePartitionedParquet(spark, targetPath,
       deduped.withColumn("p_date", to_date(col("timestamp_utc"))),
       keys = Seq("ticker", "timestamp_utc"), versionCol = "timestamp_utc",
@@ -67,6 +68,36 @@ object Pipeline {
       rows = m("rows").asInstanceOf[Long],
       nullClose = m("null_close").asInstanceOf[Long],
       missingRate = m("missing_rate").asInstanceOf[Long])
+  }
+
+  /** One-time layout migration: a target written by the pre-round-4
+    * unpartitioned sink has no `p_date` directory structure; the scoped
+    * merge would otherwise fail on it (it throws a clear error rather than
+    * silently ignoring legacy rows). Rewrites the whole table ONCE into the
+    * date-partitioned layout via staging + atomic swap, after which every
+    * incremental batch is partition-scoped. No-op on partitioned or absent
+    * targets.
+    */
+  private def migrateToPartitioned(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(cur)) return
+    val entries = fs.listStatus(cur).map(_.getPath.getName)
+    val legacy = !entries.exists(_.startsWith("p_date=")) &&
+      entries.exists(_.endsWith(".parquet"))
+    if (legacy) {
+      val staged = new org.apache.hadoop.fs.Path(path + "__migrate")
+      if (fs.exists(staged)) fs.delete(staged, true)
+      spark.read.parquet(path)
+        .withColumn("p_date", to_date(col("timestamp_utc")))
+        .write.partitionBy("p_date").parquet(staged.toString)
+      val backup = new org.apache.hadoop.fs.Path(path + "__premigrate")
+      if (fs.exists(backup)) fs.delete(backup, true)
+      if (!fs.rename(cur, backup) || !fs.rename(staged, cur))
+        throw new java.io.IOException(s"migration swap failed for $path")
+      fs.delete(backup, true)
+    }
   }
 
   /** The reference's COMPLETE db load, composed: DDL bootstrap → dim upsert →

@@ -87,9 +87,11 @@ object Upsert {
     *
     *  1. collect the batch's distinct `partitionCol` values (bounded by
     *     construction — a date or shard column, one value per partition);
-    *  2. read current state ONLY for those partitions (the filter is a
-    *     partition-pruning predicate: untouched partitions are never even
-    *     listed);
+    *  2. read current state ONLY for those partitions — directory-scoped
+    *     reads when the values round-trip as path names (per-batch metadata
+    *     cost = one non-recursive root listing + the affected dirs, not a
+    *     recursive walk of the table), falling back to a full read with a
+    *     partition-pruning filter for values needing Hive path-escaping;
     *  3. LWW-merge and write the result to a staging dir, then swap each
     *     affected partition directory into place with renames. Untouched
     *     partitions' files are not read, not rewritten, and stay
@@ -117,6 +119,22 @@ object Upsert {
     val deduped = lastWriteWins(updates, keys, versionCol, tieBreakers)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(path)
+    val staging = new Path(path + "__staging")
+    val oldRoot = new Path(path + "__old")
+    // Crash recovery BEFORE anything else: a parked dir left under oldRoot
+    // means a previous swap was interrupted. For each parked partition dir:
+    // destination missing → the install never happened, roll the parked
+    // copy back (without this, a replay would read an EMPTY partition and
+    // silently drop every key the batch didn't carry); destination present
+    // → the install completed, drop the parked copy.
+    if (fs.exists(oldRoot)) {
+      fs.listStatus(oldRoot).foreach { s =>
+        val dest = new Path(cur, s.getPath.getName)
+        if (!fs.exists(dest)) renameOrThrow(fs, s.getPath, dest)
+      }
+      fs.delete(oldRoot, true)
+    }
+    if (fs.exists(staging)) fs.delete(staging, true)
     if (!fs.exists(cur)) {
       deduped.write.partitionBy(partitionCol).parquet(path)
       return
@@ -124,35 +142,76 @@ object Upsert {
     // Bounded driver collect: one value per affected partition.
     val affected = deduped.select(col(partitionCol)).distinct().collect().map(_.get(0))
     if (affected.isEmpty) return
-    val pType = deduped.schema(partitionCol).dataType
-    val existing = spark.read.parquet(path)
-      .filter(col(partitionCol).isin(affected.toSeq: _*)) // partition-pruned scan
-      .withColumn(partitionCol, col(partitionCol).cast(pType))
-      .withColumn("__gen", lit(0L))
+    require(!affected.contains(null),
+      s"null $partitionCol in update batch: the scoped merge cannot address " +
+        "the null partition (isin() never matches null) — filter or default it upstream")
+    // ONE non-recursive listing of the table root: detects a legacy
+    // unpartitioned layout (data files, no partition dirs) and gives the
+    // existing partition-dir names so the read below opens ONLY affected
+    // directories — the per-batch metadata cost is O(#partitions at root),
+    // never a recursive walk of every file.
+    val rootEntries = fs.listStatus(cur).map(_.getPath.getName)
+    val partDirs = rootEntries.filter(_.startsWith(partitionCol + "=")).toSet
+    if (partDirs.isEmpty && rootEntries.exists(_.endsWith(".parquet")))
+      throw new IllegalStateException(
+        s"$path exists but is not partitioned by $partitionCol — written by the " +
+          "unpartitioned sink? Migrate it once (read, derive the partition " +
+          "column, write partitionBy) before using the scoped merge.")
+    // Values that round-trip verbatim as directory names can be read
+    // dir-scoped; anything needing Hive path-escaping falls back to a
+    // full-table read with a pruning filter (correct, just more listing).
+    val dataSchema = org.apache.spark.sql.types.StructType(deduped.schema.filter(_.name != "__gen"))
+    val safeName = "[A-Za-z0-9_.-]+".r // chars Hive path-escaping leaves verbatim
+    val allSafe = affected.forall(v => safeName.matches(v.toString))
+    val hitDirs =
+      if (allSafe) affected.map(v => s"$partitionCol=$v").filter(partDirs.contains)
+      else Array.empty[String]
+    // Schema pinned to the updates' schema: partition values parse from dir
+    // names WITHOUT type inference (a string shard "0025" must stay "0025",
+    // not become int 25 and re-emerge as a second "25" partition).
+    val existing =
+      if (allSafe && hitDirs.isEmpty) None // every affected partition is new
+      else if (allSafe)
+        Some(spark.read.schema(dataSchema).option("basePath", path)
+          .parquet(hitDirs.map(d => s"$path/$d").toIndexedSeq: _*))
+      else
+        Some(spark.read.schema(dataSchema).parquet(path)
+          .filter(col(partitionCol).isin(affected.toSeq: _*)))
     // On key collision the update (__gen=1) wins regardless of version —
     // DO UPDATE semantics — then LWW inside each generation via versionCol.
-    val merged = lastWriteWins(
-      existing.unionByName(deduped.withColumn("__gen", lit(1L))),
-      keys, "__gen", versionCol +: tieBreakers).drop("__gen")
-    val staging = new Path(path + "__staging")
-    if (fs.exists(staging)) fs.delete(staging, true)
+    val merged = existing match {
+      case Some(ex) =>
+        lastWriteWins(
+          ex.withColumn("__gen", lit(0L))
+            .unionByName(deduped.withColumn("__gen", lit(1L))),
+          keys, "__gen", versionCol +: tieBreakers).drop("__gen")
+      case None => deduped
+    }
     merged.write.partitionBy(partitionCol).parquet(staging.toString)
     // Swap each affected partition dir into place; parked old dirs live
     // OUTSIDE the table root so a concurrent/crashed read never discovers a
-    // bogus partition value.
-    val oldRoot = new Path(path + "__old")
-    if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
+    // bogus partition value, and the recovery pass above heals any crash
+    // between the park and install renames.
     fs.mkdirs(oldRoot)
     fs.listStatus(staging).iterator
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
       .foreach { s =>
         val dest = new Path(cur, s.getPath.getName)
-        if (fs.exists(dest)) fs.rename(dest, new Path(oldRoot, s.getPath.getName))
-        fs.rename(s.getPath, dest)
+        if (fs.exists(dest))
+          renameOrThrow(fs, dest, new Path(oldRoot, s.getPath.getName))
+        renameOrThrow(fs, s.getPath, dest)
       }
     fs.delete(oldRoot, true)
     fs.delete(staging, true)
   }
+
+  /** Hadoop FileSystem.rename reports failure by returning false — silent
+    * acceptance would let a failed swap drop a batch's data.
+    */
+  private def renameOrThrow(
+      fs: org.apache.hadoop.fs.FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
 
   /** SQL dialects for the keyed-upsert statement.
     *

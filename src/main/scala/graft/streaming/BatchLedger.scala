@@ -40,7 +40,19 @@ object BatchLedger {
              |  "batch_id" BIGINT NOT NULL,
              |  "applied_at" TIMESTAMP NOT NULL,
              |  PRIMARY KEY ("sink_id", "batch_id"))""".stripMargin)
-        finally st.close()
+        catch {
+          // Two streams bootstrapping one database concurrently: the loser's
+          // CREATE fails table-exists (Derby X0Y32 / Postgres 42P07 — not
+          // SQLState class 23, so it can't ride the record() path's guard).
+          // The race is benign exactly when the table now exists; anything
+          // else propagates.
+          case e: SQLException =>
+            val nowExists = Seq(Table.toUpperCase, Table.toLowerCase).exists { t =>
+              val r = conn.getMetaData.getTables(null, null, t, null)
+              try r.next() finally r.close()
+            }
+            if (!nowExists) throw e
+        } finally st.close()
       }
     } finally conn.close()
   }

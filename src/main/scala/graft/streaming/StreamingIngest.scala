@@ -40,6 +40,9 @@ final case class Candle(
   */
 object StreamingIngest {
 
+  private val ensuredUrls =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Landing-directory file source (schema must be supplied — streaming
     * sources cannot infer).
     */
@@ -221,7 +224,12 @@ object StreamingIngest {
             batch.sparkSession, targetPath, batch, keys, versionCol)
       }
       fs.mkdirs(marker.getParent)
-      fs.create(marker, false).close()
+      // A concurrent duplicate attempt of the SAME batch may have markered
+      // between our exists-check and here — both applied identical data
+      // through the idempotent merge, so the race is benign (mirrors
+      // BatchLedger.record's duplicate-key guard).
+      try fs.create(marker, false).close()
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
       true
     }
   }
@@ -237,8 +245,14 @@ object StreamingIngest {
       versionCol: String,
       partitionCol: Option[String] = None,
       sinkId: Option[String] = None): StreamingQuery = {
+    // Default identity encodes the FULL checkpoint path (sanitized for use
+    // as a directory name) — a truncated hash could collide two different
+    // streams into one marker namespace and silently suppress each other's
+    // batches. The appended hex of the raw string disambiguates paths whose
+    // sanitized forms coincide ("a/b" vs "a_b").
     val sid = sinkId.getOrElse(
-      java.lang.Integer.toHexString(checkpoint.hashCode))
+      checkpoint.replaceAll("[^A-Za-z0-9_.-]", "_") + "-" +
+        java.lang.Integer.toHexString(checkpoint.hashCode))
     deduped.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -271,7 +285,10 @@ object StreamingIngest {
       dialect: Upsert.Dialect,
       sinkId: String,
       props: java.util.Properties = new java.util.Properties()): Boolean = {
-    BatchLedger.ensure(url, props)
+    // ensure() is a one-time bootstrap; paying a connection + metadata probe
+    // on EVERY micro-batch would be pure overhead. Memoized per URL within
+    // the process; ensure stays idempotent across processes regardless.
+    if (ensuredUrls.add(url)) BatchLedger.ensure(url, props)
     if (BatchLedger.alreadyApplied(url, sinkId, batchId, props)) false
     else {
       Upsert.upsertJdbc(

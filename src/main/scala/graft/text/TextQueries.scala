@@ -195,9 +195,11 @@ object TextQueries {
     * source term share / corpus term share), top 5 per source. This is the
     * curation telemetry that catches a source gone wrong — boilerplate
     * floods, template spam, scraper loops — before it skews the training
-    * mix. Exactness: the ratio is computed as ONE double division of two
-    * exact integer products (counts < 2^53), identical in both engines —
-    * no ratio-of-ratios, no transcendentals. Scale shape: (source, term)
+    * mix. Exactness: counts cast to double BEFORE multiplying (an int64
+    * product of corpus-scale counts would overflow — ANSI Spark throws,
+    * DuckDB widens to HUGEINT, and the engines diverge), then one product
+    * and one division per side, the identical operation sequence in both
+    * engines — no ratio-of-ratios, no transcendentals. Scale shape: (source, term)
     * and term-keyed counts (map-side partials; vocab-bounded, not
     * corpus-bounded), a broadcastable vocab join, and a per-source top-5
     * window over vocab-sized input. The min-count floor keeps rare-term
@@ -221,7 +223,8 @@ object TextQueries {
       .join(broadcast(corpus), "term")
       .crossJoin(broadcast(totalC))
       .withColumn("drift",
-        (col("cnt_s") * col("total_c")).cast("double") / (col("total_s") * col("cnt_c")))
+        (col("cnt_s").cast("double") * col("total_c").cast("double")) /
+          (col("total_s").cast("double") * col("cnt_c").cast("double")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("source"), col("rnk"), col("term"), col("cnt_s"), col("cnt_c"),
@@ -254,10 +257,12 @@ object TextQueries {
          totc AS (SELECT CAST(SUM(cnt_c) AS BIGINT) AS total_c FROM corpus),
          ranked AS (
            SELECT b.source, b.term, b.cnt_s, c.cnt_c,
-                  CAST(b.cnt_s * t.total_c AS DOUBLE) / (s.total_s * c.cnt_c) AS drift,
+                  (CAST(b.cnt_s AS DOUBLE) * CAST(t.total_c AS DOUBLE))
+                    / (CAST(s.total_s AS DOUBLE) * CAST(c.cnt_c AS DOUBLE)) AS drift,
                   row_number() OVER (PARTITION BY b.source
-                    ORDER BY CAST(b.cnt_s * t.total_c AS DOUBLE)
-                               / (s.total_s * c.cnt_c) DESC, b.term) AS rnk
+                    ORDER BY (CAST(b.cnt_s AS DOUBLE) * CAST(t.total_c AS DOUBLE))
+                               / (CAST(s.total_s AS DOUBLE) * CAST(c.cnt_c AS DOUBLE))
+                             DESC, b.term) AS rnk
            FROM bysrc b JOIN totals s ON b.source = s.source
                 JOIN corpus c ON b.term = c.term CROSS JOIN totc t
            WHERE b.cnt_s >= 20)

@@ -187,6 +187,94 @@ class EtlSpec extends SparkSuite {
     assert(!JFiles.exists(Paths.get(dir + "__old")))
   }
 
+  test("E3: partition merge recovers an interrupted swap without losing rows") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = Files.createTempDirectory("graft_pcrash").toString
+    val dir = root + "/quotes"
+    // dt=2025-01-01 holds TWO keys; the batch will update only one of them.
+    val b1 = Seq(
+      ("k1", "2025-01-01", 1L, 10.0),
+      ("k9", "2025-01-01", 1L, 90.0),
+      ("k2", "2025-01-02", 1L, 20.0)).toDF("key", "dt", "v", "price")
+    Upsert.mergePartitionedParquet(spark, dir, b1, Seq("key"), "v", "dt")
+    // Simulate a crash between the park-rename and the install-rename: the
+    // partition dir sits parked under __old, missing from the table.
+    JFiles.createDirectories(Paths.get(dir + "__old"))
+    JFiles.move(Paths.get(dir, "dt=2025-01-01"),
+      Paths.get(dir + "__old", "dt=2025-01-01"))
+    assert(!JFiles.exists(Paths.get(dir, "dt=2025-01-01")))
+    // Replay of the same batch: recovery must restore the parked partition
+    // FIRST, so k9 (not carried by any later batch) survives the merge.
+    val b2 = Seq(("k1", "2025-01-01", 2L, 15.0)).toDF("key", "dt", "v", "price")
+    Upsert.mergePartitionedParquet(spark, dir, b2, Seq("key"), "v", "dt")
+    val state = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Double]("price")).toMap
+    assert(state == Map("k1" -> 15.0, "k9" -> 90.0, "k2" -> 20.0),
+      "interrupted-swap recovery must not drop rows the batch didn't carry")
+    assert(!JFiles.exists(Paths.get(dir + "__old")))
+  }
+
+  test("E3: partition merge rejects legacy unpartitioned layout; preserves string shards") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = Files.createTempDirectory("graft_pmisc").toString
+    // legacy layout: parquet files at the root, no partition dirs
+    val legacy = root + "/legacy"
+    Seq(("k1", "2025-01-01", 1L, 10.0)).toDF("key", "dt", "v", "price")
+      .write.parquet(legacy)
+    val e = intercept[IllegalStateException] {
+      Upsert.mergePartitionedParquet(spark, legacy,
+        Seq(("k1", "2025-01-01", 2L, 11.0)).toDF("key", "dt", "v", "price"),
+        Seq("key"), "v", "dt")
+    }
+    assert(e.getMessage.contains("not partitioned"))
+    // numeric-looking STRING partition values must round-trip verbatim
+    // (type inference would turn "0025" into int 25 and fork the partition)
+    val shards = root + "/shards"
+    val s1 = Seq(("k1", "0025", 1L, 1.0), ("k2", "0007", 1L, 2.0))
+      .toDF("key", "shard", "v", "price")
+    Upsert.mergePartitionedParquet(spark, shards, s1, Seq("key"), "v", "shard")
+    Upsert.mergePartitionedParquet(spark, shards,
+      Seq(("k1", "0025", 2L, 9.0)).toDF("key", "shard", "v", "price"),
+      Seq("key"), "v", "shard")
+    val dirs = new java.io.File(shards).listFiles().map(_.getName)
+      .filter(_.startsWith("shard=")).sorted.toSeq
+    assert(dirs == Seq("shard=0007", "shard=0025"), s"got $dirs")
+    val state = spark.read.parquet(shards).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Double]("price")).toMap
+    assert(state == Map("k1" -> 9.0, "k2" -> 2.0))
+    // null partition values are rejected loudly, not silently mismatched
+    val npe = intercept[IllegalArgumentException] {
+      Upsert.mergePartitionedParquet(spark, shards,
+        Seq(("k3", null: String, 1L, 3.0)).toDF("key", "shard", "v", "price"),
+        Seq("key"), "v", "shard")
+    }
+    assert(npe.getMessage.contains("null"))
+    assert(JFiles.exists(Paths.get(shards))) // table unharmed
+  }
+
+  test("Pipeline: legacy unpartitioned target migrates once, then scoped merge works") {
+    val dir = Files.createTempDirectory("graft_migrate").toString + "/quotes"
+    val rates = new StaticRateProvider(Map(
+      ("EUR", d("2025-04-17")) -> 1.14,
+      ("GBP", d("2025-04-17")) -> 1.33,
+      ("EUR", d("2025-04-18")) -> 1.15))
+    // Write the OLD layout: run the standardize+convert plan and sink it
+    // unpartitioned, exactly what the pre-round-4 Pipeline.run produced.
+    val converted = CurrencyConverter.convertWithProvider(
+      spark, Standardizer.standardize(bars, dim), rates, "USD")
+    converted.write.parquet(dir)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("p_date=")))
+    // New Pipeline.run against the legacy table: migrates, merges, converges.
+    val m = Pipeline.run(spark, bars, dim, rates, dir)
+    assert(m.rows == 7)
+    val state = spark.read.parquet(dir)
+    assert(state.count() == 7)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("p_date=")))
+    assert(state.filter($"ticker" === "^GDAXI" &&
+      $"timestamp_utc" === ts("2025-04-17 07:00:00"))
+      .select($"close_usd").head.getDouble(0) == 21000.5 * 1.14)
+  }
+
   test("Pipeline: E1→E2→E3 end-to-end with observed audit metrics, idempotent") {
     val dir = Files.createTempDirectory("graft_pipeline").toString + "/quotes"
     val rates = new StaticRateProvider(Map(
