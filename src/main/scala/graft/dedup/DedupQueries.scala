@@ -449,6 +449,36 @@ object DedupQueries {
       .orderBy("lang", "source")
   }
 
+  /** C4 — the decontaminated training mix: C3's composed pipeline with the
+    * X12 contamination pass wired in before quality/sampling — representatives
+    * that share ≥ K shingles with any eval-set document are dropped, and the
+    * eval documents themselves never enter the mix. This is the blend a
+    * benchmark-honest pipeline actually ships: dedup THEN decontaminate THEN
+    * curate. Composition cost at scale: X12's corpus side is map-only
+    * against broadcast eval shingles, and the exclusion is one left-anti
+    * hash join on doc_id — nothing new shuffles the corpus.
+    */
+  def c4DecontaminatedBlend(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.CoreQueries.{qualityScoreExpr, samplePctExpr, sampleRateExpr}
+    val docs = t(s, dir, "documents")
+    val isEval = col("doc_id") % 20 === 0 && col("doc_id") <= 10000
+    val contaminated = x12Contamination(s, dir).select(col("doc_id")).distinct()
+    val reps = x9DedupClusters(s, dir)
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    docs
+      .join(reps, "doc_id")
+      .filter(!isEval)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("quality_score", qualityScoreExpr)
+      .filter(col("quality_score") >= 0.6)
+      .filter(samplePctExpr < sampleRateExpr)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("total_ws_tokens"))
+      .orderBy("lang", "source")
+  }
+
   /** X10 — per-source duplication telemetry: corpus curation's dashboard
     * numbers (docs, distinct contents, dup ratio per source). Two stacked
     * aggregates, both shuffle-on-key.
@@ -474,7 +504,8 @@ object DedupQueries {
     "x10_source_dedup_stats" -> (x10SourceDedupStats _),
     "x11_containment" -> (x11Containment _),
     "x12_contamination" -> (x12Contamination _),
-    "c3_corpus_blend" -> (c3CorpusBlend _))
+    "c3_corpus_blend" -> (c3CorpusBlend _),
+    "c4_decontaminated_blend" -> (c4DecontaminatedBlend _))
 
   private def shingleCte(name: String) =
     s"""$name AS (
@@ -597,6 +628,38 @@ object DedupQueries {
                   + (CASE WHEN len(string_split(d.text, ' ')) BETWEEN 20 AND 200
                      THEN 0.2 ELSE 0.0 END) AS quality_score
            FROM documents d JOIN reps r ON d.doc_id = r.doc_id)
+         SELECT lang, source, COUNT(*) AS n_docs,
+                CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens
+         FROM scored
+         WHERE quality_score >= 0.6
+           AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+               < (CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50
+                            WHEN 'es' THEN 25 ELSE 10 END)
+         GROUP BY lang, source ORDER BY lang, source""",
+    "c4_decontaminated_blend" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                    FROM reach GROUP BY src),
+         reps AS (SELECT doc_id FROM labels WHERE doc_id = cluster_id),
+         contaminated AS (
+           SELECT c.doc_id
+           FROM sh0 c JOIN sh0 e ON c.shingle = e.shingle
+           WHERE (e.doc_id % 20 = 0 AND e.doc_id <= 10000)
+             AND NOT (c.doc_id % 20 = 0 AND c.doc_id <= 10000)
+           GROUP BY c.doc_id, e.doc_id
+           HAVING COUNT(*) >= 5),
+         scored AS (
+           SELECT d.doc_id, d.lang, d.source, d.text,
+                  (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)
+                    / length(d.text)) * 0.5
+                  + (CAST(len(list_filter(string_split(d.text, ' '),
+                       x -> list_contains(['the','a','of','and','to','is','in'], x))) AS DOUBLE)
+                    / len(string_split(d.text, ' '))) * 0.3
+                  + (CASE WHEN len(string_split(d.text, ' ')) BETWEEN 20 AND 200
+                     THEN 0.2 ELSE 0.0 END) AS quality_score
+           FROM documents d JOIN reps r ON d.doc_id = r.doc_id
+           WHERE NOT (d.doc_id % 20 = 0 AND d.doc_id <= 10000)
+             AND d.doc_id NOT IN (SELECT doc_id FROM contaminated))
          SELECT lang, source, COUNT(*) AS n_docs,
                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens
          FROM scored

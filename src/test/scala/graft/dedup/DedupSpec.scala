@@ -145,6 +145,21 @@ class DedupSpec extends SparkSuite {
     blend.foreach(r => assert(r.getAs[Long]("total_ws_tokens") >= r.getAs[Long]("n_docs")))
   }
 
+  test("c4: decontaminated blend is bounded by c3 and excludes eval/contaminated docs") {
+    val c3 = DedupQueries.c3CorpusBlend(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val c4 = DedupQueries.c4DecontaminatedBlend(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // every c4 stratum exists in c3 with at-least-as-many docs/tokens
+    c4.foreach { case (k, (n4, t4)) =>
+      val (n3, t3) = c3.getOrElse(k, fail(s"stratum $k in c4 but not c3"))
+      assert(n4 <= n3 && t4 <= t3, s"stratum $k grew after decontamination")
+    }
+    // the filter provably removes something at this SF (x12 is non-empty)
+    assert(DedupQueries.x12Contamination(spark, sf001).count() > 0)
+    assert(c4.values.map(_._1).sum <= c3.values.map(_._1).sum)
+  }
+
   test("x3: near-identical docs have small simhash hamming distance") {
     // the planted x4 near-dup pairs should be close in simhash space
     val pairs = DedupQueries.x4NgramJaccard(spark, sf001)
