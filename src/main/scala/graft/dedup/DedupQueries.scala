@@ -495,8 +495,52 @@ object DedupQueries {
           .as("dup_ratio"))
       .orderBy("source")
 
+  /** X15 — duplicated-span coverage: the n-gram approximation of
+    * exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better" — the ExactSubstr pass, which their
+    * suffix-array implementation makes single-node-bound). For every
+    * document: the fraction of its tokens covered by an 8-token span that
+    * also appears in at least one OTHER document. High coverage = the doc is
+    * largely stitched from corpus-repeated material (boilerplate, templates,
+    * quotation farms) even when no whole-doc near-dup fires.
+    *
+    * Scale shape — everything is linear in corpus size, nothing is pairwise:
+    * span explode (~n_tok rows/doc), a span-keyed distinct-doc count
+    * (map-side partials absorb repeats), a semi-join flagging duplicated
+    * spans, and a doc-keyed distinct-position count for the interval union.
+    * A span shared by M documents costs M rows, never M² — which is exactly
+    * why span-granular coverage scales where pairwise substring comparison
+    * cannot.
+    */
+  def x15DupSpanCoverage(s: SparkSession, dir: String, spanLen: Int = 8): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("ws", split(col("text"), " "))
+    val base = docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"))
+    val spans = docs
+      .filter(size(col("ws")) >= spanLen)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $spanLen), i -> concat_ws(' ', slice(ws, i + 1, $spanLen)))")))
+      .toDF("doc_id", "pos", "span")
+    val dupSpans = spans
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("span")
+    val covered = spans.join(dupSpans, "span")
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${spanLen - 1})")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_tok"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_dup_tok"), lit(0L)).as("n_dup_tok"),
+        (coalesce(col("n_dup_tok"), lit(0L)).cast("double") / col("n_tok"))
+          .as("dup_coverage"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_exact_dedup" -> (x1ExactDedup _),
+    "x15_dupspan" -> (x15DupSpanCoverage(_, _, 8)),
     "x2_minhash_lsh" -> (x2MinhashLsh _),
     "x3_simhash" -> (x3Simhash _),
     "x4_ngram_jaccard" -> (x4NgramJaccard _),
@@ -560,6 +604,27 @@ object DedupQueries {
          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)"""
 
   val oracles: Map[String, String] = Map(
+    "x15_dupspan" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok FROM d),
+         spans AS (
+           SELECT doc_id, i AS pos,
+                  array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS span
+           FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 7)) AS i
+                 FROM d WHERE len(ws) >= 8)),
+         dup AS (SELECT span FROM spans GROUP BY span
+                 HAVING COUNT(DISTINCT doc_id) >= 2),
+         cov AS (
+           SELECT doc_id, COUNT(*) AS n_dup_tok FROM (
+             SELECT DISTINCT doc_id, p FROM (
+               SELECT s.doc_id, unnest(range(s.pos, s.pos + 8)) AS p
+               FROM spans s JOIN dup USING (span)))
+           GROUP BY doc_id)
+         SELECT b.doc_id, b.n_tok,
+                CAST(COALESCE(c.n_dup_tok, 0) AS BIGINT) AS n_dup_tok,
+                CAST(COALESCE(c.n_dup_tok, 0) AS DOUBLE) / b.n_tok AS dup_coverage
+         FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id
+         ORDER BY b.doc_id""",
     "x1_exact_dedup" ->
       """SELECT MIN(doc_id) AS canonical_id, sha256(text) AS content_hash,
                 COUNT(*) AS n_copies

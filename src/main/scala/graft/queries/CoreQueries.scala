@@ -608,6 +608,61 @@ object CoreQueries {
       .orderBy("user_id")
   }
 
+  /** A18: semi-structured extraction — parse the `props` JSON payload
+    * (reference `events` rows carry opaque JSON attributes; the analytical
+    * surface must reach into them without a pre-flattening ETL pass).
+    * `get_json_object` is a codegen'd Catalyst expression — the extraction
+    * runs inside the scan's WholeStageCodegen span, so at 100 TB this costs
+    * one narrow map over the parquet scan plus a 5-row keyed aggregate.
+    * Exactness: `$.k` values are integers, so sum/min/max are exact and the
+    * avg is one int-over-int double division in both engines.
+    */
+  def a18JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .withColumn("avg_k", col("sum_k").cast("double") / col("n"))
+      .orderBy("event_type")
+
+  /** A19: sequential conversion funnel — users who viewed, then clicked
+    * strictly after their first view, then purchased strictly after that
+    * first qualifying click. The classic product-analytics query the
+    * reference's ad-hoc surface (§3.3) would be asked next.
+    *
+    * Shape: three chained user-keyed aggregates (each one shuffle on
+    * `user_id`, the natural key a 100 TB event log is already partitioned
+    * by), collapsed to three single-row counts that combine broadcast-only —
+    * no self-join of the event log against itself, no per-user window over
+    * the full history. Timestamps compare at microsecond precision in both
+    * engines (events.parquet is TIMESTAMP(NANOS); `Tables` truncates, the
+    * oracle CASTs).
+    */
+  def a19Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("f_view"))
+    val fc = ev.filter(col("event_type") === "click")
+      .join(fv, "user_id").filter(col("ts") > col("f_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("f_click"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .join(fc, "user_id").filter(col("ts") > col("f_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("f_purchase"))
+    fv.agg(count(lit(1)).as("n1"))
+      .crossJoin(fc.agg(count(lit(1)).as("n2")))
+      .crossJoin(fp.agg(count(lit(1)).as("n3")))
+      .selectExpr(
+        """stack(3,
+             CAST(1 AS BIGINT), 'view', n1, CAST(1.0 AS DOUBLE),
+             CAST(2 AS BIGINT), 'click_after_view', n2, CAST(n2 AS DOUBLE) / n1,
+             CAST(3 AS BIGINT), 'purchase_after_click', n3, CAST(n3 AS DOUBLE) / n2)
+           AS (stage_idx, stage, n_users, conv_from_prev)""")
+      .orderBy("stage_idx")
+  }
+
   /** The C-family blended quality score (shared by C1 and C3 so their
     * semantics cannot diverge); requires a `toks = split(text, ' ')` column
     * alongside `text`.
@@ -699,6 +754,8 @@ object CoreQueries {
     "a15b_quantiles_approx" -> (a15bQuantilesApprox _),
     "a16_pivot" -> (a16Pivot _),
     "a17_interval_join" -> (a17IntervalJoin _),
+    "a18_json_extract" -> (a18JsonExtract _),
+    "a19_funnel" -> (a19Funnel _),
     "c1_curation" -> (c1Curation _),
     "c2_stratified_sample" -> (c2StratifiedSample _))
 
@@ -967,6 +1024,32 @@ object CoreQueries {
            ON c.user_id = p.user_id
           AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
          GROUP BY c.event_id ORDER BY c.event_id""",
+    "a18_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                  / COUNT(*) AS avg_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "a19_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         fv AS (SELECT user_id, MIN(ts) AS f_view FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         fc AS (SELECT e.user_id, MIN(e.ts) AS f_click
+                FROM e JOIN fv ON e.user_id = fv.user_id
+                WHERE e.event_type = 'click' AND e.ts > fv.f_view GROUP BY e.user_id),
+         fp AS (SELECT e.user_id, MIN(e.ts) AS f_purchase
+                FROM e JOIN fc ON e.user_id = fc.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > fc.f_click GROUP BY e.user_id),
+         n AS (SELECT (SELECT COUNT(*) FROM fv) AS n1,
+                      (SELECT COUNT(*) FROM fc) AS n2,
+                      (SELECT COUNT(*) FROM fp) AS n3)
+         SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+                CAST(n1 AS BIGINT) AS n_users, CAST(1.0 AS DOUBLE) AS conv_from_prev FROM n
+         UNION ALL SELECT 2, 'click_after_view', n2, CAST(n2 AS DOUBLE) / n1 FROM n
+         UNION ALL SELECT 3, 'purchase_after_click', n3, CAST(n3 AS DOUBLE) / n2 FROM n
+         ORDER BY stage_idx""",
     "a15_quantiles" ->
       """SELECT l_returnflag,
                 quantile_cont(l_extendedprice, 0.5) AS p50,

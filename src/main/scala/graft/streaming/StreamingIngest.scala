@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.etl.{CurrencyConverter, Ddl, Pipeline, Standardizer, Upsert}
@@ -22,6 +22,23 @@ final case class Candle(
     n: Long,
     open_ts: Long, // epoch micros of the earliest event seen
     close_ts: Long) // epoch micros of the latest event seen
+
+/** Ongoing-session accumulator — flatMapGroupsWithState state for
+  * [[StreamingIngest.sessionCloser]].
+  */
+final case class SessionAcc(start_us: Long, last_us: Long, n: Long, sum: Double)
+
+/** A closed user session, emitted exactly once: either a later event for the
+  * same user exceeded the silence gap (split) or the event-time watermark
+  * passed `last event + gap` (timeout). `end_us` carries `session_window`'s
+  * end semantics (last event + gap).
+  */
+final case class ClosedSession(
+    user_id: Long,
+    start_us: Long,
+    end_us: Long,
+    n: Long,
+    sum_value: Double)
 
 /** Incremental/streaming mode (SURVEY.md §7 Phase 3).
   *
@@ -119,6 +136,79 @@ object StreamingIngest {
           st.update(c)
           c
       }
+  }
+
+  /** Timeout-driven session closer (`flatMapGroupsWithState` +
+    * `EventTimeTimeout`): per-user sessions separated by a silence gap,
+    * emitted in Append mode EXACTLY once, the moment they are provably
+    * complete — by split (a later event for the user exceeds the gap) or by
+    * timeout (the event-time watermark passes `last + gap`).
+    *
+    * This is the custom-state pattern `session_window` cannot express:
+    * `session_window` only re-emits a group's aggregate under Update mode or
+    * holds it until the watermark under Append, while arbitrary state lets
+    * the operator OWN the close decision and emit a finished session to a
+    * downstream sink immediately. State per user is one small fixed-size
+    * accumulator, and the watermark bounds how long it can live — state
+    * size is O(active users), never O(history), which is what survives an
+    * unbounded stream.
+    *
+    * Convergence: within a micro-batch events are sorted by event time, and
+    * open/close ride on remembered event times, so any batch packing of the
+    * same ordered stream yields the same closed sessions (StreamingSpec
+    * proves equality against the batch `session_window` aggregation).
+    */
+  def sessionCloser(
+      events: DataFrame,
+      tsCol: String,
+      lateness: String,
+      gapMinutes: Int): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val typed = events
+      .withWatermark(tsCol, lateness)
+      // keep the watermarked timestamp column alongside its micros so the
+      // event-time watermark attribute survives into the stateful operator
+      .select(col("user_id").cast("long"), unix_micros(col(tsCol)).as("ts_us"),
+        col("value").cast("double"), col(tsCol).as("evt_ts"))
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (user: Long, it: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+            st: GroupState[SessionAcc]) => {
+          def emit(s: SessionAcc) =
+            ClosedSession(user, s.start_us, s.last_us + gapUs, s.n, s.sum)
+          if (st.hasTimedOut) {
+            val out = st.getOption.map(emit).toList
+            st.remove()
+            out.iterator
+          } else {
+            var closed = List.empty[ClosedSession]
+            var cur = st.getOption
+            it.toSeq.sortBy(_._2).foreach { case (_, t, v, _) =>
+              cur = cur match {
+                case None => Some(SessionAcc(t, t, 1L, v))
+                case Some(s) if t - s.last_us <= gapUs =>
+                  Some(SessionAcc(math.min(s.start_us, t), math.max(s.last_us, t),
+                    s.n + 1L, s.sum + v))
+                case Some(s) =>
+                  closed ::= emit(s)
+                  Some(SessionAcc(t, t, 1L, v))
+              }
+            }
+            cur.foreach { s =>
+              st.update(s)
+              // event-time timeouts must be set strictly beyond the current
+              // watermark; a session already older than the watermark closes
+              // on the next firing either way
+              st.setTimeoutTimestamp(
+                math.max(s.last_us / 1000L + gapMinutes.toLong * 60000L,
+                  st.getCurrentWatermarkMs + 1L))
+            }
+            closed.reverse.iterator
+          }
+        })
   }
 
   /** Stream-stream interval join: clicks matched to the same user's

@@ -160,6 +160,26 @@ class DedupSpec extends SparkSuite {
     assert(c4.values.map(_._1).sum <= c3.values.map(_._1).sum)
   }
 
+  test("x15: coverage in [0,1], covers every doc, and planted near-dups score high") {
+    val cov = DedupQueries.x15DupSpanCoverage(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val nDocs = graft.Tables(spark, sf001, "documents").count()
+    assert(cov.size == nDocs, "one row per document, including zero-coverage docs")
+    cov.values.foreach { case (nTok, nDup, c) =>
+      assert(nDup >= 0 && nDup <= nTok)
+      assert(c >= 0.0 && c <= 1.0)
+    }
+    // the planted x4 near-dup pairs share long runs ⇒ both sides must show
+    // substantial duplicated-span coverage
+    val pairs = DedupQueries.x4NgramJaccard(spark, sf001).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      Seq(r.getLong(0), r.getLong(1)).foreach { id =>
+        assert(cov(id)._3 > 0.5, s"near-dup doc $id has coverage ${cov(id)._3}")
+      }
+    }
+  }
+
   test("x3: near-identical docs have small simhash hamming distance") {
     // the planted x4 near-dup pairs should be close in simhash space
     val pairs = DedupQueries.x4NgramJaccard(spark, sf001)

@@ -112,4 +112,24 @@ class QueriesSpec extends SparkSuite {
     assert(df.groupBy("o_custkey").count().filter(col("count") > 3).isEmpty)
     assert(df.filter(col("rnk") < 1 || col("rnk") > 3).isEmpty)
   }
+
+  test("a18: per-type counts cover the table; avg_k = sum_k / n exactly") {
+    val df = CoreQueries.a18JsonExtract(spark, sf001).collect()
+    val total = graft.Tables(spark, sf001, "events").count()
+    assert(df.map(_.getAs[Long]("n")).sum == total)
+    df.foreach { r =>
+      assert(r.getAs[Double]("avg_k") == r.getAs[Long]("sum_k").toDouble / r.getAs[Long]("n"))
+      assert(r.getAs[Long]("min_k") <= r.getAs[Long]("max_k"))
+    }
+  }
+
+  test("a19: funnel stages are monotonically non-increasing") {
+    val rows = CoreQueries.a19Funnel(spark, sf001).collect()
+    assert(rows.length == 3)
+    val ns = rows.sortBy(_.getAs[Long]("stage_idx")).map(_.getAs[Long]("n_users"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a }, s"funnel grew: ${ns.toSeq}")
+    assert(ns.head > 0, "no users entered the funnel at this SF")
+    rows.foreach(r => assert(r.getAs[Double]("conv_from_prev") >= 0.0 &&
+      r.getAs[Double]("conv_from_prev") <= 1.0))
+  }
 }

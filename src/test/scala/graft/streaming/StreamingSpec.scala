@@ -109,6 +109,49 @@ class StreamingSpec extends SparkSuite {
       "streaming candles differ from batch OHLC")
   }
 
+  test("flatMapGroupsWithState session closer emits each closed session exactly once") {
+    val schema = spark.read.parquet(landing).schema
+    val stream = StreamingIngest.readLanding(spark, landing, schema)
+    val q = StreamingIngest.sessionCloser(stream, "ts", "2 days", 30)
+      .writeStream
+      .format("memory").queryName("closed_sessions").outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt_closer")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("closed_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getDouble(4)))
+    // exactly-once: no session key emitted twice
+    assert(got.map(_._1).distinct.length == got.length, "a session was emitted twice")
+    val gotMap = got.toMap
+    val batch = spark.read.parquet(landing)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getDouble(4)))
+    val batchMap = batch.toMap
+    // every emitted session matches the batch session_window aggregate
+    assert(gotMap.keySet.subsetOf(batchMap.keySet), "emitted a session batch doesn't have")
+    gotMap.foreach { case (k, (n, sum)) =>
+      val (bn, bsum) = batchMap(k)
+      assert(n == bn, s"session $k: n $n vs batch $bn")
+      assert(math.abs(sum - bsum) < 1e-6, s"session $k: sum $sum vs batch $bsum")
+    }
+    // completeness sandwich: every session that MUST have closed was emitted —
+    // all but each user's final session close by split; sessions whose
+    // end passed the final watermark (max ts - lateness) close by timeout
+    val maxTsUs = spark.read.parquet(landing)
+      .agg(unix_micros(max(col("ts"))).as("m")).collect().head.getLong(0)
+    val wmMs = (maxTsUs - 2L * 24 * 3600 * 1000000L) / 1000L
+    val lastPerUser = batch.map(_._1).groupBy(_._1).map { case (_, ks) => ks.maxBy(_._2) }.toSet
+    val mustEmit = batch.map(_._1).filter(k =>
+      !lastPerUser.contains(k) || k._3 / 1000L < wmMs).toSet
+    assert(mustEmit.subsetOf(gotMap.keySet),
+      s"${mustEmit.diff(gotMap.keySet).size} provably-closed sessions not emitted")
+  }
+
   test("stream-stream interval join emits exactly the batch range-join pairs") {
     val schema = spark.read.parquet(landing).schema
     val stream = StreamingIngest.readLanding(spark, landing, schema)
