@@ -62,6 +62,66 @@ object MultimodalQueries {
         lit(1.0) - col("deduped_bytes").cast("double") / col("total_bytes"))
       .orderBy("source")
 
+  /** M5 — perceptual-hash near-dup pairs (the aHash family: average-hash
+    * over frame intensities, PDQ/pHash's cheap ancestor): per blob, a 32-bit
+    * fingerprint (bit i = frame i's intensity above the blob's mean), then
+    * near-dup pairs via banded blocking + Hamming verify. This is how image
+    * near-dup dedup actually runs at corpus scale — a pixel-exact digest
+    * (M1/M4) misses re-encodes, while perceptual bits survive them.
+    *
+    * The blob is first "resized" to exactly 32 segments (aHash resizes to
+    * 8x8 pixels for the same reason): uniform bit budget per blob, so short
+    * blobs don't collide on shared zero high bits. A 32-bit hash is a
+    * recall-oriented CANDIDATE generator — real pipelines chain a stronger
+    * verify behind it; hamming-0 here means "same coarse intensity
+    * profile", not byte equality.
+    *
+    * Exactness: frame intensity = integer byte sum; "above mean" compares
+    * `luma*32 > total` so no division ever happens — bit-identical across
+    * engines. Scale shape: fingerprints are one narrow pass (segment explode
+    * + doc-keyed sum); pairing is the X2/X3 recipe — 4 8-bit band buckets
+    * bound the join (band-equality candidates only), the Hamming cut runs on
+    * candidates, never all pairs.
+    */
+  def m5PerceptualNearDup(s: SparkSession, dir: String, maxHamming: Int = 4): DataFrame = {
+    // "resize" each blob to exactly 32 segments (stride = n_chars div 32;
+    // the sub-stride remainder is dropped) so every fingerprint carries 32
+    // meaningful bits — without the resize, short blobs would share runs of
+    // zero high bits and collide spuriously
+    val frames = t(s, dir, "documents")
+      .filter(col("n_chars") >= 32)
+      .select(col("doc_id"), col("text"), (col("n_chars") / 32).cast("int").as("stride"),
+        explode(expr("sequence(0, 31)")).as("idx"))
+      .select(col("doc_id"), col("idx"),
+        expr("""aggregate(split(substring(text, idx * stride + 1, stride), ''),
+                CAST(0 AS BIGINT), (a, c) -> a + ascii(c))""").as("luma"))
+    val hashes = frames
+      .groupBy(col("doc_id"))
+      .agg(sum(col("luma")).as("total"),
+        collect_list(struct(col("idx"), col("luma"))).as("fl"))
+      .select(col("doc_id"),
+        expr("""aggregate(fl, CAST(0 AS BIGINT),
+                (acc, f) -> acc + IF(f.luma * 32 > total,
+                                     shiftleft(CAST(1 AS BIGINT), f.idx), CAST(0 AS BIGINT)))""")
+          .as("phash"))
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      explode(expr(
+        """transform(sequence(0, 3),
+             b -> named_struct('band', b, 'bv', shiftright(phash, b * 8) & 255))""")).as("bb"))
+      .select(col("doc_id"), col("phash"), col("bb.band"), col("bb.bv"))
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.phash").as("ha"), col("r.phash").as("hb"))
+      .distinct()
+    cands
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** M3 — typed decode via mapPartitions (stubbed codec, real plumbing). */
   def m3DecodeStub(s: SparkSession, dir: String): DataFrame = {
     val blobs = t(s, dir, "documents")
@@ -73,7 +133,8 @@ object MultimodalQueries {
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_decode_stub" -> (m3DecodeStub _),
-    "m4_storage_stats" -> (m4StorageStats _))
+    "m4_storage_stats" -> (m4StorageStats _),
+    "m5_perceptual_neardup" -> (m5PerceptualNearDup(_, _, 4)))
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" ->
@@ -87,6 +148,34 @@ object MultimodalQueries {
          FROM (SELECT doc_id, text, unnest(range(0, n_chars, 50)) AS frame_off
                FROM documents WHERE n_chars > 0)
          ORDER BY doc_id, frame_off""",
+    "m5_perceptual_neardup" ->
+      """WITH frames AS (
+           SELECT doc_id, CAST(i AS INT) AS idx,
+                  list_sum(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(substr(text, CAST(i * (n_chars // 32) AS INT) + 1,
+                                                      CAST(n_chars // 32 AS INT)), ''),
+                      c -> CAST(ascii(c) AS BIGINT)))) AS luma
+           FROM (SELECT doc_id, text, n_chars, unnest(range(0, 32)) AS i
+                 FROM documents WHERE n_chars >= 32)),
+         hashes AS (
+           SELECT doc_id,
+                  CAST(SUM(CASE WHEN luma * 32 > total
+                       THEN (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS phash
+           FROM (SELECT doc_id, idx, luma,
+                        SUM(luma) OVER (PARTITION BY doc_id) AS total
+                 FROM frames)
+           GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, phash, b AS band, (phash >> (b * 8)) & 255 AS bv
+           FROM (SELECT doc_id, phash, unnest(range(0, 4)) AS b FROM hashes)),
+         cands AS (
+           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                  l.phash AS ha, r.phash AS hb
+           FROM banded l JOIN banded r
+             ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         FROM cands WHERE bit_count(xor(ha, hb)) <= 4
+         ORDER BY doc_a, doc_b""",
     "m4_storage_stats" ->
       """WITH per_digest AS (
            SELECT source, sha256(text) AS digest, COUNT(*) AS copies,

@@ -232,7 +232,38 @@ object TextQueries {
       .orderBy("source", "rnk")
   }
 
+  /** T10 — per-source lexical diversity (Gini–Simpson index):
+    * `1 - Σ c_t² / C²`, the probability that two independently drawn tokens
+    * from the source differ. A collapsing index is the cheapest detector of
+    * scraper loops, template floods, and mode-collapsed synthetic data —
+    * the per-source failure T9's drift ranking localizes to terms, this
+    * reduces to one comparable scalar.
+    *
+    * Exactness: token counts are integers; the squared sum accumulates in
+    * DECIMAL(38,0) (c² of a corpus-scale term count overflows int64 — ANSI
+    * Spark would throw, DuckDB widens to HUGEINT, engines diverge), and the
+    * ONLY division is the final double one, identical in both engines.
+    * Scale shape: one (source, term) aggregate (map-side partials absorb
+    * the heavy hitters), then a source-keyed reduce — vocab-bounded, never
+    * corpus².
+    */
+  def lexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_terms"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("sum_sq"))
+      .select(col("source"), col("n_tokens"), col("n_distinct_terms"),
+        (lit(1.0) - col("sum_sq").cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          .as("simpson_diversity"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_lexical_diversity" -> (lexicalDiversity _),
     "t9_term_drift" -> (termDrift(_, _, 20)),
     "t1_langid" -> (langId _),
     "t2_quality" -> (quality _),
@@ -244,6 +275,19 @@ object TextQueries {
     "t8_tfidf" -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "t10_lexical_diversity" ->
+      """WITH counts AS (
+           SELECT source, term, COUNT(*) AS c
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+                 FROM documents)
+           GROUP BY source, term)
+         SELECT source,
+                CAST(SUM(c) AS BIGINT) AS n_tokens,
+                COUNT(*) AS n_distinct_terms,
+                1.0 - CAST(SUM(c * c) AS DOUBLE)
+                  / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+                  AS simpson_diversity
+         FROM counts GROUP BY source ORDER BY source""",
     "t9_term_drift" ->
       """WITH toks AS (
            SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),

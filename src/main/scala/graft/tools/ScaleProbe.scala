@@ -76,6 +76,9 @@ object ScaleProbe {
       "x3_simhash" -> (x3Simhash _),
       "x4_ngram_jaccard" -> (x4NgramJaccard _),
       "x12_contamination" -> (x12Contamination _),
+      "x15_dupspan" -> ((s: SparkSession, d: String) => x15DupSpanCoverage(s, d, 8)),
+      "a18_json_extract" -> (a18JsonExtract _),
+      "a19_funnel" -> (a19Funnel _),
       "t7_repetition" -> (graft.text.TextQueries.repetition _),
       "t8_tfidf" -> (graft.text.TextQueries.tfidf _),
       "t9_term_drift" -> ((s: SparkSession, d: String) =>

@@ -79,4 +79,23 @@ class MultimodalSpec extends SparkSuite {
       assert(r.getAs[Long]("n") == (nchars + 49) / 50, "stride count")
     }
   }
+
+  test("m5: hamming bounded, blocking stays sub-quadratic, planted near-dups recalled") {
+    val pairs = MultimodalQueries.m5PerceptualNearDup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case ((a, b), h) =>
+      assert(a < b, "pair not canonically ordered")
+      assert(h >= 0 && h <= 4, s"hamming $h outside the cut")
+    }
+    val n = graft.Tables(spark, sf001, "documents").count()
+    assert(pairs.size < n * n / 100, "banded blocking should prune far below all-pairs")
+    // recall: most planted near-dup pairs (x4 ground truth) share the coarse
+    // intensity profile; length-shifted ones may legitimately miss
+    val planted = graft.dedup.DedupQueries.x4NgramJaccard(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(planted.nonEmpty)
+    val recalled = planted.count(pairs.contains)
+    assert(recalled * 2 >= planted.length,
+      s"perceptual recall too low: $recalled of ${planted.length} planted pairs")
+  }
 }

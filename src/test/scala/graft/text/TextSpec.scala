@@ -97,4 +97,24 @@ class TextSpec extends SparkSuite {
     assert(cntS == expCntS && cntC == expCntC)
     assert(math.abs(drift - (cntS.toDouble * totalC) / (totalS.toDouble * expCntC)) < 1e-12)
   }
+
+  test("t10: Simpson diversity bounded and consistent with a driver recount") {
+    val rows = TextQueries.lexicalDiversity(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nd, div) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct_terms"),
+        r.getAs[Double]("simpson_diversity"))
+      assert(nd >= 1 && nd <= n)
+      assert(div >= 0.0 && div < 1.0, s"diversity $div out of range")
+    }
+    // driver-side recount for one source
+    val src = rows.head.getString(0)
+    val counts = graft.Tables(spark, sf001, "documents")
+      .filter(col("source") === src)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").count().collect().map(_.getLong(1))
+    val n = counts.sum.toDouble
+    val expected = 1.0 - counts.map(c => c.toDouble * c).sum / (n * n)
+    assert(math.abs(rows.head.getAs[Double]("simpson_diversity") - expected) < 1e-12)
+  }
 }
