@@ -81,6 +81,31 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("a18: JSON extraction stays inside the scan's codegen span (no UDF, no extra exchange)") {
+    val p = plan(CoreQueries.a18JsonExtract(spark, sf001))
+    assert(p.contains("GetJsonObject") || p.contains("get_json_object"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "JSON path must be a native expression, not a UDF")
+    // one keyed aggregate: partial + final HashAggregate around ONE exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "a18 should shuffle once (event_type agg), nothing else")
+  }
+
+  test("x15: span aggregates are partial (map-side) before their shuffles") {
+    val p = plan(graft.dedup.DedupQueries.x15DupSpanCoverage(spark, sf001))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "span-df and coverage counts must map-side combine before the exchange")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("m5: banded candidate join is an equi-join, never a nested loop") {
+    val p = plan(graft.multimodal.MultimodalQueries.m5PerceptualNearDup(spark, sf001))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "band blocking must plan as an equi-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "hamming cut must run on band-bucket candidates, not all pairs")
+  }
+
   test("no accidental cartesian products anywhere in the surface") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sf001))
