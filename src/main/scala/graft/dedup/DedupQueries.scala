@@ -46,8 +46,16 @@ object DedupQueries {
     * files, and we never *reduce* partitioning here). The probe is
     * `inputFiles` — a driver-side file listing, NOT `df.rdd` (under AQE,
     * plan→RDD conversion can materialize shuffle stages at construction).
-    * A base-table scan plans at least one partition per (splittable) file,
-    * so files ≥ parallelism ⇒ the scan is already wide.
+    *
+    * Why a raw file COUNT is a sufficient probe: the only case it must
+    * catch is few-big-files (a 1-file table pinning the stage to one core).
+    * The converse many-small-files case needs no help from us — Spark's
+    * split packing already targets default parallelism there
+    * (`maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    * totalBytes / filesMinPartitionNum))`, with `filesMinPartitionNum`
+    * defaulting to the session parallelism, and each file padded by
+    * `openCostInBytes` — tiny files therefore spread to ~one per partition,
+    * never coalesce onto a few cores).
     */
   private def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
@@ -62,6 +70,16 @@ object DedupQueries {
     * cluster it lands on SHARED storage — a java.io.tmpdir path would be
     * driver-local and unreadable from executors. Callers only pass
     * candidate-bounded frames here (never corpus-scale subtrees).
+    *
+    * Deliberate consequences, not bugs: (a) each call writes a fresh
+    * UUID-named dir — eagerly deleting or overwriting a prior call's path
+    * would corrupt any still-alive LAZY reader returned earlier (the
+    * returned plan re-reads the files at every action), so superseded
+    * scratch persists until JVM exit, bounded at #invocations ×
+    * candidate-scale; (b) the write runs AT PLAN CONSTRUCTION (two bounded
+    * jobs for x2) — the whole point is that downstream consumers see a
+    * finished file instead of re-running the corpus explode, which is only
+    * possible if the file exists before the plan is handed out.
     */
   private def materialize(df: DataFrame, tag: String): DataFrame = {
     val s = df.sparkSession
@@ -408,9 +426,15 @@ object DedupQueries {
     * size) — the forced broadcast() is safe because the build side cannot
     * grow with the data; an unbounded eval set must drop the hint instead.
     */
+  /** Eval-set membership, shared by X12 and C4 so the contamination set and
+    * the exclusion filter can never silently diverge (a drifted pair would
+    * leak eval docs into the training mix with no error).
+    */
+  private[dedup] val isEval: Column =
+    col("doc_id") % 20 === 0 && col("doc_id") <= 10000
+
   def x12Contamination(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val isEval = col("doc_id") % 20 === 0 && col("doc_id") <= 10000
     val evalSh = shingles(docs.filter(isEval))
       .withColumnRenamed("doc_id", "eval_id")
     val corpusSh = shingles(docs.filter(!isEval))
@@ -461,7 +485,6 @@ object DedupQueries {
   def c4DecontaminatedBlend(s: SparkSession, dir: String): DataFrame = {
     import graft.queries.CoreQueries.{qualityScoreExpr, samplePctExpr, sampleRateExpr}
     val docs = t(s, dir, "documents")
-    val isEval = col("doc_id") % 20 === 0 && col("doc_id") <= 10000
     val contaminated = x12Contamination(s, dir).select(col("doc_id")).distinct()
     val reps = x9DedupClusters(s, dir)
       .filter(col("doc_id") === col("cluster_id")).select("doc_id")

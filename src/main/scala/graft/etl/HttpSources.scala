@@ -145,7 +145,9 @@ final class HttpBarSource(
     val wide = parseWideCsv(spark, body)
     val keep = wide.columns.toIndexedSeq.filter(c =>
       c == "ts" || tickers.exists(t => c.startsWith(s"$t:")))
-    wide.select(keep.map(org.apache.spark.sql.functions.col): _*)
+    // wide.col, not functions.col: dotted tickers ("BRK.B:Close") would
+    // otherwise parse as struct-field access and fail resolution
+    wide.select(keep.map(wide.col): _*)
   }
 
   private def withRetry[A](attempts: Int)(body: => A): A = {

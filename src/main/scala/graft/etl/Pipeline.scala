@@ -82,6 +82,27 @@ object Pipeline {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new org.apache.hadoop.fs.Path(path)
+    // Crash recovery FIRST: a previous migration can die between its two
+    // renames (cur→backup done, staged→cur not), leaving the table path
+    // missing. Without healing, the next run would treat the table as absent
+    // and write ONLY the incremental batch — silently stranding all history
+    // in __premigrate. If the staged copy exists, finish the swap; otherwise
+    // roll the backup straight back.
+    locally {
+      val backup = new org.apache.hadoop.fs.Path(path + "__premigrate")
+      val staged = new org.apache.hadoop.fs.Path(path + "__migrate")
+      if (fs.exists(backup)) {
+        if (!fs.exists(cur)) {
+          val src = if (fs.exists(staged)) staged else backup
+          if (!fs.rename(src, cur))
+            throw new java.io.IOException(s"migration recovery failed for $path")
+        }
+        // cur exists now (recovered or the crash was post-swap): the backup
+        // and any leftover staging are superseded
+        fs.delete(backup, true)
+      }
+      if (fs.exists(staged)) fs.delete(staged, true)
+    }
     if (!fs.exists(cur)) return
     val entries = fs.listStatus(cur).map(_.getPath.getName)
     val legacy = !entries.exists(_.startsWith("p_date=")) &&

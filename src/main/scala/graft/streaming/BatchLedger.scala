@@ -47,8 +47,11 @@ object BatchLedger {
           // The race is benign exactly when the table now exists; anything
           // else propagates.
           case e: SQLException =>
+            // same catalog/schema scoping as the initial probe: an unscoped
+            // lookup could find a same-named table in another schema and
+            // swallow a genuine CREATE failure
             val nowExists = Seq(Table.toUpperCase, Table.toLowerCase).exists { t =>
-              val r = conn.getMetaData.getTables(null, null, t, null)
+              val r = conn.getMetaData.getTables(catalog.orNull, schema.orNull, t, null)
               try r.next() finally r.close()
             }
             if (!nowExists) throw e

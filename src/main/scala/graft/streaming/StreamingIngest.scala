@@ -153,10 +153,21 @@ object StreamingIngest {
     * size is O(active users), never O(history), which is what survives an
     * unbounded stream.
     *
-    * Convergence: within a micro-batch events are sorted by event time, and
-    * open/close ride on remembered event times, so any batch packing of the
-    * same ordered stream yields the same closed sessions (StreamingSpec
-    * proves equality against the batch `session_window` aggregation).
+    * Convergence contract: within a micro-batch events are sorted by event
+    * time, so in-batch disorder is fully absorbed; across micro-batches the
+    * operator assumes per-key event-time-ordered delivery (what a
+    * per-key-partitioned log or an AvailableNow file drain provides), and
+    * under that contract any batch packing of the same stream yields the
+    * same closed sessions (StreamingSpec proves equality against the batch
+    * `session_window` aggregation). A cross-batch straggler that lands
+    * inside the open session's gap-extended window merges into it; one
+    * older than `start - gap` is emitted as its own closed single-event
+    * session (its window is provably over) instead of corrupting the open
+    * session — data is never dropped, but an unordered source can split
+    * what batch `session_window` would merge; sources that need exact
+    * batch parity under arbitrary disorder should use the watermarked
+    * `session_window` aggregation instead and accept watermark-delayed
+    * emission.
     */
   def sessionCloser(
       events: DataFrame,
@@ -189,6 +200,15 @@ object StreamingIngest {
             it.toSeq.sortBy(_._2).foreach { case (_, t, v, _) =>
               cur = cur match {
                 case None => Some(SessionAcc(t, t, 1L, v))
+                case Some(s) if t < s.start_us - gapUs =>
+                  // cross-batch straggler from a window BEFORE the open
+                  // session: without this guard, `t - last <= gap` is
+                  // vacuously true for any t < last and the straggler would
+                  // silently stretch the open session backwards. Emit it as
+                  // its own closed session (its window is already over) and
+                  // leave the open session untouched.
+                  closed ::= ClosedSession(user, t, t + gapUs, 1L, v)
+                  Some(s)
                 case Some(s) if t - s.last_us <= gapUs =>
                   Some(SessionAcc(math.min(s.start_us, t), math.max(s.last_us, t),
                     s.n + 1L, s.sum + v))
@@ -377,8 +397,14 @@ object StreamingIngest {
       props: java.util.Properties = new java.util.Properties()): Boolean = {
     // ensure() is a one-time bootstrap; paying a connection + metadata probe
     // on EVERY micro-batch would be pure overhead. Memoized per URL within
-    // the process; ensure stays idempotent across processes regardless.
-    if (ensuredUrls.add(url)) BatchLedger.ensure(url, props)
+    // the process — but only AFTER success: memoizing a failed bootstrap
+    // (DB briefly unreachable) would wedge every later batch on a missing
+    // ledger table until process restart. ensure stays idempotent, so a
+    // concurrent double-run is benign.
+    if (!ensuredUrls.contains(url)) {
+      BatchLedger.ensure(url, props)
+      ensuredUrls.add(url)
+    }
     if (BatchLedger.alreadyApplied(url, sinkId, batchId, props)) false
     else {
       Upsert.upsertJdbc(

@@ -255,7 +255,10 @@ object TextQueries {
       .groupBy(col("source"))
       .agg(sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_distinct_terms"),
-        sum((col("c") * col("c")).cast("decimal(38,0)")).as("sum_sq"))
+        // cast BEFORE multiplying: long*long would overflow for a term with
+        // > ~3.04e9 occurrences in one source (a stopword at corpus scale)
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .as("sum_sq"))
       .select(col("source"), col("n_tokens"), col("n_distinct_terms"),
         (lit(1.0) - col("sum_sq").cast("double") /
           (col("n_tokens").cast("double") * col("n_tokens").cast("double")))

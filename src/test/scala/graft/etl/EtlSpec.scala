@@ -275,6 +275,39 @@ class EtlSpec extends SparkSuite {
       .select($"close_usd").head.getDouble(0) == 21000.5 * 1.14)
   }
 
+  test("Pipeline: interrupted migration swap heals on the next run (no silent history loss)") {
+    val dir = Files.createTempDirectory("graft_migrate_crash").toString + "/quotes"
+    val rates = new StaticRateProvider(Map(
+      ("EUR", d("2025-04-17")) -> 1.14,
+      ("GBP", d("2025-04-17")) -> 1.33,
+      ("EUR", d("2025-04-18")) -> 1.15))
+    val converted = CurrencyConverter.convertWithProvider(
+      spark, Standardizer.standardize(bars, dim), rates, "USD")
+    converted.write.parquet(dir)
+    // Simulate a crash BETWEEN the migration's two renames: the legacy table
+    // was parked at __premigrate, the staged partitioned copy exists, and
+    // the table path itself is GONE.
+    val staged = converted.withColumn("p_date", to_date($"timestamp_utc"))
+    staged.write.partitionBy("p_date").parquet(dir + "__migrate")
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "__premigrate")))
+    assert(!new java.io.File(dir).exists())
+    // Next run must finish the swap and keep ALL history, not just the batch.
+    val m = Pipeline.run(spark, bars, dim, rates, dir)
+    assert(m.rows == 7)
+    val state = spark.read.parquet(dir)
+    assert(state.count() == 7, "healed table must carry the full history")
+    assert(!new java.io.File(dir + "__premigrate").exists(), "backup cleaned up")
+    assert(!new java.io.File(dir + "__migrate").exists(), "staging cleaned up")
+    // And the roll-BACK face: table gone, backup parked, NO staged copy.
+    val dir2 = Files.createTempDirectory("graft_migrate_crash2").toString + "/quotes"
+    converted.write.parquet(dir2)
+    assert(new java.io.File(dir2).renameTo(new java.io.File(dir2 + "__premigrate")))
+    val m2 = Pipeline.run(spark, bars, dim, rates, dir2)
+    assert(m2.rows == 7)
+    assert(spark.read.parquet(dir2).count() == 7,
+      "rolled-back table must carry the full history")
+  }
+
   test("Pipeline: E1→E2→E3 end-to-end with observed audit metrics, idempotent") {
     val dir = Files.createTempDirectory("graft_pipeline").toString + "/quotes"
     val rates = new StaticRateProvider(Map(
