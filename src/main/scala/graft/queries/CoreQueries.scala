@@ -224,6 +224,33 @@ object CoreQueries {
       .orderBy("user_id", "day")
   }
 
+  /** E9 — cross-sectional momentum ranking: each series' trailing 20-day
+    * return, re-ranked across the universe per day (the standard relative-
+    * momentum factor consumer query). Two chained windows on DIFFERENT
+    * keys — lag() partitioned by series, then row_number() partitioned by
+    * day — i.e. exactly two exchanges at any scale; the per-day ranking
+    * partition is bounded by universe size, never by history length. All
+    * arithmetic is per-row IEEE on identical operands (lag is exact, the
+    * return is one division), and rank ties break on user_id, so the
+    * oracle hash-matches bitwise.
+    */
+  def e9MomentumRank(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(expr("max_by(value, ts)").as("close"))
+    val wSeries = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(col("mom20").desc, col("user_id"))
+    daily
+      .withColumn("close_lag20", lag(col("close"), 20).over(wSeries))
+      .filter(col("close_lag20").isNotNull && col("close_lag20") =!= 0.0)
+      .withColumn("mom20", col("close") / col("close_lag20") - lit(1.0))
+      .withColumn("mom_rank", row_number().over(wDay))
+      .select(col("day"), col("mom_rank"), col("user_id"), col("close"),
+        col("mom20"))
+      .orderBy("day", "mom_rank")
+  }
+
   // ------------------------------------------------------------------ Q-*
 
   /** Q-recent: latest 5 rows for one key (reference `README.md:322-332`).
@@ -663,6 +690,25 @@ object CoreQueries {
       .orderBy("stage_idx")
   }
 
+  /** A20 — fixed-width histogram: order totals bucketed into 25k-wide bins
+    * with per-bin count/mass/mean — the profiling query behind every data-
+    * distribution dashboard. The bucket id is a narrow per-row projection
+    * (floor of one division — no width_bucket builtin needed, and the
+    * arithmetic is engine-portable IEEE), so the whole histogram is ONE
+    * map-side-combined aggregate over ≤ ~20 groups: at 100 TB the shuffle
+    * carries #partitions × #buckets rows, nothing more.
+    */
+  def a20Histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("bucket", floor(col("o_totalprice") / lit(25000.0)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 4).as("sum_price"))
+      .select(col("bucket"), (col("bucket") * lit(25000.0)).as("bucket_lo"),
+        col("n_orders"), col("sum_price"),
+        (col("sum_price") / col("n_orders").cast("double")).as("avg_price"))
+      .orderBy("bucket")
+
   /** The C-family blended quality score (shared by C1 and C3 so their
     * semantics cannot diverge); requires a `toks = split(text, ' ')` column
     * alongside `text`.
@@ -727,6 +773,7 @@ object CoreQueries {
     "e6_rolling_vol" -> (e6RollingVol _),
     "e7_correlation" -> (e7Correlation _),
     "e8_drawdown" -> (e8Drawdown _),
+    "e9_momentum_rank" -> (e9MomentumRank _),
     "q_recent" -> (qRecent _),
     "q_day" -> (qDay _),
     "q_dim" -> (qDim _),
@@ -756,6 +803,7 @@ object CoreQueries {
     "a17_interval_join" -> (a17IntervalJoin _),
     "a18_json_extract" -> (a18JsonExtract _),
     "a19_funnel" -> (a19Funnel _),
+    "a20_histogram" -> (a20Histogram _),
     "c1_curation" -> (c1Curation _),
     "c2_stratified_sample" -> (c2StratifiedSample _))
 
@@ -859,6 +907,32 @@ object CoreQueries {
                 / MAX(close) OVER (PARTITION BY user_id ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS drawdown
          FROM daily ORDER BY user_id, day""",
+    "e9_momentum_rank" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  arg_max(value, CAST(ts AS TIMESTAMP)) AS close
+           FROM events GROUP BY user_id, CAST(ts AS DATE)),
+         mom AS (
+           SELECT user_id, day, close,
+                  lag(close, 20) OVER (PARTITION BY user_id ORDER BY day) AS close_lag20
+           FROM daily),
+         r AS (
+           SELECT user_id, day, close, close / close_lag20 - 1.0 AS mom20
+           FROM mom WHERE close_lag20 IS NOT NULL AND close_lag20 <> 0.0)
+         SELECT day, row_number() OVER (PARTITION BY day
+                  ORDER BY mom20 DESC, user_id) AS mom_rank,
+                user_id, close, mom20
+         FROM r ORDER BY day, mom_rank""",
+    "a20_histogram" ->
+      """WITH b AS (
+           SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+                  o_totalprice
+           FROM orders)
+         SELECT bucket, bucket * 25000.0 AS bucket_lo, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_price,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE)
+                  / COUNT(*) AS avg_price
+         FROM b GROUP BY bucket ORDER BY bucket""",
     "q_recent" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS timestamp_utc, user_id, value
          FROM events WHERE event_type = 'click'

@@ -106,6 +106,22 @@ class PlanSpec extends SparkSuite {
       "hamming cut must run on band-bucket candidates, not all pairs")
   }
 
+  test("e9: exactly two window passes (series key, then day key), no join") {
+    val p = plan(CoreQueries.e9MomentumRank(spark, sf001))
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      "cross-sectional re-rank must be a re-partition, not a self-join")
+  }
+
+  test("a20: histogram is a partial aggregate reading only the bucketed column") {
+    val p = plan(CoreQueries.a20Histogram(spark, sf001))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "bucket counts must map-side combine before the exchange")
+    assert(!p.contains("o_orderdate") && !p.contains("o_custkey"),
+      "scan reads columns the histogram never uses")
+  }
+
   test("no accidental cartesian products anywhere in the surface") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sf001))

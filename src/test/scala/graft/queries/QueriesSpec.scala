@@ -132,4 +132,29 @@ class QueriesSpec extends SparkSuite {
     rows.foreach(r => assert(r.getAs[Double]("conv_from_prev") >= 0.0 &&
       r.getAs[Double]("conv_from_prev") <= 1.0))
   }
+
+  test("e9: ranks are a 1..n permutation per day, ordered by descending momentum") {
+    val rows = CoreQueries.e9MomentumRank(spark, sf001).collect()
+    assert(rows.nonEmpty, "need ≥21 days of history at this SF for a 20-day lag")
+    rows.groupBy(_.getDate(0)).foreach { case (day, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to rs.length),
+        s"$day: ranks not a dense 1..n permutation")
+      val moms = byRank.map(_.getAs[Double]("mom20"))
+      assert(moms.zip(moms.tail).forall { case (a, b) => a >= b },
+        s"$day: momentum not descending in rank")
+    }
+  }
+
+  test("a20: buckets partition all orders and bounds hold within each") {
+    val df = CoreQueries.a20Histogram(spark, sf001).collect()
+    val orders = graft.Tables(spark, sf001, "orders")
+    assert(df.map(_.getAs[Long]("n_orders")).sum == orders.count())
+    df.foreach { r =>
+      val lo = r.getAs[Double]("bucket_lo")
+      val avg = r.getAs[Double]("avg_price")
+      assert(avg >= lo && avg < lo + 25000.0,
+        s"bucket ${r.getAs[Long]("bucket")}: avg $avg outside [$lo, ${lo + 25000})")
+    }
+  }
 }
