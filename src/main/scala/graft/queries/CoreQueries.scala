@@ -762,6 +762,47 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
 
+  /** C5 — greedy sequence packing: assign documents (in stable doc_id order
+    * within each source) to fixed token-budget training sequences, starting
+    * a new sequence when the next document would overflow; an oversize
+    * document gets a sequence of its own. This is the packing step every
+    * LLM pretraining pipeline runs before sharding, and it is inherently a
+    * prefix-dependent recurrence (each decision depends on accumulated
+    * waste), so no window function expresses it — the Spark-honest shape is
+    * one shuffle to co-locate the packing key, a sort within partitions,
+    * and a STREAMING `mapPartitions` carrying three scalars of state (O(1)
+    * memory per partition, never a per-group `toSeq`). Parallelism is
+    * bounded by the packing key's cardinality; since packing units are
+    * arbitrary, a corpus-scale run salts the key to (source, shard) — the
+    * recurrence never crosses the key, so the salt changes nothing but
+    * parallelism. Oracle: the same recurrence as a DuckDB recursive CTE.
+    * All columns are integers — the hash compare is exact by construction.
+    */
+  def c5SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val budget = 512L
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[(String, Long, Long)]
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .mapPartitions { it =>
+        var src: String = null
+        var seq = 0L
+        var fill = 0L
+        it.map { case (source, docId, n) =>
+          var off = 0L
+          if (source != src) { src = source; seq = 0L; fill = n }
+          else if (fill + n <= budget) { off = fill; fill += n }
+          else { seq += 1L; fill = n }
+          (source, docId, seq, off, n)
+        }
+      }
+      .toDF("source", "doc_id", "seq_id", "tok_offset", "n_tokens")
+      .orderBy("source", "doc_id")
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -805,7 +846,8 @@ object CoreQueries {
     "a19_funnel" -> (a19Funnel _),
     "a20_histogram" -> (a20Histogram _),
     "c1_curation" -> (c1Curation _),
-    "c2_stratified_sample" -> (c2StratifiedSample _))
+    "c2_stratified_sample" -> (c2StratifiedSample _),
+    "c5_sequence_packing" -> (c5SequencePacking _))
 
   /** DuckDB oracle SQL, aligned column-for-column with the Spark plans. */
   val oracles: Map[String, String] = Map(
@@ -1162,5 +1204,27 @@ object CoreQueries {
          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
                < (CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50
                             WHEN 'es' THEN 25 ELSE 10 END)
-         GROUP BY lang ORDER BY lang""")
+         GROUP BY lang ORDER BY lang""",
+    "c5_sequence_packing" ->
+      """WITH RECURSIVE docs AS (
+           SELECT source, doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents),
+         pack AS (
+           SELECT source, doc_id, n_tokens, rn,
+                  CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS tok_offset,
+                  n_tokens AS fill
+           FROM docs WHERE rn = 1
+           UNION ALL
+           SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+                  CASE WHEN p.fill + d.n_tokens <= 512 THEN p.seq_id
+                       ELSE p.seq_id + 1 END,
+                  CASE WHEN p.fill + d.n_tokens <= 512 THEN p.fill
+                       ELSE CAST(0 AS BIGINT) END,
+                  CASE WHEN p.fill + d.n_tokens <= 512 THEN p.fill + d.n_tokens
+                       ELSE d.n_tokens END
+           FROM docs d JOIN pack p ON d.source = p.source AND d.rn = p.rn + 1)
+         SELECT source, doc_id, seq_id, tok_offset, n_tokens
+         FROM pack ORDER BY source, doc_id""")
 }

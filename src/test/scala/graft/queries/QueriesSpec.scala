@@ -146,6 +146,32 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("c5: packing matches a sequential replay; no bin overflows except oversize singletons") {
+    val rows = CoreQueries.c5SequencePacking(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val budget = 512L
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val inOrder = rs.sortBy(_.getLong(1))
+      // replay the recurrence on the driver and demand exact agreement
+      var seq = 0L; var fill = 0L; var first = true
+      inOrder.foreach { r =>
+        val n = r.getAs[Long]("n_tokens")
+        var off = 0L
+        if (first) { first = false; fill = n }
+        else if (fill + n <= budget) { off = fill; fill += n }
+        else { seq += 1; fill = n }
+        assert(r.getAs[Long]("seq_id") == seq && r.getAs[Long]("tok_offset") == off,
+          s"$src doc ${r.getLong(1)}: got (${r.getAs[Long]("seq_id")},${r.getAs[Long]("tok_offset")}), replay says ($seq,$off)")
+      }
+      // every bin fits the budget unless it is a single oversize document
+      inOrder.groupBy(_.getAs[Long]("seq_id")).foreach { case (sid, bin) =>
+        val tot = bin.map(_.getAs[Long]("n_tokens")).sum
+        assert(tot <= budget || bin.length == 1,
+          s"$src seq $sid overflows with ${bin.length} docs / $tot tokens")
+      }
+    }
+  }
+
   test("a20: buckets partition all orders and bounds hold within each") {
     val df = CoreQueries.a20Histogram(spark, sf001).collect()
     val orders = graft.Tables(spark, sf001, "orders")
