@@ -561,9 +561,85 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** X16 — cross-source overlap matrix: for every pair of sources, how many
+    * distinct 8-token spans they share, and the span-set Jaccard. This is
+    * the provenance telemetry that catches mirror sites, aggregator scrapes,
+    * and re-crawled feeds BEFORE per-document dedup runs — at the source
+    * granularity a curation decision is actually made at (drop/downweight a
+    * source, not a million individual docs).
+    *
+    * Scale shape: distinct (source, span-digest) is one hash aggregate
+    * (spans are md5'd FIRST so the exchange carries fixed 16-byte keys, not
+    * 40-char strings); the pair join is keyed on the digest, and after the
+    * distinct each span appears at most once per source, so a span shared
+    * by k sources costs k(k-1)/2 rows — bounded by #sources², never #docs².
+    * Per-source totals broadcast back. Nothing here is corpus-quadratic.
+    */
+  def x16SourceOverlap(s: SparkSession, dir: String, spanLen: Int = 8): DataFrame = {
+    val spans = t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= spanLen)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(0, size(ws) - $spanLen), i -> md5(concat_ws(' ', slice(ws, i + 1, $spanLen))))"))
+        .as("h"))
+      .distinct()
+    val sizes = spans.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    spans.as("a")
+      .join(spans.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("shared_spans"))
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+      .select(col("s1"), col("s2"), col("shared_spans"), col("n1"), col("n2"),
+        (col("shared_spans").cast("double") /
+          (col("n1") + col("n2") - col("shared_spans")).cast("double"))
+          .as("span_jaccard"))
+      .orderBy("s1", "s2")
+  }
+
+  /** X17 — incremental-crawl novelty: for each document of the "new batch",
+    * the fraction of its distinct 8-token spans that do NOT appear anywhere
+    * in the "existing corpus" — the score an incremental ingest uses to
+    * decide whether a crawled page adds anything before admitting it. The
+    * snapshot boundary here is a deterministic doc_id split (even = already
+    * ingested, odd = new batch); production swaps in the real snapshot
+    * predicate — nothing else changes.
+    *
+    * This is deliberately the OTHER contamination shape from X12: there the
+    * eval set is bounded-by-construction so its shingles broadcast; here
+    * BOTH sides are corpus-scale, so the honest plan is a digest-keyed
+    * shuffle LEFT ANTI join (novel spans survive) feeding a doc-keyed
+    * count, plus one doc-keyed span total — every exchange is keyed, nothing
+    * pairwise, and spans travel as fixed-width md5 digests, not 40-char
+    * strings.
+    */
+  def x17IncrementalNovelty(s: SparkSession, dir: String, spanLen: Int = 8): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("ws", split(col("text"), " "))
+    def spans(half: Column => Column) = docs
+      .filter(half(col("doc_id")) && size(col("ws")) >= spanLen)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws) - $spanLen), i -> md5(concat_ws(' ', slice(ws, i + 1, $spanLen))))"))
+        .as("h"))
+      .distinct()
+    val newSpans = spans(_ % 2 === 1)
+    val oldSpans = spans(_ % 2 === 0).select("h").distinct()
+    val totals = newSpans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val novel = newSpans.join(oldSpans, Seq("h"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_spans").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_exact_dedup" -> (x1ExactDedup _),
     "x15_dupspan" -> (x15DupSpanCoverage(_, _, 8)),
+    "x16_source_overlap" -> (x16SourceOverlap(_, _, 8)),
+    "x17_incremental_novelty" -> (x17IncrementalNovelty(_, _, 8)),
     "x2_minhash_lsh" -> (x2MinhashLsh _),
     "x3_simhash" -> (x3Simhash _),
     "x4_ngram_jaccard" -> (x4NgramJaccard _),
@@ -652,6 +728,44 @@ object DedupQueries {
       """SELECT MIN(doc_id) AS canonical_id, sha256(text) AS content_hash,
                 COUNT(*) AS n_copies
          FROM documents GROUP BY sha256(text) ORDER BY canonical_id""",
+    "x17_incremental_novelty" ->
+      """WITH sp AS (
+           SELECT DISTINCT doc_id,
+                  md5(array_to_string(list_slice(ws, i + 1, i + 8), ' ')) AS h
+           FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 7)) AS i
+                 FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+                 WHERE len(ws) >= 8)),
+         new_sp AS (SELECT doc_id, h FROM sp WHERE doc_id % 2 = 1),
+         old_sp AS (SELECT DISTINCT h FROM sp WHERE doc_id % 2 = 0),
+         totals AS (SELECT doc_id, COUNT(*) AS n_spans FROM new_sp GROUP BY doc_id),
+         novel AS (
+           SELECT doc_id, COUNT(*) AS n_novel
+           FROM new_sp ANTI JOIN old_sp USING (h)
+           GROUP BY doc_id)
+         SELECT t.doc_id, t.n_spans,
+                CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
+                CAST(COALESCE(v.n_novel, 0) AS DOUBLE) / CAST(t.n_spans AS DOUBLE)
+                  AS novelty
+         FROM totals t LEFT JOIN novel v ON t.doc_id = v.doc_id
+         ORDER BY t.doc_id""",
+    "x16_source_overlap" ->
+      """WITH spans AS (
+           SELECT DISTINCT source,
+                  md5(array_to_string(list_slice(ws, i + 1, i + 8), ' ')) AS h
+           FROM (SELECT source, ws, unnest(range(0, len(ws) - 7)) AS i
+                 FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+                 WHERE len(ws) >= 8)),
+         sizes AS (SELECT source, COUNT(*) AS n FROM spans GROUP BY source),
+         pairs AS (
+           SELECT a.source AS s1, b.source AS s2, COUNT(*) AS shared_spans
+           FROM spans a JOIN spans b ON a.h = b.h AND a.source < b.source
+           GROUP BY a.source, b.source)
+         SELECT p.s1, p.s2, p.shared_spans, x.n AS n1, y.n AS n2,
+                CAST(p.shared_spans AS DOUBLE)
+                  / CAST(x.n + y.n - p.shared_spans AS DOUBLE) AS span_jaccard
+         FROM pairs p JOIN sizes x ON p.s1 = x.source
+              JOIN sizes y ON p.s2 = y.source
+         ORDER BY p.s1, p.s2""",
     "x2_minhash_lsh" ->
       s"""WITH $shingleSql,
          hx AS (SELECT doc_id, shingle,

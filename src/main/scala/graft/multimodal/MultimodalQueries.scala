@@ -122,6 +122,30 @@ object MultimodalQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** M6 — chunk-level dedup telemetry: blobs sliced into fixed 64-byte
+    * chunks, per-source distinct-chunk ratios — the fixed-size-chunking
+    * storage-dedup estimate (the cheap cousin of content-defined chunking)
+    * that catches partial blob overlap M4's whole-blob digests can't see
+    * (re-muxed containers, appended metadata, shared preambles). Scale
+    * shape: chunking is a narrow explode (fan-out = bytes/64, linear in
+    * corpus bytes), then two stacked keyed aggregates — (source, chunk)
+    * partials absorb repeats map-side, never anything pairwise.
+    */
+  def m6ChunkDedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, CAST((n_chars - 1) div 64 AS INT)), i -> md5(substring(text, i * 64 + 1, 64)))"))
+        .as("chunk_md5"))
+      .groupBy(col("source"), col("chunk_md5"))
+      .agg(count(lit(1)).as("copies"))
+      .groupBy(col("source"))
+      .agg(sum(col("copies")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"))
+      .withColumn("chunk_dedup_ratio",
+        lit(1.0) - col("n_distinct_chunks").cast("double") / col("n_chunks").cast("double"))
+      .orderBy("source")
+
   /** M3 — typed decode via mapPartitions (stubbed codec, real plumbing). */
   def m3DecodeStub(s: SparkSession, dir: String): DataFrame = {
     val blobs = t(s, dir, "documents")
@@ -134,7 +158,8 @@ object MultimodalQueries {
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_decode_stub" -> (m3DecodeStub _),
     "m4_storage_stats" -> (m4StorageStats _),
-    "m5_perceptual_neardup" -> (m5PerceptualNearDup(_, _, 4)))
+    "m5_perceptual_neardup" -> (m5PerceptualNearDup(_, _, 4)),
+    "m6_chunk_dedup" -> (m6ChunkDedup _))
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" ->
@@ -176,6 +201,21 @@ object MultimodalQueries {
          SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          FROM cands WHERE bit_count(xor(ha, hb)) <= 4
          ORDER BY doc_a, doc_b""",
+    "m6_chunk_dedup" ->
+      """WITH chunks AS (
+           SELECT source,
+                  md5(substr(text, CAST(i * 64 AS INT) + 1, 64)) AS chunk_md5
+           FROM (SELECT source, text, unnest(range(0, (n_chars - 1) // 64 + 1)) AS i
+                 FROM documents WHERE n_chars > 0)),
+         per_chunk AS (
+           SELECT source, chunk_md5, COUNT(*) AS copies
+           FROM chunks GROUP BY source, chunk_md5)
+         SELECT source,
+                CAST(SUM(copies) AS BIGINT) AS n_chunks,
+                COUNT(*) AS n_distinct_chunks,
+                1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(copies) AS DOUBLE)
+                  AS chunk_dedup_ratio
+         FROM per_chunk GROUP BY source ORDER BY source""",
     "m4_storage_stats" ->
       """WITH per_digest AS (
            SELECT source, sha256(text) AS digest, COUNT(*) AS copies,

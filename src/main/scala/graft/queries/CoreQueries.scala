@@ -251,6 +251,44 @@ object CoreQueries {
       .orderBy("day", "mom_rank")
   }
 
+  /** E10 — market beta/alpha per series against the equal-weighted index
+    * (OLS on daily closes): beta = cov(series, market)/var(market), alpha =
+    * the regression intercept. The CAPM-style factor regression every quant
+    * consumer of the reference's `quotes` table runs next after returns.
+    *
+    * Exactness follows E6/E7: products are rounded to DECIMAL(30,8) per row
+    * and summed exactly (decimal addition is associative — the sum is
+    * shuffle-order-independent, unlike a double sum), one double division at
+    * the end; the index itself is one exact decimal sum and one double
+    * division per day. Scale shape: the market series collapses to #days
+    * rows (broadcast back — no second corpus shuffle), the sufficient stats
+    * are one user-keyed aggregate, and beta/alpha are a projection over
+    * #users rows. Nothing is quadratic, unlike pairwise E7.
+    */
+  def e10MarketBeta(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(expr("max_by(value, ts)").as("close"))
+    val market = daily.groupBy(col("day"))
+      .agg((sum(col("close").cast("decimal(30,8)")).cast("double") /
+        count(lit(1)).cast("double")).as("mkt"))
+    def dsum30(c: Column): Column = sum(c.cast("decimal(30,8)")).cast("double")
+    daily.join(broadcast(market), "day")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum30(col("mkt")).as("sx"), dsum30(col("close")).as("sy"),
+        dsum30(col("mkt") * col("close")).as("sxy"),
+        dsum30(col("mkt") * col("mkt")).as("sxx"))
+      .filter(col("n") >= 20)
+      .withColumn("beta",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("alpha", (col("sy") - col("beta") * col("sx")) / col("n"))
+      .select(col("user_id"), col("n").cast("long").as("n_days"),
+        col("beta"), col("alpha"))
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------------ Q-*
 
   /** Q-recent: latest 5 rows for one key (reference `README.md:322-332`).
@@ -709,6 +747,69 @@ object CoreQueries {
         (col("sum_price") / col("n_orders").cast("double")).as("avg_price"))
       .orderBy("bucket")
 
+  /** A21 — cohort retention: users grouped by first-activity day, and for
+    * every later day-offset the fraction of the cohort still active — the
+    * canonical product-analytics query over an event log. Scale shape: ONE
+    * corpus scan — the cohort day rides along as a window min over the
+    * distinct (user, day) activity set instead of a separate aggregate-and-
+    * join branch (which would re-scan the event log), and the cohort SIZE is
+    * the matrix's own offset-0 count (every user is active on their cohort
+    * day by construction), read back via a window over the tiny
+    * #cohort-days × #offsets matrix — no second corpus pass, no join.
+    * `count(1)` per (cohort_day, offset) counts distinct users exactly
+    * because the input is distinct per (user, day) and day is determined by
+    * (cohort_day, offset).
+    */
+  def a21RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+    val wCohort = Window.partitionBy(col("cohort_day"))
+      .orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("cohort_day", min(col("day")).over(wUser))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .withColumn("cohort_users", first(col("active_users")).over(wCohort))
+      .select(col("cohort_day"), col("day_offset"), col("active_users"),
+        col("cohort_users"),
+        (col("active_users").cast("double") / col("cohort_users").cast("double"))
+          .as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** A22 — gap-based sessionization: assign session ids by cumulative count
+    * of >30-minute gaps per user, then per-session stats — the batch twin of
+    * the streaming `session_window`/`sessionCloser` operators (A12c), and
+    * the form every event-log warehouse actually materializes (a session ID
+    * per event enables later joins; `session_window` only yields the
+    * aggregate). One shuffle on the user key serves both windows AND the
+    * final aggregate (lag and running-sum share the same sort; the groupBy
+    * keys are a function of the partition key), so AQE plans exactly one
+    * exchange before the presentation sort. Gap arithmetic is integer
+    * microseconds (`unix_micros` ≙ DuckDB `epoch_us`) — no float time math.
+    */
+  def a22Sessionization(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        (col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000).cast("long"))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(ntz(col("ts"))).as("session_start"),
+        max(ntz(col("ts"))).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** The C-family blended quality score (shared by C1 and C3 so their
     * semantics cannot diverge); requires a `toks = split(text, ' ')` column
     * alongside `text`.
@@ -815,6 +916,9 @@ object CoreQueries {
     "e7_correlation" -> (e7Correlation _),
     "e8_drawdown" -> (e8Drawdown _),
     "e9_momentum_rank" -> (e9MomentumRank _),
+    "e10_market_beta" -> (e10MarketBeta _),
+    "a21_retention_cohorts" -> (a21RetentionCohorts _),
+    "a22_sessionization" -> (a22Sessionization _),
     "q_recent" -> (qRecent _),
     "q_day" -> (qDay _),
     "q_dim" -> (qDim _),
@@ -879,6 +983,78 @@ object CoreQueries {
                 COUNT(*) AS n_bars,
                 CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS volume_proxy
          FROM events GROUP BY 1, 2 ORDER BY user_id, day_start""",
+    "e10_market_beta" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  arg_max(value, CAST(ts AS TIMESTAMP)) AS close
+           FROM events GROUP BY 1, 2),
+         mkt AS (
+           SELECT day,
+                  CAST(SUM(CAST(close AS DECIMAL(30,8))) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) AS mkt
+           FROM daily GROUP BY day),
+         stats AS (
+           SELECT d.user_id,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(m.mkt AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(d.close AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(m.mkt * d.close AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+                  CAST(SUM(CAST(m.mkt * m.mkt AS DECIMAL(30,8))) AS DOUBLE) AS sxx
+           FROM daily d JOIN mkt m USING (day) GROUP BY d.user_id),
+         b AS (
+           SELECT user_id, n, sx, sy,
+                  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta
+           FROM stats WHERE n >= 20)
+         SELECT user_id, CAST(n AS BIGINT) AS n_days, beta,
+                (sy - beta * sx) / n AS alpha
+         FROM b ORDER BY user_id""",
+    "a21_retention_cohorts" ->
+      """WITH activity AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         tagged AS (
+           SELECT user_id, day,
+                  MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+           FROM activity),
+         m AS (
+           SELECT cohort_day,
+                  CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+                  COUNT(*) AS active_users
+           FROM tagged GROUP BY 1, 2)
+         SELECT cohort_day, day_offset, active_users,
+                first_value(active_users) OVER (
+                  PARTITION BY cohort_day ORDER BY day_offset
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cohort_users,
+                CAST(active_users AS DOUBLE)
+                  / CAST(first_value(active_users) OVER (
+                      PARTITION BY cohort_day ORDER BY day_offset
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS retention
+         FROM m ORDER BY cohort_day, day_offset""",
+    "a22_sessionization" ->
+      """WITH e AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         g AS (
+           SELECT user_id, event_id, ts,
+                  lag(epoch_us(ts)) OVER w AS prev_us,
+                  epoch_us(ts) AS us
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         f AS (
+           SELECT user_id, event_id, ts, us,
+                  CAST(prev_us IS NULL OR us - prev_us > 30 * 60 * 1000000
+                       AS BIGINT) AS new_sess
+           FROM g),
+         sess AS (
+           SELECT user_id, ts, us,
+                  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+           FROM f)
+         SELECT user_id, session_id,
+                MIN(ts) AS session_start, MAX(ts) AS session_end,
+                COUNT(*) AS n_events,
+                MAX(us) - MIN(us) AS duration_us
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
     "e5_gap_fill" ->
       """WITH daily AS (
            SELECT user_id, CAST(ts AS DATE) AS day,

@@ -265,7 +265,34 @@ object TextQueries {
           .as("simpson_diversity"))
       .orderBy("source")
 
+  /** T11 — hashed-feature linear classifier inference (the fastText/CCNet/
+    * DCLM quality-classifier shape): every token hashes into one of 1024
+    * weight buckets, the document score is the mean bucket weight. Here the
+    * weights are a deterministic function of the bucket id (a stand-in the
+    * oracle can reproduce — a trained model replaces the weight formula with
+    * a broadcast 1024-float array lookup, nothing else changes), because the
+    * POINT is the execution shape: model inference over a 100 TB corpus as a
+    * ZERO-SHUFFLE whole-stage-codegen'd projection — `aggregate` over the
+    * token array, integer accumulation (exact across engines), one final
+    * division. No UDF, no Python worker, no per-row JVM boxing.
+    */
+  def hashedClassifier(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        expr(
+          """aggregate(toks, CAST(0 AS BIGINT),
+               (acc, x) -> acc + (CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % 1024) % 21 - 10)""")
+          .as("raw_score"))
+      .withColumn("clf_score",
+        col("raw_score").cast("double") / (col("n_tok").cast("double") * 10.0))
+      .withColumn("keep", (col("raw_score") > 0).cast("int"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_hashed_classifier" -> (hashedClassifier _),
     "t10_lexical_diversity" -> (lexicalDiversity _),
     "t9_term_drift" -> (termDrift(_, _, 20)),
     "t1_langid" -> (langId _),
@@ -278,6 +305,20 @@ object TextQueries {
     "t8_tfidf" -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "t11_hashed_classifier" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_tok,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(toks, x ->
+                        (CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1024) % 21 - 10)),
+                    (acc, w) -> acc + w) AS raw_score
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+         SELECT doc_id, n_tok, raw_score,
+                CAST(raw_score AS DOUBLE) / (CAST(n_tok AS DOUBLE) * 10.0) AS clf_score,
+                CAST(raw_score > 0 AS INT) AS keep
+         FROM b ORDER BY doc_id""",
     "t10_lexical_diversity" ->
       """WITH counts AS (
            SELECT source, term, COUNT(*) AS c

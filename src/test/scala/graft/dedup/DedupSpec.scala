@@ -180,6 +180,65 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("x16: source-overlap matrix matches a driver-side span-set replay") {
+    val rows = DedupQueries.x16SourceOverlap(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // replay: per-source distinct 8-token span sets, pairwise intersections
+    val spanSets = graft.Tables(spark, sf001, "documents")
+      .select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (src, docs) =>
+        src -> docs.toSeq.flatMap { r =>
+          val ws = r.getString(1).split(" ", -1)
+          if (ws.length < 8) Seq.empty[String]
+          else (0 to ws.length - 8).map(i => ws.slice(i, i + 8).mkString(" "))
+        }.toSet
+      }
+    val sources = spanSets.keys.toSeq.sorted
+    val expected = (for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+      (s1, s2) = (sources(i), sources(j))
+      shared = (spanSets(s1) & spanSets(s2)).size
+      if shared > 0
+    } yield (s1, s2) -> (shared.toLong, spanSets(s1).size.toLong, spanSets(s2).size.toLong)).toMap
+    assert(rows.keySet == expected.keySet,
+      s"pair sets differ: ${(rows.keySet diff expected.keySet) ++ (expected.keySet diff rows.keySet)}")
+    expected.foreach { case (k, (shared, n1, n2)) =>
+      val (gShared, gN1, gN2, gJ) = rows(k)
+      assert((gShared, gN1, gN2) == ((shared, n1, n2)), s"$k: ($gShared,$gN1,$gN2) vs ($shared,$n1,$n2)")
+      assert(math.abs(gJ - shared.toDouble / (n1 + n2 - shared)) < 1e-12)
+    }
+  }
+
+  test("x17: novelty matches a driver-side span-set replay on the doc_id split") {
+    val rows = DedupQueries.x17IncrementalNovelty(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = graft.Tables(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def spanSet(text: String): Set[String] = {
+      val ws = text.split(" ", -1)
+      if (ws.length < 8) Set.empty
+      else (0 to ws.length - 8).map(i => ws.slice(i, i + 8).mkString(" ")).toSet
+    }
+    val oldSpans = docs.filter(_._1 % 2 == 0).flatMap(d => spanSet(d._2)).toSet
+    val expected = docs.filter(_._1 % 2 == 1)
+      .map { case (id, text) => id -> spanSet(text) }
+      .filter(_._2.nonEmpty)
+      .map { case (id, sp) => id -> (sp.size.toLong, (sp diff oldSpans).size.toLong) }
+      .toMap
+    assert(rows.keySet == expected.keySet)
+    expected.foreach { case (id, (n, novel)) =>
+      val (gN, gNovel, gF) = rows(id)
+      assert((gN, gNovel) == ((n, novel)), s"doc $id: ($gN,$gNovel) vs ($n,$novel)")
+      assert(math.abs(gF - novel.toDouble / n) < 1e-12)
+    }
+    // both regimes must exist in the fixture, or the test proves nothing
+    assert(rows.values.exists(_._3 < 1.0), "no doc shares any span with the snapshot")
+    assert(rows.values.exists(_._3 > 0.0), "no doc adds any novel span")
+  }
+
   test("x3: near-identical docs have small simhash hamming distance") {
     // the planted x4 near-dup pairs should be close in simhash space
     val pairs = DedupQueries.x4NgramJaccard(spark, sf001)

@@ -98,4 +98,22 @@ class MultimodalSpec extends SparkSuite {
     assert(recalled * 2 >= planted.length,
       s"perceptual recall too low: $recalled of ${planted.length} planted pairs")
   }
+
+  test("m6: chunk totals tie out to per-doc ceil(n_chars/64) and dedup ratio is consistent") {
+    val rows = MultimodalQueries.m6ChunkDedup(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val expTotals = graft.Tables(spark, sf001, "documents")
+      .filter(col("n_chars") > 0)
+      .groupBy("source")
+      .agg(sum(expr("(n_chars - 1) div 64 + 1")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (src, n, nd, ratio) = (r.getString(0), r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_distinct_chunks"), r.getAs[Double]("chunk_dedup_ratio"))
+      assert(n == expTotals(src), s"$src: $n chunks vs expected ${expTotals(src)}")
+      assert(nd >= 1 && nd <= n)
+      assert(math.abs(ratio - (1.0 - nd.toDouble / n.toDouble)) < 1e-12)
+    }
+    assert(rows.map(_.getString(0)).toSet == expTotals.keySet)
+  }
 }

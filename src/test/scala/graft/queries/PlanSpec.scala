@@ -15,6 +15,14 @@ class PlanSpec extends SparkSuite {
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** Simple-mode plan string — used for the COUNTING pins: formatted mode
+    * splits operator names from their arguments ("Exchange (12)" + a details
+    * section), so tokens like "Exchange hashpartitioning" never appear there
+    * and a count over it is vacuously zero.
+    */
+  private def simplePlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
   test("a1: predicate pushdown and column pruning reach the scan") {
     val p = plan(CoreQueries.a1FilterProject(spark, sf001))
     assert(p.contains("PushedFilters: ["), p)
@@ -87,8 +95,9 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
       "JSON path must be a native expression, not a UDF")
     // one keyed aggregate: partial + final HashAggregate around ONE exchange
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
-      "a18 should shuffle once (event_type agg), nothing else")
+    val sp = simplePlan(CoreQueries.a18JsonExtract(spark, sf001))
+    assert("Exchange hashpartitioning".r.findAllIn(sp).size == 1,
+      "a18 should shuffle once (event_type agg), nothing else:\n" + sp)
   }
 
   test("x15: span aggregates are partial (map-side) before their shuffles") {
@@ -120,6 +129,36 @@ class PlanSpec extends SparkSuite {
       "bucket counts must map-side combine before the exchange")
     assert(!p.contains("o_orderdate") && !p.contains("o_custkey"),
       "scan reads columns the histogram never uses")
+  }
+
+  test("t11: classifier inference is a zero-shuffle projection (no UDF, no agg exchange)") {
+    val p = plan(graft.text.TextQueries.hashedClassifier(spark, sf001))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      "model scoring must be a native expression, not a UDF")
+    val sp = simplePlan(graft.text.TextQueries.hashedClassifier(spark, sf001))
+    assert("Exchange hashpartitioning".r.findAllIn(sp).isEmpty,
+      "inference must not shuffle — only the presentation sort may exchange:\n" + sp)
+  }
+
+  test("a22: one user-keyed exchange serves both windows and the session aggregate") {
+    val p = simplePlan(CoreQueries.a22Sessionization(spark, sf001))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "lag, running sum, and the session groupBy must share one shuffle:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("a21: retention derives cohorts in-plan — one scan, no self-join") {
+    val p = simplePlan(CoreQueries.a21RetentionCohorts(spark, sf001))
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "cohort day must ride a window over the activity set, not re-scan events:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x17: the snapshot anti-join is keyed, never broadcast or nested-loop") {
+    val p = plan(graft.dedup.DedupQueries.x17IncrementalNovelty(spark, sf001))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "corpus-vs-corpus anti join must stay a keyed shuffle join:\n" + p)
   }
 
   test("no accidental cartesian products anywhere in the surface") {

@@ -183,4 +183,77 @@ class QueriesSpec extends SparkSuite {
         s"bucket ${r.getAs[Long]("bucket")}: avg $avg outside [$lo, ${lo + 25000})")
     }
   }
+
+  test("e10: betas match a driver-side OLS replay against the daily index") {
+    val rows = CoreQueries.e10MarketBeta(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // replay: daily closes → equal-weight market → per-user OLS in doubles
+    val daily = graft.Tables(spark, sf001, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(expr("max_by(value, ts)").as("close"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toString, r.getDouble(2)))
+    val market = daily.groupBy(_._2).map { case (d, xs) =>
+      d -> xs.map(_._3).sum / xs.length
+    }
+    val byUser = daily.groupBy(_._1)
+    rows.foreach { r =>
+      val obs = byUser(r.getLong(0)).map(t => (market(t._2), t._3))
+      assert(r.getAs[Long]("n_days") == obs.length && obs.length >= 20)
+      val n = obs.length.toDouble
+      val sx = obs.map(_._1).sum; val sy = obs.map(_._2).sum
+      val sxy = obs.map(t => t._1 * t._2).sum; val sxx = obs.map(t => t._1 * t._1).sum
+      val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val alpha = (sy - beta * sx) / n
+      assert(math.abs(r.getAs[Double]("beta") - beta) < 1e-4,
+        s"user ${r.getLong(0)}: beta ${r.getAs[Double]("beta")} vs replay $beta")
+      assert(math.abs(r.getAs[Double]("alpha") - alpha) < 1e-4)
+    }
+  }
+
+  test("a22: session stats match a driver-side gap replay") {
+    val rows = CoreQueries.a22Sessionization(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("duration_us"))).toMap
+    val ev = graft.Tables(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      var sess = 0L
+      var prev = Long.MinValue
+      val tagged = sorted.map { e =>
+        if (prev != Long.MinValue && e._3 - prev > 30L * 60 * 1000000) sess += 1
+        else if (prev == Long.MinValue) sess = 1
+        prev = e._3
+        (sess, e._3)
+      }
+      tagged.groupBy(_._1).map { case (sid, ss) =>
+        (uid, sid) -> (ss.length.toLong, ss.map(_._2).max - ss.map(_._2).min)
+      }
+    }
+    assert(rows == expected)
+  }
+
+  test("a21: offset-0 retention is 1.0 and cohorts partition the user base") {
+    val rows = CoreQueries.a21RetentionCohorts(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.get(0))
+    byCohort.foreach { case (c, rs) =>
+      val zero = rs.find(_.getAs[Long]("day_offset") == 0L)
+      assert(zero.isDefined, s"cohort $c has no offset-0 row")
+      assert(zero.get.getAs[Double]("retention") == 1.0)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("active_users") <= r.getAs[Long]("cohort_users"))
+        val ret = r.getAs[Double]("retention")
+        assert(ret > 0.0 && ret <= 1.0)
+      }
+    }
+    // cohort sizes partition the distinct-user universe
+    val totalUsers = graft.Tables(spark, sf001, "events")
+      .select("user_id").distinct().count()
+    val sizeSum = byCohort.values
+      .map(_.head.getAs[Long]("cohort_users")).sum
+    assert(sizeSum == totalUsers, s"$sizeSum != $totalUsers")
+  }
 }

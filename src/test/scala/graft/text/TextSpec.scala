@@ -117,4 +117,26 @@ class TextSpec extends SparkSuite {
     val expected = 1.0 - counts.map(c => c.toDouble * c).sum / (n * n)
     assert(math.abs(rows.head.getAs[Double]("simpson_diversity") - expected) < 1e-12)
   }
+
+  test("t11: hashed-classifier scores match a JVM md5 replay exactly") {
+    val rows = TextQueries.hashedClassifier(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    def weight(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % 1024L) % 21L - 10L
+    }
+    val texts = graft.Tables(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ", -1)
+      val raw = toks.map(weight).sum
+      assert(r.getAs[Long]("raw_score") == raw,
+        s"doc ${r.getLong(0)}: ${r.getAs[Long]("raw_score")} vs replay $raw")
+      assert(r.getAs[Long]("n_tok") == toks.length)
+      assert(r.getAs[Int]("keep") == (if (raw > 0) 1 else 0))
+      assert(math.abs(r.getAs[Double]("clf_score") - raw.toDouble / (toks.length * 10.0)) < 1e-12)
+    }
+  }
 }
