@@ -84,7 +84,14 @@ object ScaleProbe {
       "t9_term_drift" -> ((s: SparkSession, d: String) =>
         graft.text.TextQueries.termDrift(s, d, 20)),
       "x14_semdedup" -> ((s: SparkSession, d: String) =>
-        graft.similarity.SimilarityQueries.x14SemDedup(s, d, 0.42)))
+        graft.similarity.SimilarityQueries.x14SemDedup(s, d, 0.42)),
+      "e10_market_beta" -> (e10MarketBeta _),
+      "a21_retention" -> (a21RetentionCohorts _),
+      "a22_sessionization" -> (a22Sessionization _),
+      "t11_hashed_clf" -> (graft.text.TextQueries.hashedClassifier _),
+      "x16_source_overlap" -> ((s: SparkSession, d: String) => x16SourceOverlap(s, d, 8)),
+      "x17_incr_novelty" -> ((s: SparkSession, d: String) => x17IncrementalNovelty(s, d, 8)),
+      "m6_chunk_dedup" -> (graft.multimodal.MultimodalQueries.m6ChunkDedup _))
     println(f"[scale] ${"query"}%-20s ${"1x"}%8s ${s"${n}x"}%8s  ratio (ideal <= $n)")
     probes.foreach { case (name, fn) =>
       val t1 = time(fn, base)
