@@ -810,6 +810,33 @@ object CoreQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** A23 — rolling 7-day active users via mergeable HLL sketches: per-day
+    * Datasketches HLL sketches (`hll_sketch_agg`), then a sliding union
+    * (`hll_union_agg` over a 7-row window) estimated per day. This is THE
+    * pattern for rolling distincts at 100 TB — exact rolling
+    * `countDistinct` needs every (user, day) pair carried across the whole
+    * window (state explodes with the window length), while sketches reduce
+    * each day to a fixed-size binary BEFORE the window: the corpus-scale
+    * work is one day-keyed aggregate with map-side partials, and the window
+    * slides over #days sketch rows on one partition — fine, because that
+    * input is already thousands of rows, not billions. The same sketch
+    * column is what an incremental pipeline would persist and merge across
+    * batches. Like A9b/A15b, sketch estimates are engine-specific: rows-only
+    * driver check; the accuracy bound (<5% vs exact) is owned by the spec.
+    */
+  def a23RollingActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("active_1d_exact"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily
+      .withColumn("active_7d_approx",
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w7)))
+      .select(col("day"), col("active_1d_exact"), col("active_7d_approx"))
+      .orderBy("day")
+  }
+
   /** The C-family blended quality score (shared by C1 and C3 so their
     * semantics cannot diverge); requires a `toks = split(text, ' ')` column
     * alongside `text`.
@@ -919,6 +946,7 @@ object CoreQueries {
     "e10_market_beta" -> (e10MarketBeta _),
     "a21_retention_cohorts" -> (a21RetentionCohorts _),
     "a22_sessionization" -> (a22Sessionization _),
+    "a23_rolling_active_users" -> (a23RollingActiveUsers _),
     "q_recent" -> (qRecent _),
     "q_day" -> (qDay _),
     "q_dim" -> (qDim _),

@@ -235,6 +235,25 @@ class QueriesSpec extends SparkSuite {
     assert(rows == expected)
   }
 
+  test("a23: sliding sketch union within 5% of the exact rolling distinct") {
+    val rows = CoreQueries.a23RollingActiveUsers(spark, sf001).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("active_1d_exact"), r.getAs[Long]("active_7d_approx")))
+    assert(rows.nonEmpty)
+    val pairs = graft.Tables(spark, sf001, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getAs[java.sql.Date](0).toString, r.getLong(1)))
+    val days = rows.map(_._1)
+    rows.foreach { case (day, exact1d, approx7d) =>
+      val idx = days.indexOf(day)
+      val window = days.slice(math.max(0, idx - 6), idx + 1).toSet
+      val exact7d = pairs.filter(p => window.contains(p._1)).map(_._2).distinct.length
+      assert(math.abs(approx7d - exact7d).toDouble / exact7d < 0.05,
+        s"$day: approx $approx7d vs exact $exact7d")
+      assert(approx7d >= exact1d * 95 / 100, s"$day: 7d approx below its own day's exact count")
+    }
+  }
+
   test("a21: offset-0 retention is 1.0 and cohorts partition the user base") {
     val rows = CoreQueries.a21RetentionCohorts(spark, sf001).collect()
     assert(rows.nonEmpty)
