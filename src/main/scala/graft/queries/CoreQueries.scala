@@ -796,9 +796,12 @@ object CoreQueries {
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "events")
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      // >= : an event exactly gap after its predecessor starts a NEW session,
+      // matching session_window's "merge only if the gap is LESS than the
+      // duration" — so A22's boundaries equal A12c's/sessionCloser's exactly
       .withColumn("new_sess",
         (col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000).cast("long"))
+          unix_micros(col("ts")) - col("prev_us") >= 30L * 60 * 1000000).cast("long"))
       .withColumn("session_id", sum(col("new_sess")).over(run))
       .groupBy(col("user_id"), col("session_id"))
       .agg(
@@ -1068,7 +1071,7 @@ object CoreQueries {
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          f AS (
            SELECT user_id, event_id, ts, us,
-                  CAST(prev_us IS NULL OR us - prev_us > 30 * 60 * 1000000
+                  CAST(prev_us IS NULL OR us - prev_us >= 30 * 60 * 1000000
                        AS BIGINT) AS new_sess
            FROM g),
          sess AS (

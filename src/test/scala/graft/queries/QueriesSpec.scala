@@ -223,7 +223,7 @@ class QueriesSpec extends SparkSuite {
       var sess = 0L
       var prev = Long.MinValue
       val tagged = sorted.map { e =>
-        if (prev != Long.MinValue && e._3 - prev > 30L * 60 * 1000000) sess += 1
+        if (prev != Long.MinValue && e._3 - prev >= 30L * 60 * 1000000) sess += 1
         else if (prev == Long.MinValue) sess = 1
         prev = e._3
         (sess, e._3)
@@ -252,6 +252,23 @@ class QueriesSpec extends SparkSuite {
         s"$day: approx $approx7d vs exact $exact7d")
       assert(approx7d >= exact1d * 95 / 100, s"$day: 7d approx below its own day's exact count")
     }
+  }
+
+  test("a22: hand-rolled sessions equal the session_window builtin's boundaries") {
+    val rolled = CoreQueries.a22Sessionization(spark, sf001).collect()
+      .map { r =>
+        val i = r.getAs[java.time.LocalDateTime]("session_start")
+          .toInstant(java.time.ZoneOffset.UTC)
+        (r.getLong(0), i.getEpochSecond * 1000000L + i.getNano / 1000L,
+          r.getAs[Long]("n_events"))
+      }.toSet
+    val builtin = graft.Tables(spark, sf001, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rolled == builtin,
+      s"lag/cumsum sessions diverge from session_window: ${(rolled diff builtin).take(3)} / ${(builtin diff rolled).take(3)}")
   }
 
   test("a21: offset-0 retention is 1.0 and cohorts partition the user base") {
