@@ -561,8 +561,23 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** X16 — cross-source overlap matrix: for every pair of sources, how many
-    * distinct 8-token spans they share, and the span-set Jaccard. This is
+  /** Distinct md5 digests of `spanLen`-token spans per `keyCol` — the
+    * shared shingling used by X16 and X17 (ONE definition, so tokenization
+    * or digest changes cannot silently diverge between them). Digests, not
+    * raw spans: the downstream exchanges carry fixed-width keys.
+    */
+  private def spanDigests(docs: DataFrame, keyCol: String, spanLen: Int): DataFrame =
+    docs
+      .filter(size(col("ws")) >= spanLen)
+      .select(col(keyCol), explode(expr(
+        s"transform(sequence(0, size(ws) - $spanLen), i -> md5(concat_ws(' ', slice(ws, i + 1, $spanLen))))"))
+        .as("h"))
+      .distinct()
+
+  /** X16 — cross-source overlap matrix: for every pair of sources that share
+    * at least one distinct 8-token span, the shared-span count and the
+    * span-set Jaccard (the matrix is SPARSE — fully disjoint pairs emit no
+    * row; treat a missing pair as overlap 0). This is
     * the provenance telemetry that catches mirror sites, aggregator scrapes,
     * and re-crawled feeds BEFORE per-document dedup runs — at the source
     * granularity a curation decision is actually made at (drop/downweight a
@@ -576,13 +591,9 @@ object DedupQueries {
     * Per-source totals broadcast back. Nothing here is corpus-quadratic.
     */
   def x16SourceOverlap(s: SparkSession, dir: String, spanLen: Int = 8): DataFrame = {
-    val spans = t(s, dir, "documents")
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= spanLen)
-      .select(col("source"), explode(expr(
-        s"transform(sequence(0, size(ws) - $spanLen), i -> md5(concat_ws(' ', slice(ws, i + 1, $spanLen))))"))
-        .as("h"))
-      .distinct()
+    val spans = spanDigests(
+      t(s, dir, "documents").withColumn("ws", split(col("text"), " ")),
+      "source", spanLen)
     val sizes = spans.groupBy(col("source")).agg(count(lit(1)).as("n"))
     spans.as("a")
       .join(spans.as("b"),
@@ -616,12 +627,8 @@ object DedupQueries {
     */
   def x17IncrementalNovelty(s: SparkSession, dir: String, spanLen: Int = 8): DataFrame = {
     val docs = t(s, dir, "documents").withColumn("ws", split(col("text"), " "))
-    def spans(half: Column => Column) = docs
-      .filter(half(col("doc_id")) && size(col("ws")) >= spanLen)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(ws) - $spanLen), i -> md5(concat_ws(' ', slice(ws, i + 1, $spanLen))))"))
-        .as("h"))
-      .distinct()
+    def spans(half: Column => Column) =
+      spanDigests(docs.filter(half(col("doc_id"))), "doc_id", spanLen)
     val newSpans = spans(_ % 2 === 1)
     val oldSpans = spans(_ % 2 === 0).select("h").distinct()
     val totals = newSpans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))

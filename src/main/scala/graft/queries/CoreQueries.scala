@@ -23,6 +23,16 @@ import graft.Tables
 object CoreQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** The E-family's shared daily-close series: last event's value per
+    * (user_id, day). ONE definition — e5/e6/e7/e9/e10 must agree on how a
+    * close is derived (max_by tie-breaking included) or the time-series
+    * queries silently diverge from each other.
+    */
+  private def dailyCloses(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(expr("max_by(value, ts)").as("close"))
+
   /** Exact order-independent sum of a double column: accumulate as decimal,
     * return double.
     */
@@ -112,9 +122,7 @@ object CoreQueries {
     * bounded by span, not data volume.
     */
   def e5GapFill(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(expr("max_by(value, ts)").as("close"))
+    val daily = dailyCloses(s, dir)
     val calendar = daily
       .groupBy(col("user_id"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
@@ -138,9 +146,7 @@ object CoreQueries {
     * its float accumulation is summation-order-dependent.
     */
   def e6RollingVol(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(expr("max_by(value, ts)").as("close"))
+    val daily = dailyCloses(s, dir)
     val w = Window.partitionBy(col("user_id")).orderBy(col("day")).rowsBetween(-6, 0)
     val sx = sum(col("close").cast("decimal(25,6)")).over(w).cast("double")
     val sxx = sum((col("close") * col("close")).cast("decimal(30,8)")).over(w).cast("double")
@@ -173,9 +179,7 @@ object CoreQueries {
     */
   def e7Correlation(s: SparkSession, dir: String): DataFrame =
     e7CorrelationFrom(
-      t(s, dir, "events")
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(expr("max_by(value, ts)").as("close")))
+      dailyCloses(s, dir))
 
   /** E7 core over an arbitrary per-(user_id, day, close) frame — exposed so
     * the profiling harness measures the PRODUCTION body under different
@@ -212,9 +216,7 @@ object CoreQueries {
     * sort-within-partition at any scale.
     */
   def e8Drawdown(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(expr("max_by(value, ts)").as("close"))
+    val daily = dailyCloses(s, dir)
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
@@ -235,9 +237,7 @@ object CoreQueries {
     * oracle hash-matches bitwise.
     */
   def e9MomentumRank(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(expr("max_by(value, ts)").as("close"))
+    val daily = dailyCloses(s, dir)
     val wSeries = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val wDay = Window.partitionBy(col("day"))
       .orderBy(col("mom20").desc, col("user_id"))
@@ -266,9 +266,7 @@ object CoreQueries {
     * #users rows. Nothing is quadratic, unlike pairwise E7.
     */
   def e10MarketBeta(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(expr("max_by(value, ts)").as("close"))
+    val daily = dailyCloses(s, dir)
     val market = daily.groupBy(col("day"))
       .agg((sum(col("close").cast("decimal(30,8)")).cast("double") /
         count(lit(1)).cast("double")).as("mkt"))
@@ -280,6 +278,9 @@ object CoreQueries {
         dsum30(col("mkt") * col("close")).as("sxy"),
         dsum30(col("mkt") * col("mkt")).as("sxx"))
       .filter(col("n") >= 20)
+      // a degenerate series (market constant over the user's days) has zero
+      // variance — drop it rather than emit NaN/Infinity betas downstream
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0)
       .withColumn("beta",
         (col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx")))
@@ -832,8 +833,12 @@ object CoreQueries {
       .groupBy(to_date(col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         countDistinct(col("user_id")).as("active_1d_exact"))
-    val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    // RANGE over an epoch-day number, not ROWS: a calendar day with zero
+    // events must still age older days out of the 7-day frame (a ROWS frame
+    // would silently widen across ingest gaps)
+    val w7 = Window.orderBy(col("day_n")).rangeBetween(-6, 0)
     daily
+      .withColumn("day_n", datediff(col("day"), to_date(lit("1970-01-01"))))
       .withColumn("active_7d_approx",
         hll_sketch_estimate(hll_union_agg(col("sk")).over(w7)))
       .select(col("day"), col("active_1d_exact"), col("active_7d_approx"))
@@ -1035,7 +1040,7 @@ object CoreQueries {
          b AS (
            SELECT user_id, n, sx, sy,
                   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta
-           FROM stats WHERE n >= 20)
+           FROM stats WHERE n >= 20 AND n * sxx - sx * sx <> 0)
          SELECT user_id, CAST(n AS BIGINT) AS n_days, beta,
                 (sy - beta * sx) / n AS alpha
          FROM b ORDER BY user_id""",

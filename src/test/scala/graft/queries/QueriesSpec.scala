@@ -243,11 +243,14 @@ class QueriesSpec extends SparkSuite {
     val pairs = graft.Tables(spark, sf001, "events")
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
       .collect().map(r => (r.getAs[java.sql.Date](0).toString, r.getLong(1)))
-    val days = rows.map(_._1)
     rows.foreach { case (day, exact1d, approx7d) =>
-      val idx = days.indexOf(day)
-      val window = days.slice(math.max(0, idx - 6), idx + 1).toSet
-      val exact7d = pairs.filter(p => window.contains(p._1)).map(_._2).distinct.length
+      // calendar window: the 7 calendar days ending at `day`, NOT the last 7
+      // rows — a day with no events still ages out of the frame
+      val d = java.time.LocalDate.parse(day)
+      val exact7d = pairs.filter { p =>
+        val pd = java.time.LocalDate.parse(p._1)
+        !pd.isAfter(d) && !pd.isBefore(d.minusDays(6))
+      }.map(_._2).distinct.length
       assert(math.abs(approx7d - exact7d).toDouble / exact7d < 0.05,
         s"$day: approx $approx7d vs exact $exact7d")
       assert(approx7d >= exact1d * 95 / 100, s"$day: 7d approx below its own day's exact count")
