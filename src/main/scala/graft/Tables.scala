@@ -46,4 +46,13 @@ object Tables {
       df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     else df
   }
+
+  /** Register every table as a temp view, making the whole engine drivable
+    * through raw `spark.sql` text (SURVEY §3.3's third entry point — the
+    * reference's psql/DBeaver surface). Views are lazy: registration costs
+    * one schema read per table, and every SQL query still gets the full
+    * Catalyst pushdown/pruning treatment of the DataFrame path.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -24,6 +24,29 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("registerViews makes the engine drivable through raw spark.sql") {
+    graft.Tables.registerViews(spark, sf001)
+    // a join through pure SQL text agrees with the DataFrame path
+    val sqlRows = spark.sql(
+      """SELECT n.n_name, count(*) AS n FROM nation n
+         JOIN customer c ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name ORDER BY n.n_name""").collect()
+    val dfRows = graft.Tables(spark, sf001, "customer")
+      .join(graft.Tables(spark, sf001, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      .orderBy("n_name").collect()
+    assert(sqlRows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      dfRows.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // the events nanos→timestamp conversion rides into the view
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM events WHERE ts >= timestamp'2024-01-02 00:00:00'")
+      .collect().head.getLong(0)
+    val viaDf = graft.Tables(spark, sf001, "events")
+      .filter(col("ts") >= to_timestamp(lit("2024-01-02 00:00:00"))).count()
+    assert(viaSql == viaDf && viaSql > 0)
+  }
+
   test("q_recent: 5 rows, strictly descending recency") {
     val rows = CoreQueries.qRecent(spark, sf001).collect()
     assert(rows.length == 5)
