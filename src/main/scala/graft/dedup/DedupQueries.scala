@@ -81,7 +81,7 @@ object DedupQueries {
     * finished file instead of re-running the corpus explode, which is only
     * possible if the file exists before the plan is handed out.
     */
-  private def materialize(df: DataFrame, tag: String): DataFrame = {
+  private[dedup] def materialize(df: DataFrame, tag: String): DataFrame = {
     val s = df.sparkSession
     val base = s.conf.get("graft.scratchDir",
       s.conf.get("spark.sql.warehouse.dir") + "/_graft_scratch")

@@ -1,0 +1,86 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental admission dedup — the production loop around X1/X17: a
+  * crawl/ingest batch is admitted into the corpus ONLY if its content hash
+  * has never been seen, and the seen-set persists across batches as a
+  * parquet index beside the corpus. This is what "dedup" means in a live
+  * pipeline: not a one-shot query over a frozen corpus, but a standing
+  * filter every new batch flows through (the reference's PK-upsert plays
+  * the same role for quotes — `postgres_writer.py:234-240` — generalized
+  * here to content identity over documents).
+  *
+  * Scale shape: the batch hashes with a narrow projection; the novelty
+  * check is a hash-keyed LEFT ANTI join against the index (both sides
+  * corpus-scale ⇒ keyed shuffle, never a broadcast — X17's shape); the
+  * index write is a blind APPEND of one row per admitted doc (no
+  * read-modify-write of the index, ever). At 100 TB the index is the
+  * natural bucketing candidate (bucket both sides by `content_hash` and
+  * the anti join goes zero-exchange — `sources/Layout` proves that path).
+  *
+  * Crash contract (single writer, same as the lake merge): `admitAndCommit`
+  * persists the admitted docs via the caller's IDEMPOTENT sink FIRST, then
+  * appends their hashes to the index. A crash between the two replays as:
+  * index still lacks the hashes → the batch re-admits → the idempotent sink
+  * converges → the append lands. The reverse order would lose documents
+  * (hashes present, corpus rows absent, replay admits nothing).
+  */
+object IncrementalDedup {
+
+  /** Batch docs keyed by content hash, internal duplicates collapsed to the
+    * lowest doc_id (deterministic canonical copy).
+    */
+  private def hashedCanonical(batch: DataFrame): DataFrame = {
+    val cols = batch.columns
+    batch
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .select(("content_hash" +: cols.toSeq).map(col): _*)
+  }
+
+  /** The content-novel subset of `batch` versus the persistent index:
+    * internal duplicates collapsed, then a hash-keyed anti join against
+    * every previously admitted hash. Pure — does not touch the index.
+    */
+  def novel(spark: SparkSession, indexPath: String, batch: DataFrame): DataFrame = {
+    val candidates = hashedCanonical(batch)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) candidates
+    else candidates.join(
+      spark.read.parquet(indexPath).select("content_hash"),
+      Seq("content_hash"), "left_anti")
+  }
+
+  /** Admit the batch's novel documents: persist them through the caller's
+    * idempotent sink, then append their hashes to the index. Returns the
+    * number of admitted documents. Replaying the same batch after ANY crash
+    * converges (see the crash contract above); replaying after success
+    * admits 0.
+    */
+  def admitAndCommit(
+      spark: SparkSession,
+      indexPath: String,
+      batch: DataFrame,
+      persist: DataFrame => Unit): Long = {
+    // Materialize the admission decision ONCE (bounded: ≤ batch size): the
+    // count, the sink, and the index append must see the SAME novel set —
+    // a lazy plan would re-run the anti join three times, and the sink's
+    // own writes could change what a re-evaluation returns.
+    val admitted = DedupQueries.materialize(
+      novel(spark, indexPath, batch), "admit")
+    val admittedRows = admitted.count()
+    if (admittedRows > 0L) {
+      persist(admitted.drop("content_hash"))
+      admitted.select(col("content_hash"), col("doc_id").as("canonical_id"))
+        .write.mode("append").parquet(indexPath)
+    }
+    admittedRows
+  }
+}

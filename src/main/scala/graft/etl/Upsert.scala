@@ -127,13 +127,7 @@ object Upsert {
     // copy back (without this, a replay would read an EMPTY partition and
     // silently drop every key the batch didn't carry); destination present
     // → the install completed, drop the parked copy.
-    if (fs.exists(oldRoot)) {
-      fs.listStatus(oldRoot).foreach { s =>
-        val dest = new Path(cur, s.getPath.getName)
-        if (!fs.exists(dest)) renameOrThrow(fs, s.getPath, dest)
-      }
-      fs.delete(oldRoot, true)
-    }
+    recoverParkedPartitions(fs, cur, oldRoot)
     if (fs.exists(staging)) fs.delete(staging, true)
     if (!fs.exists(cur)) {
       deduped.write.partitionBy(partitionCol).parquet(path)
@@ -192,9 +186,41 @@ object Upsert {
     // OUTSIDE the table root so a concurrent/crashed read never discovers a
     // bogus partition value, and the recovery pass above heals any crash
     // between the park and install renames.
+    installStagedPartitions(fs, cur, staging, oldRoot,
+      _.startsWith(partitionCol + "="))
+  }
+
+  /** Crash recovery for the park/install partition swap (shared by
+    * [[mergePartitionedParquet]] and [[compactPartitionedParquet]]): a
+    * parked dir left under `oldRoot` means a previous swap was interrupted.
+    * Destination missing → the install never happened, roll the parked copy
+    * back (without this a replay would read an EMPTY partition and silently
+    * drop every key the batch didn't carry); destination present → the
+    * install completed, drop the parked copy.
+    */
+  private def recoverParkedPartitions(
+      fs: org.apache.hadoop.fs.FileSystem, cur: Path, oldRoot: Path): Unit =
+    if (fs.exists(oldRoot)) {
+      fs.listStatus(oldRoot).foreach { s =>
+        val dest = new Path(cur, s.getPath.getName)
+        if (!fs.exists(dest)) renameOrThrow(fs, s.getPath, dest)
+      }
+      fs.delete(oldRoot, true)
+    }
+
+  /** Park-then-install every staged partition dir matching `pick`, then
+    * clean up both roots. Atomicity is per partition-dir rename; a crash in
+    * the window is healed by [[recoverParkedPartitions]] on the next writer.
+    */
+  private def installStagedPartitions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      cur: Path,
+      staging: Path,
+      oldRoot: Path,
+      pick: String => Boolean): Unit = {
     fs.mkdirs(oldRoot)
     fs.listStatus(staging).iterator
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      .filter(s => s.isDirectory && pick(s.getPath.getName))
       .foreach { s =>
         val dest = new Path(cur, s.getPath.getName)
         if (fs.exists(dest))
@@ -203,6 +229,70 @@ object Upsert {
       }
     fs.delete(oldRoot, true)
     fs.delete(staging, true)
+  }
+
+  /** Small-file compaction for a partitioned parquet sink — the operational
+    * complement of [[mergePartitionedParquet]]: every incremental batch
+    * writes at least one file per affected partition, so a 6-hourly tick
+    * leaves hot partitions with hundreds of tiny files and every reader
+    * paying their open cost. At 100 TB the fix must be partition-scoped and
+    * metadata-cheap, exactly like the merge:
+    *
+    *  1. ONE non-recursive root listing finds the partition dirs;
+    *  2. a partition is compacted only when it holds more files than its
+    *     bytes need (`ceil(bytes / targetBytes)`, floored at
+    *     `minFilesToCompact` so near-right-sized partitions aren't churned);
+    *  3. each picked partition's FILES are read directly (the dir name is
+    *     never parsed into a value, so Hive-escaped or type-ambiguous
+    *     partition values round-trip verbatim), coalesced to the target
+    *     file count, written to staging, and swapped in with the same
+    *     park/install renames + crash recovery the merge uses.
+    *
+    * Row content is byte-for-byte preserved (no dedup, no reorder
+    * semantics — compaction is pure file-layout maintenance); untouched
+    * partitions are never read and stay byte-identical. Single-writer
+    * assumption as for the merge (shared staging/park roots).
+    *
+    * Returns (partitionDir, filesBefore, filesAfter) per compacted
+    * partition, newest state; empty when nothing crossed the threshold.
+    */
+  def compactPartitionedParquet(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      minFilesToCompact: Int = 4): Seq[(String, Int, Int)] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(path)
+    if (!fs.exists(cur)) return Nil
+    val staging = new Path(path + "__staging")
+    val oldRoot = new Path(path + "__old")
+    recoverParkedPartitions(fs, cur, oldRoot)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val partDirs = fs.listStatus(cur)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+    val picked = partDirs.flatMap { d =>
+      val files = fs.listStatus(d.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (files.length > math.max(want, minFilesToCompact))
+        Some((d.getPath.getName, files.length, want))
+      else None
+    }
+    picked.foreach { case (dirName, _, want) =>
+      spark.read.parquet(s"$path/$dirName")
+        .coalesce(want)
+        .write.parquet(s"$staging/$dirName")
+    }
+    if (picked.nonEmpty)
+      installStagedPartitions(fs, cur, staging, oldRoot,
+        name => picked.exists(_._1 == name))
+    picked.toSeq.map { case (dir, before, _) =>
+      val after = fs.listStatus(new Path(cur, dir))
+        .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      (dir, before, after)
+    }
   }
 
   /** Hadoop FileSystem.rename reports failure by returning false — silent

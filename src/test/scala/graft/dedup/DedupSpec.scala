@@ -239,6 +239,46 @@ class DedupSpec extends SparkSuite {
     assert(rows.values.exists(_._3 > 0.0), "no doc adds any novel span")
   }
 
+  test("incremental admission: novel-only, replay-safe, crash-window converges") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_admit").toString
+    val index = s"$root/index"
+    val corpus = s"$root/corpus"
+    def sink(df: org.apache.spark.sql.DataFrame): Unit =
+      graft.etl.Upsert.mergeIntoParquet(spark, corpus, df, Seq("doc_id"), "doc_id")
+    def corpusIds: Set[Long] =
+      spark.read.parquet(corpus).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // batch 1: one internal duplicate (1L/2L share text) → canonical = min id
+    val b1 = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta"))
+      .toDF("doc_id", "text")
+    assert(IncrementalDedup.admitAndCommit(spark, index, b1, sink) == 2L)
+    assert(corpusIds == Set(1L, 3L))
+
+    // batch 2: one cross-batch duplicate (text of doc 1), one novel doc
+    val b2 = Seq((10L, "alpha beta"), (11L, "epsilon zeta")).toDF("doc_id", "text")
+    assert(IncrementalDedup.admitAndCommit(spark, index, b2, sink) == 1L)
+    assert(corpusIds == Set(1L, 3L, 11L))
+
+    // replay of batch 2 after success: admits nothing, changes nothing
+    assert(IncrementalDedup.admitAndCommit(spark, index, b2, sink) == 0L)
+    assert(corpusIds == Set(1L, 3L, 11L))
+
+    // crash window: sink persisted but the index append never happened —
+    // replaying the batch must converge, not lose or duplicate documents
+    val b3 = Seq((20L, "eta theta")).toDF("doc_id", "text")
+    intercept[RuntimeException] {
+      IncrementalDedup.admitAndCommit(spark, index, b3, df => {
+        sink(df); throw new RuntimeException("crash before index append")
+      })
+    }
+    assert(corpusIds == Set(1L, 3L, 11L, 20L), "sink write survived the crash")
+    assert(IncrementalDedup.admitAndCommit(spark, index, b3, sink) == 1L,
+      "index lacked the hash, so the replay re-admits and commits it")
+    assert(corpusIds == Set(1L, 3L, 11L, 20L), "idempotent sink converged")
+    assert(IncrementalDedup.admitAndCommit(spark, index, b3, sink) == 0L)
+  }
+
   test("x3: near-identical docs have small simhash hamming distance") {
     // the planted x4 near-dup pairs should be close in simhash space
     val pairs = DedupQueries.x4NgramJaccard(spark, sf001)

@@ -187,6 +187,52 @@ class EtlSpec extends SparkSuite {
     assert(!JFiles.exists(Paths.get(dir + "__old")))
   }
 
+  test("E3: compaction collapses fragmented partitions, preserves rows, skips healthy ones") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/quotes"
+    // dt=2025-01-01: fragmented (8 files); dt=2025-01-02: healthy (1 file)
+    val frag = (1 to 64).map(i => (s"k$i", "2025-01-01", 1L, i.toDouble))
+      .toDF("key", "dt", "v", "price").repartition(8)
+    frag.write.parquet(s"$dir/dt=2025-01-01")
+    Seq(("h1", 1L, 99.0)).toDF("key", "v", "price")
+      .coalesce(1).write.parquet(s"$dir/dt=2025-01-02")
+    def files(part: String): Seq[String] =
+      JFiles.list(Paths.get(dir, part)).iterator.asScala
+        .map(_.getFileName.toString)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSeq
+    def snapshot(part: String): Map[String, Seq[Byte]] =
+      JFiles.walk(Paths.get(dir, part)).iterator.asScala
+        .filter(JFiles.isRegularFile(_))
+        .map(p => p.toString -> JFiles.readAllBytes(p).toSeq).toMap
+    assert(files("dt=2025-01-01").size == 8)
+    val healthyBefore = snapshot("dt=2025-01-02")
+    val before = spark.read.parquet(s"$dir/dt=2025-01-01").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("v"), r.getAs[Double]("price"))).toSet
+
+    val report = Upsert.compactPartitionedParquet(spark, dir, "dt",
+      targetBytes = 1L << 30, minFilesToCompact = 2)
+    assert(report.map(r => (r._1, r._2, r._3)) == Seq(("dt=2025-01-01", 8, 1)),
+      s"unexpected report: $report")
+    assert(files("dt=2025-01-01").size == 1)
+    // content preserved byte-for-row, healthy partition untouched byte-for-byte
+    val after = spark.read.parquet(s"$dir/dt=2025-01-01").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("v"), r.getAs[Double]("price"))).toSet
+    assert(after == before)
+    assert(snapshot("dt=2025-01-02") == healthyBefore)
+    // second run: nothing left to compact; no staging/park leftovers
+    assert(Upsert.compactPartitionedParquet(spark, dir, "dt",
+      targetBytes = 1L << 30, minFilesToCompact = 2).isEmpty)
+    assert(!JFiles.exists(Paths.get(dir + "__staging")))
+    assert(!JFiles.exists(Paths.get(dir + "__old")))
+    // and the merge still composes with the compacted layout
+    val b = Seq(("k1", "2025-01-01", 2L, 111.0)).toDF("key", "dt", "v", "price")
+    Upsert.mergePartitionedParquet(spark, dir, b, Seq("key"), "v", "dt")
+    val k1 = spark.read.parquet(dir).filter(col("key") === "k1")
+      .collect().map(_.getAs[Double]("price")).toSeq
+    assert(k1 == Seq(111.0))
+  }
+
   test("E3: partition merge recovers an interrupted swap without losing rows") {
     import java.nio.file.{Files => JFiles, Paths}
     val root = Files.createTempDirectory("graft_pcrash").toString
