@@ -54,7 +54,13 @@ object IncrementalDedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) candidates
     else candidates.join(
-      spark.read.parquet(indexPath).select("content_hash"),
+      // Schema supplied EXPLICITLY: a crash during the very first index
+      // append can leave indexPath existing with zero data files (only a
+      // _temporary dir), and schema inference would throw "Unable to infer
+      // schema" on every replay — a permanent wedge. With the schema pinned,
+      // a data-file-less index reads as empty and the replay converges.
+      spark.read.schema("content_hash STRING, canonical_id BIGINT")
+        .parquet(indexPath).select("content_hash"),
       Seq("content_hash"), "left_anti")
   }
 

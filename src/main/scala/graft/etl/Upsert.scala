@@ -59,6 +59,19 @@ object Upsert {
       .withColumn("__gen", lit(1L))
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(path)
+    // Crash recovery FIRST: a previous run that died between its two swap
+    // renames leaves the ONLY copy of the table parked at __old with `cur`
+    // missing — without this rollback, the replay would read empty state,
+    // merge just the batch, and then DELETE the parked copy (silent loss of
+    // every previously merged row). Parked + destination present = the
+    // install completed; drop the stale park.
+    locally {
+      val parked = new Path(path + "__old")
+      if (fs.exists(parked)) {
+        if (!fs.exists(cur)) renameOrThrow(fs, parked, cur)
+        else fs.delete(parked, true)
+      }
+    }
     val merged =
       if (fs.exists(cur)) {
         val existing = spark.read.parquet(path).withColumn("__gen", lit(0L))
@@ -71,8 +84,8 @@ object Upsert {
     merged.drop("__gen").write.mode("overwrite").parquet(tmp.toString)
     val old = new Path(path + "__old")
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(cur)) fs.rename(cur, old)
-    fs.rename(tmp, cur)
+    if (fs.exists(cur)) renameOrThrow(fs, cur, old)
+    renameOrThrow(fs, tmp, cur)
     fs.delete(old, true)
   }
 
@@ -253,6 +266,15 @@ object Upsert {
     * partitions are never read and stay byte-identical. Single-writer
     * assumption as for the merge (shared staging/park roots).
     *
+    * READER CAVEAT: the park/install swap makes each compacted partition
+    * transiently ABSENT (one rename window) — a concurrent reader listing
+    * the root in that window silently misses the partition's rows. The
+    * merge has the same window, but there the partition's content is
+    * changing anyway; compaction introduces it for data that is logically
+    * unchanged. Run compaction in a maintenance window, or adopt a
+    * manifest-based table format when concurrent readers must never
+    * observe the gap — a plain parquet directory cannot swap atomically.
+    *
     * Returns (partitionDir, filesBefore, filesAfter) per compacted
     * partition, newest state; empty when nothing crossed the threshold.
     */
@@ -280,14 +302,30 @@ object Upsert {
         Some((d.getPath.getName, files.length, want))
       else None
     }
-    picked.foreach { case (dirName, _, want) =>
-      spark.read.parquet(s"$path/$dirName")
-        .coalesce(want)
-        .write.parquet(s"$staging/$dirName")
+    // The per-partition rewrites are independent — submit them as
+    // CONCURRENT Spark jobs (a serial loop over hundreds of fragmented
+    // partitions would cost one scheduler round-trip each while the
+    // cluster idles). Bounded pool; failures propagate before any swap.
+    if (picked.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, picked.length))
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val jobs = picked.toSeq.map { case (dirName, _, want) =>
+          scala.concurrent.Future {
+            spark.read.parquet(s"$path/$dirName")
+              .coalesce(want)
+              .write.parquet(s"$staging/$dirName")
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(jobs),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+      val pickedNames = picked.map(_._1).toSet
+      installStagedPartitions(fs, cur, staging, oldRoot, pickedNames.contains)
     }
-    if (picked.nonEmpty)
-      installStagedPartitions(fs, cur, staging, oldRoot,
-        name => picked.exists(_._1 == name))
     picked.toSeq.map { case (dir, before, _) =>
       val after = fs.listStatus(new Path(cur, dir))
         .count(f => f.isFile && !f.getPath.getName.startsWith("_"))

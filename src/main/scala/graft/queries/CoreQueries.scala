@@ -278,9 +278,14 @@ object CoreQueries {
         dsum30(col("mkt") * col("close")).as("sxy"),
         dsum30(col("mkt") * col("mkt")).as("sxx"))
       .filter(col("n") >= 20)
-      // a degenerate series (market constant over the user's days) has zero
-      // variance — drop it rather than emit NaN/Infinity betas downstream
-      .filter(col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0)
+      // a (near-)degenerate series — market constant over the user's days —
+      // must not reach the division: exact zero gives NaN/Infinity, and
+      // per-row decimal rounding turns a truly-constant series into a tiny
+      // NONZERO denominator whose ratio is pure rounding noise. Filter on a
+      // relative variance floor (CV² of genuine daily data is ≥1e-4; the
+      // rounding-noise ratio is ≤~1e-8/price — 1e-7 separates them cleanly)
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") >
+        lit(1e-7) * col("n") * col("sxx"))
       .withColumn("beta",
         (col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx")))
@@ -797,12 +802,14 @@ object CoreQueries {
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "events")
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-      // >= : an event exactly gap after its predecessor starts a NEW session,
-      // matching session_window's "merge only if the gap is LESS than the
-      // duration" — so A22's boundaries equal A12c's/sessionCloser's exactly
+      // > (strict): an event exactly gap after its predecessor still MERGES,
+      // matching session_window's verified behavior on this Spark build (a
+      // 30:00.000000 gap merges; only 30:00.000001 splits) and the streaming
+      // sessionCloser's `t - last <= gapUs` merge test — one boundary
+      // definition across all three session operators
       .withColumn("new_sess",
         (col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") >= 30L * 60 * 1000000).cast("long"))
+          unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000).cast("long"))
       .withColumn("session_id", sum(col("new_sess")).over(run))
       .groupBy(col("user_id"), col("session_id"))
       .agg(
@@ -1040,7 +1047,7 @@ object CoreQueries {
          b AS (
            SELECT user_id, n, sx, sy,
                   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta
-           FROM stats WHERE n >= 20 AND n * sxx - sx * sx <> 0)
+           FROM stats WHERE n >= 20 AND n * sxx - sx * sx > 1e-7 * n * sxx)
          SELECT user_id, CAST(n AS BIGINT) AS n_days, beta,
                 (sy - beta * sx) / n AS alpha
          FROM b ORDER BY user_id""",
@@ -1076,7 +1083,7 @@ object CoreQueries {
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          f AS (
            SELECT user_id, event_id, ts, us,
-                  CAST(prev_us IS NULL OR us - prev_us >= 30 * 60 * 1000000
+                  CAST(prev_us IS NULL OR us - prev_us > 30 * 60 * 1000000
                        AS BIGINT) AS new_sess
            FROM g),
          sess AS (

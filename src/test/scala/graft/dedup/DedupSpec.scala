@@ -249,6 +249,11 @@ class DedupSpec extends SparkSuite {
     def corpusIds: Set[Long] =
       spark.read.parquet(corpus).select("doc_id").collect().map(_.getLong(0)).toSet
 
+    // the index dir EXISTS but holds no data files (≙ a crash during the
+    // very first append) — the pinned-schema read must treat it as empty,
+    // not wedge on schema inference
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(index))
+
     // batch 1: one internal duplicate (1L/2L share text) → canonical = min id
     val b1 = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta"))
       .toDF("doc_id", "text")

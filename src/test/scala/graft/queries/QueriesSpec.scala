@@ -246,7 +246,7 @@ class QueriesSpec extends SparkSuite {
       var sess = 0L
       var prev = Long.MinValue
       val tagged = sorted.map { e =>
-        if (prev != Long.MinValue && e._3 - prev >= 30L * 60 * 1000000) sess += 1
+        if (prev != Long.MinValue && e._3 - prev > 30L * 60 * 1000000) sess += 1
         else if (prev == Long.MinValue) sess = 1
         prev = e._3
         (sess, e._3)
