@@ -281,6 +281,34 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming document admission: each micro-batch of crawled documents
+    * flows through [[graft.dedup.IncrementalDedup]]'s content-hash gate —
+    * only never-seen content reaches the corpus, across batches AND across
+    * restarts (the index is durable state beside the corpus, not streaming
+    * state). Composition of the two crash contracts: the engine replays an
+    * uncommitted micro-batch (at-least-once), and `admitAndCommit` replays
+    * to convergence (idempotent corpus sink first, blind index append
+    * second), so the corpus never holds two copies of one content hash.
+    * This is the standing ingest loop of a training-data pipeline: crawl →
+    * landing dir → admit-if-novel → dedup'd corpus.
+    */
+  def admitDocumentsAvailableNow(
+      docs: DataFrame,
+      indexPath: String,
+      corpusPath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.dedup.IncrementalDedup.admitAndCommit(
+          batch.sparkSession, indexPath, batch,
+          novel => Upsert.mergeIntoParquet(
+            novel.sparkSession, corpusPath, novel, Seq("doc_id"), "doc_id"))
+        ()
+      }
+      .start()
+
   /** The reference's full load path, streaming: micro-batches upserted into
     * a relational table over JDBC (`foreachBatch` → MERGE/ON CONFLICT ≙
     * `postgres_writer.py:181-278` run per tick). Each batch is LWW-deduped

@@ -405,4 +405,35 @@ class StreamingSpec extends SparkSuite {
     assert(tableState() == Map(1L -> 99.0, 2L -> 99.0, 3L -> 30.0))
     assert(ledgerCount() == 3)
   }
+
+  test("streaming admission: cross-batch and cross-restart content dedup") {
+    import spark.implicits._
+    val root = s"$work/admit"
+    val land = s"$root/landing"
+    val index = s"$root/index"
+    val corpus = s"$root/corpus"
+    def run(): Unit = {
+      val stream = StreamingIngest.readLanding(spark, land,
+        spark.read.parquet(land).schema)
+      val q = StreamingIngest.admitDocumentsAvailableNow(
+        stream, index, corpus, s"$root/ckpt")
+      q.awaitTermination()
+    }
+    // drop 1: internal duplicate (1/2 share text)
+    Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta"))
+      .toDF("doc_id", "text").write.parquet(land)
+    run()
+    def state: Map[Long, String] = spark.read.parquet(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(state == Map(1L -> "alpha beta", 3L -> "gamma delta"))
+    // drop 2 lands AFTER the first query stopped: a cross-batch duplicate
+    // (text of doc 1) and one novel doc; the RESTARTED query must admit
+    // only the novel one — the seen-set survives in the index, not in
+    // streaming state
+    Seq((10L, "alpha beta"), (11L, "epsilon zeta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(land)
+    run()
+    assert(state == Map(1L -> "alpha beta", 3L -> "gamma delta",
+      11L -> "epsilon zeta"))
+  }
 }
