@@ -627,10 +627,20 @@ object DedupQueries {
     */
   def x17IncrementalNovelty(s: SparkSession, dir: String, spanLen: Int = 8): DataFrame = {
     val docs = t(s, dir, "documents").withColumn("ws", split(col("text"), " "))
-    def spans(half: Column => Column) =
-      spanDigests(docs.filter(half(col("doc_id"))), "doc_id", spanLen)
-    val newSpans = spans(_ % 2 === 1)
-    val oldSpans = spans(_ % 2 === 0).select("h").distinct()
+    x17NoveltyFrom(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0), spanLen)
+  }
+
+  /** X17 core over arbitrary new-batch/snapshot frames (each needing
+    * `doc_id, ws`) — the composition seam mirroring [[x9ClustersFrom]] and
+    * `e7CorrelationFrom`: production swaps the declared query's doc_id-parity
+    * stand-in for its real snapshot predicate (ingest date, or the
+    * [[IncrementalDedup]] index's admitted set) without touching the plan.
+    */
+  def x17NoveltyFrom(newDocs: DataFrame, oldDocs: DataFrame, spanLen: Int = 8): DataFrame = {
+    val newSpans = spanDigests(newDocs, "doc_id", spanLen)
+    val oldSpans = spanDigests(oldDocs, "doc_id", spanLen).select("h").distinct()
     val totals = newSpans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
     val novel = newSpans.join(oldSpans, Seq("h"), "left_anti")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
