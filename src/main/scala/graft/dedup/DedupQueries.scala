@@ -141,6 +141,43 @@ object DedupQueries {
       .select(col("canonical_id"), col("content_hash"), col("n_copies"))
       .orderBy("canonical_id")
 
+  /** LSH band buckets per document — ONE definition shared by the X2 query
+    * and the near-dup admission gate ([[IncrementalDedup.novelByMinhash]]):
+    * same lane constants, same banding, so "near-dup" means the same thing
+    * at query time and at ingest time.
+    *
+    * All 24 minhashes in ONE groupBy(doc_id) — 24 parallel min() aggregates
+    * over the un-exploded shingle stream. The naive formulation (explode a
+    * 0..23 sequence, shuffle (doc, shingle)×24 rows) moves 24× the data
+    * through the exchange for identical results; this shape's map-side
+    * partial mins reduce each partition to ≤ one row per doc before the
+    * shuffle, which is what survives a 100 TB corpus. Band hashes are then
+    * row-local (no extra shuffle), unpivoted to (doc_id, band, bh) rows for
+    * bucket equi-joins.
+    */
+  def bandBuckets(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("base", md5Mod(col("shingle")))
+    val minhash = hashed
+      .groupBy(col("doc_id"))
+      .agg(
+        min((((lit(0L) * 2654435761L + 1) % P) * col("base") +
+          (lit(0L) * 40503L + 17) % P) % P).as("m0"),
+        (1 until NumHashes).map { k =>
+          min((((lit(k.toLong) * 2654435761L + 1) % P) * col("base") +
+            (lit(k.toLong) * 40503L + 17) % P) % P).as(s"m$k")
+        }: _*)
+    val bandWeights = Seq(1L, 8191L, 67092481L)
+    val bandStructs = (0 until NumHashes / BandRows).map { b =>
+      val terms = (0 until BandRows).map { r =>
+        (col(s"m${b * BandRows + r}") * lit(bandWeights(r))) % P
+      }
+      struct(lit(b).as("band"), (terms.reduce(_ + _) % P).as("bh"))
+    }
+    minhash
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** X2 — MinHash+LSH near-duplicate pairs, verified by exact Jaccard.
     *
     * shingle → 24 minhashes (universal hashing over a md5-derived base) →
@@ -161,34 +198,7 @@ object DedupQueries {
     // FULL shingle table instead would trade a corpus read for a
     // ~3×-corpus WRITE — strictly worse at 100 TB.
     val sh = shingles(t(s, dir, "documents"))
-    val hashed = sh.withColumn("base", md5Mod(col("shingle")))
-    // All 24 minhashes in ONE groupBy(doc_id) — 24 parallel min() aggregates
-    // over the un-exploded shingle stream. The naive formulation (explode a
-    // 0..23 sequence, shuffle (doc, shingle)×24 rows) moves 24× the data
-    // through the exchange for identical results; this shape's map-side
-    // partial mins reduce each partition to ≤ one row per doc before the
-    // shuffle, which is what survives a 100 TB corpus.
-    val minhash = hashed
-      .groupBy(col("doc_id"))
-      .agg(
-        min((((lit(0L) * 2654435761L + 1) % P) * col("base") +
-          (lit(0L) * 40503L + 17) % P) % P).as("m0"),
-        (1 until NumHashes).map { k =>
-          min((((lit(k.toLong) * 2654435761L + 1) % P) * col("base") +
-            (lit(k.toLong) * 40503L + 17) % P) % P).as(s"m$k")
-        }: _*)
-    // 8 band hashes per doc, computed row-local (no extra shuffle), then
-    // unpivoted to (doc_id, band, bh) rows for the bucket equi-join.
-    val bandWeights = Seq(1L, 8191L, 67092481L)
-    val bandStructs = (0 until NumHashes / BandRows).map { b =>
-      val terms = (0 until BandRows).map { r =>
-        (col(s"m${b * BandRows + r}") * lit(bandWeights(r))) % P
-      }
-      struct(lit(b).as("band"), (terms.reduce(_ + _) % P).as("bh"))
-    }
-    val bands = minhash
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bands = bandBuckets(sh)
     // Corpus pass #1 happens here: candidate pairs are LSH-bounded (≪
     // corpus²), so materializing them is a tiny write that pins the minhash
     // work to one execution.

@@ -64,12 +64,52 @@ object IncrementalDedup {
       Seq("content_hash"), "left_anti")
   }
 
-  /** Admit the batch's novel documents: persist them through the caller's
-    * idempotent sink, then append their hashes to the index. Returns the
-    * number of admitted documents. Replaying the same batch after ANY crash
-    * converges (see the crash contract above); replaying after success
-    * admits 0.
+  /** The near-dup-novel subset of `batch` versus a persistent MinHash-LSH
+    * bucket index — the FUZZY admission gate (what large-corpus pipelines
+    * run at ingest: an exact hash admits trivially re-encoded spam, LSH
+    * buckets catch it). A document is suspected when ANY of its 8 band
+    * buckets ([[DedupQueries.bandBuckets]] — the SAME lanes and banding as
+    * the X2 query, so ingest-time and query-time "near-dup" agree) matches
+    * the index, or matches a LOWER-doc_id batch sibling's bucket (the
+    * within-batch canonical). Recall-oriented by design: suspects are
+    * DROPPED, not verified — LSH false positives at these parameters trade
+    * a tiny novel-doc loss for never admitting a near-dup; callers needing
+    * precision verify suspects with exact Jaccard before dropping.
+    *
+    * Scale shape: bucket computation is X2's single-shuffle minhash; the
+    * index probe and sibling check are (band, bh)-keyed joins — both sides
+    * corpus-scale ⇒ keyed shuffles, nothing pairwise, nothing broadcast.
     */
+  def novelByMinhash(spark: SparkSession, bucketIndexPath: String, batch: DataFrame): DataFrame = {
+    val bands = DedupQueries.bandBuckets(DedupQueries.shingles(batch))
+    val fs = new org.apache.hadoop.fs.Path(bucketIndexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // suspected vs the index: ANY band bucket already admitted. Pinned
+    // schema: an index dir left data-file-less by a first-append crash must
+    // read as empty, not wedge schema inference (same rationale as novel()).
+    val suspectIdx =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(bucketIndexPath))) {
+        import spark.implicits._
+        Seq.empty[Long].toDF("doc_id")
+      } else bands.join(
+        spark.read.schema("band BIGINT, bh BIGINT").parquet(bucketIndexPath),
+        Seq("band", "bh"), "left_semi").select("doc_id").distinct()
+    // suspected vs the batch itself: a bucket shared with a LOWER doc_id
+    // (the within-batch canonical). Conservative: a dropped sibling's
+    // buckets still block — recall-oriented, never admits both sides.
+    val sibSuspect = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id")).distinct()
+    val suspected = suspectIdx.union(sibSuspect).distinct()
+    // docs too short to shingle have no buckets — the LSH gate cannot judge
+    // them and passes them through; compose with the exact-hash novel()
+    // gate when byte-identical tiny docs must also be caught
+    val survivors = batch.select("doc_id")
+      .join(suspected, Seq("doc_id"), "left_anti")
+    batch.join(survivors, Seq("doc_id"), "left_semi")
+  }
   def admitAndCommit(
       spark: SparkSession,
       indexPath: String,
@@ -86,6 +126,29 @@ object IncrementalDedup {
       persist(admitted.drop("content_hash"))
       admitted.select(col("content_hash"), col("doc_id").as("canonical_id"))
         .write.mode("append").parquet(indexPath)
+    }
+    admittedRows
+  }
+
+  /** [[admitAndCommit]]'s fuzzy twin: gate on [[novelByMinhash]], persist
+    * through the caller's idempotent sink, then append the admitted docs'
+    * band buckets to the bucket index. Same commit order, same crash
+    * contract: sink first, blind index append second — any crash window
+    * replays to convergence.
+    */
+  def admitAndCommitMinhash(
+      spark: SparkSession,
+      bucketIndexPath: String,
+      batch: DataFrame,
+      persist: DataFrame => Unit): Long = {
+    val admitted = DedupQueries.materialize(
+      novelByMinhash(spark, bucketIndexPath, batch), "admit_lsh")
+    val admittedRows = admitted.count()
+    if (admittedRows > 0L) {
+      persist(admitted)
+      DedupQueries.bandBuckets(DedupQueries.shingles(admitted))
+        .select(col("band"), col("bh"), col("doc_id").as("canonical_id"))
+        .write.mode("append").parquet(bucketIndexPath)
     }
     admittedRows
   }

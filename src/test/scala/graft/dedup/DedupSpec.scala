@@ -284,6 +284,42 @@ class DedupSpec extends SparkSuite {
     assert(IncrementalDedup.admitAndCommit(spark, index, b3, sink) == 0L)
   }
 
+  test("minhash admission: near-dups blocked across batches, distinct text admitted") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_admit_lsh").toString
+    val index = s"$root/buckets"
+    val corpus = s"$root/corpus"
+    def sink(df: org.apache.spark.sql.DataFrame): Unit =
+      graft.etl.Upsert.mergeIntoParquet(spark, corpus, df, Seq("doc_id"), "doc_id")
+    def corpusIds: Set[Long] =
+      spark.read.parquet(corpus).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 60).map(i => s"tok$i").updated(29, "CHANGED")).mkString(" ")
+    val distinct = (1 to 60).map(i => s"other$i").mkString(" ")
+    val sibDup = ((1 to 60).map(i => s"tok$i").updated(7, "ALSO")).mkString(" ")
+
+    // batch 1: base + a within-batch near-dup sibling → only the lower id
+    val b1 = Seq((1L, base), (2L, sibDup)).toDF("doc_id", "text")
+    assert(IncrementalDedup.admitAndCommitMinhash(spark, index, b1, sink) == 1L)
+    assert(corpusIds == Set(1L))
+
+    // batch 2: a near-dup of the ADMITTED doc (cross-batch) + truly new text
+    val b2 = Seq((10L, nearDup), (11L, distinct)).toDF("doc_id", "text")
+    assert(IncrementalDedup.admitAndCommitMinhash(spark, index, b2, sink) == 1L)
+    assert(corpusIds == Set(1L, 11L))
+
+    // replay after success: the admitted doc's own buckets now block it
+    assert(IncrementalDedup.admitAndCommitMinhash(spark, index, b2, sink) == 0L)
+    assert(corpusIds == Set(1L, 11L))
+
+    // sanity: the blocked pair really is a near-dup under x2's shingling
+    def sh3(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val j = (sh3(base) intersect sh3(nearDup)).size.toDouble /
+      (sh3(base) union sh3(nearDup)).size
+    assert(j > 0.8, s"fixture pair not a near-dup under x2's definition: $j")
+  }
+
   test("x3: near-identical docs have small simhash hamming distance") {
     // the planted x4 near-dup pairs should be close in simhash space
     val pairs = DedupQueries.x4NgramJaccard(spark, sf001)
