@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental admission dedup — the production loop around X1/X17: a
@@ -37,8 +38,7 @@ object IncrementalDedup {
     batch
       .withColumn("content_hash", sha2(col("text"), 256))
       .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+        Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
       .filter(col("__rn") === 1)
       .drop("__rn")
       .select(("content_hash" +: cols.toSeq).map(col): _*)
@@ -64,24 +64,17 @@ object IncrementalDedup {
       Seq("content_hash"), "left_anti")
   }
 
-  /** The near-dup-novel subset of `batch` versus a persistent MinHash-LSH
-    * bucket index — the FUZZY admission gate (what large-corpus pipelines
-    * run at ingest: an exact hash admits trivially re-encoded spam, LSH
-    * buckets catch it). A document is suspected when ANY of its 8 band
-    * buckets ([[DedupQueries.bandBuckets]] — the SAME lanes and banding as
-    * the X2 query, so ingest-time and query-time "near-dup" agree) matches
-    * the index, or matches a LOWER-doc_id batch sibling's bucket (the
-    * within-batch canonical). Recall-oriented by design: suspects are
-    * DROPPED, not verified — LSH false positives at these parameters trade
-    * a tiny novel-doc loss for never admitting a near-dup; callers needing
-    * precision verify suspects with exact Jaccard before dropping.
-    *
-    * Scale shape: bucket computation is X2's single-shuffle minhash; the
-    * index probe and sibling check are (band, bh)-keyed joins — both sides
-    * corpus-scale ⇒ keyed shuffles, nothing pairwise, nothing broadcast.
+  /** LSH gate core: materialized band buckets for the batch (bounded: 8
+    * rows per shingleable doc) and the admitted subset of the batch. Shared
+    * by [[novelByMinhash]] and [[admitAndCommitMinhash]] so the expensive
+    * shingle-explode + 24-aggregate minhash pass runs ONCE per batch.
     */
-  def novelByMinhash(spark: SparkSession, bucketIndexPath: String, batch: DataFrame): DataFrame = {
-    val bands = DedupQueries.bandBuckets(DedupQueries.shingles(batch))
+  private def lshGate(
+      spark: SparkSession,
+      bucketIndexPath: String,
+      batch: DataFrame): (DataFrame, DataFrame) = {
+    val bands = DedupQueries.materialize(
+      DedupQueries.bandBuckets(DedupQueries.shingles(batch)), "admit_bands")
     val fs = new org.apache.hadoop.fs.Path(bucketIndexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // suspected vs the index: ANY band bucket already admitted. Pinned
@@ -95,21 +88,55 @@ object IncrementalDedup {
         spark.read.schema("band BIGINT, bh BIGINT").parquet(bucketIndexPath),
         Seq("band", "bh"), "left_semi").select("doc_id").distinct()
     // suspected vs the batch itself: a bucket shared with a LOWER doc_id
-    // (the within-batch canonical). Conservative: a dropped sibling's
-    // buckets still block — recall-oriented, never admits both sides.
-    val sibSuspect = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("b.doc_id") < col("a.doc_id"))
-      .select(col("a.doc_id")).distinct()
+    // (the within-batch canonical). A window min per bucket, NOT a
+    // pairwise self-join: k re-encoded copies of one spam doc land in the
+    // same buckets, and a join would materialize O(k²) rows there — the
+    // window costs O(k) per bucket for identical semantics. Conservative:
+    // a dropped sibling's buckets still block — recall-oriented, never
+    // admits both sides.
+    val sibSuspect = bands
+      .withColumn("__min_id",
+        min(col("doc_id")).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("doc_id") > col("__min_id"))
+      .select("doc_id").distinct()
     val suspected = suspectIdx.union(sibSuspect).distinct()
-    // docs too short to shingle have no buckets — the LSH gate cannot judge
-    // them and passes them through; compose with the exact-hash novel()
-    // gate when byte-identical tiny docs must also be caught
-    val survivors = batch.select("doc_id")
-      .join(suspected, Seq("doc_id"), "left_anti")
-    batch.join(survivors, Seq("doc_id"), "left_semi")
+    // Docs too short to shingle have no buckets: the LSH gate cannot judge
+    // them, and admitting them here would also break admitAndCommitMinhash's
+    // convergence (nothing to index ⇒ every replay re-admits). They are
+    // EXCLUDED — route them through the exact-hash novel()/admitAndCommit
+    // gate, which handles any byte length.
+    val judged = bands.select("doc_id").distinct()
+    (judged.join(suspected, Seq("doc_id"), "left_anti"), bands)
   }
+
+  /** The near-dup-novel subset of `batch` versus a persistent MinHash-LSH
+    * bucket index — the FUZZY admission gate (what large-corpus pipelines
+    * run at ingest: an exact hash admits trivially re-encoded spam, LSH
+    * buckets catch it). A document is suspected when ANY of its 8 band
+    * buckets ([[DedupQueries.bandBuckets]] — the SAME lanes and banding as
+    * the X2 query, so ingest-time and query-time "near-dup" agree) matches
+    * the index, or matches a LOWER-doc_id batch sibling's bucket (the
+    * within-batch canonical). Recall-oriented by design: suspects are
+    * DROPPED, not verified — LSH false positives at these parameters trade
+    * a tiny novel-doc loss for never admitting a near-dup; callers needing
+    * precision verify suspects with exact Jaccard before dropping. Docs too
+    * short to shingle (< 3 tokens) are excluded, not passed through — see
+    * the gate core.
+    *
+    * Scale shape: bucket computation is X2's single-shuffle minhash; the
+    * index probe is a (band, bh)-keyed join (both sides corpus-scale ⇒
+    * keyed shuffle, never broadcast); the sibling check is a window min on
+    * the same key — nothing pairwise anywhere.
+    */
+  def novelByMinhash(spark: SparkSession, bucketIndexPath: String, batch: DataFrame): DataFrame =
+    batch.join(lshGate(spark, bucketIndexPath, batch)._1, Seq("doc_id"), "left_semi")
+
+  /** Admit the batch's content-novel documents: persist them through the
+    * caller's idempotent sink, then append their hashes to the index —
+    * returns the number admitted. Replaying the same batch after ANY crash
+    * converges (see the crash contract above); replaying after success
+    * admits 0.
+    */
   def admitAndCommit(
       spark: SparkSession,
       indexPath: String,
@@ -130,24 +157,33 @@ object IncrementalDedup {
     admittedRows
   }
 
-  /** [[admitAndCommit]]'s fuzzy twin: gate on [[novelByMinhash]], persist
+  /** [[admitAndCommit]]'s fuzzy twin: gate on the LSH buckets, persist
     * through the caller's idempotent sink, then append the admitted docs'
     * band buckets to the bucket index. Same commit order, same crash
-    * contract: sink first, blind index append second — any crash window
-    * replays to convergence.
+    * contract (sink first, blind index append second; replay-after-success
+    * admits 0 — unshingleable docs are excluded by the gate precisely so
+    * this holds). The batch's buckets are computed once (gate core) and
+    * filtered for the append — no second shingle pass.
     */
   def admitAndCommitMinhash(
       spark: SparkSession,
       bucketIndexPath: String,
       batch: DataFrame,
       persist: DataFrame => Unit): Long = {
+    val (admittedIds, bands) = lshGate(spark, bucketIndexPath, batch)
     val admitted = DedupQueries.materialize(
-      novelByMinhash(spark, bucketIndexPath, batch), "admit_lsh")
+      batch.join(admittedIds, Seq("doc_id"), "left_semi"), "admit_lsh")
     val admittedRows = admitted.count()
     if (admittedRows > 0L) {
       persist(admitted)
-      DedupQueries.bandBuckets(DedupQueries.shingles(admitted))
+      bands.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
         .select(col("band"), col("bh"), col("doc_id").as("canonical_id"))
+        // co-locate each doc's 8 band rows in ONE file so they commit
+        // atomically (per-file rename): a crash mid-append can only leave a
+        // doc fully indexed or fully absent — never half-indexed, which would
+        // block its re-admission on replay while leaving the missing bands
+        // unprobeable forever (a permanent recall hole)
+        .repartition(col("canonical_id"))
         .write.mode("append").parquet(bucketIndexPath)
     }
     admittedRows

@@ -299,8 +299,10 @@ class DedupSpec extends SparkSuite {
     val distinct = (1 to 60).map(i => s"other$i").mkString(" ")
     val sibDup = ((1 to 60).map(i => s"tok$i").updated(7, "ALSO")).mkString(" ")
 
-    // batch 1: base + a within-batch near-dup sibling → only the lower id
-    val b1 = Seq((1L, base), (2L, sibDup)).toDF("doc_id", "text")
+    // batch 1: base + a within-batch near-dup sibling → only the lower id;
+    // the 2-token doc is UNJUDGEABLE (no shingles) and must be excluded —
+    // passing it through would make replay-after-success re-admit forever
+    val b1 = Seq((1L, base), (2L, sibDup), (3L, "too short")).toDF("doc_id", "text")
     assert(IncrementalDedup.admitAndCommitMinhash(spark, index, b1, sink) == 1L)
     assert(corpusIds == Set(1L))
 
