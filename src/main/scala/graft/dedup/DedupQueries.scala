@@ -662,7 +662,44 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** X18 — LSH admission decisions, declared as an oracle-checked query:
+    * for every judged document of the "new batch" (odd doc_ids), whether the
+    * [[IncrementalDedup.novelByMinhash]] gate would suspect it against the
+    * snapshot's buckets (even doc_ids), suspect it against a lower-id batch
+    * sibling, and hence whether it is admitted. The SAME banding as X2 and
+    * the SAME decision rules as the production gate (DedupSpec pins that
+    * equivalence end-to-end through a real bucket index) — so the ingest
+    * gate's logic is hash-verified against DuckDB running the identical
+    * minhash algorithm in SQL, not just spec-asserted. All columns integer ⇒
+    * exact compare. Scale shape: one minhash pass, a (band, bh)-keyed semi
+    * join, and a window min — nothing pairwise (X2's banding bounds the
+    * probe; the decision layer adds no join wider than the bucket key).
+    */
+  def x18LshAdmission(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandBuckets(shingles(t(s, dir, "documents")))
+    val oddBands = bands.filter(col("doc_id") % 2 === 1)
+    val evenBuckets = bands.filter(col("doc_id") % 2 === 0)
+      .select("band", "bh").distinct()
+    val suspectIdx = oddBands.join(evenBuckets, Seq("band", "bh"), "left_semi")
+      .select("doc_id").distinct().withColumn("s_idx", lit(1))
+    val sibSuspect = oddBands
+      .withColumn("__min_id",
+        min(col("doc_id")).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("doc_id") > col("__min_id"))
+      .select("doc_id").distinct().withColumn("s_sib", lit(1))
+    oddBands.select("doc_id").distinct()
+      .join(suspectIdx, Seq("doc_id"), "left")
+      .join(sibSuspect, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("s_idx"), lit(0)).as("suspected_index"),
+        coalesce(col("s_sib"), lit(0)).as("suspected_sibling"),
+        (coalesce(col("s_idx"), lit(0)) === 0 && coalesce(col("s_sib"), lit(0)) === 0)
+          .cast("int").as("admitted"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x18_lsh_admission" -> (x18LshAdmission _),
     "x1_exact_dedup" -> (x1ExactDedup _),
     "x15_dupspan" -> (x15DupSpanCoverage(_, _, 8)),
     "x16_source_overlap" -> (x16SourceOverlap(_, _, 8)),
@@ -793,6 +830,36 @@ object DedupQueries {
          FROM pairs p JOIN sizes x ON p.s1 = x.source
               JOIN sizes y ON p.s2 = y.source
          ORDER BY p.s1, p.s2""",
+    "x18_lsh_admission" ->
+      s"""WITH $shingleSql,
+         hx AS (SELECT doc_id, shingle,
+                  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1000000007 AS base
+                FROM sh),
+         mh AS (SELECT doc_id, k,
+                  MIN((((k*2654435761 + 1) % 1000000007) * base
+                       + (k*40503 + 17) % 1000000007) % 1000000007) AS m
+                FROM hx CROSS JOIN (SELECT unnest(range(0, 24)) AS k)
+                GROUP BY doc_id, k),
+         bands AS (SELECT doc_id, k // 3 AS band,
+                     SUM((m * (CASE k % 3 WHEN 0 THEN 1 WHEN 1 THEN 8191
+                               ELSE 67092481 END)) % 1000000007) % 1000000007 AS bh
+                   FROM mh GROUP BY doc_id, k // 3),
+         odd AS (SELECT doc_id, band, bh FROM bands WHERE doc_id % 2 = 1),
+         evenb AS (SELECT DISTINCT band, bh FROM bands WHERE doc_id % 2 = 0),
+         sidx AS (SELECT DISTINCT doc_id FROM odd SEMI JOIN evenb USING (band, bh)),
+         ssib AS (SELECT DISTINCT doc_id FROM (
+                    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, bh) AS mn
+                    FROM odd)
+                  WHERE doc_id > mn),
+         judged AS (SELECT DISTINCT doc_id FROM odd)
+         SELECT j.doc_id,
+                CAST(i.doc_id IS NOT NULL AS INT) AS suspected_index,
+                CAST(s.doc_id IS NOT NULL AS INT) AS suspected_sibling,
+                CAST(i.doc_id IS NULL AND s.doc_id IS NULL AS INT) AS admitted
+         FROM judged j
+         LEFT JOIN sidx i ON j.doc_id = i.doc_id
+         LEFT JOIN ssib s ON j.doc_id = s.doc_id
+         ORDER BY j.doc_id""",
     "x2_minhash_lsh" ->
       s"""WITH $shingleSql,
          hx AS (SELECT doc_id, shingle,

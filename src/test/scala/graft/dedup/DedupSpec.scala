@@ -322,6 +322,33 @@ class DedupSpec extends SparkSuite {
     assert(j > 0.8, s"fixture pair not a near-dup under x2's definition: $j")
   }
 
+  test("x18 decisions equal the production gate run against an even-half index") {
+    val docs = graft.Tables(spark, sf001, "documents")
+    // build a REAL bucket index from the even half, exactly as an admission
+    // run would have left it
+    val root = java.nio.file.Files.createTempDirectory("graft_x18").toString
+    val index = s"$root/buckets"
+    DedupQueries.bandBuckets(DedupQueries.shingles(
+        docs.filter(col("doc_id") % 2 === 0)))
+      .select(col("band"), col("bh"), col("doc_id").as("canonical_id"))
+      .write.parquet(index)
+    val gateAdmitted = IncrementalDedup.novelByMinhash(
+        spark, index, docs.filter(col("doc_id") % 2 === 1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val x18 = DedupQueries.x18LshAdmission(spark, sf001).collect()
+    val x18Admitted = x18.filter(_.getAs[Int]("admitted") == 1)
+      .map(_.getLong(0)).toSet
+    assert(x18Admitted == gateAdmitted,
+      s"query and gate disagree: ${(x18Admitted diff gateAdmitted) ++ (gateAdmitted diff x18Admitted)}")
+    // decision algebra: admitted == neither suspicion fired
+    x18.foreach { r =>
+      assert(r.getAs[Int]("admitted") ==
+        (if (r.getAs[Int]("suspected_index") == 0 && r.getAs[Int]("suspected_sibling") == 0) 1 else 0))
+    }
+    // both outcomes must occur or the fixture proves nothing
+    assert(x18Admitted.nonEmpty && x18Admitted.size < x18.length)
+  }
+
   test("x3: near-identical docs have small simhash hamming distance") {
     // the planted x4 near-dup pairs should be close in simhash space
     val pairs = DedupQueries.x4NgramJaccard(spark, sf001)
