@@ -81,14 +81,66 @@ object DedupQueries {
     * finished file instead of re-running the corpus explode, which is only
     * possible if the file exists before the plan is handed out.
     */
-  private[dedup] def materialize(df: DataFrame, tag: String): DataFrame = {
+  private[dedup] def materialize(df: DataFrame, tag: String): DataFrame =
+    materializeWithPath(df, tag)._1
+
+  /** [[materialize]] exposing the scratch path, for callers that fully
+    * consume the reader within one call and can therefore delete eagerly
+    * (via [[deleteScratch]]) instead of deferring to the shutdown hook —
+    * the admission loop does this per batch so a standing ingest process
+    * doesn't accumulate scratch for its whole lifetime.
+    */
+  private[dedup] def materializeWithPath(df: DataFrame, tag: String): (DataFrame, String) = {
     val s = df.sparkSession
     val base = s.conf.get("graft.scratchDir",
       s.conf.get("spark.sql.warehouse.dir") + "/_graft_scratch")
     val path = s"$base/${tag}_${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(path)
     registerScratchCleanup(path, s.sparkContext.hadoopConfiguration)
-    s.read.parquet(path)
+    (s.read.parquet(path), path)
+  }
+
+  /** Eagerly delete one scratch dir returned by [[materializeWithPath]].
+    * Caller contract: every reader over that path has been fully consumed —
+    * a still-alive lazy plan over deleted scratch fails at its next action.
+    */
+  private[dedup] def deleteScratch(spark: SparkSession, path: String): Unit = {
+    try {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    } catch { case _: Throwable => () }
+    val it = scratchPaths.iterator()
+    while (it.hasNext) if (it.next()._1 == path) it.remove()
+  }
+
+  /** Epoch GC for the scratch area: delete every scratch dir registered by
+    * this JVM whose files were last written more than `maxAgeMs` ago, and
+    * return how many were removed. [[materialize]] defers deletion to JVM
+    * exit because earlier LAZY readers may still be alive (each returned
+    * plan re-reads its files per action); a long-lived session running many
+    * x2/x4 queries therefore accumulates candidate-scale dirs. Callers
+    * invoke this at an epoch boundary where they know no reader older than
+    * `maxAgeMs` survives (e.g. between admission epochs, after results are
+    * sunk). A dir deleted here is unregistered from the exit hook.
+    */
+  def gcScratch(spark: SparkSession, maxAgeMs: Long): Int = {
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    var removed = 0
+    val it = scratchPaths.iterator()
+    while (it.hasNext) {
+      val (p, conf) = it.next()
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        if (fs.exists(hp) && fs.getFileStatus(hp).getModificationTime < cutoff &&
+          fs.listStatus(hp).forall(_.getModificationTime < cutoff)) {
+          fs.delete(hp, true)
+          it.remove()
+          removed += 1
+        } else if (!fs.exists(hp)) it.remove()
+      } catch { case _: Throwable => () }
+    }
+    removed
   }
 
   private val scratchPaths = new java.util.concurrent.ConcurrentLinkedQueue[
@@ -171,7 +223,10 @@ object DedupQueries {
       val terms = (0 until BandRows).map { r =>
         (col(s"m${b * BandRows + r}") * lit(bandWeights(r))) % P
       }
-      struct(lit(b).as("band"), (terms.reduce(_ + _) % P).as("bh"))
+      // band is a LONG so the persistent bucket index's physical schema
+      // matches its pinned BIGINT read schema exactly (an INT32 write would
+      // only read back through parquet int->long widening — engine-specific)
+      struct(lit(b.toLong).as("band"), (terms.reduce(_ + _) % P).as("bh"))
     }
     minhash
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
@@ -464,13 +519,29 @@ object DedupQueries {
     * run actually ships: every stage is one of the already-proven operators,
     * composed into a single lazy plan + the X9 iterative labels.
     */
-  def c3CorpusBlend(s: SparkSession, dir: String): DataFrame = {
+  def c3CorpusBlend(s: SparkSession, dir: String): DataFrame =
+    c3CorpusBlendFrom(
+      t(s, dir, "documents"),
+      x9DedupClusters(s, dir)
+        .filter(col("doc_id") === col("cluster_id")).select("doc_id"))
+
+  /** C3 core over an arbitrary representative set (any frame with a
+    * `doc_id` column) — the composition seam in the `x9ClustersFrom` /
+    * `x17NoveltyFrom` / `e7CorrelationFrom` pattern. The DECLARED query
+    * above keeps X9-over-X4 exhaustive edges for the recursive-CTE oracle's
+    * parity; at corpus scale production feeds reps from the sub-linear LSH
+    * pipeline instead ([[c3CorpusBlendLsh]]). Edge-source containment gives
+    * a provable relation between the two blends: LSH pairs ⊆ exhaustive
+    * pairs ⇒ LSH clusters are FINER ⇒ every exhaustive cluster's minimum is
+    * still the minimum of its LSH subcluster ⇒ exhaustive reps ⊆ LSH reps
+    * ⇒ each (lang, source) stratum of the exhaustive blend is bounded above
+    * by the LSH blend's — DedupSpec pins the rep containment, the
+    * per-stratum bound, and declared-query ≡ seam-with-default-reps.
+    */
+  def c3CorpusBlendFrom(docs: DataFrame, reps: DataFrame): DataFrame = {
     import graft.queries.CoreQueries.{qualityScoreExpr, samplePctExpr, sampleRateExpr}
-    val docs = t(s, dir, "documents")
-    val reps = x9DedupClusters(s, dir)
-      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
     docs
-      .join(reps, "doc_id")
+      .join(reps.select("doc_id"), "doc_id")
       .withColumn("toks", split(col("text"), " "))
       // the SAME expressions C1/C2 declare — shared so the composed pipeline
       // cannot silently diverge from the stages it claims to compose
@@ -481,6 +552,20 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("total_ws_tokens"))
       .orderBy("lang", "source")
+  }
+
+  /** The production default of C3 at corpus scale: cluster representatives
+    * from X2's LSH pairs through the [[x9ClustersFrom]] seam — every stage
+    * sub-linear (banded bucket join, label propagation, one rep semi-join),
+    * where the declared query's X4 edge source is an exhaustive
+    * inverted-index pass kept for oracle parity.
+    */
+  def c3CorpusBlendLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    c3CorpusBlendFrom(
+      docs,
+      x9ClustersFrom(docs, x2MinhashLsh(s, dir).select(col("doc_a"), col("doc_b")))
+        .filter(col("doc_id") === col("cluster_id")).select("doc_id"))
   }
 
   /** C4 — the decontaminated training mix: C3's composed pipeline with the

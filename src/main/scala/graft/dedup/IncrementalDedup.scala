@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   * natural bucketing candidate (bucket both sides by `content_hash` and
   * the anti join goes zero-exchange — `sources/Layout` proves that path).
   *
-  * Crash contract (single writer, same as the lake merge): `admitAndCommit`
+  * Crash contract (single writer, same as the lake merge — enforced by the
+  * [[graft.etl.LakeLease]] guard, so a second concurrent admitter fails
+  * loudly instead of double-admitting): `admitAndCommit`
   * persists the admitted docs via the caller's IDEMPOTENT sink FIRST, then
   * appends their hashes to the index. A crash between the two replays as:
   * index still lacks the hashes → the batch re-admits → the idempotent sink
@@ -72,8 +74,8 @@ object IncrementalDedup {
   private def lshGate(
       spark: SparkSession,
       bucketIndexPath: String,
-      batch: DataFrame): (DataFrame, DataFrame) = {
-    val bands = DedupQueries.materialize(
+      batch: DataFrame): (DataFrame, DataFrame, String) = {
+    val (bands, bandsPath) = DedupQueries.materializeWithPath(
       DedupQueries.bandBuckets(DedupQueries.shingles(batch)), "admit_bands")
     val fs = new org.apache.hadoop.fs.Path(bucketIndexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -106,7 +108,7 @@ object IncrementalDedup {
     // EXCLUDED — route them through the exact-hash novel()/admitAndCommit
     // gate, which handles any byte length.
     val judged = bands.select("doc_id").distinct()
-    (judged.join(suspected, Seq("doc_id"), "left_anti"), bands)
+    (judged.join(suspected, Seq("doc_id"), "left_anti"), bands, bandsPath)
   }
 
   /** The near-dup-novel subset of `batch` versus a persistent MinHash-LSH
@@ -131,6 +133,106 @@ object IncrementalDedup {
   def novelByMinhash(spark: SparkSession, bucketIndexPath: String, batch: DataFrame): DataFrame =
     batch.join(lshGate(spark, bucketIndexPath, batch)._1, Seq("doc_id"), "left_semi")
 
+  /** Exact-Jaccard confirmation of the LSH gate's suspects — the core of the
+    * PRECISION mode. Two collision-pair families, both bounded by the
+    * collision set (never corpus- or batch-quadratic):
+    *
+    *  - index pairs: (batch doc, previously admitted canonical) for every
+    *    shared (band, bh) bucket — the canonical's text comes from `corpus`;
+    *  - sibling pairs: (batch doc, its bucket-min batch sibling), the same
+    *    window-min check the recall-oriented gate uses (O(k) per bucket).
+    *
+    * The Jaccard joins read shingles of ONLY the involved docs (semi-joins
+    * bound both sides — x2's candidate-scoped shape), and the two pair
+    * families keep separate shingle frames so a batch doc_id numerically
+    * equal to a corpus canonical_id (the replay-after-success case: a doc
+    * colliding with its own indexed buckets, Jaccard 1.0) never
+    * cross-contaminates. A pair with no shared shingles scores 0 — the
+    * banding false positive the mode exists to admit.
+    */
+  private def confirmedSuspects(
+      spark: SparkSession,
+      bucketIndexPath: String,
+      batch: DataFrame,
+      corpus: DataFrame,
+      bands: DataFrame,
+      threshold: Double): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(bucketIndexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxPairs =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(bucketIndexPath)))
+        Seq.empty[(Long, Long)].toDF("doc_id", "other_id")
+      else bands.join(
+        spark.read.schema("band BIGINT, bh BIGINT, canonical_id BIGINT")
+          .parquet(bucketIndexPath),
+        Seq("band", "bh"))
+        .select(col("doc_id"), col("canonical_id").as("other_id")).distinct()
+    val sibPairs = bands
+      .withColumn("__min_id",
+        min(col("doc_id")).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("doc_id") > col("__min_id"))
+      .select(col("doc_id"), col("__min_id").as("other_id")).distinct()
+    def involvedSh(docs: DataFrame, ids: DataFrame): DataFrame =
+      DedupQueries.shingles(docs.join(ids, Seq("doc_id"), "left_semi"))
+    val suspectSh = involvedSh(batch,
+      idxPairs.select("doc_id").union(sibPairs.select("doc_id")).distinct())
+    def confirmed(pairs: DataFrame, otherSh: DataFrame): DataFrame = {
+      val ni = pairs.as("p")
+        .join(suspectSh.as("l"), col("p.doc_id") === col("l.doc_id"))
+        .join(otherSh.as("r"),
+          col("p.other_id") === col("r.doc_id") && col("l.shingle") === col("r.shingle"))
+        .groupBy(col("p.doc_id").as("doc_id"), col("p.other_id").as("other_id"))
+        .agg(count(lit(1)).as("ni"))
+      val nL = suspectSh.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+      val nR = otherSh.groupBy(col("doc_id").as("other_id")).agg(count(lit(1)).as("nr"))
+      pairs
+        .join(ni, Seq("doc_id", "other_id"), "left")
+        .join(nL, Seq("doc_id"))
+        .join(nR, Seq("other_id"))
+        .filter(coalesce(col("ni"), lit(0L)).cast("double") /
+          (col("nl") + col("nr") - coalesce(col("ni"), lit(0L))) >= threshold)
+        .select("doc_id")
+    }
+    confirmed(idxPairs,
+        involvedSh(corpus, idxPairs.select(col("other_id").as("doc_id")).distinct()))
+      .union(confirmed(sibPairs,
+        involvedSh(batch, sibPairs.select(col("other_id").as("doc_id")).distinct())))
+      .distinct()
+  }
+
+  /** [[novelByMinhash]]'s PRECISION twin: suspects are verified with exact
+    * 3-gram Jaccard against the specific documents they collided with, and
+    * only confirmed near-dups (`jaccard >= threshold` — X2's semantics) are
+    * dropped. A banding false positive (bucket collision between genuinely
+    * different texts — the tiny novel-doc loss the recall-oriented gate
+    * accepts by design) is ADMITTED instead of lost. Costs two extra
+    * bounded passes over the involved docs' shingles (x2's candidate-scoped
+    * shape; see [[confirmedSuspects]]).
+    *
+    * `corpus` must expose (doc_id, text) for every previously ADMITTED doc;
+    * the sink-first crash contract guarantees the corpus contains every
+    * indexed doc, so a confirmed index collision can always be re-verified.
+    * Documented recall trade: a suspect is verified only against its
+    * bucket-min batch sibling (the O(k)-not-O(k²) window check), so a
+    * within-batch near-dup pair whose every shared bucket also holds an
+    * unrelated lower doc can both be admitted — precision mode trades that
+    * tail for never dropping novel docs at ingest.
+    */
+  def novelByMinhashVerified(
+      spark: SparkSession,
+      bucketIndexPath: String,
+      batch: DataFrame,
+      corpus: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val (_, bands, _) = lshGate(spark, bucketIndexPath, batch)
+    batch.join(
+      bands.select("doc_id").distinct()
+        .join(confirmedSuspects(spark, bucketIndexPath, batch, corpus, bands, threshold),
+          Seq("doc_id"), "left_anti"),
+      Seq("doc_id"), "left_semi")
+  }
+
   /** Admit the batch's content-novel documents: persist them through the
     * caller's idempotent sink, then append their hashes to the index —
     * returns the number admitted. Replaying the same batch after ANY crash
@@ -141,21 +243,33 @@ object IncrementalDedup {
       spark: SparkSession,
       indexPath: String,
       batch: DataFrame,
-      persist: DataFrame => Unit): Long = {
+      persist: DataFrame => Unit): Long =
+    // Two concurrent admitters would each see the other's batch as novel and
+    // both append — the lease serializes them loudly ([[graft.etl.LakeLease]]);
+    // the caller's sink takes its own lease on its own path (different file,
+    // no deadlock).
+    graft.etl.LakeLease.withLease(
+      spark.sparkContext.hadoopConfiguration, indexPath) {
     // Materialize the admission decision ONCE (bounded: ≤ batch size): the
     // count, the sink, and the index append must see the SAME novel set —
     // a lazy plan would re-run the anti join three times, and the sink's
     // own writes could change what a re-evaluation returns.
-    val admitted = DedupQueries.materialize(
+    val (admitted, scratch) = DedupQueries.materializeWithPath(
       novel(spark, indexPath, batch), "admit")
-    val admittedRows = admitted.count()
-    if (admittedRows > 0L) {
-      persist(admitted.drop("content_hash"))
-      admitted.select(col("content_hash"), col("doc_id").as("canonical_id"))
-        .write.mode("append").parquet(indexPath)
+    try {
+      val admittedRows = admitted.count()
+      if (admittedRows > 0L) {
+        persist(admitted.drop("content_hash"))
+        admitted.select(col("content_hash"), col("doc_id").as("canonical_id"))
+          .write.mode("append").parquet(indexPath)
+      }
+      admittedRows
+    } finally
+      // the scratch is fully consumed by the time we return (count, sink and
+      // index append all completed or threw) — delete it NOW so a standing
+      // ingest loop doesn't accumulate one dir per micro-batch until JVM exit
+      DedupQueries.deleteScratch(spark, scratch)
     }
-    admittedRows
-  }
 
   /** [[admitAndCommit]]'s fuzzy twin: gate on the LSH buckets, persist
     * through the caller's idempotent sink, then append the admitted docs'
@@ -169,23 +283,74 @@ object IncrementalDedup {
       spark: SparkSession,
       bucketIndexPath: String,
       batch: DataFrame,
-      persist: DataFrame => Unit): Long = {
-    val (admittedIds, bands) = lshGate(spark, bucketIndexPath, batch)
-    val admitted = DedupQueries.materialize(
-      batch.join(admittedIds, Seq("doc_id"), "left_semi"), "admit_lsh")
-    val admittedRows = admitted.count()
-    if (admittedRows > 0L) {
-      persist(admitted)
-      bands.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
-        .select(col("band"), col("bh"), col("doc_id").as("canonical_id"))
-        // co-locate each doc's 8 band rows in ONE file so they commit
-        // atomically (per-file rename): a crash mid-append can only leave a
-        // doc fully indexed or fully absent — never half-indexed, which would
-        // block its re-admission on replay while leaving the missing bands
-        // unprobeable forever (a permanent recall hole)
-        .repartition(col("canonical_id"))
-        .write.mode("append").parquet(bucketIndexPath)
+      persist: DataFrame => Unit): Long =
+    // serialized for the same reason as admitAndCommit (see there)
+    graft.etl.LakeLease.withLease(
+      spark.sparkContext.hadoopConfiguration, bucketIndexPath) {
+      val (admittedIds, bands, bandsScratch) = lshGate(spark, bucketIndexPath, batch)
+      commitAdmitted(spark, bucketIndexPath, batch, admittedIds, bands,
+        bandsScratch, persist)
     }
-    admittedRows
+
+  /** [[admitAndCommitMinhash]]'s PRECISION twin: gate on the LSH buckets but
+    * drop only suspects whose exact Jaccard against a collided doc confirms
+    * the near-dup ([[novelByMinhashVerified]]'s semantics) — then the same
+    * sink-first commit order, crash contract, and per-doc-atomic bucket
+    * append. Replay after success still admits 0: the admitted doc's own
+    * buckets are now indexed and its corpus copy verifies at Jaccard 1.0.
+    */
+  def admitAndCommitMinhashVerified(
+      spark: SparkSession,
+      bucketIndexPath: String,
+      batch: DataFrame,
+      corpus: DataFrame,
+      persist: DataFrame => Unit,
+      threshold: Double = 0.8): Long =
+    // serialized for the same reason as admitAndCommit (see there)
+    graft.etl.LakeLease.withLease(
+      spark.sparkContext.hadoopConfiguration, bucketIndexPath) {
+      val (_, bands, bandsScratch) = lshGate(spark, bucketIndexPath, batch)
+      val admittedIds = bands.select("doc_id").distinct()
+        .join(confirmedSuspects(spark, bucketIndexPath, batch, corpus, bands, threshold),
+          Seq("doc_id"), "left_anti")
+      commitAdmitted(spark, bucketIndexPath, batch, admittedIds, bands,
+        bandsScratch, persist)
+    }
+
+  /** Shared commit tail of the two minhash admission modes: materialize the
+    * admitted set once, sink first, then blind-append the admitted docs'
+    * band buckets; eagerly delete both scratch dirs (fully consumed here).
+    */
+  private def commitAdmitted(
+      spark: SparkSession,
+      bucketIndexPath: String,
+      batch: DataFrame,
+      admittedIds: DataFrame,
+      bands: DataFrame,
+      bandsScratch: String,
+      persist: DataFrame => Unit): Long = {
+    val (admitted, scratch) = DedupQueries.materializeWithPath(
+      batch.join(admittedIds, Seq("doc_id"), "left_semi"), "admit_lsh")
+    try {
+      val admittedRows = admitted.count()
+      if (admittedRows > 0L) {
+        persist(admitted)
+        bands.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("band"), col("bh"), col("doc_id").as("canonical_id"))
+          // co-locate each doc's 8 band rows in ONE file so they commit
+          // atomically (per-file rename): a crash mid-append can only leave a
+          // doc fully indexed or fully absent — never half-indexed, which would
+          // block its re-admission on replay while leaving the missing bands
+          // unprobeable forever (a permanent recall hole)
+          .repartition(col("canonical_id"))
+          .write.mode("append").parquet(bucketIndexPath)
+      }
+      admittedRows
+    } finally {
+      // both scratch dirs are fully consumed by the time we return — delete
+      // eagerly so a standing ingest loop doesn't accumulate per-batch dirs
+      DedupQueries.deleteScratch(spark, scratch)
+      DedupQueries.deleteScratch(spark, bandsScratch)
+    }
   }
 }

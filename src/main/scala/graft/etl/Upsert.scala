@@ -57,6 +57,21 @@ object Upsert {
       tieBreakers: Seq[String] = Nil): Unit = {
     val deduped = lastWriteWins(updates, keys, versionCol, tieBreakers)
       .withColumn("__gen", lit(1L))
+    // Writer serialization: the recover/read/stage/swap sequence below is a
+    // single-writer protocol — the lease makes a second concurrent writer
+    // fail loudly instead of interleaving renames (see [[LakeLease]]).
+    LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
+      mergeIntoParquetLocked(spark, path, deduped, keys, versionCol, tieBreakers)
+    }
+  }
+
+  private def mergeIntoParquetLocked(
+      spark: SparkSession,
+      path: String,
+      deduped: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      tieBreakers: Seq[String]): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(path)
     // Crash recovery FIRST: a previous run that died between its two swap
@@ -130,6 +145,21 @@ object Upsert {
     require(updates.columns.contains(partitionCol),
       s"updates must carry partition column '$partitionCol'")
     val deduped = lastWriteWins(updates, keys, versionCol, tieBreakers)
+    // Single-writer protocol; see [[LakeLease]] and mergeIntoParquet.
+    LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
+      mergePartitionedLocked(spark, path, deduped, keys, versionCol,
+        partitionCol, tieBreakers)
+    }
+  }
+
+  private def mergePartitionedLocked(
+      spark: SparkSession,
+      path: String,
+      deduped: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      partitionCol: String,
+      tieBreakers: Seq[String]): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(path)
     val staging = new Path(path + "__staging")
@@ -283,7 +313,19 @@ object Upsert {
       path: String,
       partitionCol: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      minFilesToCompact: Int = 4): Seq[(String, Int, Int)] = {
+      minFilesToCompact: Int = 4): Seq[(String, Int, Int)] =
+    // Single-writer protocol; see [[LakeLease]] and mergeIntoParquet.
+    LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
+      compactPartitionedLocked(spark, path, partitionCol, targetBytes,
+        minFilesToCompact)
+    }
+
+  private def compactPartitionedLocked(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      targetBytes: Long,
+      minFilesToCompact: Int): Seq[(String, Int, Int)] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(path)
     if (!fs.exists(cur)) return Nil

@@ -160,6 +160,99 @@ class DedupSpec extends SparkSuite {
     assert(c4.values.map(_._1).sum <= c3.values.map(_._1).sum)
   }
 
+  test("c3 seam: exhaustive-edge reps ⊆ LSH-edge reps; per-stratum blend bound holds") {
+    val docs = graft.Tables(spark, sf001, "documents")
+    val exhaustiveReps = DedupQueries.x9DedupClusters(spark, sf001)
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    val lshReps = DedupQueries.x9ClustersFrom(
+        docs, DedupQueries.x2MinhashLsh(spark, sf001).select("doc_a", "doc_b"))
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    val exhSet = exhaustiveReps.collect().map(_.getLong(0)).toSet
+    val lshSet = lshReps.collect().map(_.getLong(0)).toSet
+    // LSH edges ⊆ exhaustive edges ⇒ LSH clusters are FINER ⇒ every coarse
+    // cluster's minimum is still the minimum of its finer subcluster
+    assert(exhSet.subsetOf(lshSet),
+      s"exhaustive reps not contained in LSH reps: ${exhSet diff lshSet}")
+    // the declared query ≡ the seam fed with its default reps
+    val viaSeam = DedupQueries.c3CorpusBlendFrom(docs, exhaustiveReps).collect()
+    val declared = DedupQueries.c3CorpusBlend(spark, sf001).collect()
+    assert(viaSeam.map(_.toString).toSeq == declared.map(_.toString).toSeq)
+    // per-stratum: the LSH-edge (production) blend bounds the exhaustive
+    // one from above — more representatives survive the finer clustering
+    val lshBlend = DedupQueries.c3CorpusBlendLsh(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    declared.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      val (nL, tL) = lshBlend.getOrElse(k, fail(s"stratum $k missing from LSH blend"))
+      assert(r.getLong(2) <= nL && r.getLong(3) <= tL,
+        s"stratum $k: exhaustive blend exceeds LSH blend")
+    }
+  }
+
+  test("verified minhash admission: banding false positive admitted, near-dup blocked, replay converges") {
+    import spark.implicits._
+    // Deterministically FIND a banding false positive: a variant sharing a
+    // band bucket with the base text while its exact 3-gram Jaccard is below
+    // the threshold. Fixed inputs + fixed hashing ⇒ same result every run.
+    val baseToks = (1 to 40).map(i => s"tok$i")
+    val base = baseToks.mkString(" ")
+    def sh3(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def jac(a: String, b: String) =
+      (sh3(a) intersect sh3(b)).size.toDouble / (sh3(a) union sh3(b)).size
+    val variants = (1 to 300).map { i =>
+      // swap ~1/4 of the tokens, pattern varying with i
+      val toks = baseToks.zipWithIndex.map { case (t, j) =>
+        if ((j * 7 + i) % 4 == 0) s"alt${i}_$j" else t
+      }
+      (i.toLong, toks.mkString(" "))
+    }
+    val all = (Seq((0L, base)) ++ variants).toDF("doc_id", "text")
+    val buckets = DedupQueries.bandBuckets(DedupQueries.shingles(all))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    val baseBuckets = buckets.filter(_._1 == 0L).map(_._2).toSet
+    val colliding = buckets.collect {
+      case (id, b) if id != 0L && baseBuckets(b) => id
+    }.distinct
+    val fpId = colliding.find(i => jac(base, variants(i.toInt - 1)._2) < 0.75)
+    assert(fpId.isDefined,
+      "no banding false positive among 300 variants — fixture assumption broke")
+    val fpText = variants(fpId.get.toInt - 1)._2
+    val nearDup = baseToks.updated(20, "CHANGED").mkString(" ")
+    assert(jac(base, nearDup) > 0.8)
+
+    val root = java.nio.file.Files.createTempDirectory("graft_admit_verify").toString
+    val index = s"$root/buckets"
+    val corpus = s"$root/corpus"
+    def sink(df: org.apache.spark.sql.DataFrame): Unit =
+      graft.etl.Upsert.mergeIntoParquet(spark, corpus, df, Seq("doc_id"), "doc_id")
+    def corpusDf = spark.read.parquet(corpus).select("doc_id", "text")
+    def corpusIds = corpusDf.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // batch 1 admits the base (verified mode, empty corpus/index)
+    val b1 = Seq((1000L, base)).toDF("doc_id", "text")
+    assert(IncrementalDedup.admitAndCommitMinhashVerified(
+      spark, index, b1, Seq.empty[(Long, String)].toDF("doc_id", "text"), sink) == 1L)
+    assert(corpusIds == Set(1000L))
+
+    // batch 2: the banding false positive (bucket-collides with base,
+    // J < 0.8) and a true near-dup (J > 0.8). The recall-oriented gate
+    // drops the false positive; the verified gate admits it and still
+    // blocks the near-dup.
+    val b2 = Seq((2000L, fpText), (2001L, nearDup)).toDF("doc_id", "text")
+    val recallAdmitted = IncrementalDedup.novelByMinhash(spark, index, b2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!recallAdmitted.contains(2000L),
+      "recall-mode gate should suspect the bucket-colliding false positive")
+    assert(IncrementalDedup.admitAndCommitMinhashVerified(
+      spark, index, b2, corpusDf, sink) == 1L)
+    assert(corpusIds == Set(1000L, 2000L))
+
+    // replay after success: the admitted doc's own buckets confirm J = 1.0
+    assert(IncrementalDedup.admitAndCommitMinhashVerified(
+      spark, index, b2, corpusDf, sink) == 0L)
+    assert(corpusIds == Set(1000L, 2000L))
+  }
+
   test("x15: coverage in [0,1], covers every doc, and planted near-dups score high") {
     val cov = DedupQueries.x15DupSpanCoverage(spark, sf001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
