@@ -68,7 +68,11 @@ object Bench {
     // host from scheduler noise alone (SURVEY §6.2), so ratio alone
     // over-flags exactly the queries that matter least.
     val (ratios, flagged) = {
-      val p = Paths.get("BASELINE_BENCH.json")
+      // Baseline file selectable per scale point: the sf0.1 gate reads the
+      // default; the committed 10×-replica artifact (BENCH_sf1.json) gates
+      // against BASELINE_BENCH_sf1.json via this env var.
+      val p = Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_BENCH.json"))
       if (!Files.exists(p)) ("{}", Seq.empty[String])
       else {
         val b = org.json4s.jackson.JsonMethods.parse(Files.readString(p))

@@ -783,8 +783,69 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** X19 — the PRECISION admission gate's decisions as an oracle-checked
+    * query, mirroring [[x18LshAdmission]] for
+    * [[IncrementalDedup.novelByMinhashVerified]]: for every judged doc of
+    * the "new batch" (odd doc_ids) vs the snapshot (even doc_ids), whether
+    * any LSH bucket collision SUSPECTED it (index or lower-id sibling —
+    * x18's rules), whether exact 3-gram Jaccard >= 0.8 against a collided
+    * doc CONFIRMED the near-dup, and hence whether verified admission
+    * admits it. The difference between x18's `admitted` and x19's is
+    * exactly the banding false positives the precision mode rescues (at
+    * sf0.001 the natural data contains one). All columns integer ⇒ exact
+    * compare; DuckDB replays the identical minhash banding AND the
+    * identical Jaccard verification in SQL; DedupSpec pins query ≡
+    * production verified gate through a real bucket index.
+    *
+    * Scale shape: x18's keyed bucket probes plus one collision-bounded pair
+    * join into the shingle table — candidate cardinality bounds the verify
+    * cost, exactly the production gate's two bounded passes.
+    */
+  def x19LshAdmissionVerified(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(t(s, dir, "documents"))
+    val bands = bandBuckets(sh)
+    val oddBands = bands.filter(col("doc_id") % 2 === 1)
+    val evenBands = bands.filter(col("doc_id") % 2 === 0)
+    val idxPairs = oddBands.as("o").join(evenBands.as("e"),
+        col("o.band") === col("e.band") && col("o.bh") === col("e.bh"))
+      .select(col("o.doc_id").as("doc_id"), col("e.doc_id").as("other_id"))
+      .distinct()
+    val sibPairs = oddBands
+      .withColumn("__min_id",
+        min(col("doc_id")).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("doc_id") > col("__min_id"))
+      .select(col("doc_id"), col("__min_id").as("other_id")).distinct()
+    val pairs = idxPairs.unionByName(sibPairs).distinct()
+    val ni = pairs.as("p")
+      .join(sh.as("l"), col("p.doc_id") === col("l.doc_id"))
+      .join(sh.as("r"),
+        col("p.other_id") === col("r.doc_id") && col("l.shingle") === col("r.shingle"))
+      .groupBy(col("p.doc_id").as("doc_id"), col("p.other_id").as("other_id"))
+      .agg(count(lit(1)).as("ni"))
+    val nl = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val nr = sh.groupBy(col("doc_id").as("other_id")).agg(count(lit(1)).as("nr"))
+    val confirmedIds = pairs
+      .join(ni, Seq("doc_id", "other_id"), "left")
+      .join(nl, Seq("doc_id"))
+      .join(nr, Seq("other_id"))
+      .filter(coalesce(col("ni"), lit(0L)).cast("double") /
+        (col("nl") + col("nr") - coalesce(col("ni"), lit(0L))) >= 0.8)
+      .select("doc_id").distinct().withColumn("s_conf", lit(1))
+    val suspectedIds = pairs.select("doc_id").distinct().withColumn("s_susp", lit(1))
+    oddBands.select("doc_id").distinct()
+      .join(suspectedIds, Seq("doc_id"), "left")
+      .join(confirmedIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("s_susp"), lit(0)).as("suspected"),
+        coalesce(col("s_conf"), lit(0)).as("confirmed_dup"),
+        (coalesce(col("s_conf"), lit(0)) === 0).cast("int").as("admitted"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_lsh_admission" -> (x18LshAdmission _),
+    "x19_lsh_admission_verified" -> (x19LshAdmissionVerified _),
+    "c3b_corpus_blend_lsh" -> (c3CorpusBlendLsh _),
     "x1_exact_dedup" -> (x1ExactDedup _),
     "x15_dupspan" -> (x15DupSpanCoverage(_, _, 8)),
     "x16_source_overlap" -> (x16SourceOverlap(_, _, 8)),
@@ -851,7 +912,103 @@ object DedupQueries {
          UNION
          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)"""
 
+  /** X2's banding replayed in SQL (shared by the x2, x18, x19 and c3b
+    * oracles): md5-derived base → 24 universal minhashes → 8 bands of 3.
+    * Expects an `sh` CTE in scope.
+    */
+  private val bandCtes =
+    """hx AS (SELECT doc_id, shingle,
+                CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1000000007 AS base
+              FROM sh),
+       mh AS (SELECT doc_id, k,
+                MIN((((k*2654435761 + 1) % 1000000007) * base
+                     + (k*40503 + 17) % 1000000007) % 1000000007) AS m
+              FROM hx CROSS JOIN (SELECT unnest(range(0, 24)) AS k)
+              GROUP BY doc_id, k),
+       bands AS (SELECT doc_id, k // 3 AS band,
+                   SUM((m * (CASE k % 3 WHEN 0 THEN 1 WHEN 1 THEN 8191
+                             ELSE 67092481 END)) % 1000000007) % 1000000007 AS bh
+                 FROM mh GROUP BY doc_id, k // 3)"""
+
+  /** The LSH-edge connected-components CTE chain (c3b oracle): X2's banding
+    * → candidate pairs → exact Jaccard >= 0.8 → edges → recursive
+    * reachability — the sub-linear production edge source replayed in SQL.
+    */
+  private val lshClusterCtes =
+    s"""$shingleSql,
+       $bandCtes,
+       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       $jaccardSql,
+       pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach(src, dst) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)"""
+
   val oracles: Map[String, String] = Map(
+    "c3b_corpus_blend_lsh" ->
+      s"""WITH RECURSIVE $lshClusterCtes,
+         labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                    FROM reach GROUP BY src),
+         reps AS (SELECT doc_id FROM labels WHERE doc_id = cluster_id),
+         scored AS (
+           SELECT d.doc_id, d.lang, d.source, d.text,
+                  (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)
+                    / length(d.text)) * 0.5
+                  + (CAST(len(list_filter(string_split(d.text, ' '),
+                       x -> list_contains(['the','a','of','and','to','is','in'], x))) AS DOUBLE)
+                    / len(string_split(d.text, ' '))) * 0.3
+                  + (CASE WHEN len(string_split(d.text, ' ')) BETWEEN 20 AND 200
+                     THEN 0.2 ELSE 0.0 END) AS quality_score
+           FROM documents d JOIN reps r ON d.doc_id = r.doc_id)
+         SELECT lang, source, COUNT(*) AS n_docs,
+                CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens
+         FROM scored
+         WHERE quality_score >= 0.6
+           AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+               < (CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50
+                            WHEN 'es' THEN 25 ELSE 10 END)
+         GROUP BY lang, source ORDER BY lang, source""",
+    "x19_lsh_admission_verified" ->
+      s"""WITH $shingleSql,
+         $bandCtes,
+         odd AS (SELECT doc_id, band, bh FROM bands WHERE doc_id % 2 = 1),
+         evenb AS (SELECT doc_id, band, bh FROM bands WHERE doc_id % 2 = 0),
+         idxp AS (SELECT DISTINCT o.doc_id AS doc_id, e.doc_id AS other_id
+                  FROM odd o JOIN evenb e ON o.band = e.band AND o.bh = e.bh),
+         sibp AS (SELECT DISTINCT doc_id, mn AS other_id FROM (
+                    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, bh) AS mn
+                    FROM odd)
+                  WHERE doc_id > mn),
+         prs AS (SELECT doc_id, other_id FROM idxp
+                 UNION SELECT doc_id, other_id FROM sibp),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         ni AS (SELECT p.doc_id, p.other_id, COUNT(*) AS ni
+                FROM prs p
+                JOIN sh l ON l.doc_id = p.doc_id
+                JOIN sh r ON r.doc_id = p.other_id AND r.shingle = l.shingle
+                GROUP BY p.doc_id, p.other_id),
+         conf AS (SELECT DISTINCT p.doc_id
+                  FROM prs p
+                  LEFT JOIN ni ON ni.doc_id = p.doc_id AND ni.other_id = p.other_id
+                  JOIN sizes a ON a.doc_id = p.doc_id
+                  JOIN sizes b ON b.doc_id = p.other_id
+                  WHERE CAST(COALESCE(ni.ni, 0) AS DOUBLE)
+                          / (a.n + b.n - COALESCE(ni.ni, 0)) >= 0.8),
+         susp AS (SELECT DISTINCT doc_id FROM prs),
+         judged AS (SELECT DISTINCT doc_id FROM odd)
+         SELECT j.doc_id,
+                CAST(s.doc_id IS NOT NULL AS INT) AS suspected,
+                CAST(c.doc_id IS NOT NULL AS INT) AS confirmed_dup,
+                CAST(c.doc_id IS NULL AS INT) AS admitted
+         FROM judged j
+         LEFT JOIN susp s ON j.doc_id = s.doc_id
+         LEFT JOIN conf c ON j.doc_id = c.doc_id
+         ORDER BY j.doc_id""",
     "x15_dupspan" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok FROM d),
@@ -917,18 +1074,7 @@ object DedupQueries {
          ORDER BY p.s1, p.s2""",
     "x18_lsh_admission" ->
       s"""WITH $shingleSql,
-         hx AS (SELECT doc_id, shingle,
-                  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1000000007 AS base
-                FROM sh),
-         mh AS (SELECT doc_id, k,
-                  MIN((((k*2654435761 + 1) % 1000000007) * base
-                       + (k*40503 + 17) % 1000000007) % 1000000007) AS m
-                FROM hx CROSS JOIN (SELECT unnest(range(0, 24)) AS k)
-                GROUP BY doc_id, k),
-         bands AS (SELECT doc_id, k // 3 AS band,
-                     SUM((m * (CASE k % 3 WHEN 0 THEN 1 WHEN 1 THEN 8191
-                               ELSE 67092481 END)) % 1000000007) % 1000000007 AS bh
-                   FROM mh GROUP BY doc_id, k // 3),
+         $bandCtes,
          odd AS (SELECT doc_id, band, bh FROM bands WHERE doc_id % 2 = 1),
          evenb AS (SELECT DISTINCT band, bh FROM bands WHERE doc_id % 2 = 0),
          sidx AS (SELECT DISTINCT doc_id FROM odd SEMI JOIN evenb USING (band, bh)),
@@ -947,18 +1093,7 @@ object DedupQueries {
          ORDER BY j.doc_id""",
     "x2_minhash_lsh" ->
       s"""WITH $shingleSql,
-         hx AS (SELECT doc_id, shingle,
-                  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1000000007 AS base
-                FROM sh),
-         mh AS (SELECT doc_id, k,
-                  MIN((((k*2654435761 + 1) % 1000000007) * base
-                       + (k*40503 + 17) % 1000000007) % 1000000007) AS m
-                FROM hx CROSS JOIN (SELECT unnest(range(0, 24)) AS k)
-                GROUP BY doc_id, k),
-         bands AS (SELECT doc_id, k // 3 AS band,
-                     SUM((m * (CASE k % 3 WHEN 0 THEN 1 WHEN 1 THEN 8191
-                               ELSE 67092481 END)) % 1000000007) % 1000000007 AS bh
-                   FROM mh GROUP BY doc_id, k // 3),
+         $bandCtes,
          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                   FROM bands x JOIN bands y
                     ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),

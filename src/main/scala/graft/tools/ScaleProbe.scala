@@ -3,26 +3,18 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev utility: scaling-linearity probe. Materializes an N× replica of the
-  * sf0.1 tables (keys offset per replica so cardinalities scale too), runs
-  * headline queries at 1× and N×, and prints the scale factor of the
-  * runtime. A plan that scales superlinearly here has a shuffle or state
-  * problem that 100 TB would amplify.
+/** N× replica builder for the sf0.1 tables — shared by the ad-hoc
+  * [[ScaleProbe]] and the committed sf1 bench artifact ([[ReplicaGen]] +
+  * `BENCH_sf1.json`), so both measure the SAME scaled dataset definition.
+  * Fact-table keys are offset per replica (join/group cardinalities scale
+  * too); document text is token-perturbed per replica (verbatim copies
+  * would make the near-dup probes measure the by-design-quadratic duplicate
+  * workload instead of scan/shuffle scaling); dims and `embeddings` are
+  * copied as-is (scaling embeddings verbatim would multiply within-cell
+  * duplicates — same rationale, SURVEY §6.1 footnote).
   */
-object ScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val base = "/root/testdata/sf0.1"
-    val n = if (args.nonEmpty) args(0).toInt else 10
-    val work = "/tmp/graft_scale10"
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "64")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.Tables.tune(spark)
-
+object Replicas {
+  def build(spark: SparkSession, base: String, work: String, n: Int): Unit = {
     // Replicate fact tables with per-replica key offsets; dims stay as-is.
     def replicate(name: String, keyCols: Map[String, Long]): Unit = {
       val src = graft.Tables(spark, base, name)
@@ -37,9 +29,6 @@ object ScaleProbe {
     replicate("orders", Map("o_orderkey" -> 100000000L, "o_custkey" -> 10000000L))
     replicate("customer", Map("c_custkey" -> 10000000L))
     replicate("events", Map("event_id" -> 1000000000L, "user_id" -> 100000L))
-    // documents: offset ids AND perturb every token per replica — verbatim
-    // copies would make the near-dup probes measure the (by-design
-    // superlinear) duplicate workload instead of scan/shuffle scaling.
     locally {
       val src = graft.Tables(spark, base, "documents")
       (0 until n).map { r =>
@@ -52,6 +41,50 @@ object ScaleProbe {
     Seq("region", "nation", "supplier", "part", "embeddings").foreach { t =>
       graft.Tables(spark, base, t).write.mode("overwrite").parquet(s"$work/$t.parquet")
     }
+  }
+}
+
+/** Standalone replica build: `runMain graft.tools.ReplicaGen <base> <work> <n>`.
+  * Used to materialize the 10× dataset the committed `BENCH_sf1.json` runs
+  * against (the full 83-query gate at replica scale, SURVEY §6.6).
+  */
+object ReplicaGen {
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val work = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val n = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.tune(spark)
+    Replicas.build(spark, base, work, n)
+    spark.stop()
+  }
+}
+
+/** Dev utility: scaling-linearity probe. Materializes an N× replica of the
+  * sf0.1 tables via [[Replicas]], runs headline queries at 1× and N×, and
+  * prints the scale factor of the runtime. A plan that scales superlinearly
+  * here has a shuffle or state problem that 100 TB would amplify.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val n = if (args.nonEmpty) args(0).toInt else 10
+    val work = "/tmp/graft_scale10"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.tune(spark)
+    Replicas.build(spark, base, work, n)
 
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       fn(spark, dir).write.mode("overwrite").format("noop").save() // warm

@@ -442,6 +442,39 @@ class DedupSpec extends SparkSuite {
     assert(x18Admitted.nonEmpty && x18Admitted.size < x18.length)
   }
 
+  test("x19 decisions equal the verified production gate; precision admits a superset of x18") {
+    val docs = graft.Tables(spark, sf001, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_x19").toString
+    val index = s"$root/buckets"
+    DedupQueries.bandBuckets(DedupQueries.shingles(
+        docs.filter(col("doc_id") % 2 === 0)))
+      .select(col("band"), col("bh"), col("doc_id").as("canonical_id"))
+      .write.parquet(index)
+    val gateAdmitted = IncrementalDedup.novelByMinhashVerified(
+        spark, index, docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val x19 = DedupQueries.x19LshAdmissionVerified(spark, sf001).collect()
+    val x19Admitted = x19.filter(_.getAs[Int]("admitted") == 1)
+      .map(_.getLong(0)).toSet
+    assert(x19Admitted == gateAdmitted,
+      s"query and verified gate disagree: ${(x19Admitted diff gateAdmitted) ++ (gateAdmitted diff x19Admitted)}")
+    // decision algebra: admitted == !confirmed; confirmed implies suspected
+    x19.foreach { r =>
+      assert(r.getAs[Int]("admitted") ==
+        (if (r.getAs[Int]("confirmed_dup") == 0) 1 else 0))
+      assert(r.getAs[Int]("confirmed_dup") <= r.getAs[Int]("suspected"))
+    }
+    // precision mode can only rescue, never drop more than the recall gate
+    val x18Admitted = DedupQueries.x18LshAdmission(spark, sf001).collect()
+      .filter(_.getAs[Int]("admitted") == 1).map(_.getLong(0)).toSet
+    assert(x18Admitted.subsetOf(x19Admitted))
+    info(s"precision mode rescued ${(x19Admitted diff x18Admitted).size} " +
+      s"banding false positive(s) of ${x19.length} judged docs")
+    assert(x19Admitted.nonEmpty && x19Admitted.size < x19.length,
+      "fixture must exercise both outcomes")
+  }
+
   test("x3: near-identical docs have small simhash hamming distance") {
     // the planted x4 near-dup pairs should be close in simhash space
     val pairs = DedupQueries.x4NgramJaccard(spark, sf001)
