@@ -207,9 +207,16 @@ object DedupQueries {
     * row-local (no extra shuffle), unpivoted to (doc_id, band, bh) rows for
     * bucket equi-joins.
     */
-  def bandBuckets(sh: DataFrame): DataFrame = {
-    val hashed = sh.withColumn("base", md5Mod(col("shingle")))
-    val minhash = hashed
+  def bandBuckets(sh: DataFrame): DataFrame = bandsOf(minhashes(sh))
+
+  /** All 24 minhash lanes per document, wide (doc_id, m0..m23) — the ONE
+    * groupBy(doc_id) shape documented on [[bandBuckets]]. Factored out so
+    * the banding (X2/X18/X19 and the admission gate) and the lane-equality
+    * estimator (X21) provably hash with the same lane constants — the
+    * estimate and the banding can never drift.
+    */
+  private def minhashes(sh: DataFrame): DataFrame =
+    sh.withColumn("base", md5Mod(col("shingle")))
       .groupBy(col("doc_id"))
       .agg(
         min((((lit(0L) * 2654435761L + 1) % P) * col("base") +
@@ -218,6 +225,11 @@ object DedupQueries {
           min((((lit(k.toLong) * 2654435761L + 1) % P) * col("base") +
             (lit(k.toLong) * 40503L + 17) % P) % P).as(s"m$k")
         }: _*)
+
+  /** Band hashes from the wide minhash frame — row-local arithmetic (no
+    * shuffle), unpivoted to (doc_id, band, bh) for bucket equi-joins.
+    */
+  private def bandsOf(minhash: DataFrame): DataFrame = {
     val bandWeights = Seq(1L, 8191L, 67092481L)
     val bandStructs = (0 until NumHashes / BandRows).map { b =>
       val terms = (0 until BandRows).map { r =>
@@ -345,6 +357,80 @@ object DedupQueries {
         half(32 until 64, 32).as("simhash_hi"),
         half(0 until 32, 0).as("simhash_lo"))
       .orderBy("doc_id")
+  }
+
+  /** X20 — SimHash hamming near-dup pairs (Manku/Jain/Sarma, "Detecting
+    * near-duplicates for web crawling", WWW 2007 — the fingerprint-dedup
+    * design web-scale crawls actually run): every pair of documents whose
+    * 64-bit SimHash fingerprints (X3's, shared) differ in at most `k` bits.
+    * Blocking is the paper's pigeonhole split: 4 blocks of 16 bits — k ≤ 3
+    * differing bits touch at most 3 blocks, so every qualifying pair shares
+    * at least one block VERBATIM, making candidate generation an equi-join
+    * on (block_idx, block_value), never corpus². The verify is
+    * bit_count(xor) on the two 32-bit halves — pure integer codegen, exact
+    * in both engines. This is the cheap-fingerprint alternative to X2 when
+    * 24 minhash lanes per doc are too expensive: 8 bytes of state per doc,
+    * one integer join-key family. At 100 TB a hot 16-bit block value (e.g.
+    * a zero block from short docs) concentrates a bucket the same way a hot
+    * LSH band does — AQE skew-join splits it; the distinct() before the
+    * hamming filter keeps a pair that shares several blocks from being
+    * verified more than once.
+    */
+  def x20SimhashPairs(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    require(k <= 3, s"4x16-bit blocking guarantees recall only for k <= 3, got $k")
+    val fp = x3Simhash(s, dir)
+    val blocks = fp.select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
+      explode(expr(
+        """array(
+             named_struct('b', 0L, 'v', simhash_lo % 65536L),
+             named_struct('b', 1L, 'v', simhash_lo div 65536L),
+             named_struct('b', 2L, 'v', simhash_hi % 65536L),
+             named_struct('b', 3L, 'v', simhash_hi div 65536L))""")).as("blk"))
+      .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
+        col("blk.b").as("b"), col("blk.v").as("v"))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash_hi").as("ha"), col("x.simhash_lo").as("la"),
+        col("y.simhash_hi").as("hb"), col("y.simhash_lo").as("lb"))
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS BIGINT)"))
+      .filter(col("hamming") <= k)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** X21 — minhash-only Jaccard estimation for the LSH candidate pairs:
+    * est = (matching lanes)/24, the Broder (1997) estimator. This is the
+    * 100 TB fallback when even X2's candidate-scoped exact verify is too
+    * expensive: the estimate needs NO second corpus pass — the wide minhash
+    * frame (doc-scale: 25 columns × one row per doc, ≪ the shingle stream)
+    * is materialized ONCE and serves both the banding and the per-pair lane
+    * comparison, so the shingle explode is read exactly once. Banded
+    * candidates + integer lane equality ⇒ exact in both engines; X2's
+    * verified pairs are by construction a subset of these candidates
+    * (spec-pinned).
+    */
+  def x21MinhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val mh = materialize(minhashes(shingles(t(s, dir, "documents"))), "x21_minhash")
+    val bands = bandsOf(mh)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(mh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(mh.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), matches.as("matching_lanes"))
+      .withColumn("est_jaccard", col("matching_lanes").cast("double") / NumHashes)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** X4 — inverted-index n-gram Jaccard near-dup: all pairs sharing at
@@ -852,6 +938,8 @@ object DedupQueries {
     "x17_incremental_novelty" -> (x17IncrementalNovelty(_, _, 8)),
     "x2_minhash_lsh" -> (x2MinhashLsh _),
     "x3_simhash" -> (x3Simhash _),
+    "x20_simhash_pairs" -> (x20SimhashPairs(_, _, 3)),
+    "x21_minhash_estimate" -> (x21MinhashEstimate _),
     "x4_ngram_jaccard" -> (x4NgramJaccard _),
     "x9_dedup_clusters" -> (x9DedupClusters _),
     "x10_source_dedup_stats" -> (x10SourceDedupStats _),
@@ -948,6 +1036,30 @@ object DedupQueries {
          SELECT doc_id, doc_id FROM documents
          UNION
          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)"""
+
+  /** X3's fingerprint construction replayed in SQL (shared by the x3 and
+    * x20 oracles): distinct tokens → md5-nibble bit votes → per-bit
+    * majority → two 32-bit halves. Ends in an `fp(doc_id, simhash_hi,
+    * simhash_lo)` CTE.
+    */
+  private val simhashFpCtes =
+    """toks AS (
+         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       voted AS (
+         SELECT doc_id, bit,
+           CASE WHEN (CAST('0x' || substr(md5(tok), bit // 4 + 1, 1) AS BIGINT)
+                      >> (bit % 4)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+         FROM toks CROSS JOIN (SELECT unnest(range(0, 64)) AS bit)),
+       perbit AS (
+         SELECT doc_id, bit,
+                CASE WHEN SUM(vote) > 0 THEN 1 ELSE 0 END AS onb
+         FROM voted GROUP BY doc_id, bit),
+       fp AS (
+         SELECT doc_id,
+           CAST(SUM(CASE WHEN bit >= 32 THEN onb * (1::BIGINT << (bit - 32)) ELSE 0 END) AS BIGINT) AS simhash_hi,
+           CAST(SUM(CASE WHEN bit < 32 THEN onb * (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash_lo
+         FROM perbit GROUP BY doc_id)"""
 
   val oracles: Map[String, String] = Map(
     "c3b_corpus_blend_lsh" ->
@@ -1101,22 +1213,43 @@ object DedupQueries {
          SELECT doc_a, doc_b, jaccard FROM jac
          WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""",
     "x3_simhash" ->
-      """WITH toks AS (
-           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-           FROM documents),
-         voted AS (
-           SELECT doc_id, bit,
-             CASE WHEN (CAST('0x' || substr(md5(tok), bit // 4 + 1, 1) AS BIGINT)
-                        >> (bit % 4)) & 1 = 1 THEN 1 ELSE -1 END AS vote
-           FROM toks CROSS JOIN (SELECT unnest(range(0, 64)) AS bit)),
-         perbit AS (
-           SELECT doc_id, bit,
-                  CASE WHEN SUM(vote) > 0 THEN 1 ELSE 0 END AS onb
-           FROM voted GROUP BY doc_id, bit)
-         SELECT doc_id,
-           CAST(SUM(CASE WHEN bit >= 32 THEN onb * (1::BIGINT << (bit - 32)) ELSE 0 END) AS BIGINT) AS simhash_hi,
-           CAST(SUM(CASE WHEN bit < 32 THEN onb * (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash_lo
-         FROM perbit GROUP BY doc_id ORDER BY doc_id""",
+      s"""WITH $simhashFpCtes
+         SELECT doc_id, simhash_hi, simhash_lo FROM fp ORDER BY doc_id""",
+    "x20_simhash_pairs" ->
+      s"""WITH $simhashFpCtes,
+         blk AS (SELECT doc_id, simhash_hi, simhash_lo, b,
+                   CASE b WHEN 0 THEN simhash_lo % 65536
+                          WHEN 1 THEN simhash_lo // 65536
+                          WHEN 2 THEN simhash_hi % 65536
+                          ELSE simhash_hi // 65536 END AS v
+                 FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                         x.simhash_hi AS ha, x.simhash_lo AS la,
+                         y.simhash_hi AS hb, y.simhash_lo AS lb
+                  FROM blk x JOIN blk y
+                    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
+         SELECT doc_a, doc_b,
+                CAST(bit_count(CAST(xor(ha, hb) AS BIGINT))
+                   + bit_count(CAST(xor(la, lb) AS BIGINT)) AS BIGINT) AS hamming
+         FROM cand
+         WHERE bit_count(CAST(xor(ha, hb) AS BIGINT))
+             + bit_count(CAST(xor(la, lb) AS BIGINT)) <= 3
+         ORDER BY doc_a, doc_b""",
+    "x21_minhash_estimate" ->
+      s"""WITH $shingleSql,
+         $bandCtes,
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         lanes AS (SELECT c.doc_a, c.doc_b,
+                     SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS matching_lanes
+                   FROM cand c
+                   JOIN mh a ON a.doc_id = c.doc_a
+                   JOIN mh b ON b.doc_id = c.doc_b AND b.k = a.k
+                   GROUP BY c.doc_a, c.doc_b)
+         SELECT doc_a, doc_b, CAST(matching_lanes AS BIGINT) AS matching_lanes,
+                CAST(matching_lanes AS DOUBLE) / 24 AS est_jaccard
+         FROM lanes ORDER BY doc_a, doc_b""",
     "x4_ngram_jaccard" ->
       s"""WITH $cappedShingleSql,
          cand AS (SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b

@@ -475,6 +475,57 @@ class DedupSpec extends SparkSuite {
       "fixture must exercise both outcomes")
   }
 
+  test("x20: pigeonhole-blocked pairs equal brute-force hamming <= 3") {
+    // The 4x16-bit Manku blocking must lose NOTHING at k <= 3: the blocked
+    // equi-join's output is exactly the all-pairs hamming filter, replayed
+    // here on the driver over x3's collected fingerprints.
+    val fps = DedupQueries.x3Simhash(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = (for {
+      (a, ha, la) <- fps
+      (b, hb, lb) <- fps if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = DedupQueries.x20SimhashPairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty, "fixture must contain hamming<=3 fingerprint pairs")
+    assert(got == expected,
+      s"blocked != brute-force: missing=${(expected diff got).take(5)} " +
+        s"extra=${(got diff expected).take(5)}")
+  }
+
+  test("x20: k > 3 is rejected — blocking can't guarantee recall past the pigeonhole bound") {
+    intercept[IllegalArgumentException] {
+      DedupQueries.x20SimhashPairs(spark, sf001, k = 4)
+    }
+  }
+
+  test("x21: estimates are lane-consistent and cover every x2-verified pair") {
+    val est = DedupQueries.x21MinhashEstimate(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getDouble(3)))
+    assert(est.nonEmpty)
+    // est_jaccard is EXACTLY matching_lanes/24 and lanes are in [0, 24];
+    // a shared band hash is a weighted sum, so it does NOT force equal
+    // lanes — zero-lane candidates are legal banding false positives.
+    est.foreach { case (p, lanes, e) =>
+      assert(lanes >= 0 && lanes <= 24, s"$p lanes=$lanes")
+      assert(e == lanes.toDouble / 24, s"$p est=$e lanes=$lanes")
+    }
+    // The candidate universe is x2's: every verified near-dup pair gets an
+    // estimate (the no-second-pass fallback can stand in for the verify).
+    val verified = DedupQueries.x2MinhashLsh(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candidates = est.map(_._1).toSet
+    assert(verified.nonEmpty && verified.subsetOf(candidates))
+    // And on the verified (exact-jaccard >= 0.8) pairs the estimator must
+    // lean high: 24 lanes at j >= 0.8 straying below 0.5 would be a >3-sigma
+    // event per pair — a systematic miss means the lanes drifted.
+    val verifiedEst = est.filter(e => verified(e._1)).map(_._3)
+    assert(verifiedEst.forall(_ >= 0.5),
+      s"verified pairs estimated low: ${verifiedEst.filter(_ < 0.5).mkString(",")}")
+  }
+
   test("x3: near-identical docs have small simhash hamming distance") {
     // the planted x4 near-dup pairs should be close in simhash space
     val pairs = DedupQueries.x4NgramJaccard(spark, sf001)
