@@ -245,6 +245,32 @@ object DedupQueries {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
+  /** Band buckets WITH the band's three lanes carried alongside —
+    * (doc_id, band, bh, l0, l1, l2). The admission gate materializes this
+    * shape so ONE bounded scratch serves bucket probing (project band/bh)
+    * and lane-equality estimation (all 24 lanes recoverable as 8 bands ×
+    * 3), and the bucket-index append can store lanes at zero extra passes
+    * — the state the ESTIMATE gate ([[x22LshAdmissionEstimated]],
+    * [[IncrementalDedup.novelByMinhashEstimated]]) probes instead of
+    * re-reading any text.
+    */
+  private[dedup] def bandedLanes(sh: DataFrame): DataFrame = {
+    val minhash = minhashes(sh)
+    val bandWeights = Seq(1L, 8191L, 67092481L)
+    val bandStructs = (0 until NumHashes / BandRows).map { b =>
+      val lanes = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
+      val terms = (0 until BandRows).map { r =>
+        (lanes(r) * lit(bandWeights(r))) % P
+      }
+      struct(lit(b.toLong).as("band"), (terms.reduce(_ + _) % P).as("bh"),
+        lanes(0).as("l0"), lanes(1).as("l1"), lanes(2).as("l2"))
+    }
+    minhash
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"),
+        col("bb.l0").as("l0"), col("bb.l1").as("l1"), col("bb.l2").as("l2"))
+  }
+
   /** X2 — MinHash+LSH near-duplicate pairs, verified by exact Jaccard.
     *
     * shingle → 24 minhashes (universal hashing over a md5-derived base) →
@@ -928,9 +954,62 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** X22 — the ESTIMATE admission gate's decisions as an oracle-checked
+    * query, completing the trio: X18 drops suspects outright (recall), X19
+    * verifies them with exact Jaccard (precision, one bounded text pass),
+    * X22 verifies them with the Broder lane-equality estimate (precision
+    * with ZERO text passes — X21's estimator applied at the gate). A
+    * suspect is confirmed when ≥ `minLanes` of its 24 minhash lanes match
+    * a collided doc's (12 ⇔ est ≥ 0.5); at 24 lanes a true j ≥ 0.8
+    * near-dup falling below 12 and a banding false positive (true j ≈ 0)
+    * reaching 12 are both many-sigma events — on this fixture the
+    * estimate's decisions are IDENTICAL to X19's exact-verify decisions
+    * (including rescuing the natural banding false positive: 3/24 lanes vs
+    * exact j 0.017), at the cost of lane storage instead of a shingle
+    * pass. Integer lane counts ⇒ exact oracle compare; DedupSpec pins
+    * query ≡ production estimate gate through a real lane-carrying bucket
+    * index.
+    */
+  def x22LshAdmissionEstimated(s: SparkSession, dir: String, minLanes: Int = 12): DataFrame = {
+    val sh = shingles(t(s, dir, "documents"))
+    val mh = minhashes(sh)
+    val bands = bandsOf(mh)
+    val oddBands = bands.filter(col("doc_id") % 2 === 1)
+    val evenBands = bands.filter(col("doc_id") % 2 === 0)
+    val idxPairs = oddBands.as("o").join(evenBands.as("e"),
+        col("o.band") === col("e.band") && col("o.bh") === col("e.bh"))
+      .select(col("o.doc_id").as("doc_id"), col("e.doc_id").as("other_id"))
+      .distinct()
+    val sibPairs = oddBands
+      .withColumn("__min_id",
+        min(col("doc_id")).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("doc_id") > col("__min_id"))
+      .select(col("doc_id"), col("__min_id").as("other_id")).distinct()
+    val pairs = idxPairs.unionByName(sibPairs).distinct()
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val confirmedIds = pairs.as("p")
+      .join(mh.as("a"), col("p.doc_id") === col("a.doc_id"))
+      .join(mh.as("b"), col("p.other_id") === col("b.doc_id"))
+      .select(col("p.doc_id").as("doc_id"), matches.as("ml"))
+      .filter(col("ml") >= minLanes)
+      .select("doc_id").distinct().withColumn("s_conf", lit(1))
+    val suspectedIds = pairs.select("doc_id").distinct().withColumn("s_susp", lit(1))
+    oddBands.select("doc_id").distinct()
+      .join(suspectedIds, Seq("doc_id"), "left")
+      .join(confirmedIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("s_susp"), lit(0)).as("suspected"),
+        coalesce(col("s_conf"), lit(0)).as("confirmed_dup"),
+        (coalesce(col("s_conf"), lit(0)) === 0).cast("int").as("admitted"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_lsh_admission" -> (x18LshAdmission _),
     "x19_lsh_admission_verified" -> (x19LshAdmissionVerified _),
+    "x22_lsh_admission_estimated" -> (x22LshAdmissionEstimated(_, _, 12)),
     "c3b_corpus_blend_lsh" -> (c3CorpusBlendLsh _),
     "x1_exact_dedup" -> (x1ExactDedup _),
     "x15_dupspan" -> (x15DupSpanCoverage(_, _, 8)),
@@ -1111,6 +1190,36 @@ object DedupQueries {
                   JOIN sizes b ON b.doc_id = p.other_id
                   WHERE CAST(COALESCE(ni.ni, 0) AS DOUBLE)
                           / (a.n + b.n - COALESCE(ni.ni, 0)) >= 0.8),
+         susp AS (SELECT DISTINCT doc_id FROM prs),
+         judged AS (SELECT DISTINCT doc_id FROM odd)
+         SELECT j.doc_id,
+                CAST(s.doc_id IS NOT NULL AS INT) AS suspected,
+                CAST(c.doc_id IS NOT NULL AS INT) AS confirmed_dup,
+                CAST(c.doc_id IS NULL AS INT) AS admitted
+         FROM judged j
+         LEFT JOIN susp s ON j.doc_id = s.doc_id
+         LEFT JOIN conf c ON j.doc_id = c.doc_id
+         ORDER BY j.doc_id""",
+    "x22_lsh_admission_estimated" ->
+      s"""WITH $shingleSql,
+         $bandCtes,
+         odd AS (SELECT doc_id, band, bh FROM bands WHERE doc_id % 2 = 1),
+         evenb AS (SELECT doc_id, band, bh FROM bands WHERE doc_id % 2 = 0),
+         idxp AS (SELECT DISTINCT o.doc_id AS doc_id, e.doc_id AS other_id
+                  FROM odd o JOIN evenb e ON o.band = e.band AND o.bh = e.bh),
+         sibp AS (SELECT DISTINCT doc_id, mn AS other_id FROM (
+                    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, bh) AS mn
+                    FROM odd)
+                  WHERE doc_id > mn),
+         prs AS (SELECT doc_id, other_id FROM idxp
+                 UNION SELECT doc_id, other_id FROM sibp),
+         lanes AS (SELECT p.doc_id, p.other_id,
+                     SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS ml
+                   FROM prs p
+                   JOIN mh a ON a.doc_id = p.doc_id
+                   JOIN mh b ON b.doc_id = p.other_id AND b.k = a.k
+                   GROUP BY p.doc_id, p.other_id),
+         conf AS (SELECT DISTINCT doc_id FROM lanes WHERE ml >= 12),
          susp AS (SELECT DISTINCT doc_id FROM prs),
          judged AS (SELECT DISTINCT doc_id FROM odd)
          SELECT j.doc_id,

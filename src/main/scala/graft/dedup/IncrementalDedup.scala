@@ -75,8 +75,12 @@ object IncrementalDedup {
       spark: SparkSession,
       bucketIndexPath: String,
       batch: DataFrame): (DataFrame, DataFrame, String) = {
+    // The scratch carries each band's three lanes beside (band, bh): the
+    // bucket probes below project them away, but the ESTIMATE mode
+    // ([[novelByMinhashEstimated]]) compares them pairwise, and the index
+    // append stores them — all from this ONE materialized pass.
     val (bands, bandsPath) = DedupQueries.materializeWithPath(
-      DedupQueries.bandBuckets(DedupQueries.shingles(batch)), "admit_bands")
+      DedupQueries.bandedLanes(DedupQueries.shingles(batch)), "admit_bands")
     val fs = new org.apache.hadoop.fs.Path(bucketIndexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // suspected vs the index: ANY band bucket already admitted. Pinned
@@ -233,6 +237,101 @@ object IncrementalDedup {
       Seq("doc_id"), "left_semi")
   }
 
+  /** Lane-estimate confirmation of the LSH gate's suspects — the ESTIMATE
+    * mode's core ([[DedupQueries.x21MinhashEstimate]]'s Broder estimator
+    * applied at the gate): a suspect is a confirmed near-dup when ≥
+    * `minLanes` of its 24 minhash lanes equal a collided doc's. ZERO text
+    * passes: index collisions compare against the lanes STORED IN the
+    * bucket index (8 band rows × 3 lanes each, appended by
+    * [[commitAdmitted]]), sibling collisions against the batch's own
+    * banded-lane scratch. Both comparisons join the suspect's 8 band rows
+    * to the other doc's 8 on band index — collision-set-bounded, never
+    * quadratic.
+    *
+    * Conservative fallback: an index row that predates lane storage (l0 IS
+    * NULL — written by the recall/precision modes before lanes existed)
+    * cannot be judged, so the suspect is treated as CONFIRMED — degrading
+    * to the recall gate's drop for that collision, never an
+    * admit-by-ignorance that would let a near-dup in.
+    */
+  private def estimatedSuspects(
+      spark: SparkSession,
+      bucketIndexPath: String,
+      bands: DataFrame,
+      minLanes: Int): DataFrame = {
+    import spark.implicits._
+    // the "other" side is projected to renamed columns (oid/ob/r0..r2) so
+    // the band-matched self-join below is structurally unambiguous
+    def otherLanes(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol).as("oid"), col("band").as("ob"),
+        col("l0").as("r0"), col("l1").as("r1"), col("l2").as("r2"))
+    val laneMatches =
+      (col("s.l0") === col("r0")).cast("long") +
+        (col("s.l1") === col("r1")).cast("long") +
+        (col("s.l2") === col("r2")).cast("long")
+    def confirmedOf(pairs: DataFrame, other: DataFrame, conservative: Boolean): DataFrame = {
+      val scored = pairs
+        .join(bands.as("s"), Seq("doc_id"))
+        .join(other, col("other_id") === col("oid") && col("s.band") === col("ob"))
+        .groupBy(col("doc_id"), col("other_id"))
+        .agg(sum(laneMatches).as("ml"),
+          // null lanes contribute neither match nor mismatch; they flag the
+          // pair unjudgeable instead
+          sum(col("r0").isNull.cast("long")).as("missing"))
+      (if (conservative) scored.filter(col("missing") > 0 || col("ml") >= minLanes)
+       else scored.filter(col("ml") >= minLanes))
+        .select("doc_id").distinct()
+    }
+    val fs = new org.apache.hadoop.fs.Path(bucketIndexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxConfirmed =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(bucketIndexPath)))
+        Seq.empty[Long].toDF("doc_id")
+      else {
+        // lanes nullable by declaration: files written before the estimate
+        // mode existed lack the columns and read as null (the conservative
+        // branch above)
+        val idx = spark.read.schema(
+          "band BIGINT, bh BIGINT, canonical_id BIGINT, l0 BIGINT, l1 BIGINT, l2 BIGINT")
+          .parquet(bucketIndexPath)
+        val pairs = bands.select("doc_id", "band", "bh")
+          .join(idx.select("band", "bh", "canonical_id"), Seq("band", "bh"))
+          .select(col("doc_id"), col("canonical_id").as("other_id")).distinct()
+        confirmedOf(pairs, otherLanes(idx, "canonical_id"), conservative = true)
+      }
+    val sibPairs = bands
+      .withColumn("__min_id",
+        min(col("doc_id")).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("doc_id") > col("__min_id"))
+      .select(col("doc_id"), col("__min_id").as("other_id")).distinct()
+    val sibConfirmed =
+      confirmedOf(sibPairs, otherLanes(bands, "doc_id"), conservative = false)
+    idxConfirmed.union(sibConfirmed).distinct()
+  }
+
+  /** [[novelByMinhash]]'s ESTIMATE twin, completing the trio (recall drops
+    * suspects, precision verifies them with exact Jaccard and one bounded
+    * text pass, estimate verifies them with the Broder lane count and ZERO
+    * text passes): suspects whose 24-lane match count against every
+    * collided doc stays below `minLanes` (12 ⇔ est < 0.5) are ADMITTED —
+    * banding false positives are rescued without reading any admitted
+    * text, at the cost of 3 extra longs per index row. No `corpus`
+    * argument: this is the mode for ingest paths where admitted text is
+    * cold storage the gate must not touch.
+    */
+  def novelByMinhashEstimated(
+      spark: SparkSession,
+      bucketIndexPath: String,
+      batch: DataFrame,
+      minLanes: Int = 12): DataFrame = {
+    val (_, bands, _) = lshGate(spark, bucketIndexPath, batch)
+    batch.join(
+      bands.select("doc_id").distinct()
+        .join(estimatedSuspects(spark, bucketIndexPath, bands, minLanes),
+          Seq("doc_id"), "left_anti"),
+      Seq("doc_id"), "left_semi")
+  }
+
   /** Admit the batch's content-novel documents: persist them through the
     * caller's idempotent sink, then append their hashes to the index —
     * returns the number admitted. Replaying the same batch after ANY crash
@@ -317,6 +416,31 @@ object IncrementalDedup {
         bandsScratch, persist)
     }
 
+  /** [[admitAndCommitMinhash]]'s ESTIMATE twin
+    * ([[novelByMinhashEstimated]]'s semantics): drop only suspects whose
+    * lane-match count confirms the near-dup — then the same sink-first
+    * commit order, crash contract, and per-doc-atomic bucket append (now
+    * carrying lanes). Replay after success still admits 0: the admitted
+    * doc's own buckets are indexed with its own lanes, and it matches
+    * itself at 24/24 ≥ `minLanes`.
+    */
+  def admitAndCommitMinhashEstimated(
+      spark: SparkSession,
+      bucketIndexPath: String,
+      batch: DataFrame,
+      persist: DataFrame => Unit,
+      minLanes: Int = 12): Long =
+    // serialized for the same reason as admitAndCommit (see there)
+    graft.etl.LakeLease.withLease(
+      spark.sparkContext.hadoopConfiguration, bucketIndexPath) {
+      val (_, bands, bandsScratch) = lshGate(spark, bucketIndexPath, batch)
+      val admittedIds = bands.select("doc_id").distinct()
+        .join(estimatedSuspects(spark, bucketIndexPath, bands, minLanes),
+          Seq("doc_id"), "left_anti")
+      commitAdmitted(spark, bucketIndexPath, batch, admittedIds, bands,
+        bandsScratch, persist)
+    }
+
   /** Shared commit tail of the two minhash admission modes: materialize the
     * admitted set once, sink first, then blind-append the admitted docs'
     * band buckets; eagerly delete both scratch dirs (fully consumed here).
@@ -336,7 +460,10 @@ object IncrementalDedup {
       if (admittedRows > 0L) {
         persist(admitted)
         bands.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
-          .select(col("band"), col("bh"), col("doc_id").as("canonical_id"))
+          // lanes ride along (3 longs per band row): the estimate gate
+          // probes them pairwise instead of re-reading any admitted text
+          .select(col("band"), col("bh"), col("doc_id").as("canonical_id"),
+            col("l0"), col("l1"), col("l2"))
           // co-locate each doc's 8 band rows in ONE file so they commit
           // atomically (per-file rename): a crash mid-append can only leave a
           // doc fully indexed or fully absent — never half-indexed, which would

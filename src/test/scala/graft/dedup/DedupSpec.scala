@@ -526,6 +526,70 @@ class DedupSpec extends SparkSuite {
       s"verified pairs estimated low: ${verifiedEst.filter(_ < 0.5).mkString(",")}")
   }
 
+  test("x22 decisions equal the estimate production gate; estimate agrees with exact verify here") {
+    val docs = graft.Tables(spark, sf001, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_x22").toString
+    val idx = s"$root/buckets"
+    // index ALL even docs (the "snapshot") in the lane-carrying format the
+    // admission path writes (x19-spec pattern: the full split, so the query's
+    // in-memory even side and the gate's index agree)
+    DedupQueries.bandedLanes(DedupQueries.shingles(
+        docs.filter(col("doc_id") % 2 === 0)))
+      .select(col("band"), col("bh"), col("doc_id").as("canonical_id"),
+        col("l0"), col("l1"), col("l2"))
+      .write.parquet(idx)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val gateAdmitted = IncrementalDedup.novelByMinhashEstimated(spark, idx, odd)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val x22 = DedupQueries.x22LshAdmissionEstimated(spark, sf001).collect()
+    val x22Admitted = x22.filter(_.getAs[Int]("admitted") == 1)
+      .map(_.getLong(0)).toSet
+    assert(x22Admitted == gateAdmitted,
+      s"query and estimate gate disagree: ${(x22Admitted diff gateAdmitted) ++ (gateAdmitted diff x22Admitted)}")
+    // decision algebra: admitted == !confirmed; confirmed implies suspected
+    x22.foreach { r =>
+      assert(r.getAs[Int]("admitted") ==
+        (if (r.getAs[Int]("confirmed_dup") == 0) 1 else 0))
+      assert(r.getAs[Int]("confirmed_dup") <= r.getAs[Int]("suspected"))
+    }
+    // on this fixture the zero-text-pass estimate reaches the SAME decisions
+    // as x19's exact-Jaccard verify — including rescuing the banding false
+    // positive (lane est 3/24 vs exact j 0.017, both far from threshold)
+    val x19Admitted = DedupQueries.x19LshAdmissionVerified(spark, sf001).collect()
+      .filter(_.getAs[Int]("admitted") == 1).map(_.getLong(0)).toSet
+    assert(x22Admitted == x19Admitted)
+    // replay after success admits 0: every admitted doc now collides with
+    // its own indexed buckets at 24/24 matching lanes
+    IncrementalDedup.admitAndCommitMinhashEstimated(spark, idx, odd, _ => ())
+    assert(IncrementalDedup.admitAndCommitMinhashEstimated(spark, idx, odd, _ => ()) == 0L)
+  }
+
+  test("estimate gate confirms conservatively when the index predates lane storage") {
+    val docs = graft.Tables(spark, sf001, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_x22old").toString
+    val idx = s"$root/buckets"
+    // hand-write an OLD-format index (no lane columns) for the even docs
+    DedupQueries.bandBuckets(DedupQueries.shingles(
+        docs.filter(col("doc_id") % 2 === 0)))
+      .select(col("band"), col("bh"), col("doc_id").as("canonical_id"))
+      .write.parquet(idx)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val est = IncrementalDedup.novelByMinhashEstimated(spark, idx, odd)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // index lanes unreadable => every index collision confirms (the
+    // recall-oriented fallback): no index-only suspect may be admitted,
+    // so the banding false positive is NOT rescued without lanes ...
+    val x18 = DedupQueries.x18LshAdmission(spark, sf001).collect()
+    val idxSuspects = x18.filter(_.getAs[Int]("suspected_index") == 1)
+      .map(_.getLong(0)).toSet
+    assert((est intersect idxSuspects).isEmpty)
+    // ... while sibling collisions still estimate (batch lanes always
+    // exist), so the gate admits no less than the recall gate
+    val recall = IncrementalDedup.novelByMinhash(spark, idx, odd)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(recall.subsetOf(est))
+  }
+
   test("x3: near-identical docs have small simhash hamming distance") {
     // the planted x4 near-dup pairs should be close in simhash space
     val pairs = DedupQueries.x4NgramJaccard(spark, sf001)
