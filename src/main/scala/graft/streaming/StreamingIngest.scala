@@ -309,6 +309,45 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming document admission through the FUZZY (MinHash-LSH) gate —
+    * [[admitDocumentsAvailableNow]]'s near-dup twin for the crawl loop
+    * where trivially re-encoded copies must be blocked, not just exact
+    * bytes: each micro-batch flows through
+    * [[graft.dedup.IncrementalDedup]]'s bucket-index gate, so near-dups are
+    * caught across batches AND restarts (the index is durable state beside
+    * the corpus). `minLanes` picks the suspect policy: > 0 runs the
+    * ESTIMATE mode (suspects confirmed only when ≥ minLanes of 24 stored
+    * lanes match a collided doc's — banding false positives rescued with
+    * zero text passes); <= 0 runs the RECALL mode (suspects dropped
+    * outright, the cheapest gate). Same crash-contract composition as the
+    * exact gate: engine replay (at-least-once) × sink-first admit
+    * (idempotent MERGE, blind per-doc-atomic index append) ⇒ replay
+    * converges and the corpus never holds two near-dup admits of one gate
+    * decision. Docs too short to shingle are EXCLUDED by the gate — route
+    * them through [[admitDocumentsAvailableNow]]'s exact gate.
+    */
+  def admitDocumentsFuzzyAvailableNow(
+      docs: DataFrame,
+      bucketIndexPath: String,
+      corpusPath: String,
+      checkpoint: String,
+      minLanes: Int = 12): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sink = (novel: DataFrame) => Upsert.mergeIntoParquet(
+          novel.sparkSession, corpusPath, novel, Seq("doc_id"), "doc_id")
+        if (minLanes > 0)
+          graft.dedup.IncrementalDedup.admitAndCommitMinhashEstimated(
+            batch.sparkSession, bucketIndexPath, batch, sink, minLanes)
+        else
+          graft.dedup.IncrementalDedup.admitAndCommitMinhash(
+            batch.sparkSession, bucketIndexPath, batch, sink)
+        ()
+      }
+      .start()
+
   /** The reference's full load path, streaming: micro-batches upserted into
     * a relational table over JDBC (`foreachBatch` → MERGE/ON CONFLICT ≙
     * `postgres_writer.py:181-278` run per tick). Each batch is LWW-deduped

@@ -406,6 +406,47 @@ class StreamingSpec extends SparkSuite {
     assert(ledgerCount() == 3)
   }
 
+  test("streaming fuzzy admission: near-dups blocked across batches and restarts") {
+    import spark.implicits._
+    val root = s"$work/admit_fuzzy"
+    val land = s"$root/landing"
+    val index = s"$root/buckets"
+    val corpus = s"$root/corpus"
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cunning red squirrel gathers acorns beneath the tall oak tree near river"
+    def run(ckpt: String): Unit = {
+      val stream = StreamingIngest.readLanding(spark, land,
+        spark.read.parquet(land).schema)
+      StreamingIngest.admitDocumentsFuzzyAvailableNow(
+        stream, index, corpus, ckpt).awaitTermination()
+    }
+    // drop 1: the base doc and a genuinely different doc
+    Seq((1L, base),
+        (2L, "entirely different words compose this second document " +
+          "about winter storms gathering strength across northern mountain ranges tonight"))
+      .toDF("doc_id", "text").write.parquet(land)
+    run(s"$root/ckpt")
+    def admitted: Set[Long] = spark.read.parquet(corpus).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(admitted == Set(1L, 2L))
+    // drop 2 AFTER the first query stopped: a re-encoded near-dup of doc 1
+    // (one token changed — an exact-hash gate would admit it; its LSH
+    // buckets collide with doc 1's at 5 of 8 bands, 20/24 stored lanes)
+    // and a novel doc; the RESTARTED query must admit only the novel one
+    Seq((10L, base.replace("river", "stream")),
+        (11L, "completely novel content here describing ancient library " +
+          "archives filled with forgotten manuscripts and dusty leather volumes"))
+      .toDF("doc_id", "text").write.mode("append").parquet(land)
+    run(s"$root/ckpt")
+    assert(admitted == Set(1L, 2L, 11L),
+      s"near-dup 10 must be blocked by stored lanes, 11 admitted: got $admitted")
+    // replaying the whole landing dir from a FRESH checkpoint converges:
+    // every admitted doc self-matches its indexed lanes at 24/24, the
+    // near-dup still collides — nothing re-admits, nothing new appears
+    run(s"$root/ckpt2")
+    assert(admitted == Set(1L, 2L, 11L))
+  }
+
   test("streaming admission: cross-batch and cross-restart content dedup") {
     import spark.implicits._
     val root = s"$work/admit"
