@@ -375,6 +375,70 @@ object Upsert {
     }
   }
 
+  /** Small-file compaction for a FLAT (non-partitioned) parquet dir — the
+    * operational complement of the admission indexes' blind appends
+    * ([[graft.dedup.IncrementalDedup]]): a standing ingest loop appends ≥ 1
+    * file per batch to the hash index and up to one file per admitted doc
+    * group to the bucket index, so a long-lived gate accumulates thousands
+    * of small files and every novelty probe pays their open cost. Same
+    * picking rule as [[compactPartitionedParquet]]
+    * (`ceil(bytes/targetBytes)` floored at `minFilesToCompact`), same
+    * single-writer lease, same park/install swap — here the unit is the
+    * whole dir, parked at `<path>__old` for the one rename window. Crash
+    * recovery runs at entry: a parked dir with no live dir means the
+    * install never happened — roll it back; with a live dir, the install
+    * completed — drop it. Row content is preserved as a multiset
+    * (`coalesce` merges whole partitions, so rows co-located in one input
+    * file stay co-located); compaction is pure file-layout maintenance.
+    *
+    * READER CAVEAT: as with the partitioned compactor, the swap makes the
+    * dir transiently absent for one rename window. The admission gates
+    * never race this (they take the same lease), but run external readers
+    * in a maintenance window.
+    *
+    * Returns Some((filesBefore, filesAfter)) when compacted, None when the
+    * dir is absent or already right-sized.
+    */
+  def compactParquetDir(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      minFilesToCompact: Int = 4): Option[(Int, Int)] =
+    LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cur = new Path(path)
+      val parked = new Path(path + "__old")
+      if (fs.exists(parked)) {
+        if (!fs.exists(cur)) renameOrThrow(fs, parked, cur)
+        else fs.delete(parked, true)
+      }
+      if (!fs.exists(cur)) None
+      else {
+        val staging = new Path(path + "__staging")
+        if (fs.exists(staging)) fs.delete(staging, true)
+        val files = fs.listStatus(cur)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        val bytes = files.map(_.getLen).sum
+        val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        if (files.length <= math.max(want, minFilesToCompact)) None
+        else {
+          // mergeSchema: an index dir can mix schema generations (bucket
+          // rows written before lane storage lack l0..l2); inference from
+          // one sample file would silently DROP the newer columns from the
+          // whole compacted dir. The union keeps every column — old rows
+          // read as null there, exactly as they did pre-compaction.
+          spark.read.option("mergeSchema", "true").parquet(path)
+            .coalesce(want).write.parquet(staging.toString)
+          renameOrThrow(fs, cur, parked)
+          renameOrThrow(fs, staging, cur)
+          fs.delete(parked, true)
+          val after = fs.listStatus(cur)
+            .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          Some((files.length, after))
+        }
+      }
+    }
+
   /** Hadoop FileSystem.rename reports failure by returning false — silent
     * acceptance would let a failed swap drop a batch's data.
     */

@@ -564,6 +564,48 @@ class DedupSpec extends SparkSuite {
     assert(IncrementalDedup.admitAndCommitMinhashEstimated(spark, idx, odd, _ => ()) == 0L)
   }
 
+  test("bucket-index compaction: gate decisions identical before and after") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_icompact").toString
+    val idx = s"$root/buckets"
+    val texts = Seq(
+      "one two three four five six seven eight nine ten eleven twelve " +
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty",
+      "red orange yellow green blue indigo violet crimson amber teal " +
+        "maroon ochre cyan magenta silver golden bronze copper pearl jade",
+      "north south east west summit valley river delta canyon plateau " +
+        "glacier tundra savanna prairie marsh lagoon archipelago isthmus fjord cove",
+      "allegro adagio crescendo staccato legato forte piano sonata fugue " +
+        "etude prelude nocturne rhapsody overture symphony concerto aria cadenza")
+    // several small admits of genuinely distinct docs — each append leaves
+    // its own file(s)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      IncrementalDedup.admitAndCommitMinhash(spark, idx,
+        Seq((i * 10L, t)).toDF("doc_id", "text"), _ => ())
+    }
+    val probe = Seq(
+      (100L, texts.head.replace("twenty", "thirty")),   // near-dup of doc 0
+      (101L, "totally unrelated fresh material about deep ocean currents " +
+        "and the migratory paths of arctic seabirds across winter months"))
+      .toDF("doc_id", "text")
+    val beforeEst = IncrementalDedup.novelByMinhashEstimated(spark, idx, probe)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val beforeRec = IncrementalDedup.novelByMinhash(spark, idx, probe)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val report = graft.etl.Upsert.compactParquetDir(spark, idx,
+      targetBytes = 1L << 30, minFilesToCompact = 1)
+    assert(report.exists(r => r._1 > 1 && r._2 == 1), s"expected a collapse: $report")
+    // identical decisions through the compacted index, lanes intact
+    assert(IncrementalDedup.novelByMinhashEstimated(spark, idx, probe)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == beforeEst)
+    assert(IncrementalDedup.novelByMinhash(spark, idx, probe)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == beforeRec)
+    assert(beforeEst == Set(101L), s"near-dup 100 must stay blocked: $beforeEst")
+    // and admission composes with the compacted layout
+    assert(IncrementalDedup.admitAndCommitMinhashEstimated(
+      spark, idx, probe, _ => ()) == 1L)
+  }
+
   test("estimate gate confirms conservatively when the index predates lane storage") {
     val docs = graft.Tables(spark, sf001, "documents")
     val root = java.nio.file.Files.createTempDirectory("graft_x22old").toString

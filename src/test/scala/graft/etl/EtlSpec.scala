@@ -207,6 +207,49 @@ class EtlSpec extends SparkSuite {
     assert(!JFiles.exists(Paths.get(dir + "__old")))
   }
 
+  test("flat-dir compaction collapses an append-fragmented index, preserves rows, heals a parked crash") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_fcompact").toString + "/index"
+    // 6 small appends (the standing-ingest shape), mixed schema generations:
+    // the first two lack the lane column newer appends carry
+    (1 to 6).foreach { i =>
+      val df =
+        if (i <= 2) Seq((i.toLong, s"h$i")).toDF("canonical_id", "content_hash")
+        else Seq((i.toLong, s"h$i", i * 10L)).toDF("canonical_id", "content_hash", "l0")
+      df.coalesce(1).write.mode("append").parquet(dir)
+    }
+    def files(): Int = JFiles.list(Paths.get(dir)).iterator.asScala
+      .count(p => { val n = p.getFileName.toString
+        JFiles.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".") })
+    assert(files() == 6)
+    def state(): Set[(Long, String, Any)] =
+      spark.read.option("mergeSchema", "true").parquet(dir).collect()
+        .map(r => (r.getAs[Long]("canonical_id"), r.getAs[String]("content_hash"),
+          r.getAs[Any]("l0"))).toSet
+    val before = state()
+    val report = Upsert.compactParquetDir(spark, dir,
+      targetBytes = 1L << 30, minFilesToCompact = 2)
+    assert(report.exists(r => r._1 == 6 && r._2 == 1), s"unexpected: $report")
+    assert(files() == 1)
+    // multiset preserved ACROSS schema generations: lane column survives,
+    // pre-lane rows still read as null there
+    assert(state() == before)
+    assert(before.count(_._3 == null) == 2)
+    // right-sized now: second run is a no-op, no staging/park leftovers
+    assert(Upsert.compactParquetDir(spark, dir,
+      targetBytes = 1L << 30, minFilesToCompact = 2).isEmpty)
+    assert(!JFiles.exists(Paths.get(dir + "__staging")))
+    assert(!JFiles.exists(Paths.get(dir + "__old")))
+    // crash window: park happened, install didn't (dir renamed away) — the
+    // next compaction call must roll the parked copy back before deciding
+    JFiles.move(Paths.get(dir), Paths.get(dir + "__old"))
+    assert(Upsert.compactParquetDir(spark, dir,
+      targetBytes = 1L << 30, minFilesToCompact = 2).isEmpty) // healed, right-sized
+    assert(state() == before)
+    assert(!JFiles.exists(Paths.get(dir + "__old")))
+  }
+
   test("E3: compaction collapses fragmented partitions, preserves rows, skips healthy ones") {
     import java.nio.file.{Files => JFiles, Paths}
     import scala.jdk.CollectionConverters._
