@@ -109,16 +109,18 @@ object MultimodalQueries {
         """transform(sequence(0, 3),
              b -> named_struct('band', b, 'bv', shiftright(phash, b * 8) & 255))""")).as("bb"))
       .select(col("doc_id"), col("phash"), col("bb.band"), col("bb.bv"))
-    val cands = banded.as("l").join(banded.as("r"),
+    // Verify BEFORE deduplicating (X20's shape): the hamming check is
+    // row-local integer codegen on the raw band-join output (a pair
+    // appears once per shared band, ≤ 4×), so the distinct shuffles only
+    // the ≤-maxHamming survivors — result-scale, 3 columns — instead of
+    // every banded candidate with both fingerprints.
+    banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.phash").as("ha"), col("r.phash").as("hb"))
-      .distinct()
-    cands
-      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+        expr("bit_count(l.phash ^ r.phash)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
