@@ -148,6 +148,84 @@ object MultimodalQueries {
         lit(1.0) - col("n_distinct_chunks").cast("double") / col("n_chunks").cast("double"))
       .orderBy("source")
 
+  /** Ordered content-defined chunking of `documents` rows: beside each doc,
+    * the array of CDC chunks whose concatenation is exactly `text`. A cut
+    * lands after position i whenever the polynomial hash of the 8-gram
+    * ending at i is ≡ 0 (mod 64) — boundary decisions depend only on local
+    * content, never on absolute offsets, so an insertion re-synchronizes at
+    * the next content cut and every later chunk digest survives (the LBFS
+    * property; Muthitacharoen et al., SOSP'01). Exposed so the spec can
+    * prove reconstruction and insertion-robustness on the ordered array.
+    */
+  private[graft] def cdcChunked(docs: DataFrame): DataFrame = {
+    // Two linearity traps, both hit and fixed here:
+    // (1) `substring(text, i, 1)` scans from the string head every call
+    //     (UTF8String is variable-width) — hashing every 8-gram that way is
+    //     O(n²)/doc, measured 428 s over sf0.1's 1.5M chars. Decompose to a
+    //     char-code array once and every window term is an O(1) element_at.
+    // (2) The decomposed array must be bound as a LAMBDA VARIABLE, not a
+    //     projected column: CollapseProject inlines a `withColumn` alias
+    //     into the downstream lambda bodies, re-evaluating the O(n)
+    //     split/transform INSIDE the per-element cut predicate — O(n²)
+    //     again (wedged a verify run for 15+ min on one task).
+    //     `transform(array(x), v -> body)[0]` evaluates x exactly once per
+    //     row; the optimizer cannot collapse through a higher-order
+    //     function's variable binding. Chunk bytes come from
+    //     slice+array_join off the same bound array (O(chunk), not
+    //     O(offset)), keeping the whole operator linear in corpus chars.
+    def a(off: Int): String = s"element_at(cs, CAST(i - $off AS INT))"
+    val cuts =
+      s"""CASE WHEN n_chars >= 8 THEN
+           filter(sequence(CAST(8 AS BIGINT), n_chars), i ->
+             (${a(7)} * 27512614111 +
+              ${a(6)} * 887503681 +
+              ${a(5)} * 28629151 +
+              ${a(4)} * 923521 +
+              ${a(3)} * 29791 +
+              ${a(2)} * 961 +
+              ${a(1)} * 31 +
+              ${a(0)}) % 64 = 0)
+         ELSE CAST(array() AS ARRAY<BIGINT>) END"""
+    val chunks =
+      s"""transform(array(split(text, '')), chs ->
+            transform(array(transform(chs, c -> CAST(ascii(c) AS BIGINT))), cs ->
+              transform(array(concat(array(CAST(0 AS BIGINT)), $cuts, array(n_chars))), bs ->
+                filter(
+                  transform(sequence(1, size(bs) - 1), j ->
+                    array_join(slice(chs, CAST(element_at(bs, j) + 1 AS INT),
+                      CAST(element_at(bs, j + 1) - element_at(bs, j) AS INT)), '')),
+                  c -> length(c) > 0))[0])[0])[0]"""
+    docs
+      .filter(col("n_chars") > 0)
+      .withColumn("chunks", expr(chunks))
+  }
+
+  /** M7 — content-defined chunk dedup (the CDC upgrade of M6): cut points
+    * chosen by a rolling-content hash instead of fixed 64-byte strides, so
+    * a one-byte insertion shifts ONE chunk, not every chunk after it —
+    * fixed-size chunking's failure mode on re-encoded/prepended blobs.
+    * Scale shape is identical to M6: chunking is a narrow per-row
+    * projection (the boundary array is a codegen'd higher-order expression,
+    * no shuffle, no window), then two stacked keyed aggregates with
+    * map-side partials. Avg chunk = 64 chars by the mod-64 cut rate;
+    * production adds min/max clamps via the same sorted fold C5 uses.
+    */
+  def m7CdcChunkDedup(s: SparkSession, dir: String): DataFrame =
+    cdcChunked(t(s, dir, "documents"))
+      .select(col("source"), explode(col("chunks")).as("chunk"))
+      .select(col("source"), md5(col("chunk")).as("chunk_md5"),
+        length(col("chunk")).as("clen"))
+      .groupBy(col("source"), col("chunk_md5"))
+      .agg(max(col("clen")).as("clen"), count(lit(1)).as("copies"))
+      .groupBy(col("source"))
+      .agg(sum(col("copies")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("copies") * col("clen")).as("total_chars"),
+        sum(col("clen")).as("deduped_chars"))
+      .withColumn("chunk_dedup_ratio",
+        lit(1.0) - col("n_distinct_chunks").cast("double") / col("n_chunks").cast("double"))
+      .orderBy("source")
+
   /** M3 — typed decode via mapPartitions (stubbed codec, real plumbing). */
   def m3DecodeStub(s: SparkSession, dir: String): DataFrame = {
     val blobs = t(s, dir, "documents")
@@ -161,9 +239,51 @@ object MultimodalQueries {
     "m3_decode_stub" -> (m3DecodeStub _),
     "m4_storage_stats" -> (m4StorageStats _),
     "m5_perceptual_neardup" -> (m5PerceptualNearDup(_, _, 4)),
-    "m6_chunk_dedup" -> (m6ChunkDedup _))
+    "m6_chunk_dedup" -> (m6ChunkDedup _),
+    "m7_cdc_chunk_dedup" -> (m7CdcChunkDedup _))
 
   val oracles: Map[String, String] = Map(
+    "m7_cdc_chunk_dedup" ->
+      """WITH pos AS (
+           SELECT doc_id, source, text, n_chars, unnest(range(8, n_chars + 1)) AS i
+           FROM documents WHERE n_chars >= 8),
+         hashed AS (
+           SELECT doc_id, source, text, i,
+             (CAST(ascii(substr(text, CAST(i-7 AS INT), 1)) AS BIGINT) * 27512614111
+            + CAST(ascii(substr(text, CAST(i-6 AS INT), 1)) AS BIGINT) * 887503681
+            + CAST(ascii(substr(text, CAST(i-5 AS INT), 1)) AS BIGINT) * 28629151
+            + CAST(ascii(substr(text, CAST(i-4 AS INT), 1)) AS BIGINT) * 923521
+            + CAST(ascii(substr(text, CAST(i-3 AS INT), 1)) AS BIGINT) * 29791
+            + CAST(ascii(substr(text, CAST(i-2 AS INT), 1)) AS BIGINT) * 961
+            + CAST(ascii(substr(text, CAST(i-1 AS INT), 1)) AS BIGINT) * 31
+            + CAST(ascii(substr(text, CAST(i   AS INT), 1)) AS BIGINT)) % 64 AS hmod
+           FROM pos),
+         cuts AS (
+           SELECT doc_id, source, text, i AS cut,
+                  lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+           FROM hashed WHERE hmod = 0),
+         body AS (
+           SELECT source, substr(text, CAST(prev + 1 AS INT), CAST(cut - prev AS INT)) AS chunk
+           FROM cuts),
+         tails AS (
+           SELECT d.source, substr(d.text, CAST(COALESCE(m.mx, 0) + 1 AS INT)) AS chunk
+           FROM documents d
+           LEFT JOIN (SELECT doc_id, MAX(i) AS mx FROM hashed WHERE hmod = 0
+                      GROUP BY doc_id) m ON d.doc_id = m.doc_id
+           WHERE d.n_chars > 0 AND COALESCE(m.mx, 0) < d.n_chars),
+         allc AS (SELECT source, md5(chunk) AS chunk_md5, length(chunk) AS clen
+                  FROM (SELECT * FROM body UNION ALL SELECT * FROM tails)),
+         per_chunk AS (
+           SELECT source, chunk_md5, MAX(clen) AS clen, COUNT(*) AS copies
+           FROM allc GROUP BY source, chunk_md5)
+         SELECT source,
+                CAST(SUM(copies) AS BIGINT) AS n_chunks,
+                COUNT(*) AS n_distinct_chunks,
+                CAST(SUM(copies * clen) AS BIGINT) AS total_chars,
+                CAST(SUM(clen) AS BIGINT) AS deduped_chars,
+                1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(copies) AS DOUBLE)
+                  AS chunk_dedup_ratio
+         FROM per_chunk GROUP BY source ORDER BY source""",
     "m1_binary_meta" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

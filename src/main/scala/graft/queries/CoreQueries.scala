@@ -295,6 +295,28 @@ object CoreQueries {
       .orderBy("user_id")
   }
 
+  /** E11 — volume-weighted average price, with the volume carried in the
+    * semi-structured `props` payload (A18's codegen'd JSON path extraction
+    * composed into E4's daily grouping — no pre-flattening ETL step, the
+    * extraction runs inside the scan's WholeStageCodegen span). Zero-volume
+    * prints are excluded up front so every surviving (user, day) group has
+    * a positive denominator. Decimal-exact weighted sums (the house dsum
+    * pattern) keep the aggregate order-independent. Scale shape: narrow
+    * projection → one keyed aggregate with map-side partials; nothing
+    * joins, nothing sorts until the final presentation ORDER BY.
+    */
+  def e11Vwap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("vol"))
+      .filter(col("vol") > 0)
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        (dsum(col("value") * col("vol")) / sum(col("vol")).cast("double")).as("vwap"),
+        sum(col("vol")).as("total_vol"),
+        count(lit(1)).as("n_trades"))
+      .orderBy("user_id", "day")
+
   // ------------------------------------------------------------------ Q-*
 
   /** Q-recent: latest 5 rows for one key (reference `README.md:322-332`).
@@ -959,6 +981,7 @@ object CoreQueries {
     "e8_drawdown" -> (e8Drawdown _),
     "e9_momentum_rank" -> (e9MomentumRank _),
     "e10_market_beta" -> (e10MarketBeta _),
+    "e11_vwap" -> (e11Vwap _),
     "a21_retention_cohorts" -> (a21RetentionCohorts _),
     "a22_sessionization" -> (a22Sessionization _),
     "a23_rolling_active_users" -> (a23RollingActiveUsers _),
@@ -1051,6 +1074,18 @@ object CoreQueries {
          SELECT user_id, CAST(n AS BIGINT) AS n_days, beta,
                 (sy - beta * sx) / n AS alpha
          FROM b ORDER BY user_id""",
+    "e11_vwap" ->
+      """WITH trades AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, value,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+           FROM events)
+         SELECT user_id, day,
+                CAST(SUM(CAST(value * vol AS DECIMAL(25,4))) AS DOUBLE)
+                  / CAST(SUM(vol) AS DOUBLE) AS vwap,
+                CAST(SUM(vol) AS BIGINT) AS total_vol,
+                COUNT(*) AS n_trades
+         FROM trades WHERE vol > 0
+         GROUP BY user_id, day ORDER BY user_id, day""",
     "a21_retention_cohorts" ->
       """WITH activity AS (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -291,7 +292,35 @@ object TextQueries {
       .withColumn("keep", (col("raw_score") > 0).cast("int"))
       .orderBy("doc_id")
 
+  /** T12 — BPE trainer inner loop: corpus-wide adjacent-symbol-pair counts
+    * (Sennrich et al., ACL'16 — the statistic one merge iteration of
+    * byte-pair-encoding vocabulary induction maximizes). Pre-tokenization
+    * splits on spaces (pairs never cross word boundaries, the GPT-2
+    * convention); every in-word adjacent character pair is counted and the
+    * top 20 are ranked with a total (freq DESC, pair ASC) order so ties
+    * are deterministic. Scale shape: pair extraction is a narrow codegen
+    * projection (fan-out = chars/doc), the count is one keyed aggregate
+    * with map-side partials, and the ranking window runs over ≤ |Σ|²
+    * distinct pairs — alphabet-bounded, never corpus-bounded, so the
+    * unpartitioned row_number is a constant-size reduction at any corpus
+    * size (same argument as T5's vocabulary-bounded top-k).
+    */
+  def t12BpePairStats(s: SparkSession, dir: String): DataFrame = {
+    val byFreq = Window.orderBy(col("freq").desc, col("pair").asc)
+    t(s, dir, "documents")
+      .select(explode(expr(
+        """flatten(transform(filter(split(text, ' '), w -> length(w) >= 2),
+             w -> transform(sequence(1, length(w) - 1),
+               i -> substring(w, CAST(i AS INT), 2))))""")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("freq"))
+      .withColumn("rk", row_number().over(byFreq).cast("long"))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("pair"), col("freq"))
+      .orderBy("rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_bpe_pair_stats" -> (t12BpePairStats _),
     "t11_hashed_classifier" -> (hashedClassifier _),
     "t10_lexical_diversity" -> (lexicalDiversity _),
     "t9_term_drift" -> (termDrift(_, _, 20)),
@@ -305,6 +334,20 @@ object TextQueries {
     "t8_tfidf" -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "t12_bpe_pair_stats" ->
+      """WITH words AS (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         pairs AS (
+           SELECT unnest(list_transform(range(1, length(w)),
+                    i -> substr(w, CAST(i AS INT), 2))) AS pair
+           FROM words WHERE length(w) >= 2),
+         counted AS (SELECT pair, COUNT(*) AS freq FROM pairs GROUP BY pair),
+         ranked AS (
+           SELECT pair, freq,
+                  row_number() OVER (ORDER BY freq DESC, pair ASC) AS rk
+           FROM counted)
+         SELECT CAST(rk AS BIGINT) AS rk, pair, freq
+         FROM ranked WHERE rk <= 20 ORDER BY rk""",
     "t11_hashed_classifier" ->
       """WITH b AS (
            SELECT doc_id,

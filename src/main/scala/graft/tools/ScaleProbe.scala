@@ -124,7 +124,8 @@ object ScaleProbe {
       "t11_hashed_clf" -> (graft.text.TextQueries.hashedClassifier _),
       "x16_source_overlap" -> ((s: SparkSession, d: String) => x16SourceOverlap(s, d, 8)),
       "x17_incr_novelty" -> ((s: SparkSession, d: String) => x17IncrementalNovelty(s, d, 8)),
-      "m6_chunk_dedup" -> (graft.multimodal.MultimodalQueries.m6ChunkDedup _))
+      "m6_chunk_dedup" -> (graft.multimodal.MultimodalQueries.m6ChunkDedup _),
+      "m7_cdc_chunk_dedup" -> (graft.multimodal.MultimodalQueries.m7CdcChunkDedup _))
     println(f"[scale] ${"query"}%-20s ${"1x"}%8s ${s"${n}x"}%8s  ratio (ideal <= $n)")
     probes.foreach { case (name, fn) =>
       val t1 = time(fn, base)

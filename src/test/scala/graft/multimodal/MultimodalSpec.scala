@@ -116,4 +116,37 @@ class MultimodalSpec extends SparkSuite {
     }
     assert(rows.map(_.getString(0)).toSet == expTotals.keySet)
   }
+
+  test("m7: CDC chunks reconstruct every doc and re-sync after a prepend") {
+    val docs = graft.Tables(spark, sf001, "documents")
+    val chunked = MultimodalQueries.cdcChunked(docs)
+      .select(col("doc_id"), col("text"), col("chunks")).collect()
+    chunked.foreach { r =>
+      assert(r.getSeq[String](2).mkString("") == r.getString(1),
+        s"doc ${r.getLong(0)} reconstructs")
+    }
+    // Insertion robustness — the property fixed-size chunking (m6) lacks:
+    // prepend one char to every doc; boundaries re-sync at the next content
+    // cut, so nearly all chunk digests survive the shift.
+    val orig = chunked.map(r => r.getLong(0) -> r.getSeq[String](2).toSet).toMap
+    val shifted = MultimodalQueries.cdcChunked(
+        docs.withColumn("text", concat(lit("Z"), col("text")))
+          .withColumn("n_chars", col("n_chars") + 1))
+      .select(col("doc_id"), col("chunks")).collect()
+    val fracs = shifted.map { r =>
+      val o = orig(r.getLong(0))
+      r.getSeq[String](1).toSet.intersect(o).size.toDouble / o.size
+    }
+    assert(fracs.sum / fracs.length > 0.8,
+      f"mean shared-chunk fraction ${fracs.sum / fracs.length}%.3f after prepend")
+  }
+
+  test("m7: chunk totals conserve characters per source") {
+    val got = MultimodalQueries.m7CdcChunkDedup(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val want = graft.Tables(spark, sf001, "documents")
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("chars")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, "total_chars per source == sum(n_chars)")
+  }
 }

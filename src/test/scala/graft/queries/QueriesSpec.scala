@@ -318,4 +318,25 @@ class QueriesSpec extends SparkSuite {
       .map(_.head.getAs[Long]("cohort_users")).sum
     assert(sizeSum == totalUsers, s"$sizeSum != $totalUsers")
   }
+
+  test("e11: vwap replays as the exact volume-weighted mean per (user, day)") {
+    val rows = CoreQueries.e11Vwap(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables(spark, sf001, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("vol"))
+      .filter(col("vol") > 0).collect()
+    val grouped = ev.groupBy(r => (r.getLong(0), r.getDate(1)))
+    rows.foreach { r =>
+      val g = grouped((r.getLong(0), r.getDate(1)))
+      val num = g.map(x => x.getDouble(2) * x.getLong(3)).sum
+      val den = g.map(_.getLong(3)).sum.toDouble
+      assert(math.abs(r.getDouble(2) - num / den) < 1e-6, "vwap")
+      assert(r.getLong(3) == den.toLong, "total_vol")
+      assert(r.getLong(4) == g.size.toLong, "n_trades")
+      val vals = g.map(_.getDouble(2))
+      assert(r.getDouble(2) >= vals.min - 1e-9 && r.getDouble(2) <= vals.max + 1e-9,
+        "vwap bounded by print range")
+    }
+  }
 }

@@ -139,4 +139,20 @@ class TextSpec extends SparkSuite {
       assert(math.abs(r.getAs[Double]("clf_score") - raw.toDouble / (toks.length * 10.0)) < 1e-12)
     }
   }
+
+  test("t12: top pairs match a driver-side BPE pair recount exactly") {
+    val texts = graft.Tables(spark, sf001, "documents")
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split(" ", -1).filter(_.length >= 2).foreach { w =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        counts(p) = counts.getOrElse(p, 0L) + 1
+      }
+    })
+    val expect = counts.toSeq.sortBy { case (p, f) => (-f, p) }.take(20)
+    val got = TextQueries.t12BpePairStats(spark, sf001).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
 }
