@@ -32,18 +32,27 @@ object Tables {
     spark
   }
 
-  /** Load one table. `events.ts` arrives as int64 nanos (see `tune`) and is
-    * truncated to microseconds — the same truncation DuckDB applies when
-    * casting TIMESTAMP_NS to TIMESTAMP, keeping the oracle comparable.
+  /** Load one table, normalizing `events.ts` to a session-zone TIMESTAMP
+    * regardless of how the generator wrote it:
+    *  - int64 TIMESTAMP(NANOS) (see `tune`) → truncated to microseconds,
+    *    the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP;
+    *  - plain timestamp[us] with no zone (Spark TIMESTAMP_NTZ) → cast to
+    *    TIMESTAMP, which under the engine-wide UTC session zone keeps the
+    *    wall-clock values identical while restoring the instant semantics
+    *    every downstream window/`unix_micros` operator expects.
+    * Either way the engine sees one canonical `ts` type, and the DuckDB
+    * oracle (which reads the file as a naive TIMESTAMP) stays comparable.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // only the raw int64-nanos form needs conversion; a staged/derived copy
-    // of events may already carry a proper timestamp column
-    if (name == "events" &&
-      df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
     else df
   }
 

@@ -233,7 +233,48 @@ object MultimodalQueries {
     Multimodal.decodeMeta(blobs).toDF().orderBy("doc_id")
   }
 
+  /** M8 — per-blob byte-distribution diversity (Gini–Simpson over the byte
+    * histogram): `1 - Σ c_b² / n²`, the probability two independently drawn
+    * bytes differ. This is the cheap compressibility/corruption telemetry a
+    * multimodal pipeline runs on opaque blobs it cannot decode: already-
+    * compressed media scores near the 255/256 ceiling, text sits far below,
+    * zero-padded or truncated blobs crater — all without any codec. (The
+    * usual formulation is Shannon entropy; Gini–Simpson carries the same
+    * ordering but needs no `log`, which IEEE 754 does NOT require correctly
+    * rounded — so this variant is bit-identical across engines while
+    * entropy would break the hash gate. Same choice as T10.)
+    *
+    * Scale shape: byte extraction is a narrow codegen projection (hex once,
+    * then 2-char slices — fan-out = blob bytes), the histogram is one
+    * (doc, byte)-keyed aggregate whose map-side partials collapse each
+    * partition's contribution to ≤ 256 rows per doc before the exchange,
+    * and the final doc-keyed reduce sees ≤ 256 rows per doc. The squared
+    * sum accumulates in DECIMAL(38,0) — c² of a multi-GB blob's hot byte
+    * overflows int64 — and the only division is the final double one.
+    */
+  def m8ByteDiversity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .withColumn("h", lower(hex(col("text").cast("binary"))))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(h) - 1, 2), i -> substring(h, CAST(i AS INT), 2))"))
+        .as("byte_hex"))
+      .groupBy(col("doc_id"), col("byte_hex"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_bytes"),
+        count(lit(1)).as("n_distinct_bytes"),
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .as("sum_sq"))
+      .select(col("doc_id"), col("n_bytes"), col("n_distinct_bytes"),
+        (lit(1.0) - col("sum_sq").cast("double") /
+          (col("n_bytes").cast("double") * col("n_bytes").cast("double")))
+          .as("byte_diversity"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_byte_diversity" -> (m8ByteDiversity _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_decode_stub" -> (m3DecodeStub _),
@@ -243,6 +284,23 @@ object MultimodalQueries {
     "m7_cdc_chunk_dedup" -> (m7CdcChunkDedup _))
 
   val oracles: Map[String, String] = Map(
+    "m8_byte_diversity" ->
+      """WITH bytes AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, length(h), 2),
+                    i -> substr(h, CAST(i AS INT), 2))) AS byte_hex
+           FROM (SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS h
+                 FROM documents WHERE n_chars > 0)),
+         counts AS (
+           SELECT doc_id, byte_hex, COUNT(*) AS c
+           FROM bytes GROUP BY doc_id, byte_hex)
+         SELECT doc_id,
+                CAST(SUM(c) AS BIGINT) AS n_bytes,
+                COUNT(*) AS n_distinct_bytes,
+                1.0 - CAST(SUM(c * c) AS DOUBLE)
+                  / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+                  AS byte_diversity
+         FROM counts GROUP BY doc_id ORDER BY doc_id""",
     "m7_cdc_chunk_dedup" ->
       """WITH pos AS (
            SELECT doc_id, source, text, n_chars, unnest(range(8, n_chars + 1)) AS i

@@ -874,6 +874,31 @@ object CoreQueries {
       .orderBy("day")
   }
 
+  /** A24 — first-order Markov transition matrix over the event stream:
+    * per-user next-event via `lead` (ordered by (ts, event_id) — the unique
+    * tiebreaker makes the sequence, and therefore the hash gate, total-order
+    * deterministic), then one (from, to)-keyed count and a row-normalized
+    * transition probability. The behavioral-model summary behind funnel
+    * mining and anomaly detection. Scale shape: ONE user-keyed exchange for
+    * the lead window (the same partitioning A22/A7 use), a map-side-combined
+    * aggregate to ≤ |types|² rows, and a window over that constant-size
+    * matrix — the normalizing sum never sees corpus-scale rows. The only
+    * division is the final int/int probability, IEEE-identical across
+    * engines.
+    */
+  def a24MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    t(s, dir, "events")
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(byFrom))
+      .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** The C-family blended quality score (shared by C1 and C3 so their
     * semantics cannot diverge); requires a `toks = split(text, ' ')` column
     * alongside `text`.
@@ -968,6 +993,58 @@ object CoreQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** C6 — temperature-scaled source mixing (the GPT-3/Pile data-mixing rate
+    * computation): per-source token mass `T_s` → sampling weight
+    * `T_s^α` with α = 1/2, a 25%-of-corpus token budget apportioned
+    * ∝ weight, and the implied per-source keep rate
+    * `min(1, B·w_s / (Σw · T_s))` applied via the engine's deterministic
+    * hash-mod sampler (C2's mechanism at 1/10000 granularity). Temperature
+    * flattening is THE standard fix for web-crawl source skew — α < 1
+    * up-samples small high-quality sources and caps the giant crawl's
+    * share — and the output is the per-source audit row (mass, weight,
+    * rate, kept docs/tokens) a mixing run is signed off on.
+    *
+    * α is deliberately 1/2: IEEE 754 REQUIRES sqrt correctly rounded, so
+    * `floor(sqrt(T_s))` is bit-identical across engines, while `pow(x,0.7)`
+    * is libm-dependent and would break the hash gate. The weight then
+    * enters integer arithmetic; the rate is one deterministic double
+    * division; the sampler compares an integer hash bucket against
+    * `rate·10000` — every step engine-portable.
+    *
+    * Scale shape: pass 1 is a #sources-row map-side-combined aggregate
+    * (plus a 2-value scalar reduce), pass 2 re-scans the corpus with the
+    * rate table broadcast — the selection predicate is a narrow map, no
+    * corpus shuffle anywhere; the final audit aggregate is again
+    * #sources-bounded. Exactly the two-pass minimum: rates depend on global
+    * mass, so no single-pass plan exists.
+    */
+  def c6TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val src = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("wgt", floor(sqrt(col("src_tokens").cast("double"))).cast("long"))
+    val tot = src.agg(sum(col("src_tokens")).as("total_tokens"),
+      sum(col("wgt")).as("sum_w"))
+    val rates = src.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0),
+        (col("total_tokens").cast("double") * col("wgt").cast("double")) /
+          (lit(4.0) * col("sum_w").cast("double") * col("src_tokens").cast("double"))))
+      .select(col("source"), col("src_tokens"), col("wgt"), col("rate"))
+    val kept = docs.join(broadcast(rates), "source")
+      .filter(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 10000 < col("rate") * 10000)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tokens")).as("n_tokens_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("src_tokens"), col("wgt"), col("rate"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+      .orderBy("source")
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -985,6 +1062,7 @@ object CoreQueries {
     "a21_retention_cohorts" -> (a21RetentionCohorts _),
     "a22_sessionization" -> (a22Sessionization _),
     "a23_rolling_active_users" -> (a23RollingActiveUsers _),
+    "a24_markov_transitions" -> (a24MarkovTransitions _),
     "q_recent" -> (qRecent _),
     "q_day" -> (qDay _),
     "q_dim" -> (qDim _),
@@ -1017,7 +1095,8 @@ object CoreQueries {
     "a20_histogram" -> (a20Histogram _),
     "c1_curation" -> (c1Curation _),
     "c2_stratified_sample" -> (c2StratifiedSample _),
-    "c5_sequence_packing" -> (c5SequencePacking _))
+    "c5_sequence_packing" -> (c5SequencePacking _),
+    "c6_temperature_mix" -> (c6TemperatureMix _))
 
   /** DuckDB oracle SQL, aligned column-for-column with the Spark plans. */
   val oracles: Map[String, String] = Map(
@@ -1108,6 +1187,52 @@ object CoreQueries {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                   AS retention
          FROM m ORDER BY cohort_day, day_offset""",
+    "a24_markov_transitions" ->
+      """WITH seq AS (
+           SELECT event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+           FROM events),
+         trans AS (
+           SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+           FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+                CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+                CAST(n AS DOUBLE)
+                  / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+         FROM trans ORDER BY from_type, to_type""",
+    "c6_temperature_mix" ->
+      """WITH docs AS (
+           SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         src AS (
+           SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+           FROM docs GROUP BY source),
+         w AS (
+           SELECT source, src_tokens,
+                  CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS wgt
+           FROM src),
+         tot AS (
+           SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+                  CAST(SUM(wgt) AS BIGINT) AS sum_w
+           FROM w),
+         rates AS (
+           SELECT w.source, w.src_tokens, w.wgt,
+                  least(1.0,
+                    (CAST(t.total_tokens AS DOUBLE) * CAST(w.wgt AS DOUBLE))
+                    / (4.0 * CAST(t.sum_w AS DOUBLE)
+                       * CAST(w.src_tokens AS DOUBLE))) AS rate
+           FROM w CROSS JOIN tot t)
+         SELECT r.source, r.src_tokens, r.wgt, r.rate,
+                COUNT(d.doc_id) AS n_docs_kept,
+                CAST(COALESCE(SUM(d.n_tokens), 0) AS BIGINT) AS n_tokens_kept
+         FROM rates r LEFT JOIN docs d
+           ON d.source = r.source
+          AND CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                % 10000 < r.rate * 10000
+         GROUP BY r.source, r.src_tokens, r.wgt, r.rate
+         ORDER BY r.source""",
     "a22_sessionization" ->
       """WITH e AS (
            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -319,7 +319,57 @@ object TextQueries {
       .orderBy("rk")
   }
 
+  /** T13 — leave-one-out bigram novelty scoring (the corpus-trained LM
+    * quality signal, CCNet-style, re-expressed with integer-exact
+    * statistics): the corpus itself is the model — one bigram-keyed
+    * aggregate, vocabulary²-bounded, never corpus-bounded — and each
+    * document is scored against the model MINUS its own contribution:
+    * a bigram is "novel" when no other document contains it
+    * (`c_total == c_doc`), and `xdoc_hits` counts how often the doc's
+    * distinct bigrams occur elsewhere. Low novelty → boilerplate/templated
+    * text; high novelty → genuinely new content. A real pipeline swaps the
+    * corpus counts for a reference-LM count table; the execution shape —
+    * per-doc counts, a model aggregate, one bigram-keyed join back — is
+    * identical.
+    *
+    * Exactness: every statistic is an integer sum; the ONLY division is
+    * the final novelty ratio (int/int in IEEE double, identical across
+    * engines). Log-likelihood scoring is deliberately NOT emitted: `ln` is
+    * not required correctly-rounded by IEEE 754, so cross-engine libm
+    * drift would break the hash gate — the integer sufficient statistics
+    * carry the same signal.
+    *
+    * Scale shape: the per-doc bigram counts are one (doc, bigram)-keyed
+    * aggregate with map-side partials; the model is a re-aggregation of
+    * that SAME frame, so Catalyst's exchange reuse serves both from one
+    * shuffle; the join back is bigram-keyed (model side vocab-bounded,
+    * Zipf-hot keys are build-side and AQE-splittable). Nothing is ever
+    * doc² or corpus².
+    */
+  def t13BigramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docBg = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c_doc"))
+    val model = docBg.groupBy(col("bigram")).agg(sum(col("c_doc")).as("c_total"))
+    docBg.join(model, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c_doc")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        sum(when(col("c_total") === col("c_doc"), 1L).otherwise(0L)).as("novel_bigrams"),
+        sum(col("c_total") - col("c_doc")).as("xdoc_hits"))
+      .withColumn("novelty_rate",
+        col("novel_bigrams").cast("double") / col("n_distinct_bigrams").cast("double"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_bigram_novelty" -> (t13BigramNovelty _),
     "t12_bpe_pair_stats" -> (t12BpePairStats _),
     "t11_hashed_classifier" -> (hashedClassifier _),
     "t10_lexical_diversity" -> (lexicalDiversity _),
@@ -334,6 +384,26 @@ object TextQueries {
     "t8_tfidf" -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "t13_bigram_novelty" ->
+      """WITH docbg AS (
+           SELECT doc_id, bigram, COUNT(*) AS c_doc
+           FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws)),
+                     i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+                 FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+                 WHERE len(ws) >= 2)
+           GROUP BY doc_id, bigram),
+         model AS (SELECT bigram, SUM(c_doc) AS c_total FROM docbg GROUP BY bigram)
+         SELECT d.doc_id,
+                CAST(SUM(d.c_doc) AS BIGINT) AS n_bigrams,
+                COUNT(*) AS n_distinct_bigrams,
+                CAST(SUM(CASE WHEN m.c_total = d.c_doc THEN 1 ELSE 0 END) AS BIGINT)
+                  AS novel_bigrams,
+                CAST(SUM(m.c_total - d.c_doc) AS BIGINT) AS xdoc_hits,
+                CAST(SUM(CASE WHEN m.c_total = d.c_doc THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS novelty_rate
+         FROM docbg d JOIN model m USING (bigram)
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
     "t12_bpe_pair_stats" ->
       """WITH words AS (
            SELECT unnest(string_split(text, ' ')) AS w FROM documents),

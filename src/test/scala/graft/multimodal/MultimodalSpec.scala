@@ -19,6 +19,27 @@ class MultimodalSpec extends SparkSuite {
       .subsetOf(Set("img/fake-png", "img/fake-jpeg", "vid/fake-mp4")))
   }
 
+  test("m8: byte diversity matches a driver-side histogram replay") {
+    val rows = MultimodalQueries.m8ByteDiversity(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_bytes"),
+        r.getAs[Long]("n_distinct_bytes"), r.getAs[Double]("byte_diversity"))).toMap
+    val docs = graft.Tables(spark, sf001, "documents")
+      .filter(col("n_chars") > 0).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val counts = bytes.groupBy(identity).map(_._2.length.toLong)
+      val n = bytes.length.toLong
+      val sumSq = counts.map(c => c * c).sum
+      val (nb, nd, div) = rows(id)
+      assert(nb == n, s"n_bytes doc $id")
+      assert(nd == counts.size.toLong, s"n_distinct doc $id")
+      assert(div == 1.0 - sumSq.toDouble / (n.toDouble * n.toDouble), s"diversity doc $id")
+      assert(div >= 0.0 && div < 1.0)
+    }
+  }
+
   test("decode stub is deterministic") {
     val bytes = "hello world".getBytes("UTF-8")
     assert(Multimodal.decodeStub(1L, bytes) == Multimodal.decodeStub(1L, bytes))

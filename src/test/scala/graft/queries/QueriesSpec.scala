@@ -258,6 +258,66 @@ class QueriesSpec extends SparkSuite {
     assert(rows == expected)
   }
 
+  test("a24: transition matrix matches a driver-side lead replay and rows normalize") {
+    val rows = CoreQueries.a24MarkovTransitions(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_from"), r.getAs[Double]("p"))).toMap
+    val ev = graft.Tables(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2)).map(_._4)
+      sorted.zip(sorted.drop(1))
+    }
+    val counts = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val fromTotals = trans.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.keySet == counts.keySet)
+    rows.foreach { case ((f, to), (n, nf, p)) =>
+      assert(n == counts((f, to)), s"n $f->$to")
+      assert(nf == fromTotals(f), s"n_from $f")
+      assert(p == n.toDouble / nf.toDouble, s"p $f->$to")
+    }
+    rows.toSeq.groupBy(_._1._1).foreach { case (f, rs) =>
+      assert(math.abs(rs.map(_._2._3).sum - 1.0) < 1e-9, s"row $f normalizes")
+    }
+  }
+
+  test("c6: temperature rates and kept sets match a driver replay") {
+    val out = CoreQueries.c6TemperatureMix(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("src_tokens"), r.getAs[Long]("wgt"),
+        r.getAs[Double]("rate"), r.getAs[Long]("n_docs_kept"),
+        r.getAs[Long]("n_tokens_kept"))).toMap
+    val docs = graft.Tables(spark, sf001, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._2).map { case (s, ds) => s -> ds.map(_._3).sum }
+    val wgt = bySrc.map { case (s, tk) => s -> math.floor(math.sqrt(tk.toDouble)).toLong }
+    val total = bySrc.values.sum
+    val sumW = wgt.values.sum
+    def hashPct(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16) % 10000
+    }
+    assert(out.keySet == bySrc.keySet)
+    bySrc.keys.foreach { s =>
+      val rate = math.min(1.0,
+        (total.toDouble * wgt(s).toDouble) / (4.0 * sumW.toDouble * bySrc(s).toDouble))
+      val kept = docs.filter(d => d._2 == s && hashPct(d._1) < rate * 10000)
+      val (st, w, r, nd, nt) = out(s)
+      assert(st == bySrc(s), s"src_tokens $s")
+      assert(w == wgt(s), s"wgt $s")
+      assert(r == rate, s"rate $s")
+      assert(nd == kept.size.toLong, s"n_docs_kept $s")
+      assert(nt == kept.map(_._3).sum, s"n_tokens_kept $s")
+    }
+    // the realized sample is in the ballpark of the 25% token budget
+    val keptFrac = out.values.map(_._5).sum.toDouble / total.toDouble
+    assert(keptFrac > 0.05 && keptFrac < 0.6, s"kept fraction $keptFrac")
+  }
+
   test("a23: sliding sketch union within 5% of the exact rolling distinct") {
     val rows = CoreQueries.a23RollingActiveUsers(spark, sf001).collect()
       .map(r => (r.getAs[java.sql.Date]("day").toString,

@@ -19,6 +19,36 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("t13: novelty stats match a driver-side bigram replay") {
+    val rows = TextQueries.t13BigramNovelty(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("n_distinct_bigrams"), r.getAs[Long]("novel_bigrams"),
+        r.getAs[Long]("xdoc_hits"), r.getAs[Double]("novelty_rate"))).toMap
+    val docs = graft.Tables(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val docBg: Map[Long, Map[String, Long]] = docs.flatMap { case (id, text) =>
+      val ws = text.split(" ", -1)
+      if (ws.length < 2) None
+      else Some(id -> ws.sliding(2).map(p => p(0) + " " + p(1)).toSeq
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong })
+    }.toMap
+    val model: Map[String, Long] = docBg.values.flatten.toSeq
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    assert(rows.keySet == docBg.keySet)
+    docBg.foreach { case (id, bg) =>
+      val (nb, nd, nov, xd, rate) = rows(id)
+      assert(nb == bg.values.sum, s"n_bigrams doc $id")
+      assert(nd == bg.size.toLong, s"n_distinct doc $id")
+      assert(nov == bg.count { case (k, c) => model(k) == c }.toLong, s"novel doc $id")
+      assert(xd == bg.map { case (k, c) => model(k) - c }.sum, s"xdoc doc $id")
+      assert(rate == nov.toDouble / nd.toDouble, s"rate doc $id")
+    }
+    // the corpus contains both boilerplate and novel text: rates span a range
+    val rates = rows.values.map(_._5)
+    assert(rates.exists(_ > 0.0) && rates.min < rates.max)
+  }
+
   test("t2: ratios are in [0,1] and score components bounded") {
     val rows = TextQueries.quality(spark, sf001).collect()
     rows.foreach { r =>
