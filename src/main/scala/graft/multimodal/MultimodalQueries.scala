@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -273,7 +273,43 @@ object MultimodalQueries {
           .as("byte_diversity"))
       .orderBy("doc_id")
 
+  /** M9 — declared-vs-sniffed format consistency audit: per (source,
+    * declared format), how many blobs' leading bytes disagree with the
+    * format their metadata claims — the upload-corruption / mislabeled-
+    * extension telemetry every media ingest runs (a "image/png" whose magic
+    * bytes say MP4 is a corrupt or mislabeled upload, and a source with a
+    * high mismatch rate is a broken scraper). The fixture has no metadata
+    * column, so the DECLARED format is a deterministic stand-in derived
+    * from doc_id (mod 3 over the same three fake formats
+    * [[Multimodal.decodeStub]] emits); the SNIFFED class applies the stub's
+    * leading-byte rule (`head % 3`) in pure SQL — swap either side for the
+    * real metadata column / magic-byte table and the plan is unchanged.
+    *
+    * Scale shape: one narrow projection (first byte only — a real sniffer
+    * reads ≤ 16 bytes, never the blob body) and one map-side-combined
+    * aggregate to ≤ #sources × 3 rows. The rate is the only division.
+    */
+  def m9FormatConsistency(s: SparkSession, dir: String): DataFrame = {
+    val fmt = (k: Column) => element_at(
+      array(lit("img/fake-png"), lit("img/fake-jpeg"), lit("vid/fake-mp4")),
+      (k % 3).cast("int") + 1)
+    t(s, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"),
+        fmt(col("doc_id")).as("declared_fmt"),
+        fmt(ascii(substring(col("text"), 1, 1)).cast("long")).as("sniffed_fmt"))
+      .groupBy(col("source"), col("declared_fmt"))
+      .agg(
+        count(lit(1)).as("n_blobs"),
+        sum(when(col("declared_fmt") =!= col("sniffed_fmt"), 1L).otherwise(0L))
+          .as("n_mismatch"))
+      .withColumn("mismatch_rate",
+        col("n_mismatch").cast("double") / col("n_blobs").cast("double"))
+      .orderBy("source", "declared_fmt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_format_consistency" -> (m9FormatConsistency _),
     "m8_byte_diversity" -> (m8ByteDiversity _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
@@ -284,6 +320,21 @@ object MultimodalQueries {
     "m7_cdc_chunk_dedup" -> (m7CdcChunkDedup _))
 
   val oracles: Map[String, String] = Map(
+    "m9_format_consistency" ->
+      """WITH f AS (
+           SELECT source,
+                  ['img/fake-png', 'img/fake-jpeg', 'vid/fake-mp4']
+                    [CAST(doc_id % 3 AS INT) + 1] AS declared_fmt,
+                  ['img/fake-png', 'img/fake-jpeg', 'vid/fake-mp4']
+                    [CAST(ascii(substr(text, 1, 1)) % 3 AS INT) + 1] AS sniffed_fmt
+           FROM documents WHERE n_chars > 0)
+         SELECT source, declared_fmt,
+                COUNT(*) AS n_blobs,
+                CAST(SUM(CASE WHEN declared_fmt <> sniffed_fmt THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_mismatch,
+                CAST(SUM(CASE WHEN declared_fmt <> sniffed_fmt THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mismatch_rate
+         FROM f GROUP BY source, declared_fmt ORDER BY source, declared_fmt""",
     "m8_byte_diversity" ->
       """WITH bytes AS (
            SELECT doc_id,

@@ -899,6 +899,72 @@ object CoreQueries {
       .orderBy("from_type", "to_type")
   }
 
+  /** A25 — per-type inter-arrival quantiles: for each (user, event_type)
+    * stream, the µs gap between consecutive events (lag over the
+    * (ts, event_id) total order), then exact p50/p95 per event type — the
+    * cadence profile behind rate-anomaly and bot detection. Gap math is
+    * integer µs (`unix_micros` ≙ DuckDB `epoch_us`); `percentile` ≙
+    * `quantile_cont` (both linear-interpolation, exact on integer inputs —
+    * the A15 parity recipe).
+    *
+    * Scale shape: ONE (user, type)-keyed exchange for the lag window, then
+    * a #types-group aggregate. Exact `percentile` buffers each type's gaps
+    * on its reducer — the declared-exact variant, like A15; at 100 TB the
+    * same plan swaps in `approx_percentile` (A15b's mergeable sketch,
+    * O(accuracy) reducer state) with no shape change.
+    */
+  def a25InterarrivalQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_us, 0.5)").as("p50_us"),
+        expr("percentile(gap_us, 0.95)").as("p95_us"),
+        max(col("gap_us")).as("max_us"))
+      .orderBy("event_type")
+  }
+
+  /** C7 — deterministic epoch shuffle + shard assignment (the step between
+    * a curated corpus and a training run: every epoch needs a DIFFERENT
+    * global permutation of documents, materialized as N shard files whose
+    * sizes must balance or the slowest trainer rank gates the epoch).
+    * Shard = md5(doc_id ":" epoch) mod 64 — re-keying by epoch IS the
+    * shuffle, no RNG state anywhere, any worker can recompute any
+    * assignment (crash-safe by construction). Emits the per-(epoch, shard)
+    * audit row: doc/token load and each shard's share of the epoch's
+    * tokens, the number a training launch checks before spending GPU time.
+    *
+    * Scale shape: the corpus is read ONCE (epochs fan out per row from a
+    * literal array — 3 epochs ⇒ 3× map-side rows, no extra scan), the
+    * aggregate map-side-combines to epochs×64 rows, and the share window
+    * runs over those 192 rows. Nothing corpus-scale ever shuffles: at
+    * 100 TB the real shard WRITE is `partitionBy(epoch, shard)` on exactly
+    * this key — this query is that write's planning/audit pass.
+    */
+  def c7EpochShardAssign(s: SparkSession, dir: String, epochs: Int = 3,
+      shards: Int = 64): DataFrame = {
+    val byEpoch = Window.partitionBy(col("epoch"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("epoch",
+        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${epochs - 1} AS BIGINT))")))
+      .withColumn("shard",
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("epoch"))), 1, 15),
+          16, 10).cast("long") % shards)
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("token_share",
+        col("shard_tokens").cast("double") /
+          sum(col("shard_tokens")).over(byEpoch).cast("double"))
+      .orderBy("epoch", "shard")
+  }
+
   /** The C-family blended quality score (shared by C1 and C3 so their
     * semantics cannot diverge); requires a `toks = split(text, ' ')` column
     * alongside `text`.
@@ -1063,6 +1129,8 @@ object CoreQueries {
     "a22_sessionization" -> (a22Sessionization _),
     "a23_rolling_active_users" -> (a23RollingActiveUsers _),
     "a24_markov_transitions" -> (a24MarkovTransitions _),
+    "a25_interarrival_quantiles" -> ((s: SparkSession, d: String) => a25InterarrivalQuantiles(s, d)),
+    "c7_epoch_shard_assign" -> ((s: SparkSession, d: String) => c7EpochShardAssign(s, d)),
     "q_recent" -> (qRecent _),
     "q_day" -> (qDay _),
     "q_dim" -> (qDim _),
@@ -1233,6 +1301,45 @@ object CoreQueries {
                 % 10000 < r.rate * 10000
          GROUP BY r.source, r.src_tokens, r.wgt, r.rate
          ORDER BY r.source""",
+    "a25_interarrival_quantiles" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events),
+         g AS (
+           SELECT event_type,
+                  us - lag(us) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY us, event_id) AS gap_us
+           FROM e)
+         SELECT event_type,
+                COUNT(*) AS n_gaps,
+                quantile_cont(gap_us, 0.5) AS p50_us,
+                quantile_cont(gap_us, 0.95) AS p95_us,
+                CAST(MAX(gap_us) AS BIGINT) AS max_us
+         FROM g WHERE gap_us IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
+    "c7_epoch_shard_assign" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         x AS (
+           SELECT doc_id, n_tokens, unnest(range(0, 3)) AS epoch FROM d),
+         a AS (
+           SELECT epoch,
+                  CAST('0x' || substr(md5(doc_id || ':' || epoch), 1, 15)
+                    AS BIGINT) % 64 AS shard,
+                  n_tokens
+           FROM x),
+         g AS (
+           SELECT epoch, shard, COUNT(*) AS n_docs,
+                  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+           FROM a GROUP BY epoch, shard)
+         SELECT epoch, shard, n_docs, shard_tokens,
+                CAST(shard_tokens AS DOUBLE)
+                  / CAST(SUM(shard_tokens) OVER (PARTITION BY epoch) AS DOUBLE)
+                  AS token_share
+         FROM g ORDER BY epoch, shard""",
     "a22_sessionization" ->
       """WITH e AS (
            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -368,7 +368,43 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T14 — tokenizer-vocabulary coverage / OOV-rate audit: the check a
+    * pipeline runs before committing a tokenizer to a corpus (or a corpus
+    * to a tokenizer) — what fraction of each document's tokens fall outside
+    * the vocabulary? The "vocabulary" here is the corpus's own top-256
+    * terms by frequency (ties broken by term, so the cut is total-order
+    * deterministic); a real run swaps in the tokenizer's vocab file — the
+    * execution shape is identical.
+    *
+    * Scale shape: term counting is one term-keyed map-side-combined
+    * aggregate (T5's shape); the top-256 cut is a row_number over the
+    * DISTINCT-TERM table (vocab-bounded, never corpus-bounded — and at a
+    * truly huge vocab the same cut runs as a bounded partial top-k, the
+    * X6 `TopKAggregator` shape); the coverage pass joins exploded tokens
+    * against the 256-row vocab BROADCAST, so the corpus-side cost is one
+    * narrow map + one doc-keyed aggregate. The only division is the final
+    * per-doc rate.
+    */
+  def t14VocabCoverage(s: SparkSession, dir: String, vocabSize: Int = 256): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("term"))))
+      .filter(col("rk") <= vocabSize)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_vocab_coverage" -> ((s: SparkSession, d: String) => t14VocabCoverage(s, d)),
     "t13_bigram_novelty" -> (t13BigramNovelty _),
     "t12_bpe_pair_stats" -> (t12BpePairStats _),
     "t11_hashed_classifier" -> (hashedClassifier _),
@@ -384,6 +420,24 @@ object TextQueries {
     "t8_tfidf" -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "t14_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         v AS (
+           SELECT term FROM (
+             SELECT term,
+                    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+             FROM tok GROUP BY term)
+           WHERE rk <= 256)
+         SELECT t.doc_id,
+                COUNT(*) AS n_tokens,
+                CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_oov,
+                CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+         FROM tok t LEFT JOIN v ON t.term = v.term
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     "t13_bigram_novelty" ->
       """WITH docbg AS (
            SELECT doc_id, bigram, COUNT(*) AS c_doc

@@ -40,6 +40,34 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("m9: mismatch telemetry matches a driver replay of the stub's sniff rule") {
+    val rows = MultimodalQueries.m9FormatConsistency(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_blobs"), r.getAs[Long]("n_mismatch"),
+          r.getAs[Double]("mismatch_rate"))).toMap
+    val fmts = Seq("img/fake-png", "img/fake-jpeg", "vid/fake-mp4")
+    val docs = graft.Tables(spark, sf001, "documents")
+      .filter(col("n_chars") > 0).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = docs.groupBy(d => (d._2, fmts((d._1 % 3).toInt))).map {
+      case (k, ds) =>
+        val mism = ds.count(d => fmts(d._3.head.toInt % 3) != k._2).toLong
+        k -> (ds.size.toLong, mism)
+    }
+    assert(rows.keySet == expected.keySet)
+    expected.foreach { case (k, (n, m)) =>
+      val (gn, gm, rate) = rows(k)
+      assert(gn == n, s"n_blobs $k")
+      assert(gm == m, s"n_mismatch $k")
+      assert(rate == m.toDouble / n.toDouble, s"rate $k")
+    }
+    // the stand-in declared type and the content sniff are independent mod-3
+    // draws, so mismatches must exist (≈2/3 of blobs) without being universal
+    val (tot, mis) = rows.values.foldLeft((0L, 0L)) {
+      case ((a, b), (n, m, _)) => (a + n, b + m) }
+    assert(mis > 0 && mis < tot)
+  }
+
   test("decode stub is deterministic") {
     val bytes = "hello world".getBytes("UTF-8")
     assert(Multimodal.decodeStub(1L, bytes) == Multimodal.decodeStub(1L, bytes))

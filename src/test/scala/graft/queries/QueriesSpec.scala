@@ -318,6 +318,62 @@ class QueriesSpec extends SparkSuite {
     assert(keptFrac > 0.05 && keptFrac < 0.6, s"kept fraction $keptFrac")
   }
 
+  test("a25: inter-arrival quantiles match a driver-side interpolation replay") {
+    val rows = CoreQueries.a25InterarrivalQuantiles(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_gaps"), r.getAs[Double]("p50_us"),
+        r.getAs[Double]("p95_us"), r.getAs[Long]("max_us"))).toMap
+    val ev = graft.Tables(spark, sf001, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byType = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((_, tp), es) =>
+      val us = es.sortBy(e => (e._3, e._4)).map(_._3)
+      us.zip(us.drop(1)).map { case (a, b) => tp -> (b - a) }
+    }.groupBy(_._1).map { case (tp, vs) => tp -> vs.map(_._2).sorted }
+    def pct(sorted: Seq[Long], p: Double): Double = {
+      val rank = p * (sorted.size - 1)
+      val lo = math.floor(rank).toInt; val hi = math.ceil(rank).toInt
+      sorted(lo) + (rank - lo) * (sorted(hi) - sorted(lo))
+    }
+    assert(rows.keySet == byType.keySet)
+    byType.foreach { case (tp, vs) =>
+      val (n, p50, p95, mx) = rows(tp)
+      assert(n == vs.size.toLong, s"n_gaps $tp")
+      assert(math.abs(p50 - pct(vs, 0.5)) < 1e-6, s"p50 $tp")
+      assert(math.abs(p95 - pct(vs, 0.95)) < 1e-6, s"p95 $tp")
+      assert(mx == vs.max, s"max $tp")
+    }
+  }
+
+  test("c7: shard assignment is deterministic, balanced, and epoch-distinct") {
+    val rows = CoreQueries.c7EpochShardAssign(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("shard_tokens"),
+          r.getAs[Double]("token_share")))
+    val docs = graft.Tables(spark, sf001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def shard(id: Long, epoch: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$epoch".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16) % 64
+    }
+    val expected = (0L until 3L).flatMap(e =>
+      docs.groupBy(d => (e, shard(d._1, e))).map { case (k, ds) =>
+        k -> (ds.size.toLong, ds.map(_._2).sum) }).toMap
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (k, (nd, st, _)) =>
+      assert((nd, st) == expected(k), s"shard $k") }
+    // per-epoch shares sum to 1 and the assignment actually permutes across
+    // epochs (some doc moves shards between epoch 0 and 1)
+    rows.groupBy(_._1._1).foreach { case (e, rs) =>
+      assert(math.abs(rs.map(_._2._3).sum - 1.0) < 1e-9, s"epoch $e shares") }
+    assert(docs.exists(d => shard(d._1, 0) != shard(d._1, 1)))
+    // balance: no shard holds more than 4x the mean token load at this sf
+    val tokens = rows.filter(_._1._1 == 0L).map(_._2._2)
+    assert(tokens.max.toDouble / (tokens.sum.toDouble / tokens.size) < 4.0)
+  }
+
   test("a23: sliding sketch union within 5% of the exact rolling distinct") {
     val rows = CoreQueries.a23RollingActiveUsers(spark, sf001).collect()
       .map(r => (r.getAs[java.sql.Date]("day").toString,

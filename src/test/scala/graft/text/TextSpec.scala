@@ -49,6 +49,32 @@ class TextSpec extends SparkSuite {
     assert(rates.exists(_ > 0.0) && rates.min < rates.max)
   }
 
+  test("t14: oov counts match a driver-side vocab replay") {
+    val rows = TextQueries.t14VocabCoverage(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_oov"), r.getAs[Double]("oov_rate"))).toMap
+    val docs = graft.Tables(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val counts = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, v) => t -> v.size.toLong }
+    val vocab = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(256).map(_._1).toSet
+    assert(rows.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, ws) =>
+      val oov = ws.count(w => !vocab.contains(w)).toLong
+      val (nt, no, rate) = rows(id)
+      assert(nt == ws.size.toLong, s"n_tokens doc $id")
+      assert(no == oov, s"n_oov doc $id")
+      assert(rate == oov.toDouble / ws.size.toDouble, s"rate doc $id")
+    }
+    // a top-256 vocab over a small synthetic vocabulary should cover most
+    // tokens: corpus-wide OOV rate stays below 50%
+    val (tot, oovTot) = rows.values.foldLeft((0L, 0L)) {
+      case ((a, b), (nt, no, _)) => (a + nt, b + no) }
+    assert(oovTot.toDouble / tot.toDouble < 0.5)
+  }
+
   test("t2: ratios are in [0,1] and score components bounded") {
     val rows = TextQueries.quality(spark, sf001).collect()
     rows.foreach { r =>
