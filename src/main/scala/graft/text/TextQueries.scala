@@ -403,7 +403,57 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T15 (full summary) — the Misra–Gries frequent-items sketch over every
+    * corpus token: at most 64 counters per map task, `partitions × 64` rows
+    * on the wire, mergeable partials — the fixed-memory alternative to T5's
+    * exact term-keyed aggregate when the term domain itself is too hot to
+    * shuffle (URLs, shingles, n-grams at 100 TB). See
+    * [[graft.functions.FrequentItemsAggregator]] for the error contract.
+    */
+  def t15Summary(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import graft.functions.FrequentItemsAggregator.frequentItems
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .agg(frequentItems(k)(col("term")).as("items"))
+      .select(explode(col("items")).as("it"))
+      .select(col("it.term").as("term"), col("it.est").as("est"))
+  }
+
+  /** T15 — top-10 heavy hitters from the sketch, (est desc, term asc).
+    * Rows-only in the oracle gate (sketch estimates wobble within the
+    * N/(k+1) bound with merge order — the A15b contract); TextSpec owns the
+    * Misra–Gries guarantees against exact counts.
+    */
+  def t15HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    t15Summary(s, dir).orderBy(col("est").desc, col("term")).limit(10)
+
+  /** T16 — hapax legomena + type/token telemetry per source: the fraction
+    * of a source's distinct terms that occur exactly once, and its
+    * type-token ratio. Natural text is hapax-rich (Zipf's tail); templated,
+    * boilerplate, or model-generated text craters both numbers — a cheap
+    * per-source authenticity signal next to T10's diversity index. Two
+    * stacked keyed aggregates ((source, term) then source), map-side
+    * combined, integer-exact; the rates are the only divisions.
+    */
+  def t16HapaxStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_rate",
+        col("n_hapax").cast("double") / col("n_types").cast("double"))
+      .withColumn("type_token_ratio",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_heavy_hitters" -> (t15HeavyHitters _),
+    "t16_hapax_stats" -> (t16HapaxStats _),
     "t14_vocab_coverage" -> ((s: SparkSession, d: String) => t14VocabCoverage(s, d)),
     "t13_bigram_novelty" -> (t13BigramNovelty _),
     "t12_bpe_pair_stats" -> (t12BpePairStats _),
@@ -420,6 +470,24 @@ object TextQueries {
     "t8_tfidf" -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    // t15_heavy_hitters: rows-only by design — Misra–Gries estimates vary
+    // within the N/(k+1) bound with partial-merge order; TextSpec owns the
+    // sketch guarantees vs exact counts (the A15b precedent).
+    "t16_hapax_stats" ->
+      """WITH tc AS (
+           SELECT source, term, COUNT(*) AS c
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+                 FROM documents)
+           GROUP BY source, term)
+         SELECT source,
+                CAST(SUM(c) AS BIGINT) AS n_tokens,
+                COUNT(*) AS n_types,
+                CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS hapax_rate,
+                CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                  AS type_token_ratio
+         FROM tc GROUP BY source ORDER BY source""",
     "t14_vocab_coverage" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -75,6 +75,53 @@ class TextSpec extends SparkSuite {
     assert(oovTot.toDouble / tot.toDouble < 0.5)
   }
 
+  test("t15: Misra-Gries summary honors the sketch guarantees vs exact counts") {
+    val exact = graft.Tables(spark, sf001, "documents")
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    val n = exact.values.sum
+    val k = 64
+    val summary = TextQueries.t15Summary(spark, sf001, k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary.nonEmpty && summary.size <= k)
+    // estimates are biased low with bounded error: true - N/(k+1) <= est <= true
+    summary.foreach { case (t, est) =>
+      val tr = exact.getOrElse(t, 0L)
+      assert(est <= tr, s"overestimate for '$t'")
+      assert(tr - est <= n / (k + 1), s"error bound for '$t'")
+    }
+    // any item heavier than N/(k+1) is guaranteed present
+    exact.filter(_._2 > n / (k + 1)).keys.foreach { t =>
+      assert(summary.contains(t), s"missing guaranteed heavy hitter '$t'")
+    }
+    // the declared query is the stable top-10 cut of this summary
+    val top = TextQueries.t15HeavyHitters(spark, sf001).collect()
+    assert(top.length == 10)
+  }
+
+  test("t16: hapax stats match a driver-side replay") {
+    val rows = TextQueries.t16HapaxStats(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+        r.getAs[Long]("n_hapax"), r.getAs[Double]("hapax_rate"),
+        r.getAs[Double]("type_token_ratio"))).toMap
+    val docs = graft.Tables(spark, sf001, "documents")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val counts = ds.flatMap(_._2.split(" ", -1)).groupBy(identity)
+        .map { case (t, v) => t -> v.size.toLong }
+      src -> (counts.values.sum, counts.size.toLong,
+        counts.count(_._2 == 1L).toLong)
+    }
+    assert(rows.keySet == expected.keySet)
+    expected.foreach { case (src, (nt, ty, hx)) =>
+      val (gnt, gty, ghx, hr, ttr) = rows(src)
+      assert(gnt == nt && gty == ty && ghx == hx, s"counts $src")
+      assert(hr == hx.toDouble / ty.toDouble, s"hapax_rate $src")
+      assert(ttr == ty.toDouble / nt.toDouble, s"ttr $src")
+    }
+  }
+
   test("t2: ratios are in [0,1] and score components bounded") {
     val rows = TextQueries.quality(spark, sf001).collect()
     rows.foreach { r =>
