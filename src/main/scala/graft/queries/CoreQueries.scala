@@ -1104,7 +1104,9 @@ object CoreQueries {
           .cast("long") % 10000 < col("rate") * 10000)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tokens")).as("n_tokens_kept"))
-    rates.join(kept, Seq("source"), "left")
+    // both sides of the audit join are #sources-row aggregates; the hint
+    // keeps the static plan broadcast instead of a pro-forma sort-merge
+    rates.join(broadcast(kept), Seq("source"), "left")
       .select(col("source"), col("src_tokens"), col("wgt"), col("rate"),
         coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
         coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))

@@ -161,6 +161,59 @@ class PlanSpec extends SparkSuite {
       "corpus-vs-corpus anti join must stay a keyed shuffle join:\n" + p)
   }
 
+  test("a24: one user-keyed exchange feeds the lead window; matrix window is post-agg") {
+    val p = simplePlan(CoreQueries.a24MarkovTransitions(spark, sf001))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the (from, to) count must map-side combine before its shuffle:\n" + p)
+  }
+
+  test("a25: gap quantiles plan one keyed window and a partial-combined aggregate") {
+    val p = simplePlan(CoreQueries.a25InterarrivalQuantiles(spark, sf001))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), "cadence profile must not plan a join:\n" + p)
+  }
+
+  test("c6: the rate table broadcasts — the selection pass never shuffles the corpus") {
+    val p = plan(CoreQueries.c6TemperatureMix(spark, sf001))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the #sources-row rate table must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-keyed shuffle join belongs in the mixing plan:\n" + p)
+  }
+
+  test("c7: shard audit is a partial aggregate; the share window sees post-agg rows") {
+    val p = simplePlan(CoreQueries.c7EpochShardAssign(spark, sf001))
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the (epoch, shard) count must map-side combine before its shuffle:\n" + p)
+  }
+
+  test("t14: the vocab side of the coverage join broadcasts") {
+    val p = plan(graft.text.TextQueries.t14VocabCoverage(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 256-row vocab must broadcast — the token side streams map-only:\n" + p)
+  }
+
+  test("t15: the frequent-items sketch plans as a partial object aggregate") {
+    val p = plan(graft.text.TextQueries.t15HeavyHitters(spark, sf001))
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "FrequentItemsAggregator should plan as a typed partial aggregate:\n" + p)
+  }
+
+  test("m8: the byte histogram map-side combines before both exchanges") {
+    val p = simplePlan(graft.multimodal.MultimodalQueries.m8ByteDiversity(spark, sf001))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "both (doc, byte) and doc aggregates must have partial halves:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("m9: format audit is one narrow pass — no join, partial-combined aggregate") {
+    val p = simplePlan(graft.multimodal.MultimodalQueries.m9FormatConsistency(spark, sf001))
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("no accidental cartesian products anywhere in the surface") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sf001))
