@@ -13,8 +13,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.tune(spark)
-    // Warm JIT/codegen on every query plan at the smoke scale factor so the
-    // measured sf run reflects data processing, not JVM startup (whole-stage
+    // Warm the measured-scale scans (file listing, parquet footers, OS page
+    // cache) so the first rep is not charged for cold I/O, then warm
+    // JIT/codegen on every query plan at the smoke scale factor so the
+    // measured run reflects data processing, not JVM startup (whole-stage
     // codegen compiles per plan shape; the first execution pays javac+JIT).
     val warmDir = "/root/testdata/sf0.001"
     Tables.all.foreach(n => Tables(spark, sfDir, n).count())
@@ -25,29 +27,49 @@ object Bench {
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // noop sink: full evaluation of every operator (count() would let
-      // Catalyst drop sorts and prune the projection being measured).
-      // Best of three runs — GC/scheduler noise on a shared box otherwise
-      // dominates sub-second queries. clearCache() between reps so one
-      // query's (or rep's) persisted data can't distort another's number;
-      // each rep measures the query fresh on a warm JVM.
-      var err: Option[String] = None
-      val times = (1 to 3).flatMap { _ =>
+    // Measured phase: REPS full passes over the query set, each pass in an
+    // independently seeded-shuffled order. A positional host stall (the
+    // round-5 false alarm: ~10 s swallowed four queries that happened to be
+    // consecutive in sorted order) then hits a contiguous window of ONE pass
+    // only — the other passes time those queries cleanly, min-of-reps absorbs
+    // the stall, and the per-rep times recorded below make any surviving flag
+    // self-adjudicating (a real regression is slow in every rep; a stall is
+    // visibly bimodal). Seed is env-overridable for reproduction and recorded
+    // in the output.
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+      .getOrElse(System.nanoTime())
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    val repTimes = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefault(_ => Vector.empty)
+    for (pass <- 0 until reps) {
+      val order = new scala.util.Random(seed + pass).shuffle(names)
+      // A query that errored in an earlier pass is skipped: a time + an error
+      // for the same query would make bench_out.json ambiguous.
+      for (name <- order if !errors.contains(name)) {
+        val fn = SparkEntry.queries(name)
+        // noop sink: full evaluation of every operator (count() would let
+        // Catalyst drop sorts and prune the projection being measured).
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
           catch { case e: Throwable =>
-            err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        // clearCache() between queries so one query's persisted data can't
+        // distort another's number; each rep measures the query fresh on a
+        // warm JVM.
         spark.catalog.clearCache()
-        if (ok) Some(dt) else None
+        if (ok) repTimes(name) = repTimes(name) :+ dt
       }
-      // A query that errored on ANY rep reports no time — a time + an error
-      // for the same query would make bench_out.json ambiguous.
-      (name, if (err.isEmpty && times.nonEmpty) Some(times.min) else None, err)
+    }
+    val results = names.map { name =>
+      val ts = repTimes(name)
+      val err = errors.get(name)
+      (name, if (err.isEmpty && ts.nonEmpty) Some(ts.min) else None, err, ts)
     }
     def jq(s: String): String =
       "\"" + s.flatMap {
@@ -55,10 +77,13 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) =>
+    val qs = results.map { case (k, v, _, _) =>
       jq(k) + ":" + v.map(_.toString).getOrElse("null")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => jq(k) + ":" + jq(m) }
+    val repsJson = results.map { case (k, _, _, ts) =>
+      jq(k) + ":" + ts.map(t => math.round(t * 1000.0) / 1000.0).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m), _) => jq(k) + ":" + jq(m) }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     // Regression gate against the committed per-query baseline
@@ -82,7 +107,7 @@ object Bench {
         val absFloor = (b \ "abs_floor_sec").extractOpt[Double].getOrElse(1.0)
         val base = (b \ "queries").extractOpt[Map[String, Double]].getOrElse(Map.empty)
         val withBase = results.collect {
-          case (k, Some(v), _) if base.contains(k) => (k, v, base(k))
+          case (k, Some(v), _, _) if base.contains(k) => (k, v, base(k))
         }
         val rj = withBase.map { case (k, v, b0) =>
           jq(k) + ":" + (math.round(v / b0 * 100.0) / 100.0)
@@ -95,8 +120,9 @@ object Bench {
     }
     val flaggedJson = flagged.map(jq).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
-        s""""vs_baseline":$ratios,"regressions":$flaggedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,""" +
+        s""""order_seed":$seed,"errors":$errs,"vs_baseline":$ratios,""" +
+        s""""regressions":$flaggedJson,"sf":"$sfDir"}"""
     println(json)
     // Also write to a file so the driver never has to scrape the JSON out of
     // sbt's [info]/stderr noise.

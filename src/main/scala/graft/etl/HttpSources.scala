@@ -188,16 +188,24 @@ final class HttpBarSource(
       java.util.Arrays.asList(rows: _*), schema)
   }
 
+  private def parseInstant(s: String): Instant = BarCsv.parseInstant(s)
+
+  private def enc(s: String) = URLEncoder.encode(s, StandardCharsets.UTF_8)
+}
+
+/** Shared bar-CSV primitives for the driver-side ([[HttpBarSource]]) and
+  * distributed ([[graft.sources.BarDataSource]]) readers of the same vendor
+  * contract.
+  */
+private[graft] object BarCsv {
   /** ISO-8601 instant (`2025-04-17T07:00:00Z`), or a tz-less
     * `yyyy-MM-dd[ T]HH:mm:ss` read as UTC (the vendor's daily-bar shape —
     * [[Standardizer.toUtc]]'s sourceTz branch owns real localization).
     */
-  private def parseInstant(s: String): Instant =
+  def parseInstant(s: String): Instant =
     try Instant.parse(s)
     catch {
       case _: java.time.format.DateTimeParseException =>
         LocalDateTime.parse(s.replace(' ', 'T')).toInstant(ZoneOffset.UTC)
     }
-
-  private def enc(s: String) = URLEncoder.encode(s, StandardCharsets.UTF_8)
 }

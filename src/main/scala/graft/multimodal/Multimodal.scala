@@ -1,67 +1,111 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Typed metadata produced by the (stubbed) media decoder. */
-final case class MediaMeta(
+/** Typed metadata produced by the container-header decoder. */
+final case class MediaHeader(
     doc_id: Long,
     n_bytes: Long,
     format: String,
-    width: Int,
-    height: Int,
-    n_frames: Int)
+    width: Long,
+    height: Long,
+    channels: Long)
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
-  * metadata, decoded/feature-extracted per partition.
+  * metadata, decoded per partition.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * deterministic fake (clearly marked) — but every Spark-side concern a real
-  * decoder needs is real and tested: binary column representation, typed
-  * output schema via case-class Encoder, per-partition batch iteration
-  * (`mapPartitions`, the Scala analogue of `mapInPandas` batches), and
-  * partition-friendly ordering.
+  * The container ships no pixel codecs, but a pipeline's metadata pass never
+  * needs one: format, dimensions and channel count live in the first ≤ 40
+  * bytes of every mainstream container. [[parseHeader]] is therefore a REAL
+  * decoder for the header layer — PNG signature + IHDR big-endian fields
+  * (PNG spec §5.2/§11.2.2), JPEG marker scan to a start-of-frame segment
+  * (ISO/IEC 10918-1 §B.2.2 — segments are skipped by their declared lengths,
+  * so arbitrary APPn/COM segments between SOI and SOFn are handled), and the
+  * GIF89a little-endian logical screen descriptor (GIF89a spec §18). Only
+  * pixel decode (the part that genuinely needs a codec library) is out of
+  * scope; swapping in javacv et al. would extend, not replace, this path.
+  *
+  * Spark-side concerns a real decoder needs are all here and tested: binary
+  * column representation, typed output schema via case-class Encoder,
+  * per-partition batch iteration (`mapPartitions`, the Scala analogue of
+  * `mapInPandas` batches), and partition-friendly ordering.
   */
 object Multimodal {
 
-  /** STUB: deterministic fake decode standing in for a real image/video
-    * codec. Derives pseudo-metadata purely from the bytes so tests are
-    * reproducible: format from a leading-byte heuristic, dimensions from
-    * simple byte folds. Swap the body for a real codec (javacv, etc.) —
-    * signature and call sites stay unchanged.
+  /** Parse the container header of `bytes`: magic sniff, then the
+    * format-specific dimension fields. Unknown or truncated containers
+    * degrade to `("unknown", 0, 0, 0)` — a metadata pass must never throw
+    * on a corrupt blob (it COUNTS them; see m9).
     */
-  def decodeStub(docId: Long, bytes: Array[Byte]): MediaMeta = {
+  def parseHeader(docId: Long, bytes: Array[Byte]): MediaHeader = {
     val n = bytes.length
-    val head = if (n > 0) bytes(0) & 0xff else 0
-    val format = head % 3 match {
-      case 0 => "img/fake-png"
-      case 1 => "img/fake-jpeg"
-      case _ => "vid/fake-mp4"
-    }
-    var fold = 0L
-    var i = 0
-    while (i < n) { fold = (fold * 131 + (bytes(i) & 0xffL)) % 1000000007L; i += 1 }
-    MediaMeta(
-      doc_id = docId,
-      n_bytes = n.toLong,
-      format = format,
-      width = (16 + (fold % 240)).toInt,
-      height = (16 + ((fold / 240) % 240)).toInt,
-      n_frames = if (format.startsWith("vid")) (1 + (fold % 32)).toInt else 1)
+    def u(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Long = ((u(i) << 8) | u(i + 1)).toLong
+    def be32(i: Int): Long =
+      (u(i).toLong << 24) | (u(i + 1).toLong << 16) | (u(i + 2).toLong << 8) | u(i + 3).toLong
+    def le16(i: Int): Long = (u(i) | (u(i + 1) << 8)).toLong
+    val unknown = MediaHeader(docId, n.toLong, "unknown", 0L, 0L, 0L)
+
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    val isPng = n >= 33 && pngSig.indices.forall(i => u(i) == pngSig(i)) &&
+      u(12) == 'I' && u(13) == 'H' && u(14) == 'D' && u(15) == 'R'
+    val isGif = n >= 13 && u(0) == 'G' && u(1) == 'I' && u(2) == 'F' &&
+      u(3) == '8' && (u(4) == '7' || u(4) == '9') && u(5) == 'a'
+    val isJpeg = n >= 4 && u(0) == 0xff && u(1) == 0xd8
+
+    if (isPng) {
+      // IHDR is mandated first: width/height BE32 at 16/20, colour type at 25
+      val channels = u(25) match {
+        case 0 => 1L // greyscale
+        case 2 => 3L // truecolour
+        case 3 => 1L // indexed
+        case 4 => 2L // grey + alpha
+        case 6 => 4L // truecolour + alpha
+        case _ => 0L
+      }
+      MediaHeader(docId, n.toLong, "png", be32(16), be32(20), channels)
+    } else if (isGif) {
+      // logical screen descriptor: width/height LE16 at 6/8; pixels resolve
+      // through the colour table, i.e. RGB
+      MediaHeader(docId, n.toLong, "gif", le16(6), le16(8), 3L)
+    } else if (isJpeg) {
+      // marker scan: every segment after SOI declares its own length, so we
+      // hop segment-to-segment until a start-of-frame (SOF0–SOF3) carries
+      // precision/height/width/components — the layout every baseline and
+      // progressive JPEG shares regardless of how many APPn/COM segments
+      // precede it
+      var i = 2
+      var out: MediaHeader = null
+      var live = true
+      while (live && out == null && i + 4 <= n && u(i) == 0xff) {
+        val marker = u(i + 1)
+        if (marker >= 0xc0 && marker <= 0xc3) {
+          if (i + 10 <= n)
+            out = MediaHeader(docId, n.toLong, "jpeg", be16(i + 7), be16(i + 5), u(i + 9).toLong)
+          else live = false
+        } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+          i += 2 // standalone markers carry no length field
+        } else {
+          i += 2 + be16(i + 2).toInt
+        }
+      }
+      if (out != null) out else unknown
+    } else unknown
   }
 
-  /** Decode a (id, blob) DataFrame into typed metadata, one decoder
-    * instance per partition (where a real codec would amortize init cost —
-    * the same batching contract as `mapInPandas`).
+  /** Decode a (doc_id, blob) DataFrame into typed header metadata, one
+    * decoder scope per partition (where a real pixel codec would amortize
+    * its init cost — the same batching contract as `mapInPandas`).
     */
-  def decodeMeta(blobs: DataFrame): Dataset[MediaMeta] = {
+  def decodeMeta(blobs: DataFrame): Dataset[MediaHeader] = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.select(col("doc_id").cast("long"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder setup would go here
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        it.map { case (id, bytes) => parseHeader(id, bytes) }
       }
   }
 }

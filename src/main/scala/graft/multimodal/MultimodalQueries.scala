@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Multimodal query surface over `documents`, treating text bytes as the
-  * opaque media blob (the container ships no codecs — see
-  * [[Multimodal.decodeStub]]). M1/M2 are pure-SQL blob plumbing with DuckDB
-  * oracles; M3 exercises the typed mapPartitions decode path (rows-only
-  * check: the stub isn't SQL-expressible).
+  * opaque media blob. M1/M2 are pure-SQL blob plumbing with DuckDB oracles;
+  * M3 frames each blob in a real container header (PNG/JPEG/GIF, built
+  * byte-exactly in SQL) and runs the typed mapPartitions header decoder
+  * ([[Multimodal.parseHeader]]) over it, oracle-verified by independent
+  * byte slicing in DuckDB.
   */
 object MultimodalQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
@@ -226,10 +227,56 @@ object MultimodalQueries {
         lit(1.0) - col("n_distinct_chunks").cast("double") / col("n_chunks").cast("double"))
       .orderBy("source")
 
-  /** M3 — typed decode via mapPartitions (stubbed codec, real plumbing). */
-  def m3DecodeStub(s: SparkSession, dir: String): DataFrame = {
+  /** Spec-correct container-header hex for each document, deterministic
+    * from (doc_id, n_chars) so both engines can rebuild it byte-exactly:
+    * doc_id%3 picks PNG / JPEG(JFIF) / GIF89a; width = 16 + doc_id%1280 and
+    * height = 16 + n_chars%1024 exercise genuine multi-byte fields (BE for
+    * PNG/JPEG, LE for GIF); channel variants rotate on doc_id div 3. The
+    * JPEG header is a real segment chain — SOI, a 16-byte APP0/JFIF, then
+    * SOF0 with per-component specs — so a decoder must WALK it, not assume
+    * an offset. The PNG IHDR CRC is a zeroed placeholder (the decoder
+    * parses fields; it does not checksum). Mirrored verbatim in the m3
+    * oracle.
+    */
+  private[graft] val mediaHeaderHex: String =
+    """CASE CAST(doc_id % 3 AS INT)
+       WHEN 0 THEN concat(
+         '89504E470D0A1A0A', '0000000D', '49484452',
+         lpad(hex(16 + doc_id % 1280), 8, '0'),
+         lpad(hex(16 + n_chars % 1024), 8, '0'),
+         '08', lpad(hex(element_at(array(0, 2, 6), CAST((doc_id div 3) % 3 AS INT) + 1)), 2, '0'),
+         '000000', '00000000')
+       WHEN 1 THEN concat(
+         'FFD8', 'FFE000104A46494600010100000100010000',
+         'FFC0', lpad(hex(8 + 3 * IF((doc_id div 3) % 2 = 0, 3, 1)), 4, '0'),
+         '08',
+         lpad(hex(16 + n_chars % 1024), 4, '0'),
+         lpad(hex(16 + doc_id % 1280), 4, '0'),
+         lpad(hex(IF((doc_id div 3) % 2 = 0, 3, 1)), 2, '0'),
+         IF((doc_id div 3) % 2 = 0, '011100021101031101', '011100'))
+       ELSE concat(
+         '474946383961',
+         lpad(hex((16 + doc_id % 1280) % 256), 2, '0'),
+         lpad(hex((16 + doc_id % 1280) div 256), 2, '0'),
+         lpad(hex((16 + n_chars % 1024) % 256), 2, '0'),
+         lpad(hex((16 + n_chars % 1024) div 256), 2, '0'),
+         '000000')
+       END"""
+
+  /** M3 — container-header decode via typed mapPartitions: each text blob
+    * is framed in a real PNG/JPEG/GIF header ([[mediaHeaderHex]] — the
+    * framing a media lake's ingest already has on disk), then
+    * [[Multimodal.parseHeader]] sniffs the magic and parses the dimension
+    * fields exactly as the container specs lay them out. The oracle
+    * rebuilds the same blobs and slices the same header bytes in SQL, so
+    * the decoder is verified end-to-end (rows+schema+hash), not rows-only.
+    * Scale shape: header build is a narrow codegen projection; decode reads
+    * ≤ 40 bytes per blob and is embarrassingly parallel per partition.
+    */
+  def m3DecodeMeta(s: SparkSession, dir: String): DataFrame = {
     val blobs = t(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .select(col("doc_id"),
+        expr(s"concat(unhex($mediaHeaderHex), CAST(text AS BINARY))").as("blob"))
     Multimodal.decodeMeta(blobs).toDF().orderBy("doc_id")
   }
 
@@ -280,10 +327,13 @@ object MultimodalQueries {
     * bytes say MP4 is a corrupt or mislabeled upload, and a source with a
     * high mismatch rate is a broken scraper). The fixture has no metadata
     * column, so the DECLARED format is a deterministic stand-in derived
-    * from doc_id (mod 3 over the same three fake formats
-    * [[Multimodal.decodeStub]] emits); the SNIFFED class applies the stub's
-    * leading-byte rule (`head % 3`) in pure SQL — swap either side for the
-    * real metadata column / magic-byte table and the plan is unchanged.
+    * from doc_id (mod 3 over three fake format labels); the SNIFFED class
+    * classifies on the UNSIGNED leading UTF-8 byte (`bytes(0) & 0xff`,
+    * derived via `hex` because Spark's `ascii` returns the SIGNED first
+    * byte and DuckDB's the Unicode codepoint — neither is portable on
+    * non-ASCII leading characters) — swap either side for the real
+    * metadata column / magic-byte table ([[Multimodal.parseHeader]] is
+    * that sniffer) and the plan is unchanged.
     *
     * Scale shape: one narrow projection (first byte only — a real sniffer
     * reads ≤ 16 bytes, never the blob body) and one map-side-combined
@@ -297,7 +347,8 @@ object MultimodalQueries {
       .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("source"),
         fmt(col("doc_id")).as("declared_fmt"),
-        fmt(ascii(substring(col("text"), 1, 1)).cast("long")).as("sniffed_fmt"))
+        fmt(conv(substring(hex(col("text").cast("binary")), 1, 2), 16, 10).cast("long"))
+          .as("sniffed_fmt"))
       .groupBy(col("source"), col("declared_fmt"))
       .agg(
         count(lit(1)).as("n_blobs"),
@@ -313,7 +364,7 @@ object MultimodalQueries {
     "m8_byte_diversity" -> (m8ByteDiversity _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
-    "m3_decode_stub" -> (m3DecodeStub _),
+    "m3_decode_meta" -> (m3DecodeMeta _),
     "m4_storage_stats" -> (m4StorageStats _),
     "m5_perceptual_neardup" -> (m5PerceptualNearDup(_, _, 4)),
     "m6_chunk_dedup" -> (m6ChunkDedup _),
@@ -326,7 +377,8 @@ object MultimodalQueries {
                   ['img/fake-png', 'img/fake-jpeg', 'vid/fake-mp4']
                     [CAST(doc_id % 3 AS INT) + 1] AS declared_fmt,
                   ['img/fake-png', 'img/fake-jpeg', 'vid/fake-mp4']
-                    [CAST(ascii(substr(text, 1, 1)) % 3 AS INT) + 1] AS sniffed_fmt
+                    [CAST(CAST('0x' || substr(hex(encode(text)), 1, 2) AS BIGINT) % 3
+                      AS INT) + 1] AS sniffed_fmt
            FROM documents WHERE n_chars > 0)
          SELECT source, declared_fmt,
                 COUNT(*) AS n_blobs,
@@ -348,7 +400,10 @@ object MultimodalQueries {
          SELECT doc_id,
                 CAST(SUM(c) AS BIGINT) AS n_bytes,
                 COUNT(*) AS n_distinct_bytes,
-                1.0 - CAST(SUM(c * c) AS DOUBLE)
+                -- HUGEINT mirrors the Spark plan's DECIMAL(38,0) accumulator:
+                -- c² of a multi-GB blob's hot byte overflows int64 (DuckDB
+                -- would raise, not wrap), so the oracle is scale-safe too
+                1.0 - CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE)
                   / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
                   AS byte_diversity
          FROM counts GROUP BY doc_id ORDER BY doc_id""",
@@ -459,6 +514,69 @@ object MultimodalQueries {
                 CAST(SUM(blob_bytes) AS BIGINT) AS deduped_bytes,
                 1.0 - CAST(SUM(blob_bytes) AS DOUBLE) / SUM(copies * blob_bytes)
                   AS savings_ratio
-         FROM per_digest GROUP BY source ORDER BY source""")
-    // m3_decode_stub: rows-only (stub decoder not SQL-expressible)
+         FROM per_digest GROUP BY source ORDER BY source""",
+    "m3_decode_meta" ->
+      // Rebuilds the exact container blobs (same header recipe as
+      // mediaHeaderHex) and parses them by INDEPENDENT byte slicing at the
+      // offsets the PNG/JFIF/GIF specs mandate — the JPEG offsets are valid
+      // because this header chain is SOI + 16-byte APP0 + SOF0, which is
+      // precisely what the Spark side's general marker scan must also
+      // resolve; agreement verifies the walker end-to-end.
+      """WITH blobs AS (
+           SELECT doc_id,
+                  hex(unhex(CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN '89504E470D0A1A0A' || '0000000D' || '49484452'
+                      || lpad(hex(16 + doc_id % 1280), 8, '0')
+                      || lpad(hex(16 + n_chars % 1024), 8, '0')
+                      || '08'
+                      || lpad(hex([0, 2, 6][CAST((doc_id // 3) % 3 AS INT) + 1]), 2, '0')
+                      || '000000' || '00000000'
+                    WHEN 1 THEN 'FFD8' || 'FFE000104A46494600010100000100010000'
+                      || 'FFC0'
+                      || lpad(hex(8 + 3 * (CASE WHEN (doc_id // 3) % 2 = 0 THEN 3 ELSE 1 END)), 4, '0')
+                      || '08'
+                      || lpad(hex(16 + n_chars % 1024), 4, '0')
+                      || lpad(hex(16 + doc_id % 1280), 4, '0')
+                      || lpad(hex(CASE WHEN (doc_id // 3) % 2 = 0 THEN 3 ELSE 1 END), 2, '0')
+                      || (CASE WHEN (doc_id // 3) % 2 = 0
+                          THEN '011100021101031101' ELSE '011100' END)
+                    ELSE '474946383961'
+                      || lpad(hex((16 + doc_id % 1280) % 256), 2, '0')
+                      || lpad(hex((16 + doc_id % 1280) // 256), 2, '0')
+                      || lpad(hex((16 + n_chars % 1024) % 256), 2, '0')
+                      || lpad(hex((16 + n_chars % 1024) // 256), 2, '0')
+                      || '000000'
+                    END) || encode(text)) AS h
+           FROM documents),
+         sniffed AS (
+           SELECT doc_id, CAST(length(h) // 2 AS BIGINT) AS n_bytes, h,
+                  CASE
+                    WHEN length(h) >= 66 AND substr(h, 1, 16) = '89504E470D0A1A0A'
+                         AND substr(h, 25, 8) = '49484452' THEN 'png'
+                    WHEN length(h) >= 26
+                         AND substr(h, 1, 12) IN ('474946383761', '474946383961') THEN 'gif'
+                    WHEN substr(h, 1, 4) = 'FFD8' THEN 'jpeg'
+                    ELSE 'unknown' END AS format
+           FROM blobs)
+         SELECT doc_id, n_bytes, format,
+                CAST(CASE format
+                  WHEN 'png' THEN CAST('0x' || substr(h, 33, 8) AS BIGINT)
+                  WHEN 'jpeg' THEN CAST('0x' || substr(h, 55, 4) AS BIGINT)
+                  WHEN 'gif' THEN CAST('0x' || substr(h, 13, 2) AS BIGINT)
+                    + 256 * CAST('0x' || substr(h, 15, 2) AS BIGINT)
+                  ELSE 0 END AS BIGINT) AS width,
+                CAST(CASE format
+                  WHEN 'png' THEN CAST('0x' || substr(h, 41, 8) AS BIGINT)
+                  WHEN 'jpeg' THEN CAST('0x' || substr(h, 51, 4) AS BIGINT)
+                  WHEN 'gif' THEN CAST('0x' || substr(h, 17, 2) AS BIGINT)
+                    + 256 * CAST('0x' || substr(h, 19, 2) AS BIGINT)
+                  ELSE 0 END AS BIGINT) AS height,
+                CAST(CASE format
+                  WHEN 'png' THEN CASE substr(h, 51, 2)
+                    WHEN '00' THEN 1 WHEN '02' THEN 3 WHEN '03' THEN 1
+                    WHEN '04' THEN 2 WHEN '06' THEN 4 ELSE 0 END
+                  WHEN 'jpeg' THEN CAST('0x' || substr(h, 59, 2) AS BIGINT)
+                  WHEN 'gif' THEN 3
+                  ELSE 0 END AS BIGINT) AS channels
+         FROM sniffed ORDER BY doc_id""")
 }

@@ -28,7 +28,7 @@ object CoreQueries {
     * close is derived (max_by tie-breaking included) or the time-series
     * queries silently diverge from each other.
     */
-  private def dailyCloses(s: SparkSession, dir: String): DataFrame =
+  private[graft] def dailyCloses(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(expr("max_by(value, ts)").as("close"))
@@ -184,9 +184,16 @@ object CoreQueries {
   /** E7 core over an arbitrary per-(user_id, day, close) frame — exposed so
     * the profiling harness measures the PRODUCTION body under different
     * input materializations instead of a hand-copied reformulation.
+    *
+    * `watchlistCap` is the EXPLICIT quadratic-bound contract: the pair
+    * cardinality this query streams is `watchlistCap × universe`, so the
+    * cap — not the corpus — is what a caller sizes when scaling up
+    * (all-pairs correlation over an unbounded universe is the shape that
+    * must be scoped or LSH-bucketed first; see the class doc). The default
+    * matches the declared `e7_correlation` gate query and its oracle.
     */
-  def e7CorrelationFrom(daily: DataFrame): DataFrame = {
-    val joined = daily.filter(col("user_id") < 50).as("a")
+  def e7CorrelationFrom(daily: DataFrame, watchlistCap: Long = 50L): DataFrame = {
+    val joined = daily.filter(col("user_id") < watchlistCap).as("a")
       .join(daily.as("b"),
         col("a.day") === col("b.day") && col("a.user_id") < col("b.user_id"))
       .select(col("a.user_id").as("u1"), col("b.user_id").as("u2"),
@@ -489,13 +496,26 @@ object CoreQueries {
         countDistinct(col("l_suppkey")).as("nd_supps"))
       .orderBy("l_returnflag")
 
-  /** A9b: approximate distinct (HLL++) — sketch path for 100 TB cardinality
-    * estimation; no DuckDB oracle (different sketch), rows-only check.
+  /** A9b: approximate distinct (HLL++, rsd 0.01) — sketch path for 100 TB
+    * cardinality estimation. The raw estimate is engine-specific (DuckDB's
+    * sketch differs), so the GATE query emits the exact twin plus a
+    * bounds-check VERDICT instead of the estimate itself: `approx_ok` is
+    * true iff |approx − exact| ≤ 5% · exact (5σ of the configured rsd).
+    * DuckDB computes the exact side independently and asserts TRUE, so an
+    * out-of-contract sketch flips the boolean and fails the hash gate —
+    * a bounds-checked oracle row, not rows-only. Production uses
+    * `approx_count_distinct` alone (the exact twin here is gate-scale
+    * instrumentation; both run in the SAME single aggregate pass).
     */
   def a9bApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("nd_parts"))
+      .select(col("l_returnflag"), col("nd_parts"),
+        (abs(col("approx_parts") - col("nd_parts")).cast("double")
+          <= col("nd_parts").cast("double") * 0.05).as("approx_ok"))
       .orderBy("l_returnflag")
 
   /** A10: rollup over (returnflag, linestatus); subtotal rows surfaced via
@@ -662,29 +682,52 @@ object CoreQueries {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        // ONE array-parameter percentile, not one aggregate per quantile:
+        // each scalar `percentile` buffers every group value independently,
+        // so the array form divides the sort/buffer cost by #quantiles
+        expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ps"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("ps"), 1).as("p50"),
+        element_at(col("ps"), 2).as("p95"),
+        col("n"))
       .orderBy("l_returnflag")
 
   /** A15b: approximate grouped quantiles via `percentile_approx`
     * (Greenwald–Khanna-style mergeable sketch) — the 100 TB path: each
     * reducer holds a bounded sketch instead of buffering every value the way
     * exact `percentile` (A15) does, so memory is O(accuracy), not O(rows).
-    * No DuckDB oracle (different sketch ⇒ different exact output) — rows-only
-    * check; QueriesSpec bounds its error against A15. Note the output is
-    * only approximately stable run-to-run: partial-sketch merge order varies
-    * with scheduling, so values may wobble within the sketch's rank-error
-    * bound — which is WHY this stays a rows-only + tolerance check and must
-    * never join a hash-compare gate.
+    * The raw estimate wobbles run-to-run within the sketch's rank-error
+    * bound (partial-merge order varies with scheduling), so it can never
+    * join a hash-compare gate directly. The GATE query instead emits the
+    * exact quantiles plus RANK-ERROR verdicts: accuracy 10000 guarantees
+    * rank error ≤ 1/10000, and `p50_ok`/`p95_ok` assert the estimate lands
+    * between the exact quantiles at ±0.001 rank (10× the contract — every
+    * legal merge order passes; a broken sketch does not). DuckDB asserts
+    * TRUE and computes the exact quantiles independently. All ten
+    * aggregates run in ONE pass; production uses `approx_percentile`
+    * alone.
     */
   def a15bQuantilesApprox(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
-        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"),
+        // array forms: ONE sketch buffer and ONE sort buffer per group —
+        // scalar-per-quantile aggregates would buffer the group 8×
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
+          .as("ap"),
+        expr(
+          "percentile(l_extendedprice, array(0.499, 0.5, 0.501, 0.949, 0.95, 0.951))")
+          .as("ep"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("ep"), 2).as("p50"),
+        element_at(col("ep"), 5).as("p95"),
+        col("n"),
+        (element_at(col("ap"), 1) >= element_at(col("ep"), 1) &&
+          element_at(col("ap"), 1) <= element_at(col("ep"), 3)).as("p50_ok"),
+        (element_at(col("ap"), 2) >= element_at(col("ep"), 4) &&
+          element_at(col("ap"), 2) <= element_at(col("ep"), 6)).as("p95_ok"))
       .orderBy("l_returnflag")
 
   /** A16: pivot — event-type counts fanned into columns. The value list is
@@ -854,8 +897,15 @@ object CoreQueries {
     * slides over #days sketch rows on one partition — fine, because that
     * input is already thousands of rows, not billions. The same sketch
     * column is what an incremental pipeline would persist and merge across
-    * batches. Like A9b/A15b, sketch estimates are engine-specific: rows-only
-    * driver check; the accuracy bound (<5% vs exact) is owned by the spec.
+    * batches. Sketch estimates are engine-specific, so the GATE query emits
+    * the exact rolling twin plus a contract VERDICT (|approx − exact| ≤
+    * 5% · exact ≈ 3σ of the lgK-12 sketch) instead of the raw estimate —
+    * DuckDB recomputes the exact side and asserts TRUE, upgrading this
+    * from rows-only to a bounds-checked oracle row. The exact twin is
+    * gate-scale instrumentation with a SCALABLE shape of its own — each
+    * distinct (user, day) pair explodes into the ≤ 7 window days it
+    * covers (linear fan-out, map-side-combined count-distinct; never a
+    * nested-loop range join) — but production persists sketches only.
     */
   def a23RollingActiveUsers(s: SparkSession, dir: String): DataFrame = {
     val daily = t(s, dir, "events")
@@ -866,11 +916,21 @@ object CoreQueries {
     // events must still age older days out of the 7-day frame (a ROWS frame
     // would silently widen across ingest gaps)
     val w7 = Window.orderBy(col("day_n")).rangeBetween(-6, 0)
-    daily
+    val approx = daily
       .withColumn("day_n", datediff(col("day"), to_date(lit("1970-01-01"))))
       .withColumn("active_7d_approx",
         hll_sketch_estimate(hll_union_agg(col("sk")).over(w7)))
       .select(col("day"), col("active_1d_exact"), col("active_7d_approx"))
+    val exact7 = t(s, dir, "events")
+      .select(to_date(col("ts")).as("uday"), col("user_id")).distinct()
+      .select(explode(expr("sequence(uday, date_add(uday, 6))")).as("day"),
+        col("user_id"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_7d_exact"))
+    approx.join(exact7, Seq("day"))
+      .select(col("day"), col("active_1d_exact"), col("active_7d_exact"),
+        (abs(col("active_7d_approx") - col("active_7d_exact").cast("double"))
+          <= col("active_7d_exact").cast("double") * 0.05).as("approx_7d_ok"))
       .orderBy("day")
   }
 
@@ -923,9 +983,13 @@ object CoreQueries {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_gaps"),
-        expr("percentile(gap_us, 0.5)").as("p50_us"),
-        expr("percentile(gap_us, 0.95)").as("p95_us"),
+        // one array-percentile buffer per group, not one per quantile
+        expr("percentile(gap_us, array(0.5, 0.95))").as("ps"),
         max(col("gap_us")).as("max_us"))
+      .select(col("event_type"), col("n_gaps"),
+        element_at(col("ps"), 1).as("p50_us"),
+        element_at(col("ps"), 2).as("p95_us"),
+        col("max_us"))
       .orderBy("event_type")
   }
 
@@ -1270,7 +1334,11 @@ object CoreQueries {
                 CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
                 CAST(n AS DOUBLE)
                   / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
-         FROM trans ORDER BY from_type, to_type""",
+         FROM trans
+         -- explicit NULLS FIRST (a22-style hardening): Spark sorts nulls
+         -- first asc, DuckDB defaults to NULLS LAST — latent only while the
+         -- fixture guarantees non-null event_type
+         ORDER BY from_type NULLS FIRST, to_type NULLS FIRST""",
     "c6_temperature_mix" ->
       """WITH docs AS (
            SELECT doc_id, source,
@@ -1319,7 +1387,9 @@ object CoreQueries {
                 quantile_cont(gap_us, 0.95) AS p95_us,
                 CAST(MAX(gap_us) AS BIGINT) AS max_us
          FROM g WHERE gap_us IS NOT NULL
-         GROUP BY event_type ORDER BY event_type""",
+         GROUP BY event_type
+         -- explicit NULLS FIRST: Spark orders nulls first asc, DuckDB last
+         ORDER BY event_type NULLS FIRST""",
     "c7_epoch_shard_assign" ->
       """WITH d AS (
            SELECT doc_id,
@@ -1342,6 +1412,27 @@ object CoreQueries {
                   / CAST(SUM(shard_tokens) OVER (PARTITION BY epoch) AS DOUBLE)
                   AS token_share
          FROM g ORDER BY epoch, shard""",
+    "a23_rolling_active_users" ->
+      // Bounds-checked sketch gate (the a9b scheme): the exact rolling twin
+      // is recomputed here via the 7-day cover explode, and approx_7d_ok is
+      // asserted TRUE — an out-of-contract HLL union flips the Spark-side
+      // verdict and fails the hash compare.
+      """WITH pairs AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS uday, user_id FROM events),
+         cover AS (
+           SELECT uday + CAST(i AS INT) AS day, user_id
+           FROM pairs CROSS JOIN (SELECT unnest(range(0, 7)) AS i)),
+         ex7 AS (
+           SELECT day, COUNT(DISTINCT user_id) AS active_7d_exact
+           FROM cover GROUP BY day),
+         d1 AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  COUNT(DISTINCT user_id) AS active_1d_exact
+           FROM events GROUP BY 1)
+         SELECT d1.day, d1.active_1d_exact, ex7.active_7d_exact,
+                TRUE AS approx_7d_ok
+         FROM d1 JOIN ex7 ON d1.day = ex7.day
+         ORDER BY d1.day""",
     "a22_sessionization" ->
       """WITH e AS (
            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -1560,6 +1651,14 @@ object CoreQueries {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts,
                 COUNT(DISTINCT l_suppkey) AS nd_supps
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // Bounds-checked sketch gate: DuckDB computes the exact side and asserts
+    // the contract verdict TRUE — a sketch outside its error bound flips the
+    // Spark-side boolean and fails the hash compare (same scheme for
+    // a15b/a23/t15).
+    "a9b_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts,
+                TRUE AS approx_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "a10_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                 COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -1659,6 +1758,13 @@ object CoreQueries {
                 quantile_cont(l_extendedprice, 0.5) AS p50,
                 quantile_cont(l_extendedprice, 0.95) AS p95,
                 COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a15b_quantiles_approx" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_extendedprice, 0.5) AS p50,
+                quantile_cont(l_extendedprice, 0.95) AS p95,
+                COUNT(*) AS n,
+                TRUE AS p50_ok, TRUE AS p95_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "a16_pivot" ->
       """SELECT user_id,

@@ -419,13 +419,35 @@ object TextQueries {
       .select(col("it.term").as("term"), col("it.est").as("est"))
   }
 
-  /** T15 — top-10 heavy hitters from the sketch, (est desc, term asc).
-    * Rows-only in the oracle gate (sketch estimates wobble within the
-    * N/(k+1) bound with merge order — the A15b contract); TextSpec owns the
-    * Misra–Gries guarantees against exact counts.
+  /** T15 — heavy-hitters GATE: the exact top-10 terms joined against the
+    * Misra–Gries summary, each carrying a contract VERDICT instead of the
+    * raw estimate (estimates wobble within the N/(k+1) bound with merge
+    * order, so they can never join a hash gate directly — the A9b scheme).
+    * `mg_ok` asserts the full Misra–Gries guarantee integer-exactly:
+    * a summarized term must satisfy `true − N/(k+1) ≤ est ≤ true`, and a
+    * term MISSING from the summary is only legal when `true ≤ N/(k+1)`
+    * (presence guarantee). DuckDB recomputes the exact top-10 and asserts
+    * TRUE. Production consumes [[t15Summary]] alone; the exact twin here
+    * is gate-scale instrumentation (one extra term-keyed aggregate).
     */
-  def t15HeavyHitters(s: SparkSession, dir: String): DataFrame =
-    t15Summary(s, dir).orderBy(col("est").desc, col("term")).limit(10)
+  def t15HeavyHitters(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+    val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val top10 = exact
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+      .filter(col("rk") <= 10).drop("rk")
+    top10.join(t15Summary(s, dir, k), Seq("term"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("cnt"),
+        when(col("est").isNull, col("cnt") * (k + 1) <= col("n_total"))
+          .otherwise(col("est") <= col("cnt") &&
+            (col("cnt") - col("est")) * (k + 1) <= col("n_total"))
+          .as("mg_ok"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
 
   /** T16 — hapax legomena + type/token telemetry per source: the fraction
     * of a source's distinct terms that occur exactly once, and its
@@ -452,7 +474,7 @@ object TextQueries {
       .orderBy("source")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t15_heavy_hitters" -> (t15HeavyHitters _),
+    "t15_heavy_hitters" -> ((s: SparkSession, d: String) => t15HeavyHitters(s, d)),
     "t16_hapax_stats" -> (t16HapaxStats _),
     "t14_vocab_coverage" -> ((s: SparkSession, d: String) => t14VocabCoverage(s, d)),
     "t13_bigram_novelty" -> (t13BigramNovelty _),
@@ -470,9 +492,16 @@ object TextQueries {
     "t8_tfidf" -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
-    // t15_heavy_hitters: rows-only by design — Misra–Gries estimates vary
-    // within the N/(k+1) bound with partial-merge order; TextSpec owns the
-    // sketch guarantees vs exact counts (the A15b precedent).
+    "t15_heavy_hitters" ->
+      // Bounds-checked sketch gate (the a9b scheme): exact top-10 recomputed
+      // here, mg_ok asserted TRUE — a summary violating the Misra–Gries
+      // bound flips the Spark-side verdict and fails the hash compare.
+      """WITH tc AS (
+           SELECT term, COUNT(*) AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+           GROUP BY term)
+         SELECT term, cnt, TRUE AS mg_ok
+         FROM tc ORDER BY cnt DESC, term LIMIT 10""",
     "t16_hapax_stats" ->
       """WITH tc AS (
            SELECT source, term, COUNT(*) AS c

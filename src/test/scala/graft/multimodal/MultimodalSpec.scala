@@ -6,17 +6,22 @@ import graft.SparkSuite
 
 class MultimodalSpec extends SparkSuite {
 
-  test("m3: typed decode produces full coverage with sane metadata") {
-    val meta = MultimodalQueries.m3DecodeStub(spark, sf001)
+  test("m3: typed header decode covers every doc with spec-parsed metadata") {
+    val meta = MultimodalQueries.m3DecodeMeta(spark, sf001)
     val docs = graft.Tables(spark, sf001, "documents")
     assert(meta.count() == docs.count())
     val rows = meta.collect()
-    assert(rows.forall { r =>
-      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
-      w >= 16 && w < 256 && h >= 16 && h < 256 && r.getAs[Long]("n_bytes") > 0
-    })
-    assert(rows.map(_.getAs[String]("format")).toSet
-      .subsetOf(Set("img/fake-png", "img/fake-jpeg", "vid/fake-mp4")))
+    rows.foreach { r =>
+      val f = r.getAs[String]("format")
+      assert(Set("png", "jpeg", "gif")(f), s"unexpected format $f")
+      val w = r.getAs[Long]("width"); val h = r.getAs[Long]("height")
+      assert(w >= 16 && w < 1296, s"width $w outside the framed range")
+      assert(h >= 16 && h < 1040, s"height $h outside the framed range")
+      assert(Set(1L, 2L, 3L, 4L)(r.getAs[Long]("channels")))
+      assert(r.getAs[Long]("n_bytes") > 0)
+    }
+    // the doc_id mod-3 frame rotation must exercise all three containers
+    assert(rows.map(_.getAs[String]("format")).toSet == Set("png", "jpeg", "gif"))
   }
 
   test("m8: byte diversity matches a driver-side histogram replay") {
@@ -40,7 +45,7 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
-  test("m9: mismatch telemetry matches a driver replay of the stub's sniff rule") {
+  test("m9: mismatch telemetry matches a driver replay of the unsigned-byte sniff rule") {
     val rows = MultimodalQueries.m9FormatConsistency(spark, sf001).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getAs[Long]("n_blobs"), r.getAs[Long]("n_mismatch"),
@@ -51,7 +56,9 @@ class MultimodalSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val expected = docs.groupBy(d => (d._2, fmts((d._1 % 3).toInt))).map {
       case (k, ds) =>
-        val mism = ds.count(d => fmts(d._3.head.toInt % 3) != k._2).toLong
+        // unsigned first UTF-8 byte — the rule both engines derive via hex,
+        // exact even when the leading character is non-ASCII (multi-byte)
+        val mism = ds.count(d => fmts((d._3.getBytes("UTF-8")(0) & 0xff) % 3) != k._2).toLong
         k -> (ds.size.toLong, mism)
     }
     assert(rows.keySet == expected.keySet)
@@ -68,23 +75,46 @@ class MultimodalSpec extends SparkSuite {
     assert(mis > 0 && mis < tot)
   }
 
-  test("decode stub is deterministic") {
+  private def hx(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("header decode is deterministic") {
     val bytes = "hello world".getBytes("UTF-8")
-    assert(Multimodal.decodeStub(1L, bytes) == Multimodal.decodeStub(1L, bytes))
+    assert(Multimodal.parseHeader(1L, bytes) == Multimodal.parseHeader(1L, bytes))
   }
 
-  test("m3 golden values: fixed byte fixtures decode to pinned metadata") {
-    // Hand-computed from the documented fold (fold = fold*131 + b mod 1e9+7):
-    // bytes [1,2,3] → fold 17426; head 1 → jpeg; w=16+17426%240=162,
-    // h=16+(17426/240)%240=88. Changing the stub's arithmetic breaks these.
-    assert(Multimodal.decodeStub(7L, Array[Byte](1, 2, 3)) ==
-      MediaMeta(7L, 3L, "img/fake-jpeg", 162, 88, 1))
-    // bytes [2,0] → fold 262; head 2 → video; w=38, h=17, frames=1+262%32=7
-    assert(Multimodal.decodeStub(9L, Array[Byte](2, 0)) ==
-      MediaMeta(9L, 2L, "vid/fake-mp4", 38, 17, 7))
-    // empty blob: head 0 → png, fold 0 → minimum dimensions
-    assert(Multimodal.decodeStub(1L, Array.empty[Byte]) ==
-      MediaMeta(1L, 0L, "img/fake-png", 16, 16, 1))
+  test("m3 golden values: real container headers decode to spec-mandated fields") {
+    // PNG, 2×3 truecolour+alpha: signature, IHDR length 13, width/height
+    // BE32, bit depth 8, colour type 6 (RGBA → 4 channels), real CRC32 of
+    // the chunk type+data per the PNG spec (the parser reads fields, not
+    // the CRC — but the fixture is byte-honest).
+    val ihdr = hx("49484452 00000002 00000003 08 06 000000")
+    val crc = new java.util.zip.CRC32(); crc.update(ihdr)
+    val png = hx("89504E470D0A1A0A 0000000D") ++ ihdr ++
+      hx(f"${crc.getValue}%08X")
+    assert(Multimodal.parseHeader(3L, png) == MediaHeader(3L, 33L, "png", 2L, 3L, 4L))
+    // JPEG 640×480 3-component, with a COM segment BETWEEN APP0 and SOF0 —
+    // the marker walk must skip it by its declared length, which a
+    // fixed-offset slicer cannot (ISO 10918-1 §B.2.4.5)
+    val jpeg = hx("FFD8" +
+      "FFE0 0010 4A46494600 0101 00 0001 0001 00 00" + // APP0/JFIF, 16 bytes
+      "FFFE 0004 4849" + // COM "HI"
+      "FFC0 0011 08 01E0 0280 03 011100 021101 031101") // SOF0: 480 × 640 × 3
+    assert(Multimodal.parseHeader(7L, jpeg) ==
+      MediaHeader(7L, jpeg.length.toLong, "jpeg", 640L, 480L, 3L))
+    // GIF89a 320×200: little-endian logical screen descriptor
+    val gif = hx("474946383961 4001 C800 00 00 00")
+    assert(Multimodal.parseHeader(9L, gif) == MediaHeader(9L, 13L, "gif", 320L, 200L, 3L))
+    // non-media bytes and truncated magic degrade to unknown, never throw
+    assert(Multimodal.parseHeader(1L, "plain text".getBytes("UTF-8")) ==
+      MediaHeader(1L, 10L, "unknown", 0L, 0L, 0L))
+    assert(Multimodal.parseHeader(2L, hx("89504E470D0A1A0A")) ==
+      MediaHeader(2L, 8L, "unknown", 0L, 0L, 0L))
+    assert(Multimodal.parseHeader(4L, Array.empty[Byte]) ==
+      MediaHeader(4L, 0L, "unknown", 0L, 0L, 0L))
+    // truncated JPEG: SOI + APP0 but the stream ends before any SOF
+    assert(Multimodal.parseHeader(5L,
+      hx("FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 00 00")).format == "unknown")
   }
 
   test("decode setup amortizes once per partition (mapInPandas batch contract)") {
@@ -98,7 +128,7 @@ class MultimodalSpec extends SparkSuite {
       .as[(Long, Array[Byte])]
     val n = blobs.mapPartitions { it =>
       inits.add(1) // ≙ decoder construction in Multimodal.decodeMeta
-      it.map { case (id, bytes) => Multimodal.decodeStub(id, bytes) }
+      it.map { case (id, bytes) => Multimodal.parseHeader(id, bytes) }
     }.count()
     assert(n > 4)
     assert(inits.value == 4, s"expected 4 partition inits, got ${inits.value}")

@@ -195,6 +195,25 @@ class PlanSpec extends SparkSuite {
       "the 256-row vocab must broadcast — the token side streams map-only:\n" + p)
   }
 
+  test("a14: decorrelated subquery keeps two scans, a partial per-key avg, and a non-cartesian avg join") {
+    // TPC-H Q17's shape: the correlated `l_quantity < 0.5*avg per partkey`
+    // must decorrelate into a SECOND lineitem scan aggregated per partkey
+    // (with a map-side partial half), joined back by key — never a per-row
+    // re-evaluation and never a cartesian. This pins the r4→r5 drift watch:
+    // if AQE ever drops the partial agg or the join degrades, this fails
+    // before the bench does.
+    val sp = simplePlan(CoreQueries.a14CorrelatedSubquery(spark, sf001))
+    assert("Scan parquet".r.findAllIn(sp).count(_ => true) >= 2 ||
+      "FileScan".r.findAllIn(sp).count(_ => true) >= 2,
+      "decorrelation needs the double lineitem scan:\n" + sp)
+    // the per-partkey avg: partial + final halves (avg survives as a
+    // two-phase hash aggregate keyed on l_partkey)
+    assert("HashAggregate".r.findAllIn(sp).size >= 4,
+      "per-key avg and the outer group-by must both keep partial halves:\n" + sp)
+    assert(sp.contains("Join"), "the decorrelated avg must JOIN back, not re-evaluate:\n" + sp)
+    assert(!sp.contains("CartesianProduct"), sp)
+  }
+
   test("t15: the frequent-items sketch plans as a partial object aggregate") {
     val p = plan(graft.text.TextQueries.t15HeavyHitters(spark, sf001))
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),

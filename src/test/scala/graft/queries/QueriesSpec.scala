@@ -93,30 +93,46 @@ class QueriesSpec extends SparkSuite {
     assert(total == 2 * events, s"$total != 2 * $events")
   }
 
-  test("a9b: HLL approx distinct within 5% of the exact answer") {
+  test("a9b: gate emits the exact twin and an in-contract HLL verdict") {
     val exact = CoreQueries.a9Distinct(spark, sf001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    CoreQueries.a9bApproxDistinct(spark, sf001).collect().foreach { r =>
-      val (flag, approx) = (r.getString(0), r.getLong(1))
-      val err = math.abs(approx - exact(flag)).toDouble / exact(flag)
-      assert(err <= 0.05, s"$flag: approx $approx vs exact ${exact(flag)} (err $err)")
+    val rows = CoreQueries.a9bApproxDistinct(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      assert(r.getAs[Long]("nd_parts") == exact(flag), s"$flag exact twin drifted")
+      assert(r.getAs[Boolean]("approx_ok"), s"$flag: HLL estimate outside 5% of exact")
     }
   }
 
-  test("a15b: approx quantiles within 2% of the exact sort-based answer") {
+  test("a15b: gate emits exact quantiles and in-rank-bound sketch verdicts") {
     val exact = CoreQueries.a15Quantiles(spark, sf001).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val approx = CoreQueries.a15bQuantilesApprox(spark, sf001).collect()
-    assert(approx.nonEmpty)
-    // 2%, not tighter: the sketch's partial-merge order varies with task
-    // scheduling, so the value wobbles within the rank-error bound run-to-run
-    approx.foreach { r =>
+    val rows = CoreQueries.a15bQuantilesApprox(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
       val (p50e, p95e) = exact(r.getString(0))
-      assert(math.abs(r.getDouble(1) - p50e) / p50e <= 0.02,
-        s"${r.getString(0)} p50: ${r.getDouble(1)} vs $p50e")
-      assert(math.abs(r.getDouble(2) - p95e) / p95e <= 0.02,
-        s"${r.getString(0)} p95: ${r.getDouble(2)} vs $p95e")
+      assert(r.getAs[Double]("p50") == p50e && r.getAs[Double]("p95") == p95e,
+        s"${r.getString(0)}: exact twin drifted from a15")
+      // the verdicts hold for EVERY legal partial-merge order (rank margin
+      // 10x the sketch contract), so they are hash-gate stable
+      assert(r.getAs[Boolean]("p50_ok"), s"${r.getString(0)} p50 outside rank bound")
+      assert(r.getAs[Boolean]("p95_ok"), s"${r.getString(0)} p95 outside rank bound")
     }
+  }
+
+  test("e7: the watchlist cap is the explicit quadratic bound — a smaller cap is a prefix") {
+    val daily = CoreQueries.dailyCloses(spark, sf001)
+    val at10 = CoreQueries.e7CorrelationFrom(daily, watchlistCap = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(at10.nonEmpty)
+    assert(at10.keys.forall(_._1 < 10L), "cap must bound the watchlist side")
+    // same pairs, same stats as the default-cap gate query restricted to u1 < 10:
+    // the cap only scopes the pair universe, never changes a pair's value
+    val fromDefault = CoreQueries.e7Correlation(spark, sf001).collect()
+      .filter(_.getLong(0) < 10L)
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(at10 == fromDefault)
   }
 
   test("e8: running peak dominates close and never decreases within a series") {
@@ -374,25 +390,26 @@ class QueriesSpec extends SparkSuite {
     assert(tokens.max.toDouble / (tokens.sum.toDouble / tokens.size) < 4.0)
   }
 
-  test("a23: sliding sketch union within 5% of the exact rolling distinct") {
+  test("a23: gate's exact rolling twin matches a calendar-window replay, sketch in contract") {
     val rows = CoreQueries.a23RollingActiveUsers(spark, sf001).collect()
       .map(r => (r.getAs[java.sql.Date]("day").toString,
-        r.getAs[Long]("active_1d_exact"), r.getAs[Long]("active_7d_approx")))
+        r.getAs[Long]("active_1d_exact"), r.getAs[Long]("active_7d_exact"),
+        r.getAs[Boolean]("approx_7d_ok")))
     assert(rows.nonEmpty)
     val pairs = graft.Tables(spark, sf001, "events")
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
       .collect().map(r => (r.getAs[java.sql.Date](0).toString, r.getLong(1)))
-    rows.foreach { case (day, exact1d, approx7d) =>
+    rows.foreach { case (day, exact1d, exact7d, ok) =>
       // calendar window: the 7 calendar days ending at `day`, NOT the last 7
       // rows — a day with no events still ages out of the frame
       val d = java.time.LocalDate.parse(day)
-      val exact7d = pairs.filter { p =>
+      val replay = pairs.filter { p =>
         val pd = java.time.LocalDate.parse(p._1)
         !pd.isAfter(d) && !pd.isBefore(d.minusDays(6))
       }.map(_._2).distinct.length
-      assert(math.abs(approx7d - exact7d).toDouble / exact7d < 0.05,
-        s"$day: approx $approx7d vs exact $exact7d")
-      assert(approx7d >= exact1d * 95 / 100, s"$day: 7d approx below its own day's exact count")
+      assert(exact7d == replay, s"$day: exact twin $exact7d vs replay $replay")
+      assert(exact7d >= exact1d, s"$day: 7d window below its own day")
+      assert(ok, s"$day: HLL union estimate outside 5% of exact")
     }
   }
 

@@ -228,6 +228,103 @@ class StreamingSpec extends SparkSuite {
     } finally c.close()
   }
 
+  test("live-loop parity: scripted HTTP collector + FX → pipelineAvailableNow → Derby, " +
+      "negative-cache honored under replay (main.py:9-141)") {
+    import spark.implicits._
+    import java.sql.{Date, Timestamp}
+    import graft.etl._
+    val url = "jdbc:derby:memory:graft_live_loop;create=true"
+    val dim = Seq(
+      IndexMeta("^GDAXI", "DAX", "Germany", "XETRA", "EUR"),
+      IndexMeta("^GSPC", "S&P 500", "USA", "NYSE", "USD")).toDF()
+
+    // --- collector leg: scripted vendor CSV through the LIVE HttpBarSource
+    val barCsv =
+      """ts,^GDAXI:Open,^GDAXI:High,^GDAXI:Low,^GDAXI:Close,^GDAXI:Adj Close,^GDAXI:Volume,^GSPC:Close
+        |2025-04-17T07:00:00Z,20999.5,21002.5,20998.5,21000.5,21000.5,1000000,5300.75
+        |2025-04-18T07:00:00Z,21099.0,21102.0,21098.0,21100.0,21100.0,1100000,5310.25""".stripMargin
+    var barCalls = 0
+    val barSrc = new HttpBarSource(
+      new HttpTransport {
+        def get(u: String, t: Int): String = { barCalls += 1; barCsv }
+      }, "http://bars.test")
+
+    // --- FX leg: d17 resolves, d18 FAILS → negative-cached miss
+    val fxCalls = scala.collection.mutable.Buffer[String]()
+    val fxProvider = new HttpRateProvider(new HttpTransport {
+      def get(u: String, t: Int): String = {
+        fxCalls += u
+        if (u.contains("2025-04-18")) throw new java.io.IOException("fx down")
+        """{"rates":{"USD":1.14}}"""
+      }
+    }, baseUrl = "http://fx.test")
+
+    val barsDir = s"$work/live_bars_landing"
+    def collectAndLand(): Unit = {
+      // the reference's collector step: fetch the watchlist wide, unpivot to
+      // the long landing shape (yf_collector.py:50-99 → standardizer input)
+      val wide = barSrc.fetchWide(spark, Seq("^GDAXI", "^GSPC"), "7d", "60m")
+      Standardizer.unpivotWide(wide).write.mode("append").parquet(barsDir)
+    }
+    def resolveFx(): org.apache.spark.sql.DataFrame = {
+      // deployment-shaped rate resolution: distinct (ccy, date) pairs from
+      // the landed bars, fetched through the memoizing provider
+      val landed = spark.read.parquet(barsDir)
+      val pairs = CurrencyConverter.distinctPairs(
+        Standardizer.standardize(landed, dim), "USD")
+      val got = fxProvider.rates(pairs, "USD")
+      if (got.isEmpty) Seq.empty[FxRate].toDF() else got.toDF()
+    }
+    def tick(n: Int, fx: org.apache.spark.sql.DataFrame): Unit = {
+      val schema = spark.read.parquet(barsDir).schema
+      StreamingIngest.pipelineAvailableNow(
+        StreamingIngest.readLanding(spark, barsDir, schema), dim, fx, url,
+        s"$work/ckpt_live_$n", Timestamp.valueOf(s"2025-05-0$n 00:00:00"))
+        .awaitTermination()
+    }
+
+    collectAndLand()
+    val fx1 = resolveFx()
+    assert(fx1.collect().map(r => (r.getString(0), r.getDate(2).toString, r.getDouble(3))).toSet ==
+      Set(("EUR", "2025-04-17", 1.14)), "only the resolvable day yields a rate")
+    // both EUR days requested once; USD never requested (identity)
+    assert(fxCalls.size == 2 && fxCalls.forall(_.contains("from=EUR")))
+    tick(1, fx1)
+
+    def snapshot(): Map[(String, String), Option[Double]] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          """SELECT "ticker", "timestamp_utc", "close_usd" FROM quotes""")
+        val b = scala.collection.mutable.Map[(String, String), Option[Double]]()
+        while (rs.next()) {
+          val v = rs.getDouble(3)
+          val isNull = rs.wasNull() // must follow getDouble IMMEDIATELY
+          b((rs.getString(1), rs.getString(2).toString)) =
+            if (isNull) None else Some(v)
+        }
+        b.toMap
+      } finally c.close()
+    }
+    val s1 = snapshot()
+    assert(s1.size == 4, s"2 tickers x 2 days expected, got $s1")
+    assert(s1(("^GDAXI", "2025-04-17 07:00:00.0")).contains(21000.5 * 1.14))
+    assert(s1(("^GDAXI", "2025-04-18 07:00:00.0")).isEmpty,
+      "failed FX day must load with NULL close_usd (README.md:381)")
+    assert(s1(("^GSPC", "2025-04-17 07:00:00.0")).contains(5300.75), "identity rate")
+
+    // --- replay: the 6-hourly loop re-fetches the SAME window (overlap
+    // re-delivery), re-resolves rates, re-loads. Negative cache: the failed
+    // (EUR, d18) pair is NOT re-requested; nothing double-loads.
+    collectAndLand()
+    val fx2 = resolveFx()
+    assert(fxCalls.size == 2, "memo + negative cache: no further FX requests on replay")
+    assert(fx2.collect().length == 1)
+    tick(2, fx2) // fresh checkpoint: full re-delivery of both landed files
+    assert(barCalls == 2)
+    assert(snapshot() == s1, "replay must converge to the identical table")
+  }
+
   test("streaming foreachBatch into a JDBC MERGE sink converges across re-delivery") {
     val url = "jdbc:derby:memory:graft_stream_jdbc;create=true"
     val c = java.sql.DriverManager.getConnection(url)

@@ -94,9 +94,13 @@ class TextSpec extends SparkSuite {
     exact.filter(_._2 > n / (k + 1)).keys.foreach { t =>
       assert(summary.contains(t), s"missing guaranteed heavy hitter '$t'")
     }
-    // the declared query is the stable top-10 cut of this summary
+    // the declared gate query: exact top-10 terms, every MG verdict true
     val top = TextQueries.t15HeavyHitters(spark, sf001).collect()
     assert(top.length == 10)
+    val expTop = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+    assert(top.map(r => r.getString(0) -> r.getAs[Long]("cnt")).toSeq == expTop,
+      "gate rows must be the exact top-10 (cnt desc, term asc)")
+    top.foreach(r => assert(r.getAs[Boolean]("mg_ok"), s"'${r.getString(0)}' MG bound"))
   }
 
   test("t16: hapax stats match a driver-side replay") {
