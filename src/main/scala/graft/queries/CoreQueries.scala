@@ -648,6 +648,46 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** A17b: the KEYLESS range join — points (clicks) vs global intervals
+    * (±30 min around every high-value purchase) with NO equi-key to hang a
+    * hash/sort-merge join on. Spark's only native plan for this is a
+    * nested-loop join (broadcast if one side is small, cartesian
+    * otherwise) — O(points × intervals), which at 100 TB is the classic
+    * range-join cliff. The scale rewrite is BINNING: bucket event-time
+    * into fixed windows the size of the interval, explode each interval
+    * into the ≤ 2 buckets it covers, and equi-join on the bucket with the
+    * range predicate left as a residual filter. Each point lives in
+    * exactly one bucket, so every qualifying (interval, point) pair is
+    * produced exactly once — no post-join dedup. Cost drops from
+    * O(P × I) to O(P + I + matches), shuffle is a plain hash exchange on
+    * the bucket key, and AQE's skew handling applies to a hot hour like
+    * any other hot key. (Same trick Databricks' range-join "bin" hint and
+    * the interval-tree literature apply; composed here from stock
+    * operators — `sequence` + `explode` + equi-join — so Catalyst still
+    * owns the physical pick.) Bucket math is integral (`div` on epoch
+    * micros), immune to double-rounding at bucket edges; PlanSpec pins
+    * "no nested-loop, no cartesian" on this plan.
+    */
+  def a17bIntervalJoinBinned(s: SparkSession, dir: String): DataFrame = {
+    val bucketUs = 3600000000L // 1-hour buckets = the interval length
+    val halfUs = 1800000000L
+    val ev = t(s, dir, "events")
+    val iv = ev.filter(col("event_type") === "purchase" && col("value") >= 200)
+      .select(col("event_id"),
+        (unix_micros(col("ts")) - halfUs).as("lo"),
+        (unix_micros(col("ts")) + halfUs).as("hi"))
+      .withColumn("bucket",
+        explode(sequence(expr(s"lo div $bucketUs"), expr(s"hi div $bucketUs"))))
+    val pts = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("c_us"), col("value").as("c_value"))
+      .withColumn("bucket", expr(s"c_us div $bucketUs"))
+    iv.join(pts, Seq("bucket"))
+      .filter(col("c_us") >= col("lo") && col("c_us") <= col("hi"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_clicks"), dsum(col("c_value"), 6).as("sum_click_value"))
+      .orderBy("event_id")
+  }
+
   /** A14: correlated scalar subquery through the `spark.sql` text surface
     * (the engine's §3.3 entry point): parts whose lineitems fall under half
     * their part-average quantity — TPC-H Q17's shape. Catalyst decorrelates
@@ -1082,6 +1122,32 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
 
+  /** C8 — curriculum difficulty binning: equal-count NTILE(k) tiles over
+    * the corpus-wide (n_chars, doc_id) total order — the length-ordered
+    * curriculum cut every staged-training pipeline needs, plus per-bin
+    * audit stats. The load-bearing part is HOW the tile is computed:
+    * Spark's `ntile(k) OVER (ORDER BY ...)` with no PARTITION BY plans a
+    * single-partition Window — the whole corpus through one task — so this
+    * query instead uses [[graft.operators.Ranking.ntile]], the two-phase
+    * distributed rank (range exchange + streamed local ranks + ≤#buckets
+    * offset collect), which reproduces SQL NTILE semantics bit-for-bit
+    * with no single-task stage. The oracle runs DuckDB's native ntile —
+    * agreement proves the distributed rewrite IS the window semantics.
+    */
+  def c8CurriculumBins(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"), col("n_chars"), col("lang"), col("source"))
+    graft.operators.Ranking.ntile(docs, k, Seq(col("n_chars"), col("doc_id")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("bin")
+  }
+
   /** C5 — greedy sequence packing: assign documents (in stable doc_id order
     * within each source) to fixed token-budget training sequences, starting
     * a new sequence when the next document would overflow; an oversize
@@ -1224,13 +1290,15 @@ object CoreQueries {
     "a15b_quantiles_approx" -> (a15bQuantilesApprox _),
     "a16_pivot" -> (a16Pivot _),
     "a17_interval_join" -> (a17IntervalJoin _),
+    "a17b_interval_join_binned" -> (a17bIntervalJoinBinned _),
     "a18_json_extract" -> (a18JsonExtract _),
     "a19_funnel" -> (a19Funnel _),
     "a20_histogram" -> (a20Histogram _),
     "c1_curation" -> (c1Curation _),
     "c2_stratified_sample" -> (c2StratifiedSample _),
     "c5_sequence_packing" -> (c5SequencePacking _),
-    "c6_temperature_mix" -> (c6TemperatureMix _))
+    "c6_temperature_mix" -> (c6TemperatureMix _),
+    "c8_curriculum_bins" -> ((s: SparkSession, d: String) => c8CurriculumBins(s, d)))
 
   /** DuckDB oracle SQL, aligned column-for-column with the Spark plans. */
   val oracles: Map[String, String] = Map(
@@ -1412,6 +1480,19 @@ object CoreQueries {
                   / CAST(SUM(shard_tokens) OVER (PARTITION BY epoch) AS DOUBLE)
                   AS token_share
          FROM g ORDER BY epoch, shard""",
+    "c8_curriculum_bins" ->
+      // DuckDB's NATIVE window ntile — the Spark side must reproduce its
+      // semantics exactly from the distributed two-phase rank.
+      """WITH ranked AS (
+           SELECT doc_id, n_chars, lang, source,
+                  ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+           FROM documents)
+         SELECT bin, COUNT(*) AS n_docs,
+                MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                COUNT(DISTINCT lang) AS n_langs,
+                COUNT(DISTINCT source) AS n_sources
+         FROM ranked GROUP BY bin ORDER BY bin""",
     "a23_rolling_active_users" ->
       // Bounds-checked sketch gate (the a9b scheme): the exact rolling twin
       // is recomputed here via the 7-day cover explode, and approx_7d_ok is
@@ -1727,6 +1808,19 @@ object CoreQueries {
            ON c.user_id = p.user_id
           AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
          GROUP BY c.event_id ORDER BY c.event_id""",
+    "a17b_interval_join_binned" ->
+      // The oracle states the PLAIN keyless range join; the Spark side's
+      // binned rewrite must be semantically invisible.
+      """WITH iv AS (SELECT event_id,
+                            epoch_us(CAST(ts AS TIMESTAMP)) - 1800000000 AS lo,
+                            epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS hi
+                     FROM events WHERE event_type = 'purchase' AND value >= 200),
+            c AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS c_us, value AS c_value
+                  FROM events WHERE event_type = 'click')
+         SELECT iv.event_id, COUNT(*) AS n_clicks,
+                CAST(SUM(CAST(c.c_value AS DECIMAL(25,6))) AS DOUBLE) AS sum_click_value
+         FROM iv JOIN c ON c.c_us >= iv.lo AND c.c_us <= iv.hi
+         GROUP BY iv.event_id ORDER BY iv.event_id""",
     "a18_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
                 CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

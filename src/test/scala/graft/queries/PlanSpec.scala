@@ -66,6 +66,21 @@ class PlanSpec extends SparkSuite {
       "range predicate must ride on the equi-join, not force a nested loop:\n" + p)
   }
 
+  test("a17b: the KEYLESS range join bins into an equi-join — no nested loop") {
+    val p = plan(CoreQueries.a17bIntervalJoinBinned(spark, sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "binning must give the keyless range join an equi-key:\n" + p)
+    assert(p.contains("Join"), "the rewrite must still be a join:\n" + p)
+  }
+
+  test("c8: curriculum ntile plans a range exchange, never a single-partition Window") {
+    val p = simplePlan(CoreQueries.c8CurriculumBins(spark, sf001))
+    assert(p.contains("rangepartitioning"),
+      "distributed rank must range-partition the order key:\n" + p)
+    assert(!p.contains("Window"),
+      "global ntile must not fall back to a one-task Window:\n" + p)
+  }
+
   test("x6: ANN top-k plans as a partial object aggregate, not a window sort") {
     val p = plan(graft.similarity.SimilarityQueries.x6AnnBruteForce(spark, sf001, 10))
     assert(p.contains("ObjectHashAggregate"), "TopKAggregator should plan as ObjectHashAggregate")

@@ -86,6 +86,42 @@ class QueriesSpec extends SparkSuite {
       "as-of join matched a purchase from the future")
   }
 
+  test("a17b: binned keyless range join equals the naive nested-loop replay") {
+    // Driver-side replay of the PLAIN range join (the semantics the binned
+    // rewrite must not change), on the sf0.001 events.
+    val ev = graft.Tables(spark, sf001, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value")).collect()
+    val iv = ev.filter(r => r.getString(2) == "purchase" && r.getDouble(3) >= 200)
+      .map(r => (r.getLong(0), r.getLong(1) - 1800000000L, r.getLong(1) + 1800000000L))
+    val pts = ev.filter(_.getString(2) == "click").map(r => r.getLong(1))
+    val expected = iv.map { case (id, lo, hi) =>
+      id -> pts.count(p => p >= lo && p <= hi).toLong
+    }.filter(_._2 > 0).toMap
+    val got = CoreQueries.a17bIntervalJoinBinned(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_clicks")).toMap
+    assert(expected.nonEmpty, "fixture produced no matched intervals")
+    assert(got == expected, s"binned rewrite diverged: got=$got expected=$expected")
+  }
+
+  test("c8/Ranking: distributed ntile is bit-equal to the window ntile, fat tiles included") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables(spark, sf001, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    // k=7 does NOT divide the doc count — the first n%k tiles must carry
+    // one extra row, exactly as SQL NTILE mandates.
+    for (k <- Seq(7, 10)) {
+      val dist = graft.operators.Ranking.ntile(docs, k, Seq(col("n_chars"), col("doc_id")))
+        .select(col("doc_id"), col("bin")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val window = docs.withColumn("bin",
+          ntile(k).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+        .select(col("doc_id"), col("bin")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(dist == window, s"k=$k: distributed ntile diverged from the window ntile")
+    }
+  }
+
   test("a12b: sliding windows double-count each event exactly twice") {
     val total = CoreQueries.a12bSlidingWindow(spark, sf001)
       .agg(sum(col("n"))).collect().head.getLong(0)
