@@ -12,6 +12,15 @@ final case class MediaHeader(
     height: Long,
     channels: Long)
 
+/** Typed metadata produced by the audio-container decoder (RIFF/WAVE). */
+final case class AudioHeader(
+    doc_id: Long,
+    n_bytes: Long,
+    format: String,
+    channels: Long,
+    sample_rate: Long,
+    bits_per_sample: Long)
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded per partition.
   *
@@ -92,6 +101,51 @@ object Multimodal {
       }
       if (out != null) out else unknown
     } else unknown
+  }
+
+  /** Parse a RIFF/WAVE audio container header: after the 12-byte
+    * `RIFF <size> WAVE` preamble, WALK the chunk chain — each chunk is
+    * `id(4) + size(LE32) + body(size, padded to even)` and the spec does
+    * NOT fix the `fmt ` chunk's position (LIST/INFO, `bext`, `JUNK`
+    * chunks routinely precede it in the wild) — until the `fmt ` chunk
+    * yields channels (LE16 @ body+2), sample rate (LE32 @ body+4) and
+    * bits-per-sample (LE16 @ body+14). Truncated, non-RIFF, or
+    * fmt-less blobs degrade to `("unknown", 0, 0, 0)` — the same
+    * never-throw contract as [[parseHeader]].
+    */
+  def parseWavHeader(docId: Long, bytes: Array[Byte]): AudioHeader = {
+    val n = bytes.length
+    def u(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Long = (u(i) | (u(i + 1) << 8)).toLong
+    def le32(i: Int): Long =
+      u(i).toLong | (u(i + 1).toLong << 8) | (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean = s.indices.forall(k => u(i + k) == s.charAt(k))
+    val unknown = AudioHeader(docId, n.toLong, "unknown", 0L, 0L, 0L)
+    if (n < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) unknown
+    else {
+      var i = 12
+      var out: AudioHeader = null
+      while (out == null && i + 8 <= n) {
+        val size = le32(i + 4)
+        if (tag(i, "fmt ") && size >= 16 && i + 8 + 16 <= n)
+          out = AudioHeader(docId, n.toLong, "wav",
+            le16(i + 10), le32(i + 12), le16(i + 22))
+        else if (size > n.toLong) i = n // corrupt size field: stop the walk
+        else i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      }
+      if (out != null) out else unknown
+    }
+  }
+
+  /** Decode a (doc_id, blob) DataFrame of WAVE containers into typed audio
+    * metadata — same per-partition batching contract as [[decodeMeta]].
+    */
+  def decodeAudioMeta(blobs: DataFrame): Dataset[AudioHeader] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => parseWavHeader(id, bytes) })
   }
 
   /** Decode a (doc_id, blob) DataFrame into typed header metadata, one

@@ -280,6 +280,65 @@ object MultimodalQueries {
     Multimodal.decodeMeta(blobs).toDF().orderBy("doc_id")
   }
 
+  /** Little-endian integer → hex SQL fragment, `nBytes` wide. One builder
+    * serves both engines: Spark spells integral division `div`, DuckDB
+    * `//` — everything else (`hex`, `lpad`, `%`, `concat`) is shared.
+    */
+  private def leHex(e: String, nBytes: Int, idiv: String): String =
+    (0 until nBytes).map { i =>
+      val shifted = if (i == 0) s"($e)" else s"(($e) $idiv ${1L << (8 * i)})"
+      s"lpad(hex(($shifted) % 256), 2, '0')"
+    }.mkString("concat(", ", ", ")")
+
+  /** Spec-correct RIFF/WAVE header hex over columns (ch, sr, bits,
+    * has_list, dlen): `RIFF <size> WAVE`, an optional 20-byte LIST/INFO
+    * chunk BEFORE `fmt ` (so a decoder must walk the chunk chain, not
+    * assume fmt at offset 12), the 16-byte PCM fmt body (channels LE16,
+    * sample rate LE32, byte rate LE32, block align LE16, bits LE16), then
+    * the `data` chunk header sized to the text payload. Same recipe in
+    * both engines via [[leHex]]'s `idiv` seam.
+    */
+  private[graft] def wavHeaderHex(idiv: String): String = {
+    def le16(e: String) = leHex(e, 2, idiv)
+    def le32(e: String) = leHex(e, 4, idiv)
+    s"""concat(
+       '52494646',
+       ${le32(s"4 + IF(has_list, 20, 0) + 24 + 8 + dlen")},
+       '57415645',
+       IF(has_list, concat('4C495354', '0C000000', '494E464F', '4752414654454E47'), ''),
+       '666D7420', '10000000', '0100',
+       ${le16("ch")}, ${le32("sr")},
+       ${le32(s"(sr * ch * bits) $idiv 8")}, ${le16(s"(ch * bits) $idiv 8")},
+       ${le16("bits")},
+       '64617461', ${le32("dlen")})"""
+  }
+
+  /** M10 — audio-container metadata decode: each text blob is framed in a
+    * byte-exact RIFF/WAVE header ([[wavHeaderHex]]) whose fmt chunk does
+    * NOT sit at a fixed offset (half the corpus carries a LIST/INFO chunk
+    * first), then [[Multimodal.parseWavHeader]] walks the chunk chain the
+    * way the RIFF spec demands and extracts channels / sample rate /
+    * bits-per-sample. The oracle rebuilds the same blobs and reads the
+    * fields by INDEPENDENT byte slicing at the offsets the layout
+    * determines — agreement proves the walker, the LE field math, and the
+    * never-throw degradation contract end-to-end. Scale shape: header
+    * build is a narrow codegen projection; decode reads ≤ 44 header bytes
+    * per blob, embarrassingly parallel per partition (m3's contract,
+    * extended to the audio lane).
+    */
+  def m10WavMeta(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").selectExpr(
+      "doc_id", "text",
+      "1 + doc_id % 2 AS ch",
+      "element_at(array(8000, 16000, 22050, 44100, 48000), CAST(doc_id % 5 AS INT) + 1) AS sr",
+      "element_at(array(8, 16, 24, 32), CAST((doc_id div 5) % 4 AS INT) + 1) AS bits",
+      "(doc_id div 2) % 2 = 1 AS has_list",
+      "octet_length(text) AS dlen")
+    val blobs = base.select(col("doc_id"),
+      expr(s"concat(unhex(${wavHeaderHex("div")}), CAST(text AS BINARY))").as("blob"))
+    Multimodal.decodeAudioMeta(blobs).toDF().orderBy("doc_id")
+  }
+
   /** M8 — per-blob byte-distribution diversity (Gini–Simpson over the byte
     * histogram): `1 - Σ c_b² / n²`, the probability two independently drawn
     * bytes differ. This is the cheap compressibility/corruption telemetry a
@@ -368,9 +427,50 @@ object MultimodalQueries {
     "m4_storage_stats" -> (m4StorageStats _),
     "m5_perceptual_neardup" -> (m5PerceptualNearDup(_, _, 4)),
     "m6_chunk_dedup" -> (m6ChunkDedup _),
-    "m7_cdc_chunk_dedup" -> (m7CdcChunkDedup _))
+    "m7_cdc_chunk_dedup" -> (m7CdcChunkDedup _),
+    "m10_wav_meta" -> (m10WavMeta _))
 
   val oracles: Map[String, String] = Map(
+    "m10_wav_meta" ->
+      // Rebuilds the exact WAVE blobs (same recipe as wavHeaderHex, with
+      // DuckDB's `//` integral division) and reads the fmt fields by
+      // INDEPENDENT byte slicing: the fmt body's offset is determined by
+      // the known chunk layout (12-byte preamble + optional 20-byte LIST),
+      // so agreement with the Spark side's general chunk WALK verifies the
+      // walker and the little-endian field math end-to-end.
+      s"""WITH base AS (
+           SELECT doc_id, text,
+                  1 + doc_id % 2 AS ch,
+                  ([8000, 16000, 22050, 44100, 48000])[CAST(doc_id % 5 AS INT) + 1] AS sr,
+                  ([8, 16, 24, 32])[CAST((doc_id // 5) % 4 AS INT) + 1] AS bits,
+                  (doc_id // 2) % 2 = 1 AS has_list,
+                  octet_length(encode(text)) AS dlen
+           FROM documents),
+         blobs AS (
+           SELECT doc_id, has_list,
+                  ${wavHeaderHex("//")} || hex(encode(text)) AS h
+           FROM base),
+         sliced AS (
+           SELECT doc_id, h,
+                  2 * (12 + IF(has_list, 20, 0)) + 1 AS o
+           FROM blobs)
+         SELECT doc_id,
+                CAST(length(h) // 2 AS BIGINT) AS n_bytes,
+                CASE WHEN substr(h, 1, 8) = '52494646'
+                          AND substr(h, 17, 8) = '57415645'
+                     THEN 'wav' ELSE 'unknown' END AS format,
+                CAST(CAST('0x' || substr(h, o + 20, 2) AS BIGINT)
+                   + 256 * CAST('0x' || substr(h, o + 22, 2) AS BIGINT)
+                     AS BIGINT) AS channels,
+                CAST(CAST('0x' || substr(h, o + 24, 2) AS BIGINT)
+                   + 256 * CAST('0x' || substr(h, o + 26, 2) AS BIGINT)
+                   + 65536 * CAST('0x' || substr(h, o + 28, 2) AS BIGINT)
+                   + 16777216 * CAST('0x' || substr(h, o + 30, 2) AS BIGINT)
+                     AS BIGINT) AS sample_rate,
+                CAST(CAST('0x' || substr(h, o + 44, 2) AS BIGINT)
+                   + 256 * CAST('0x' || substr(h, o + 46, 2) AS BIGINT)
+                     AS BIGINT) AS bits_per_sample
+         FROM sliced ORDER BY doc_id""",
     "m9_format_consistency" ->
       """WITH f AS (
            SELECT source,

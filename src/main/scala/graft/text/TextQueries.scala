@@ -473,7 +473,51 @@ object TextQueries {
         col("n_types").cast("double") / col("n_tokens").cast("double"))
       .orderBy("source")
 
+  /** T17 — PII / structured-pattern scan: per-source counts of emails,
+    * URLs, and long digit runs — the redaction-telemetry pass every
+    * training-data pipeline runs before release. The synthetic corpus is
+    * lowercase word salad with zero natural hits, so (the m3/m10 fixture
+    * trick) each document is FRAMED with a deterministic contact line
+    * derived from doc_id — one of an email, a URL, or a long numeric id —
+    * and the scanner runs over the framed text; production drops the
+    * framing and scans raw documents with the same three patterns.
+    *
+    * Pattern portability contract: character classes + bounded repetition
+    * only — no backslash escapes (Spark SQL string literals eat `\`,
+    * DuckDB's don't: `[.]` instead of `\.`), no lookaround, no alternation
+    * whose leftmost-first vs leftmost-longest resolution could differ
+    * between java.util.regex and RE2. Scale shape: one narrow codegen
+    * projection per doc (regexp_count is codegen'd, no UDF), then a
+    * map-side-combined ≤#sources-group aggregate — integer-exact.
+    */
+  def t17PatternScan(s: SparkSession, dir: String): DataFrame = {
+    val framed = t(s, dir, "documents").selectExpr(
+      "source",
+      """concat(text, CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN concat(' contact user', CAST(doc_id AS STRING),
+                              '@mail-', CAST(doc_id % 7 AS STRING), '.example.com now')
+           WHEN 1 THEN concat(' fetch https://host-', CAST(doc_id % 5 AS STRING),
+                              '.example.org/path/', CAST(doc_id AS STRING), ' today')
+           ELSE concat(' ref id ', CAST(100000 + doc_id * 37 AS STRING), ' done')
+         END) AS body""")
+    val counted = framed.select(col("source"),
+      regexp_count(col("body"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"))
+        .as("n_email"),
+      regexp_count(col("body"), lit("https?://[A-Za-z0-9./_-]+")).as("n_url"),
+      regexp_count(col("body"), lit("[0-9]{6,}")).as("n_longnum"))
+    counted.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(col("n_email")).as("total_emails"),
+        sum(when(col("n_url") > 0, 1L).otherwise(0L)).as("docs_with_url"),
+        sum(col("n_url")).as("total_urls"),
+        sum(when(col("n_longnum") > 0, 1L).otherwise(0L)).as("docs_with_longnum"),
+        sum(col("n_longnum")).as("total_longnums"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_pattern_scan" -> (t17PatternScan _),
     "t15_heavy_hitters" -> ((s: SparkSession, d: String) => t15HeavyHitters(s, d)),
     "t16_hapax_stats" -> (t16HapaxStats _),
     "t14_vocab_coverage" -> ((s: SparkSession, d: String) => t14VocabCoverage(s, d)),
@@ -492,6 +536,34 @@ object TextQueries {
     "t8_tfidf" -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "t17_pattern_scan" ->
+      // Same framing recipe, independent regex engine (RE2): counts come
+      // from len(regexp_extract_all(...)) instead of regexp_count.
+      """WITH framed AS (
+           SELECT source,
+                  text || CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com now'
+                    WHEN 1 THEN ' fetch https://host-' || CAST(doc_id % 5 AS VARCHAR)
+                      || '.example.org/path/' || CAST(doc_id AS VARCHAR) || ' today'
+                    ELSE ' ref id ' || CAST(100000 + doc_id * 37 AS VARCHAR) || ' done'
+                  END AS body
+           FROM documents),
+         counted AS (
+           SELECT source,
+                  len(regexp_extract_all(body,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS n_email,
+                  len(regexp_extract_all(body, 'https?://[A-Za-z0-9./_-]+')) AS n_url,
+                  len(regexp_extract_all(body, '[0-9]{6,}')) AS n_longnum
+           FROM framed)
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+                CAST(SUM(n_email) AS BIGINT) AS total_emails,
+                CAST(SUM(CASE WHEN n_url > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_url,
+                CAST(SUM(n_url) AS BIGINT) AS total_urls,
+                CAST(SUM(CASE WHEN n_longnum > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_longnum,
+                CAST(SUM(n_longnum) AS BIGINT) AS total_longnums
+         FROM counted GROUP BY source ORDER BY source""",
     "t15_heavy_hitters" ->
       // Bounds-checked sketch gate (the a9b scheme): exact top-10 recomputed
       // here, mg_ok asserted TRUE — a summary violating the Misra–Gries

@@ -117,6 +117,56 @@ class MultimodalSpec extends SparkSuite {
       hx("FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 00 00")).format == "unknown")
   }
 
+  test("m10 golden values: WAV chunk walk finds fmt behind a LIST chunk; corrupt blobs degrade") {
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def tag(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def fmtChunk(ch: Int, sr: Int, bits: Int): Array[Byte] =
+      tag("fmt ") ++ le(16, 4) ++ le(1, 2) ++ le(ch, 2) ++ le(sr, 4) ++
+        le(sr.toLong * ch * bits / 8, 4) ++ le(ch * bits / 8, 2) ++ le(bits, 2)
+    def wav(preChunks: Array[Byte], ch: Int, sr: Int, bits: Int): Array[Byte] = {
+      val body = tag("WAVE") ++ preChunks ++ fmtChunk(ch, sr, bits) ++
+        tag("data") ++ le(4, 4) ++ Array[Byte](1, 2, 3, 4)
+      tag("RIFF") ++ le(body.length.toLong, 4) ++ body
+    }
+    // fmt directly after the preamble
+    val plain = Multimodal.parseWavHeader(1L, wav(Array.empty, 2, 44100, 16))
+    assert(plain == AudioHeader(1L, plain.n_bytes, "wav", 2L, 44100L, 16L))
+    // fmt behind a LIST chunk — the walk must hop it by its declared size
+    val list = tag("LIST") ++ le(12, 4) ++ tag("INFO") ++ tag("GRAFTENG")
+    val walked = Multimodal.parseWavHeader(2L, wav(list, 1, 8000, 24))
+    assert(walked.format == "wav" && walked.channels == 1L &&
+      walked.sample_rate == 8000L && walked.bits_per_sample == 24L)
+    // an ODD-sized unknown chunk must advance by its padded (even) size
+    val odd = tag("junk") ++ le(3, 4) ++ Array[Byte](9, 9, 9, 0)
+    val padded = Multimodal.parseWavHeader(3L, wav(odd, 2, 48000, 32))
+    assert(padded.format == "wav" && padded.sample_rate == 48000L)
+    // degradation contract: truncated, non-RIFF, fmt-less, corrupt-size
+    val good = wav(Array.empty, 2, 44100, 16)
+    assert(Multimodal.parseWavHeader(4L, good.take(10)).format == "unknown")
+    assert(Multimodal.parseWavHeader(5L, tag("RIFX") ++ good.drop(4)).format == "unknown")
+    val noFmt = tag("RIFF") ++ le(12, 4) ++ tag("WAVE") ++
+      tag("data") ++ le(4, 4) ++ Array[Byte](1, 2, 3, 4)
+    assert(Multimodal.parseWavHeader(6L, noFmt).format == "unknown")
+    val badSize = tag("RIFF") ++ le(100, 4) ++ tag("WAVE") ++
+      tag("junk") ++ le(0xfffffff0L, 4) ++ Array[Byte](0)
+    assert(Multimodal.parseWavHeader(7L, badSize).format == "unknown")
+  }
+
+  test("m10: framed corpus decodes all-wav with the deterministic field recipe") {
+    val rows = MultimodalQueries.m10WavMeta(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("format") == "wav")
+      assert(r.getAs[Long]("channels") == 1 + id % 2)
+      assert(r.getAs[Long]("sample_rate") ==
+        Seq(8000L, 16000L, 22050L, 44100L, 48000L)((id % 5).toInt))
+      assert(r.getAs[Long]("bits_per_sample") ==
+        Seq(8L, 16L, 24L, 32L)(((id / 5) % 4).toInt))
+    }
+  }
+
   test("decode setup amortizes once per partition (mapInPandas batch contract)") {
     // count per-partition initializations with an accumulator: a per-row
     // decoder construction bug would show n_init == n_rows

@@ -247,6 +247,39 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("t17: pattern counts match a JVM-regex replay of the framing recipe") {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}".r
+    val url = "https?://[A-Za-z0-9./_-]+".r
+    val longnum = "[0-9]{6,}".r
+    val docs = graft.Tables(spark, sf001, "documents")
+      .select("doc_id", "source", "text").collect()
+    assert(docs.nonEmpty)
+    val expect = docs.groupBy(_.getString(1)).map { case (src, rows) =>
+      val per = rows.map { r =>
+        val id = r.getLong(0)
+        val body = r.getString(2) + ((id % 3) match {
+          case 0 => s" contact user$id@mail-${id % 7}.example.com now"
+          case 1 => s" fetch https://host-${id % 5}.example.org/path/$id today"
+          case _ => s" ref id ${100000 + id * 37} done"
+        })
+        (email.findAllIn(body).size.toLong, url.findAllIn(body).size.toLong,
+          longnum.findAllIn(body).size.toLong)
+      }
+      src -> (rows.length.toLong,
+        per.count(_._1 > 0).toLong, per.map(_._1).sum,
+        per.count(_._2 > 0).toLong, per.map(_._2).sum,
+        per.count(_._3 > 0).toLong, per.map(_._3).sum)
+    }
+    val got = TextQueries.t17PatternScan(spark, sf001).collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    }.toMap
+    assert(got == expect, "pattern scan diverged from the JVM replay")
+    // the framing actually exercises every pattern class
+    val totals = got.values.toSeq
+    assert(totals.map(_._3).sum > 0 && totals.map(_._5).sum > 0 && totals.map(_._7).sum > 0)
+  }
+
   test("t12: top pairs match a driver-side BPE pair recount exactly") {
     val texts = graft.Tables(spark, sf001, "documents")
       .select("text").collect().map(_.getString(0))
