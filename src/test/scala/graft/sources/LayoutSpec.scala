@@ -58,6 +58,49 @@ class LayoutSpec extends SparkSuite {
     assert(joined.count() == expected)
   }
 
+  test("z-order: file envelopes prune on EVERY dimension; a linear sort only on its own") {
+    val ev = Tables(spark, sf001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val b = ev.agg(min("user_id"), max("user_id"), min("us"), max("us")).collect().head
+    val (minU, maxU, minT, maxT) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val files = 8
+    val timeSorted = s"$work/ev_time_sorted"
+    val zOrdered = s"$work/ev_zordered"
+    ev.repartitionByRange(files, col("us")).sortWithinPartitions(col("us"))
+      .write.mode("overwrite").parquet(timeSorted)
+    Layout.writeZOrdered(ev, zOrdered, Seq(
+      "us" -> (minT.toDouble, maxT.toDouble),
+      "user_id" -> (minU.toDouble, maxU.toDouble)), files)
+    // Per-file min/max envelopes = what parquet footer stats give the scan.
+    def envelopes(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("u0"), max("user_id").as("u1"),
+        min("us").as("t0"), max("us").as("t1"))
+      .collect()
+    val linear = envelopes(timeSorted)
+    val zed = envelopes(zOrdered)
+    assert(linear.length == files && zed.length == files)
+    // a mid-range user box ~10% of the user universe
+    val (uLo, uHi) = (minU + (maxU - minU) / 2, minU + (maxU - minU) * 6 / 10)
+    def userHits(env: Array[org.apache.spark.sql.Row]) =
+      env.count(r => r.getAs[Long]("u0") <= uHi && r.getAs[Long]("u1") >= uLo)
+    // a 3-day time box in the middle of the month
+    val (tLo, tHi) = (minT + (maxT - minT) / 2, minT + (maxT - minT) / 2 + 3L * 86400000000L)
+    def timeHits(env: Array[org.apache.spark.sql.Row]) =
+      env.count(r => r.getAs[Long]("t0") <= tHi && r.getAs[Long]("t1") >= tLo)
+    // the time-sorted layout cannot prune the user dimension at all...
+    assert(userHits(linear) == files,
+      s"fixture too sparse for the comparison: ${userHits(linear)}")
+    // ...the z-ordered layout prunes BOTH dimensions
+    assert(userHits(zed) < files, s"z-order failed to prune the user dim: ${userHits(zed)}/$files")
+    assert(timeHits(zed) < files, s"z-order failed to prune the time dim: ${timeHits(zed)}/$files")
+    // layout must not change the data
+    val q = (p: String) => spark.read.parquet(p)
+      .filter(col("user_id").between(uLo, uHi) && col("us").between(tLo, tHi)).count()
+    assert(q(zOrdered) == q(timeSorted))
+    assert(spark.read.parquet(zOrdered).count() == ev.count())
+  }
+
   test("salted join equals the plain join") {
     val li = Tables(spark, sf001, "lineitem")
     val supp = Tables(spark, sf001, "supplier")
