@@ -595,6 +595,71 @@ object DedupQueries {
     labels.orderBy("doc_id")
   }
 
+  /** X9b — the SAME connected components as [[x9ClustersFrom]] via
+    * alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"): each round, every node hooks
+    * its larger neighbors (large-star) then its smaller neighborhood
+    * (small-star) directly onto its neighborhood minimum, roughly halving
+    * pointer depth — convergence in O(log² n) rounds worst case vs min-
+    * label propagation's O(diameter). At 100 TB a duplicate CHAIN (doc A
+    * near-dups B near-dups C ... — common in scraped mirror families)
+    * makes diameter-bound propagation walk the whole chain one shuffle
+    * per hop; alt-star collapses it logarithmically (DedupSpec proves a
+    * 300-link chain converges here and exceeds x9's round cap). Each
+    * phase is one keyed aggregate + one join — the same per-round cost as
+    * a propagation step; the win is the ROUND COUNT.
+    */
+  def x9bClustersAltStar(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // canonical undirected edge set, (hi, lo) with hi > lo
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      // large-star over the SYMMETRIZED view: for each center u, hook every
+      // LARGER neighbor v onto m = min(N(u) ∪ {u})
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = sym.join(lsMin, Seq("u"))
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint()
+      // small-star over the directed (hi → lo) view: hook u and all its
+      // smaller neighbors onto the smallest of them
+      val ssMin = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = afterLarge.join(ssMin, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssMin.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      val changed = next.exceptAll(edges).limit(1).count() +
+        edges.exceptAll(next).limit(1).count()
+      converged = changed == 0
+      edges = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"x9bClustersAltStar: did not converge in $rounds rounds")
+    // At the fixpoint every edge points a node at its component minimum.
+    docs.select(col("doc_id"))
+      .join(edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("root")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** X9b over the default (docs, X4 pairs) source — same semantics and
+    * oracle as `x9_dedup_clusters`, different convergence class.
+    */
+  def x9bDedupClustersAltStar(s: SparkSession, dir: String): DataFrame =
+    x9bClustersAltStar(
+      t(s, dir, "documents"),
+      x4NgramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+
   /** X12 — eval-set contamination check: which corpus documents share ≥ K
     * 3-gram shingles with any document of a designated evaluation set. This
     * is the decontamination pass every training-data pipeline runs before a
@@ -1025,6 +1090,7 @@ object DedupQueries {
     "x21_minhash_estimate" -> (x21MinhashEstimate _),
     "x4_ngram_jaccard" -> (x4NgramJaccard _),
     "x9_dedup_clusters" -> (x9DedupClusters _),
+    "x9b_clusters_altstar" -> (x9bDedupClustersAltStar _),
     "x10_source_dedup_stats" -> (x10SourceDedupStats _),
     "x11_containment" -> (x11Containment _),
     "x12_contamination" -> (x12Contamination _),
@@ -1372,6 +1438,12 @@ object DedupQueries {
          SELECT doc_a, doc_b, jaccard FROM jac
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
     "x9_dedup_clusters" ->
+      s"""WITH RECURSIVE $clusterCtes
+         SELECT src AS doc_id, MIN(dst) AS cluster_id
+         FROM reach GROUP BY src ORDER BY doc_id""",
+    // x9b computes the SAME transitive closure by a different distributed
+    // algorithm (alt-star, O(log² n) rounds) — the oracle is x9's verbatim.
+    "x9b_clusters_altstar" ->
       s"""WITH RECURSIVE $clusterCtes
          SELECT src AS doc_id, MIN(dst) AS cluster_id
          FROM reach GROUP BY src ORDER BY doc_id""",

@@ -61,6 +61,28 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("x9b: alt-star labels equal label propagation on the real pair graph") {
+    val viaProp = DedupQueries.x9DedupClusters(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaStar = DedupQueries.x9bDedupClustersAltStar(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaStar == viaProp, "alt-star diverged from propagation clusters")
+  }
+
+  test("x9b: a 300-link duplicate chain collapses in logarithmic rounds") {
+    // Diameter-bound propagation (x9, 20-round cap) cannot finish a chain
+    // this long; alt-star's pointer-halving must — the scale claim in one
+    // fixture.
+    import spark.implicits._
+    val n = 300L
+    val docs = (0L to n).toDF("doc_id")
+    val chain = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = DedupQueries.x9bClustersAltStar(docs, chain).collect()
+    assert(labels.length == n + 1)
+    labels.foreach(r => assert(r.getLong(1) == 0L,
+      s"node ${r.getLong(0)} labeled ${r.getLong(1)}, expected 0"))
+  }
+
   test("x9ClustersFrom: x2 LSH pairs compose into clusters matching union-find") {
     // The corpus-scale composition: sub-linear LSH pair generation feeding
     // the clustering seam (instead of x4's exhaustive inverted index).
