@@ -66,11 +66,16 @@ object VectorExpressions {
   * registration call — the standard deployment shape for a Spark library.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[CosineSimilarity].getName, "cosine_sim"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           CosineSimilarity(exprs(0), exprs(1))))
+    // keyless bounded-range joins (ts BETWEEN base ± literal) rewrite to the
+    // binned equi-join shape instead of a nested loop — see
+    // graft.plans.RangeJoinBinningRule
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinningRule)
+  }
 }
