@@ -928,6 +928,69 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** X17b — bloom-pruned incremental novelty: the SAME result as X17 (same
+    * oracle SQL), computed through the sketch-gated plan a production
+    * admission pipeline runs. A Bloom filter over the snapshot's distinct
+    * span digests (`DataFrameStatFunctions.bloomFilter` — one aggregate
+    * pass, mergeable map-side, collected as a bitset) is broadcast to the
+    * new batch; a probe MISS is *definitely novel* (Bloom has no false
+    * negatives) and never touches the snapshot again, so the exact
+    * verification anti-join runs only over the fpp-bounded HIT set — true
+    * duplicate spans plus ~fpp of the novel ones.
+    *
+    * Scale contract: the sketch costs ~n·ln(1/fpp)/ln²2 bits (≈1.2 GB per
+    * 10⁹ distinct keys at 1% fpp) and is built ONCE per snapshot, then
+    * reused by every batch — the count+bloom build passes here are the
+    * amortized cost, not per-batch. Broadcastable sketches cap at
+    * ~10⁹–10¹⁰ keys, which covers document-fingerprint granularity at any
+    * corpus size; span-granularity gating beyond that shards the sketch by
+    * digest range. The residual verification join is keyed on the digest,
+    * so against the bucketed admission index ([[IncrementalDedup]]) it
+    * probes only the hit digests' buckets — the snapshot is never
+    * re-shuffled for the 1−fpp common case.
+    */
+  def x17bNoveltyBloom(s: SparkSession, dir: String, spanLen: Int = 8): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("ws", split(col("text"), " "))
+    x17bNoveltyBloomFrom(s,
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0), spanLen)
+  }
+
+  /** X17b core over arbitrary new-batch/snapshot frames (the
+    * [[x17NoveltyFrom]] seam, sketch-gated). `fpp` trades sketch size for
+    * verification-join volume; results are fpp-INVARIANT (every hit is
+    * exactly verified), which DedupSpec proves by running at a
+    * pathological fpp.
+    */
+  def x17bNoveltyBloomFrom(s: SparkSession, newDocs: DataFrame, oldDocs: DataFrame,
+      spanLen: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val oldSpans = spanDigests(oldDocs, "doc_id", spanLen).select("h").distinct()
+    // Sketch build — once per snapshot in production, amortized over every
+    // subsequent batch; the count sizes the filter (bloom needs expected n
+    // upfront, and an undersized filter only raises fpp, never breaks
+    // correctness).
+    val nOld = oldSpans.count()
+    val bf = oldSpans.stat.bloomFilter("h", math.max(nOld, 1L), fpp)
+    val bfB = s.sparkContext.broadcast(bf)
+    val maybeOld = udf((h: String) => h != null && bfB.value.mightContainString(h))
+    val newSpans = spanDigests(newDocs, "doc_id", spanLen)
+      .withColumn("maybe_old", maybeOld(col("h")))
+    val totals = newSpans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    // Bloom miss ⇒ novel, no verification. Bloom hit ⇒ exact anti-join
+    // rescues the false positives; only the hit set probes the snapshot.
+    val novel = newSpans.filter(!col("maybe_old")).select("doc_id", "h")
+      .unionByName(
+        newSpans.filter(col("maybe_old")).select("doc_id", "h")
+          .join(oldSpans, Seq("h"), "left_anti"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_spans").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** X18 — LSH admission decisions, declared as an oracle-checked query:
     * for every judged document of the "new batch" (odd doc_ids), whether the
     * [[IncrementalDedup.novelByMinhash]] gate would suspect it against the
@@ -1084,6 +1147,7 @@ object DedupQueries {
     "x15_dupspan" -> (x15DupSpanCoverage(_, _, 8)),
     "x16_source_overlap" -> (x16SourceOverlap(_, _, 8)),
     "x17_incremental_novelty" -> (x17IncrementalNovelty(_, _, 8)),
+    "x17b_novelty_bloom" -> (x17bNoveltyBloom(_, _, 8)),
     "x2_minhash_lsh" -> (x2MinhashLsh _),
     "x3_simhash" -> (x3Simhash _),
     "x20_simhash_pairs" -> (x20SimhashPairs(_, _, 3)),
@@ -1325,7 +1389,12 @@ object DedupQueries {
       """SELECT MIN(doc_id) AS canonical_id, sha256(text) AS content_hash,
                 COUNT(*) AS n_copies
          FROM documents GROUP BY sha256(text) ORDER BY canonical_id""",
-    "x17_incremental_novelty" ->
+    // x17b is result-identical to x17 by construction (the bloom gate is
+    // semantically invisible) — the shared oracle text IS the claim.
+    "x17b_novelty_bloom" -> x17OracleSql,
+    "x17_incremental_novelty" -> x17OracleSql) ++ oraclesTail
+
+  private lazy val x17OracleSql: String =
       """WITH sp AS (
            SELECT DISTINCT doc_id,
                   md5(array_to_string(list_slice(ws, i + 1, i + 8), ' ')) AS h
@@ -1344,7 +1413,9 @@ object DedupQueries {
                 CAST(COALESCE(v.n_novel, 0) AS DOUBLE) / CAST(t.n_spans AS DOUBLE)
                   AS novelty
          FROM totals t LEFT JOIN novel v ON t.doc_id = v.doc_id
-         ORDER BY t.doc_id""",
+         ORDER BY t.doc_id"""
+
+  private lazy val oraclesTail: Map[String, String] = Map(
     "x16_source_overlap" ->
       """WITH spans AS (
            SELECT DISTINCT source,

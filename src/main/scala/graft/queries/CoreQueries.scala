@@ -1148,6 +1148,130 @@ object CoreQueries {
       .orderBy("bin")
   }
 
+  /** A26 — low-cardinality skew join, salted: enrich every event with its
+    * event_type's corpus-wide mean and deviation. The join key has ~10
+    * distinct values over the whole fact table — the one skew shape AQE's
+    * skew-join split cannot save, because splitting a partition still leaves
+    * every row of a hot KEY on reducers that must all see the same build
+    * row. [[graft.operators.SkewJoin.saltedEquiJoin]] fans each key across
+    * 16 salted reducers (salt from `event_id`, never the key); the build
+    * side is the 10-row per-type stats frame, so its ×16 replication is
+    * free. The salt is dropped before projection — same rows, same columns
+    * as the unsalted join, which is exactly what the oracle states.
+    * `shuffle_merge` is forced so the spec pins the large-join path the
+    * salt exists for (broadcast would of course win at THIS build size;
+    * at 100 TB the build side is a per-key×per-day stats table that
+    * doesn't broadcast).
+    *
+    * Determinism: type_avg accumulates in decimal (order-independent),
+    * final double division and subtraction are single IEEE ops.
+    */
+  def a26SaltedSkewJoin(s: SparkSession, dir: String, salts: Int = 16): DataFrame = {
+    val ev = t(s, dir, "events")
+    val typeStats = ev.groupBy(col("event_type"))
+      .agg((sum(col("value").cast("decimal(25,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("type_avg"))
+    graft.operators.SkewJoin.saltedEquiJoin(
+        ev.select(col("event_id"), col("event_type"), col("value")),
+        typeStats, Seq("event_type"), col("event_id"), salts)
+      .select(col("event_id"), col("event_type"), col("value"), col("type_avg"),
+        (col("value") - col("type_avg")).as("deviation"))
+      .orderBy("event_id")
+  }
+
+  /** C9 — fixed-size per-stratum sample: exactly min(k, |stratum|) documents
+    * per language, chosen by a deterministic md5 priority (reproducible
+    * across runs and engines — no RNG state to checkpoint). The 100 TB
+    * shape is the [[graft.functions.TopKAggregator]]: a mergeable bounded
+    * top-k that keeps ≤ k candidates per language *inside each map task*,
+    * so the shuffle carries partitions×k rows per stratum — the
+    * row_number() window formulation (what the oracle states, and what
+    * QueriesSpec proves equivalent in-engine) must shuffle and sort the
+    * ENTIRE corpus by stratum first.
+    *
+    * Priority parity: the 60-bit md5 integer is compared AS DOUBLE on both
+    * sides (the aggregator scores doubles; DuckDB casts the same BIGINT
+    * with the same IEEE nearest-even rounding), and both sides break
+    * priority ties by doc_id asc, so a rounding collision cannot diverge
+    * the k-th pick.
+    */
+  def c9FixedSizeSample(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val topk = graft.functions.TopKAggregator.topK(k)
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        (-conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").cast("double")).as("score"))
+      .groupBy(col("lang"))
+      .agg(topk(col("doc_id"), col("score")).as("picks"))
+      .select(col("lang"), explode(col("picks")).as("p"))
+      .select(col("lang"), col("p.id").as("doc_id"))
+      .orderBy("lang", "doc_id")
+  }
+
+  /** E12 — incremental candle refresh (materialized-view maintenance): the
+    * e4 daily OHLCV aggregate maintained from per-batch PARTIAL states
+    * instead of a full rescan. [[e12StateOf]] reduces a batch to one
+    * mergeable row per (user_id, day) — open/close ride their endpoint
+    * timestamps, high/low/count/volume are plain extremes/sums — and
+    * [[e12MergeStates]] folds any number of such states with
+    * `min_by`/`max_by` on the carried timestamps. The declared query splits
+    * the stream by event_id parity into "history" and "delta" batches,
+    * merges their states, and must equal e4's full recompute — which is
+    * exactly what the oracle states (same SQL shape as e4's oracle).
+    *
+    * Scale contract: history at 100 TB is reduced ONCE to its candle state
+    * (one row per key×day — storable as the materialized view itself);
+    * each incoming batch pays state-of-batch + a merge proportional to the
+    * TOUCHED keys, never a rescan. This is the batch face of the streaming
+    * candle aggregate (StreamingIngest) — same sufficient statistics, so
+    * the two paths cannot drift.
+    *
+    * Determinism: (user_id, ts) is unique per key in the events table, so
+    * min_by/max_by endpoint picks cannot tie across batches; volume
+    * accumulates in decimal.
+    */
+  def e12IncrementalCandles(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    e12MergeStates(
+        e12StateOf(ev.filter(col("event_id") % 2 === 0)),
+        e12StateOf(ev.filter(col("event_id") % 2 === 1)))
+      .orderBy("user_id", "day_start")
+  }
+
+  /** One mergeable candle state row per (user_id, day) for a batch. */
+  def e12StateOf(batch: DataFrame): DataFrame =
+    batch
+      .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
+      .agg(
+        min(col("ts")).as("open_ts"),
+        expr("min_by(value, ts)").as("open"),
+        max(col("ts")).as("close_ts"),
+        expr("max_by(value, ts)").as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n_bars"),
+        sum(col("value").cast("decimal(25,6)")).as("vol_dec"))
+      .select(col("user_id"), col("w.start").as("day_start"),
+        col("open_ts"), col("open"), col("close_ts"), col("close"),
+        col("high"), col("low"), col("n_bars"), col("vol_dec"))
+
+  /** Fold candle states (any number of batches, any overlap of keys) into
+    * final candles; output schema matches [[e4OhlcvResample]].
+    */
+  def e12MergeStates(states: DataFrame*): DataFrame =
+    states.reduce(_.unionByName(_))
+      .groupBy(col("user_id"), col("day_start"))
+      .agg(
+        expr("min_by(open, open_ts)").as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        expr("max_by(close, close_ts)").as("close"),
+        sum(col("n_bars")).as("n_bars"),
+        sum(col("vol_dec")).cast("double").as("volume_proxy"))
+      .select(col("user_id"), ntz(col("day_start")).as("day_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_bars"), col("volume_proxy"))
+
   /** C5 — greedy sequence packing: assign documents (in stable doc_id order
     * within each source) to fixed token-budget training sequences, starting
     * a new sequence when the next document would overflow; an oversize
@@ -1298,7 +1422,10 @@ object CoreQueries {
     "c2_stratified_sample" -> (c2StratifiedSample _),
     "c5_sequence_packing" -> (c5SequencePacking _),
     "c6_temperature_mix" -> (c6TemperatureMix _),
-    "c8_curriculum_bins" -> ((s: SparkSession, d: String) => c8CurriculumBins(s, d)))
+    "c8_curriculum_bins" -> ((s: SparkSession, d: String) => c8CurriculumBins(s, d)),
+    "a26_salted_skew_join" -> ((s: SparkSession, d: String) => a26SaltedSkewJoin(s, d)),
+    "c9_fixed_size_sample" -> ((s: SparkSession, d: String) => c9FixedSizeSample(s, d)),
+    "e12_incremental_candles" -> (e12IncrementalCandles _))
 
   /** DuckDB oracle SQL, aligned column-for-column with the Spark plans. */
   val oracles: Map[String, String] = Map(
@@ -1322,6 +1449,35 @@ object CoreQueries {
                  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
                FROM events)
          WHERE rn = 1 ORDER BY user_id, event_type""",
+    "a26_salted_skew_join" ->
+      """WITH ts_stats AS (
+           SELECT event_type,
+                  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) AS type_avg
+           FROM events GROUP BY event_type)
+         SELECT e.event_id, e.event_type, e.value, s.type_avg,
+                e.value - s.type_avg AS deviation
+         FROM events e JOIN ts_stats s USING (event_type)
+         ORDER BY e.event_id""",
+    "c9_fixed_size_sample" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang ORDER BY
+                    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) AS DOUBLE),
+                    doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 25 ORDER BY lang, doc_id""",
+    "e12_incremental_candles" ->
+      """-- merged partial states must equal the full recompute: the oracle
+         -- IS e4's full-scan aggregate, restated over the same events.
+         SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start,
+                arg_min(value, CAST(ts AS TIMESTAMP)) AS open,
+                MAX(value) AS high, MIN(value) AS low,
+                arg_max(value, CAST(ts AS TIMESTAMP)) AS close,
+                COUNT(*) AS n_bars,
+                CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS volume_proxy
+         FROM events GROUP BY 1, 2 ORDER BY user_id, day_start""",
     "e4_ohlcv_resample" ->
       """SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start,
                 arg_min(value, CAST(ts AS TIMESTAMP)) AS open,

@@ -665,4 +665,22 @@ class DedupSpec extends SparkSuite {
     }
     assert(dists.nonEmpty && dists.forall(_ <= 16), s"hamming: ${dists.mkString(",")}")
   }
+
+  test("x17b: bloom-pruned novelty equals x17 exactly, even at a pathological fpp") {
+    import org.apache.spark.sql.functions._
+    val exact = DedupQueries.x17IncrementalNovelty(spark, sf001).collect().map(_.toSeq)
+    assert(exact.nonEmpty)
+    // default fpp: the production configuration
+    val bloomed = DedupQueries.x17bNoveltyBloom(spark, sf001).collect().map(_.toSeq)
+    assert(bloomed.toSeq == exact.toSeq, "bloom gate changed the result")
+    // fpp≈0.9 floods the hit set with false positives — every one must be
+    // rescued by the exact verification join, so the result is fpp-INVARIANT
+    val docs = graft.Tables(spark, sf001, "documents")
+      .withColumn("ws", split(col("text"), " "))
+    val flooded = DedupQueries.x17bNoveltyBloomFrom(spark,
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), 8, fpp = 0.9)
+      .collect().map(_.toSeq)
+    assert(flooded.toSeq == exact.toSeq, "false positives escaped the rescue join")
+  }
 }

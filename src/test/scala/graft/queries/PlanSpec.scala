@@ -248,6 +248,26 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("a26: the salted join is sort-merge on (key, salt) — the path the salt exists for") {
+    val sp = simplePlan(CoreQueries.a26SaltedSkewJoin(spark, sf001))
+    assert(sp.contains("SortMergeJoin"), "salted join must take the large-join path:\n" + sp)
+    assert(sp.contains("__salt"), "join keys must carry the salt column:\n" + sp)
+  }
+
+  test("c9: the sample is a bounded aggregate, not a corpus-wide window sort") {
+    val sp = simplePlan(CoreQueries.c9FixedSizeSample(spark, sf001))
+    assert(!sp.contains("Window"), "top-k sample must not plan a window:\n" + sp)
+    assert(sp.contains("ObjectHashAggregate") || sp.contains("SortAggregate"),
+      "expected the typed top-k aggregate:\n" + sp)
+  }
+
+  test("e12: state merge is aggregation only — no join back to the fact table") {
+    val sp = simplePlan(CoreQueries.e12IncrementalCandles(spark, sf001))
+    assert(!sp.contains("Join"), "MV refresh must merge states, never join facts:\n" + sp)
+    assert("HashAggregate".r.findAllIn(sp).size >= 2,
+      "expected partial+final aggregates for the state rows:\n" + sp)
+  }
+
   test("no accidental cartesian products anywhere in the surface") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sf001))

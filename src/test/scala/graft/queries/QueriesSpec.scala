@@ -508,4 +508,77 @@ class QueriesSpec extends SparkSuite {
         "vwap bounded by print range")
     }
   }
+
+  test("a26: the salted join equals the unsalted join, at more than one salt count") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables(spark, sf001, "events")
+    val stats = ev.groupBy(col("event_type"))
+      .agg((sum(col("value").cast("decimal(25,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("type_avg"))
+    val plain = ev.select(col("event_id"), col("event_type"), col("value"))
+      .join(stats, Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"), col("type_avg"),
+        (col("value") - col("type_avg")).as("deviation"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (salts <- Seq(1, 16, 31)) {
+      val salted = CoreQueries.a26SaltedSkewJoin(spark, sf001, salts).collect()
+      assert(salted.length == plain.size, s"salts=$salts row count")
+      salted.foreach { r =>
+        val p = plain(r.getLong(0))
+        assert(r.getString(1) == p.getString(1) && r.getDouble(2) == p.getDouble(2) &&
+          r.getDouble(3) == p.getDouble(3) && r.getDouble(4) == p.getDouble(4),
+          s"salts=$salts row ${r.getLong(0)} diverged")
+      }
+    }
+  }
+
+  test("a26: replication is unsound for right/full joins and rejected") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables(spark, sf001, "events").limit(10)
+    intercept[IllegalArgumentException] {
+      graft.operators.SkewJoin.saltedEquiJoin(
+        ev, ev, Seq("event_type"), col("event_id"), 4, joinType = "right_outer")
+    }
+  }
+
+  test("c9: top-k aggregate picks equal the window formulation; sizes are min(k, group)") {
+    import org.apache.spark.sql.functions._
+    val k = 7
+    val got = CoreQueries.c9FixedSizeSample(spark, sf001, k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val docs = graft.Tables(spark, sf001, "documents")
+      .select(col("lang"), col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").cast("double").as("pri"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("pri"), col("doc_id"))
+    val want = docs.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k).select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want, "top-k aggregate diverged from the window formulation")
+    val sizes = got.groupBy(_._1).view.mapValues(_.size).toMap
+    val groupN = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    groupN.foreach { case (lang, n) =>
+      assert(sizes.getOrElse(lang, 0) == math.min(k.toLong, n).toInt,
+        s"$lang sample size")
+    }
+  }
+
+  test("e12: merged partial states equal the full e4 recompute, for any batch split") {
+    import org.apache.spark.sql.functions._
+    val full = CoreQueries.e4OhlcvResample(spark, sf001).collect().map(_.toSeq)
+    // the declared parity split
+    val merged2 = CoreQueries.e12IncrementalCandles(spark, sf001).collect().map(_.toSeq)
+    assert(merged2.toSeq == full.toSeq, "parity split drifted from full recompute")
+    // a three-way split with uneven batches (mod 3) — merge must be
+    // associative over any batching, this is the MV-maintenance contract
+    val ev = graft.Tables(spark, sf001, "events")
+    val merged3 = CoreQueries.e12MergeStates(
+        CoreQueries.e12StateOf(ev.filter(col("event_id") % 3 === 0)),
+        CoreQueries.e12StateOf(ev.filter(col("event_id") % 3 === 1)),
+        CoreQueries.e12StateOf(ev.filter(col("event_id") % 3 === 2)))
+      .orderBy("user_id", "day_start").collect().map(_.toSeq)
+    assert(merged3.toSeq == full.toSeq, "three-way merge drifted from full recompute")
+  }
 }
