@@ -76,6 +76,27 @@ object StreamingIngest {
       keys: Seq[String]): DataFrame =
     events.withWatermark(tsCol, lateness).dropDuplicates(keys)
 
+  /** PK dedup with WATERMARK-BOUNDED state — the standing-ingest variant.
+    * [[dedupedWithinWatermark]]'s `dropDuplicates(keys)` keeps one state row
+    * per key FOREVER when `keys` excludes the event-time column: on a
+    * standing stream the state store grows with every key ever seen, which
+    * is the 100 TB slow death. `dropDuplicatesWithinWatermark` evicts a
+    * key's state once the watermark passes its first-seen event time +
+    * lateness, so state is bounded by keys-within-the-horizon — the
+    * overlap-refetch window is exactly the reference's re-delivery model,
+    * so suppression within it is the whole contract. Re-deliveries arriving
+    * AFTER the horizon re-emit by design (StreamingSpec pins all three
+    * behaviors); absorbing those is the keyed sink's job
+    * ([[upsertAvailableNow]]) — and the admission index's, for content
+    * identity.
+    */
+  def dedupedStateBounded(
+      events: DataFrame,
+      tsCol: String,
+      lateness: String,
+      keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(keys)
+
   /** Tumbling-window aggregation (the streaming face of CoreQueries A12):
     * per (hour, event_type) counts and sums, emitted once the watermark
     * passes the window end.

@@ -377,6 +377,54 @@ class StreamingSpec extends SparkSuite {
     assert(after2 == expected, "re-delivered tick must converge, not duplicate")
   }
 
+  test("state-bounded dedup: suppresses within the horizon, evicts state past it") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = s"$work/sb_landing"
+    val out = s"$work/sb_out"
+    val ckpt = s"$work/sb_ckpt"
+    def ts(s: String) = Timestamp.valueOf(s)
+    def stage(rows: Seq[(Long, Timestamp, Double)]): Unit =
+      rows.toDF("event_id", "ts", "value").coalesce(1)
+        .write.mode("append").parquet(dir)
+
+    stage(Seq(1L -> ts("2024-01-01 00:00:00"), 2L -> ts("2024-01-01 00:00:00"),
+      3L -> ts("2024-01-01 00:00:00"),
+      // same key, DIFFERENT event time — a (key, ts) dedup would keep both;
+      // the keyed state dedup must collapse it
+      1L -> ts("2024-01-01 00:01:00")).map { case (k, t) => (k, t, 1.0) })
+    val schema = spark.read.parquet(dir).schema
+    def tick(): Unit = {
+      val q = StreamingIngest.dedupedStateBounded(
+          StreamingIngest.readLanding(spark, dir, schema), "ts", "2 days", Seq("event_id"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.awaitTermination()
+    }
+    tick()
+    assert(spark.read.parquet(out).count() == 3, "in-batch dup must collapse")
+
+    // a month later: key 1 re-delivered INSIDE the same batch as the
+    // watermark-advancing rows — state from tick 1 is still live at batch
+    // start (watermark only advances between batches), so it's suppressed
+    stage(Seq((4L, ts("2024-02-01 00:00:00"), 1.0), (1L, ts("2024-02-01 00:00:00"), 1.0)))
+    tick()
+    val after2 = spark.read.parquet(out)
+    assert(after2.count() == 4, "within-horizon re-delivery must be suppressed")
+
+    // tick 2's close advanced the watermark past key 1's expiry (Jan 3) and
+    // evicted its state — a post-horizon re-delivery re-emits BY DESIGN
+    // (bounded state is the contract; the keyed sink absorbs the rest)
+    stage(Seq((1L, ts("2024-02-01 01:00:00"), 1.0)))
+    tick()
+    val byKey = spark.read.parquet(out).groupBy("event_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byKey(1L) == 2, s"post-horizon re-delivery must re-emit: $byKey")
+    assert(byKey(2L) == 1 && byKey(3L) == 1 && byKey(4L) == 1, byKey.toString)
+  }
+
   test("exactly-once parquet sink: marker files suppress re-applied batches") {
     import spark.implicits._
     val target = s"$work/xo_lake"
