@@ -43,7 +43,13 @@ object SkewJoin {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     require(Set("inner", "left", "left_outer").contains(joinType),
       s"build-side replication is only sound for inner/left joins, got $joinType")
-    val p = probe.withColumn(SaltCol, pmod(saltOf.cast("int"), lit(salts)))
+    // pmod BEFORE the int cast: the salt source is typically a 64-bit id,
+    // and casting it to int first overflows the moment ids pass 2³¹ — a
+    // bug invisible at test scale that the 10× replica bench caught (ids
+    // are key-offset per replica). The mod result is < salts, so the cast
+    // is always safe.
+    val p = probe.withColumn(SaltCol,
+      pmod(saltOf.cast("long"), lit(salts.toLong)).cast("int"))
     val b = build.withColumn(SaltCol,
       explode(expr(s"sequence(0, ${salts - 1})")))
     p.join(b.hint("shuffle_merge"), keys :+ SaltCol, joinType).drop(SaltCol)

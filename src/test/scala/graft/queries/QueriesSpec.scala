@@ -532,6 +532,19 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("a26: salting survives 64-bit ids past 2^31 (the 10x-replica overflow)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val probe = Seq((3000000000L, "a", 1.0), (3000000001L, "a", 2.0),
+      (7L, "b", 3.0)).toDF("id", "k", "v")
+    val build = Seq(("a", 10.0), ("b", 20.0)).toDF("k", "w")
+    val out = graft.operators.SkewJoin.saltedEquiJoin(
+        probe, build, Seq("k"), col("id"), 16)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getAs[Long]("id"), r.getAs[Double]("w"))).toSeq ==
+      Seq(7L -> 20.0, 3000000000L -> 10.0, 3000000001L -> 10.0))
+  }
+
   test("a26: replication is unsound for right/full joins and rejected") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables(spark, sf001, "events").limit(10)

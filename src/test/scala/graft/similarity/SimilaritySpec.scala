@@ -187,4 +187,35 @@ class SimilaritySpec extends SparkSuite {
       }
     }
   }
+
+  test("x8b: int8 codes are in range and quantized recall@10 holds vs the exact baseline") {
+    import org.apache.spark.sql.functions._
+    // code range: every quantized component must land in [-127, 127]
+    val dim = 64
+    val e = graft.Tables(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val stats = e.agg(
+      array((1 to dim).map(i => max(abs(expr(s"element_at(v, $i)")))): _*).as("scales"))
+    val outOfRange = e.crossJoin(broadcast(stats))
+      .select(explode(expr(
+        s"""transform(sequence(1, $dim), i ->
+              coalesce(CAST(floor(element_at(v, i) /
+                nullif(element_at(scales, i), CAST(0.0 AS DOUBLE)) * 127.0)
+                AS BIGINT),
+              CAST(0 AS BIGINT)))""")).as("c"))
+      .filter(col("c") < -127 || col("c") > 127).count()
+    assert(outOfRange == 0, "quantized code escaped [-127,127]")
+
+    // recall@10: the quantized ranking must retain most of the exact top-10
+    val exact = SimilarityQueries.x6AnnBruteForce(spark, sf001, 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val sq8 = SimilarityQueries.x8bAnnSq8(spark, sf001, 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(sq8.keySet == exact.keySet)
+    val recalls = exact.map { case (qid, nn) =>
+      nn.intersect(sq8(qid)).size.toDouble / nn.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, f"mean recall@10 $mean%.2f below the sq8 quality floor")
+  }
 }
