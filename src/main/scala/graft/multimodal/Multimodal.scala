@@ -30,8 +30,10 @@ final case class AudioHeader(
   * decoder for the header layer — PNG signature + IHDR big-endian fields
   * (PNG spec §5.2/§11.2.2), JPEG marker scan to a start-of-frame segment
   * (ISO/IEC 10918-1 §B.2.2 — segments are skipped by their declared lengths,
-  * so arbitrary APPn/COM segments between SOI and SOFn are handled), and the
-  * GIF89a little-endian logical screen descriptor (GIF89a spec §18). Only
+  * so arbitrary APPn/COM segments between SOI and SOFn are handled), the
+  * GIF89a little-endian logical screen descriptor (GIF89a spec §18), and
+  * the TIFF 6.0 IFD walk in the file's self-declared byte order ("II"/"MM",
+  * TIFF 6.0 §2 — the one container whose endianness flips at runtime). Only
   * pixel decode (the part that genuinely needs a codec library) is out of
   * scope; swapping in javacv et al. would extend, not replace, this path.
   *
@@ -54,6 +56,8 @@ object Multimodal {
     def be32(i: Int): Long =
       (u(i).toLong << 24) | (u(i + 1).toLong << 16) | (u(i + 2).toLong << 8) | u(i + 3).toLong
     def le16(i: Int): Long = (u(i) | (u(i + 1) << 8)).toLong
+    def le32(i: Int): Long =
+      u(i).toLong | (u(i + 1).toLong << 8) | (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
     val unknown = MediaHeader(docId, n.toLong, "unknown", 0L, 0L, 0L)
 
     val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
@@ -62,6 +66,12 @@ object Multimodal {
     val isGif = n >= 13 && u(0) == 'G' && u(1) == 'I' && u(2) == 'F' &&
       u(3) == '8' && (u(4) == '7' || u(4) == '9') && u(5) == 'a'
     val isJpeg = n >= 4 && u(0) == 0xff && u(1) == 0xd8
+    // TIFF 6.0 §2: "II" (little-endian) or "MM" (big-endian) byte-order
+    // mark, then 42 IN THAT BYTE ORDER — the one mainstream container whose
+    // endianness is decided at runtime per file, not by the spec.
+    val isTiff = n >= 8 &&
+      ((u(0) == 'I' && u(1) == 'I' && u(2) == 0x2a && u(3) == 0x00) ||
+        (u(0) == 'M' && u(1) == 'M' && u(2) == 0x00 && u(3) == 0x2a))
 
     if (isPng) {
       // IHDR is mandated first: width/height BE32 at 16/20, colour type at 25
@@ -100,6 +110,49 @@ object Multimodal {
         }
       }
       if (out != null) out else unknown
+    } else if (isTiff) {
+      // IFD walk (TIFF 6.0 §2): u32 IFD offset at 4, then `count(u16)` +
+      // count × 12-byte entries of `tag(u16) type(u16) count(u32)
+      // value(u32)`. SHORT (type 3) values sit left-justified inside the
+      // value field in the FILE's byte order; LONG (type 4) fills it. The
+      // walker reads every entry and keeps ImageWidth(256) /
+      // ImageLength(257) / SamplesPerPixel(277), skipping whatever else the
+      // writer interleaved (sorted-tag order means unrelated tags like Make
+      // land BETWEEN the wanted ones — positional slicing is not an option
+      // here, which is exactly what the oracle's independent fixed-layout
+      // slice verifies against).
+      val le = u(0) == 'I'
+      def t16(i: Int): Long = if (le) le16(i) else be16(i)
+      def t32(i: Int): Long = if (le) le32(i) else be32(i)
+      val ifd = t32(4)
+      if (ifd < 8 || ifd + 2 > n) unknown
+      else {
+        val base = ifd.toInt
+        val cnt = t16(base).toInt
+        if (base + 2 + 12 * cnt > n) unknown
+        else {
+          var w = 0L
+          var h = 0L
+          var spp = 1L // SamplesPerPixel defaults to 1 (TIFF 6.0, tag 277)
+          var e = 0
+          while (e < cnt) {
+            val o = base + 2 + 12 * e
+            val v: Long = t16(o + 2) match {
+              case 3 => t16(o + 8)
+              case 4 => t32(o + 8)
+              case _ => -1L
+            }
+            if (v >= 0) t16(o) match {
+              case 256 => w = v
+              case 257 => h = v
+              case 277 => spp = v
+              case _ => ()
+            }
+            e += 1
+          }
+          MediaHeader(docId, n.toLong, if (le) "tiff_le" else "tiff_be", w, h, spp)
+        }
+      }
     } else unknown
   }
 

@@ -290,6 +290,13 @@ object MultimodalQueries {
       s"lpad(hex(($shifted) % 256), 2, '0')"
     }.mkString("concat(", ", ", ")")
 
+  /** Big-endian twin of [[leHex]]: most-significant byte first. */
+  private def beHex(e: String, nBytes: Int, idiv: String): String =
+    (nBytes - 1 to 0 by -1).map { i =>
+      val shifted = if (i == 0) s"($e)" else s"(($e) $idiv ${1L << (8 * i)})"
+      s"lpad(hex(($shifted) % 256), 2, '0')"
+    }.mkString("concat(", ", ", ")")
+
   /** Spec-correct RIFF/WAVE header hex over columns (ch, sr, bits,
     * has_list, dlen): `RIFF <size> WAVE`, an optional 20-byte LIST/INFO
     * chunk BEFORE `fmt ` (so a decoder must walk the chunk chain, not
@@ -311,6 +318,30 @@ object MultimodalQueries {
        ${le32(s"(sr * ch * bits) $idiv 8")}, ${le16(s"(ch * bits) $idiv 8")},
        ${le16("bits")},
        '64617461', ${le32("dlen")})"""
+  }
+
+  /** Spec-correct TIFF 6.0 header hex over columns (is_le, w, h, spp):
+    * byte-order mark + magic 42 + IFD-offset-8 preamble, then one IFD of
+    * four sorted-tag entries — ImageWidth(0x0100, SHORT), ImageLength
+    * (0x0101, SHORT), Make(0x010F, ASCII ×4 inline — an entry the decoder
+    * must SKIP, sitting between the wanted tags), SamplesPerPixel(0x0115,
+    * SHORT) — and a zero next-IFD pointer. Every multi-byte field is
+    * emitted in the file's OWN byte order, so half the corpus exercises
+    * the little-endian path and half the big-endian one. Fixed-tag entry
+    * prefixes are precomputed hex literals per endianness; only the SHORT
+    * values go through [[leHex]]/[[beHex]].
+    */
+  private[graft] def tiffHeaderHex(idiv: String): String = {
+    def o16(e: String) =
+      s"IF(is_le, ${leHex(e, 2, idiv)}, ${beHex(e, 2, idiv)})"
+    s"""concat(
+       IF(is_le, '49492A0008000000', '4D4D002A00000008'),
+       IF(is_le, '0400', '0004'),
+       IF(is_le, '0001030001000000', '0100000300000001'), ${o16("w")}, '0000',
+       IF(is_le, '0101030001000000', '0101000300000001'), ${o16("h")}, '0000',
+       IF(is_le, '0F01020004000000', '010F000200000004'), '47524654',
+       IF(is_le, '1501030001000000', '0115000300000001'), ${o16("spp")}, '0000',
+       '00000000')"""
   }
 
   /** M10 — audio-container metadata decode: each text blob is framed in a
@@ -337,6 +368,32 @@ object MultimodalQueries {
     val blobs = base.select(col("doc_id"),
       expr(s"concat(unhex(${wavHeaderHex("div")}), CAST(text AS BINARY))").as("blob"))
     Multimodal.decodeAudioMeta(blobs).toDF().orderBy("doc_id")
+  }
+
+  /** M11 — TIFF metadata decode: the endianness-switched container. PNG is
+    * big-endian by spec, GIF and WAVE little-endian by spec — TIFF alone
+    * declares its byte order per FILE ("II"/"MM", TIFF 6.0 §2), so a
+    * decoder needs one code path whose field reads flip at runtime. Half
+    * the corpus is framed little-endian and half big-endian
+    * ([[tiffHeaderHex]]), each with a 4-entry IFD whose sorted-tag order
+    * puts an irrelevant Make entry BETWEEN the wanted tags, and
+    * [[Multimodal.parseHeader]] walks the IFD in the declared byte order.
+    * The oracle rebuilds the same blobs and slices width/height/spp at the
+    * offsets the fixed layout determines, flipping byte significance on
+    * `is_le` — agreement proves the sniff, the runtime endianness switch,
+    * and the entry walk end-to-end. Scale: m3's contract (narrow codegen
+    * header build, ≤ 62-byte reads, embarrassingly parallel).
+    */
+  def m11TiffMeta(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").selectExpr(
+      "doc_id", "text",
+      "doc_id % 2 = 0 AS is_le",
+      "16 + doc_id % 1000 AS w",
+      "16 + (doc_id div 7) % 800 AS h",
+      "element_at(array(1, 3, 4), CAST((doc_id div 3) % 3 AS INT) + 1) AS spp")
+    val blobs = base.select(col("doc_id"),
+      expr(s"concat(unhex(${tiffHeaderHex("div")}), CAST(text AS BINARY))").as("blob"))
+    Multimodal.decodeMeta(blobs).toDF().orderBy("doc_id")
   }
 
   /** M8 — per-blob byte-distribution diversity (Gini–Simpson over the byte
@@ -428,9 +485,52 @@ object MultimodalQueries {
     "m5_perceptual_neardup" -> (m5PerceptualNearDup(_, _, 4)),
     "m6_chunk_dedup" -> (m6ChunkDedup _),
     "m7_cdc_chunk_dedup" -> (m7CdcChunkDedup _),
-    "m10_wav_meta" -> (m10WavMeta _))
+    "m10_wav_meta" -> (m10WavMeta _),
+    "m11_tiff_meta" -> (m11TiffMeta _))
 
   val oracles: Map[String, String] = Map(
+    "m11_tiff_meta" ->
+      // Rebuilds the exact TIFF blobs (same recipe as tiffHeaderHex with
+      // DuckDB's `//` integral division) and reads width/height/spp by
+      // INDEPENDENT byte slicing at the offsets the fixed 4-entry layout
+      // determines (value fields at bytes 18/30/54), flipping byte
+      // significance on is_le — the Spark side WALKS the IFD in the
+      // declared byte order, so agreement verifies sniff + runtime
+      // endianness switch + entry walk end-to-end.
+      s"""WITH base AS (
+           SELECT doc_id, text, doc_id % 2 = 0 AS is_le,
+                  16 + doc_id % 1000 AS w,
+                  16 + (doc_id // 7) % 800 AS h,
+                  ([1, 3, 4])[CAST((doc_id // 3) % 3 AS INT) + 1] AS spp
+           FROM documents),
+         blobs AS (
+           SELECT doc_id, is_le,
+                  ${tiffHeaderHex("//")} || hex(encode(text)) AS h
+           FROM base)
+         SELECT doc_id,
+                CAST(length(h) // 2 AS BIGINT) AS n_bytes,
+                CASE WHEN substr(h, 1, 8) = '49492A00' THEN 'tiff_le'
+                     WHEN substr(h, 1, 8) = '4D4D002A' THEN 'tiff_be'
+                     ELSE 'unknown' END AS format,
+                CAST(IF(is_le,
+                        CAST('0x' || substr(h, 37, 2) AS BIGINT)
+                          + 256 * CAST('0x' || substr(h, 39, 2) AS BIGINT),
+                        256 * CAST('0x' || substr(h, 37, 2) AS BIGINT)
+                          + CAST('0x' || substr(h, 39, 2) AS BIGINT))
+                     AS BIGINT) AS width,
+                CAST(IF(is_le,
+                        CAST('0x' || substr(h, 61, 2) AS BIGINT)
+                          + 256 * CAST('0x' || substr(h, 63, 2) AS BIGINT),
+                        256 * CAST('0x' || substr(h, 61, 2) AS BIGINT)
+                          + CAST('0x' || substr(h, 63, 2) AS BIGINT))
+                     AS BIGINT) AS height,
+                CAST(IF(is_le,
+                        CAST('0x' || substr(h, 109, 2) AS BIGINT)
+                          + 256 * CAST('0x' || substr(h, 111, 2) AS BIGINT),
+                        256 * CAST('0x' || substr(h, 109, 2) AS BIGINT)
+                          + CAST('0x' || substr(h, 111, 2) AS BIGINT))
+                     AS BIGINT) AS channels
+         FROM blobs ORDER BY doc_id""",
     "m10_wav_meta" ->
       // Rebuilds the exact WAVE blobs (same recipe as wavHeaderHex, with
       // DuckDB's `//` integral division) and reads the fmt fields by

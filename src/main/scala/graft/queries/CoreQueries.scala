@@ -544,6 +544,30 @@ object CoreQueries {
         col("sum_qty"), col("n"))
       .orderBy("returnflag", "linestatus")
 
+  /** A10c: explicit GROUPING SETS — the arbitrary-set generalization that
+    * rollup (prefix sets) and cube (all 2ⁿ sets) special-case. The declared
+    * sets are the two singles plus the pair but NOT the grand total — a
+    * combination neither rollup nor cube can state — and Spark still plans
+    * it as ONE Expand-based pass over the scan (each input row fans out
+    * once per set; no per-set re-scan), the same execution shape a10/a10b
+    * pin. Null-vs-grouped ambiguity is resolved with `grouping_id()`
+    * (bit-vector semantics shared by Spark and DuckDB's GROUPING), not
+    * COALESCE alone, so a literal null key could not alias an "ALL" row.
+    */
+  def a10cGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")),
+          Seq(col("l_returnflag"), col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("gid", "returnflag", "linestatus")
+
   /** A11: set ops over key sets (EXCEPT = distinct anti-union). */
   def a11SetOps(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
@@ -1208,6 +1232,44 @@ object CoreQueries {
       .orderBy("lang", "doc_id")
   }
 
+  /** C10 — weighted corpus sample without replacement by PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup, JACM 2007): each document gets priority
+    * `q = w / u` for weight `w = n_chars + 1` and a deterministic uniform
+    * `u ∈ (0, 1]`, and the sample is the top-k by priority. Longer
+    * documents are proportionally more likely to be picked, the scheme is
+    * without-replacement, and the threshold (the (k+1)-th priority) yields
+    * unbiased subset-sum estimators — the standard way to downsample a
+    * weighted corpus while keeping token-mass estimates honest.
+    *
+    * Why priority sampling and not Efraimidis–Spirakis `u^(1/w)`: the E–S
+    * key needs `pow`/`log`, and libm transcendentals are NOT guaranteed
+    * bit-identical between the JVM and DuckDB — a last-ulp disagreement at
+    * the k-th boundary would flip the pick and break the hash gate. `w/u`
+    * is one IEEE division of two bit-identical doubles, so the priority —
+    * and therefore the selected set — is reproducible across engines by
+    * construction. `u` derives from the same md5→60-bit-integer scheme c9
+    * uses (both engines round the >2⁵³ integer to double with the same
+    * nearest-even rule), shifted by +1 so u > 0.
+    *
+    * The 100 TB shape is c9's: the mergeable [[graft.functions.TopKAggregator]]
+    * keeps ≤ k candidates inside each map task, so the single global group
+    * receives partitions×k rows — the window formulation (what the oracle
+    * states, and QueriesSpec proves equivalent in-engine) must globally
+    * sort every scored row.
+    */
+  def c10WeightedSample(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val topk = graft.functions.TopKAggregator.topK(k)
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") + lit(1L)).cast("double") / lit(math.pow(2, 60))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        ((col("n_chars") + lit(1L)).cast("double") / u).as("priority"))
+      .agg(topk(col("doc_id"), col("priority")).as("picks"))
+      .select(explode(col("picks")).as("p"))
+      .select(col("p.id").as("doc_id"), round(col("p.score"), 4).as("priority"))
+      .orderBy("doc_id")
+  }
+
   /** E12 — incremental candle refresh (materialized-view maintenance): the
     * e4 daily OHLCV aggregate maintained from per-batch PARTIAL states
     * instead of a full rescan. [[e12StateOf]] reduces a batch to one
@@ -1403,6 +1465,7 @@ object CoreQueries {
     "a9_distinct" -> (a9Distinct _),
     "a9b_approx_distinct" -> (a9bApproxDistinct _),
     "a10_rollup" -> (a10Rollup _),
+    "a10c_grouping_sets" -> (a10cGroupingSets _),
     "a11_setops" -> (a11SetOps _),
     "a12_tumbling_window" -> (a12TumblingWindow _),
     "a12b_sliding_window" -> (a12bSlidingWindow _),
@@ -1425,6 +1488,7 @@ object CoreQueries {
     "c8_curriculum_bins" -> ((s: SparkSession, d: String) => c8CurriculumBins(s, d)),
     "a26_salted_skew_join" -> ((s: SparkSession, d: String) => a26SaltedSkewJoin(s, d)),
     "c9_fixed_size_sample" -> ((s: SparkSession, d: String) => c9FixedSizeSample(s, d)),
+    "c10_weighted_sample" -> ((s: SparkSession, d: String) => c10WeightedSample(s, d)),
     "e12_incremental_candles" -> (e12IncrementalCandles _))
 
   /** DuckDB oracle SQL, aligned column-for-column with the Spark plans. */
@@ -1468,6 +1532,20 @@ object CoreQueries {
                     doc_id) AS rn
            FROM documents)
          WHERE rn <= 25 ORDER BY lang, doc_id""",
+    "c10_weighted_sample" ->
+      """-- priority sampling (Duffield–Lund–Thorup): top-k by q = w/u.
+         -- Same parenthesization as the Spark plan — q is one IEEE division
+         -- of bit-identical doubles, so the selected set cannot diverge.
+         SELECT doc_id, round(priority, 4) AS priority FROM (
+           SELECT doc_id, priority,
+                  row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+           FROM (SELECT doc_id,
+                        CAST(n_chars + 1 AS DOUBLE) /
+                          (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                     AS BIGINT) + 1 AS DOUBLE)
+                           / 1152921504606846976.0) AS priority
+                 FROM documents))
+         WHERE rn <= 50 ORDER BY doc_id""",
     "e12_incremental_candles" ->
       """-- merged partial states must equal the full recompute: the oracle
          -- IS e4's full-scan aggregate, restated over the same events.
@@ -1903,6 +1981,18 @@ object CoreQueries {
                 COUNT(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY returnflag, linestatus""",
+    "a10c_grouping_sets" ->
+      """-- DuckDB's GROUPING() carries the same bit-vector semantics as
+         -- Spark's grouping_id() over the same column order.
+         SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                COALESCE(l_returnflag, 'ALL') AS returnflag,
+                COALESCE(l_linestatus, 'ALL') AS linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+                COUNT(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                 (l_returnflag, l_linestatus))
+         ORDER BY gid, returnflag, linestatus""",
     "a11_setops" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
          EXCEPT

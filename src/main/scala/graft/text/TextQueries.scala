@@ -516,7 +516,51 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** T18 — token-frequency concentration per language: the Gini coefficient
+    * over each language's term-frequency distribution, the single-number
+    * "is this corpus slice a few templates stamped out, or genuinely
+    * diverse text?" telemetry (a healthy natural-language slice sits high —
+    * Zipfian mass concentrated in few types; boilerplate/templated slices
+    * collapse toward equal counts and score low). Computed from the sorted
+    * form `G = 2·Σᵢ i·cᵢ / (V·Σc) − (V+1)/V` with ranks assigned ascending
+    * by (count, term): the rank mass Σ i·cᵢ is integer-exact in
+    * DECIMAL(38,0), both engines assign identical ranks (term tiebreak),
+    * and the only floating arithmetic is the identically-associated final
+    * expression — the same no-transcendentals discipline as T10/T13/m8
+    * (a log-based Zipf-slope fit would NOT be cross-engine bit-stable).
+    *
+    * Scale shape: the corpus pass is one map-side-combined (lang, term)
+    * count — vocab-sized output, not corpus-sized; the rank window
+    * partitions by language over that vocab table; the final aggregate is
+    * #langs rows. Nothing downstream of the first aggregate touches
+    * corpus-cardinality data.
+    */
+  def t18TokenGini(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val byCount = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("c"), col("term"))
+    counts
+      .withColumn("rk", row_number().over(byCount))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(col("rk").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .as("rank_mass"))
+      .select(col("lang"), col("n_types"), col("n_tokens"),
+        round(
+          (lit(2.0) * col("rank_mass").cast("double"))
+            / (col("n_types").cast("double") * col("n_tokens").cast("double"))
+            - (col("n_types").cast("double") + lit(1.0))
+              / col("n_types").cast("double"), 4).as("gini"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_token_gini" -> (t18TokenGini _),
     "t17_pattern_scan" -> (t17PatternScan _),
     "t15_heavy_hitters" -> ((s: SparkSession, d: String) => t15HeavyHitters(s, d)),
     "t16_hapax_stats" -> (t16HapaxStats _),
@@ -536,6 +580,28 @@ object TextQueries {
     "t8_tfidf" -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "t18_token_gini" ->
+      """-- HUGEINT rank mass mirrors the Spark plan's DECIMAL(38,0)
+         -- accumulator; the final double expression is associated
+         -- identically to the Spark side so every IEEE op matches.
+         WITH counts AS (
+           SELECT lang, term, COUNT(*) AS c
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+                 FROM documents)
+           GROUP BY lang, term),
+         ranked AS (
+           SELECT lang, c,
+                  row_number() OVER (PARTITION BY lang ORDER BY c, term) AS rk
+           FROM counts)
+         SELECT lang,
+                COUNT(*) AS n_types,
+                CAST(SUM(c) AS BIGINT) AS n_tokens,
+                round(
+                  (2.0 * CAST(SUM(CAST(rk AS HUGEINT) * c) AS DOUBLE))
+                    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+                  - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE),
+                  4) AS gini
+         FROM ranked GROUP BY lang ORDER BY lang""",
     "t17_pattern_scan" ->
       // Same framing recipe, independent regex engine (RE2): counts come
       // from len(regexp_extract_all(...)) instead of regexp_count.

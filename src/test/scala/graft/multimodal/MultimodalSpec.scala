@@ -117,6 +117,51 @@ class MultimodalSpec extends SparkSuite {
       hx("FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 00 00")).format == "unknown")
   }
 
+  test("m11 golden values: TIFF IFD walk in both byte orders; corrupt blobs degrade") {
+    def num(v: Long, n: Int, le: Boolean): Array[Byte] = {
+      val bs = (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte)
+      (if (le) bs else bs.reverse).toArray
+    }
+    def entry(tag: Int, typ: Int, cnt: Long, valueField: Array[Byte], le: Boolean): Array[Byte] =
+      num(tag, 2, le) ++ num(typ, 2, le) ++ num(cnt, 4, le) ++ valueField
+    def short(v: Long, le: Boolean): Array[Byte] = num(v, 2, le) ++ Array[Byte](0, 0)
+    def tiff(w: Long, h: Long, spp: Long, le: Boolean): Array[Byte] = {
+      val mark: Array[Byte] = if (le) Array('I', 'I', 0x2a, 0x00).map(_.toByte)
+        else Array('M', 'M', 0x00, 0x2a).map(_.toByte)
+      mark ++ num(8, 4, le) ++ num(4, 2, le) ++
+        entry(0x0100, 3, 1, short(w, le), le) ++
+        entry(0x0101, 3, 1, short(h, le), le) ++
+        entry(0x010f, 2, 4, "GRFT".getBytes("US-ASCII"), le) ++ // must be skipped
+        entry(0x0115, 3, 1, short(spp, le), le) ++
+        num(0, 4, le)
+    }
+    val lit = tiff(640, 480, 3, le = true)
+    assert(Multimodal.parseHeader(1L, lit) ==
+      MediaHeader(1L, lit.length.toLong, "tiff_le", 640L, 480L, 3L))
+    val big = tiff(1024, 768, 4, le = false)
+    assert(Multimodal.parseHeader(2L, big) ==
+      MediaHeader(2L, big.length.toLong, "tiff_be", 1024L, 768L, 4L))
+    // LONG-typed (type 4) dimension entries read the full value field
+    val longDims: Array[Byte] =
+      Array('I', 'I', 0x2a, 0x00).map(_.toByte) ++ num(8, 4, le = true) ++
+        num(2, 2, le = true) ++
+        entry(0x0100, 4, 1, num(70000, 4, le = true), le = true) ++
+        entry(0x0101, 4, 1, num(90000, 4, le = true), le = true) ++
+        num(0, 4, le = true)
+    val ld = Multimodal.parseHeader(3L, longDims)
+    assert(ld.width == 70000L && ld.height == 90000L &&
+      ld.channels == 1L, "LONG dims + default SamplesPerPixel") // spec default
+    // degradation contract: wrong magic, truncated IFD, IFD past the blob
+    assert(Multimodal.parseHeader(4L, Array('I', 'I', 0x2b, 0x00).map(_.toByte)
+      ++ num(8, 4, le = true)).format == "unknown")
+    assert(Multimodal.parseHeader(5L, lit.take(9)).format == "unknown")
+    assert(Multimodal.parseHeader(6L, Array('M', 'M', 0x00, 0x2a).map(_.toByte)
+      ++ num(4096, 4, le = false)).format == "unknown")
+    // entry table declared longer than the blob
+    assert(Multimodal.parseHeader(7L, Array('I', 'I', 0x2a, 0x00).map(_.toByte)
+      ++ num(8, 4, le = true) ++ num(40, 2, le = true)).format == "unknown")
+  }
+
   test("m10 golden values: WAV chunk walk finds fmt behind a LIST chunk; corrupt blobs degrade") {
     def le(v: Long, n: Int): Array[Byte] =
       (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray

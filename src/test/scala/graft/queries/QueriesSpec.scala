@@ -578,6 +578,35 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("c10: priority-sample picks equal the window formulation; weights bias the pick") {
+    import org.apache.spark.sql.functions._
+    for (k <- Seq(5, 50)) {
+      val got = CoreQueries.c10WeightedSample(spark, sf001, k).collect()
+        .map(_.getLong(0)).toSet
+      val docs = graft.Tables(spark, sf001, "documents")
+        .select(col("doc_id"),
+          ((col("n_chars") + lit(1L)).cast("double") /
+            ((conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+              .cast("long") + lit(1L)).cast("double") / lit(math.pow(2, 60))))
+            .as("pri"))
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pri").desc, col("doc_id"))
+      val want = docs.withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= k).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"k=$k: aggregate picks diverged from the window formulation")
+      assert(got.size == math.min(k, docs.count()).toInt, s"k=$k sample size")
+    }
+    // Weighted-ness sanity: the sample's mean weight must exceed the corpus
+    // mean (longer docs have proportionally larger inclusion probability).
+    val docs = graft.Tables(spark, sf001, "documents")
+    val picked = CoreQueries.c10WeightedSample(spark, sf001, 50)
+      .select("doc_id").join(docs, "doc_id")
+    val meanAll = docs.agg(avg("n_chars")).head().getDouble(0)
+    val meanPicked = picked.agg(avg("n_chars")).head().getDouble(0)
+    assert(meanPicked > meanAll,
+      f"weighted sample mean $meanPicked%.1f not above corpus mean $meanAll%.1f")
+  }
+
   test("e12: merged partial states equal the full e4 recompute, for any batch split") {
     import org.apache.spark.sql.functions._
     val full = CoreQueries.e4OhlcvResample(spark, sf001).collect().map(_.toSeq)
