@@ -261,6 +261,32 @@ class PlanSpec extends SparkSuite {
       "expected the typed top-k aggregate:\n" + sp)
   }
 
+  test("c10: the weighted sample is a bounded aggregate, not a global window sort") {
+    val sp = simplePlan(CoreQueries.c10WeightedSample(spark, sf001))
+    assert(!sp.contains("Window"), "priority sample must not plan a window:\n" + sp)
+    assert(sp.contains("ObjectHashAggregate") || sp.contains("SortAggregate"),
+      "expected the typed top-k aggregate:\n" + sp)
+  }
+
+  test("a10c: grouping sets plan ONE Expand pass over the scan, no per-set re-scan") {
+    val sp = simplePlan(CoreQueries.a10cGroupingSets(spark, sf001))
+    assert("Expand".r.findAllIn(sp).size == 1,
+      "expected exactly one Expand for all grouping sets:\n" + sp)
+    assert("FileScan".r.findAllIn(sp).size <= 1,
+      "grouping sets must not re-scan per set:\n" + sp)
+  }
+
+  test("t18: rank window partitions the vocab table, never the corpus rows") {
+    val sp = simplePlan(graft.text.TextQueries.t18TokenGini(spark, sf001))
+    // the Window must sit ABOVE the (lang, term) count aggregate: partial +
+    // final count aggregates appear below it in the plan, so the windowed
+    // input is vocab-sized
+    val wi = sp.indexOf("Window")
+    assert(wi >= 0, "expected the rank window:\n" + sp)
+    assert("HashAggregate".r.findAllIn(sp.substring(wi)).size >= 2,
+      "expected the vocab count aggregate BELOW the window:\n" + sp)
+  }
+
   test("e12: state merge is aggregation only — no join back to the fact table") {
     val sp = simplePlan(CoreQueries.e12IncrementalCandles(spark, sf001))
     assert(!sp.contains("Join"), "MV refresh must merge states, never join facts:\n" + sp)
