@@ -442,7 +442,7 @@ object Upsert {
   /** Hadoop FileSystem.rename reports failure by returning false — silent
     * acceptance would let a failed swap drop a batch's data.
     */
-  private def renameOrThrow(
+  private[graft] def renameOrThrow(
       fs: org.apache.hadoop.fs.FileSystem, src: Path, dst: Path): Unit =
     if (!fs.rename(src, dst))
       throw new java.io.IOException(s"rename failed: $src -> $dst")

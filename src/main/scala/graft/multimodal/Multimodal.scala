@@ -21,6 +21,15 @@ final case class AudioHeader(
     sample_rate: Long,
     bits_per_sample: Long)
 
+/** Typed metadata produced by the video-container decoder (ISO BMFF / MP4). */
+final case class VideoHeader(
+    doc_id: Long,
+    n_bytes: Long,
+    format: String,
+    version: Long,
+    timescale: Long,
+    duration: Long)
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded per partition.
   *
@@ -188,6 +197,81 @@ object Multimodal {
       }
       if (out != null) out else unknown
     }
+  }
+
+  /** Parse an ISO BMFF (MP4) container header: a WALK over the top-level
+    * box chain — each box is `size(BE32) + type(4)`, where size == 1 means
+    * a 64-bit extended size follows the type and size == 0 means the box
+    * runs to EOF (ISO/IEC 14496-12 §4.2) — to the `moov` box, then a
+    * nested walk over moov's children to `mvhd`, whose VERSION byte picks
+    * the field widths (§8.2.2: v0 = 32-bit times, v1 = 64-bit): timescale
+    * is BE32 in both, duration BE32 (v0) or BE64 (v1), each after
+    * version-dependent creation/modification times. Three decode
+    * capabilities the image/audio lanes never exercised together: nesting,
+    * extended sizes, and version-switched layouts. Truncated, non-BMFF, or
+    * mvhd-less blobs degrade to `("unknown", 0, 0, 0)` — the same
+    * never-throw contract as [[parseHeader]].
+    */
+  def parseMp4Header(docId: Long, bytes: Array[Byte]): VideoHeader = {
+    val n = bytes.length
+    def u(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      (u(i).toLong << 24) | (u(i + 1).toLong << 16) | (u(i + 2).toLong << 8) | u(i + 3).toLong
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int, s: String): Boolean = s.indices.forall(k => u(i + k) == s.charAt(k))
+    val unknown = VideoHeader(docId, n.toLong, "unknown", 0L, 0L, 0L)
+    // ISO BMFF has no magic — the convention (and every real mp4) is an
+    // ftyp box first; require it so arbitrary bytes don't sniff as video.
+    if (n < 16 || !tag(4, "ftyp")) unknown
+    else {
+      // (start of box body, one-past-end) for the box chain in [from, to)
+      // whose type matches, walking sizes incl. the ==1/==0 special cases
+      def findBox(from: Int, to: Int, typ: String): Option[(Int, Int)] = {
+        var i = from
+        while (i + 8 <= to) {
+          val size = be32(i)
+          val (body, end) =
+            if (size == 1) {
+              if (i + 16 > to) return None
+              val ext = be64(i + 8)
+              if (ext < 16 || ext > (to - i).toLong) return None
+              (i + 16, i + ext.toInt)
+            } else if (size == 0) (i + 8, to) // runs to EOF
+            else {
+              if (size < 8 || size > (to - i).toLong) return None
+              (i + 8, i + size.toInt)
+            }
+          if (tag(i + 4, typ)) return Some((body, end))
+          if (end <= i) return None // corrupt size: no forward progress
+          i = end
+        }
+        None
+      }
+      (for {
+        (moovBody, moovEnd) <- findBox(0, n, "moov")
+        (mvhd, mvhdEnd) <- findBox(moovBody, moovEnd, "mvhd")
+      } yield {
+        val v = if (mvhd < mvhdEnd) u(mvhd) else -1
+        // body: version(1) flags(3), then ctime/mtime (4+4 or 8+8),
+        // timescale BE32, duration BE32 (v0) / BE64 (v1)
+        if (v == 0 && mvhd + 20 <= mvhdEnd)
+          VideoHeader(docId, n.toLong, "mp4", 0L, be32(mvhd + 12), be32(mvhd + 16))
+        else if (v == 1 && mvhd + 32 <= mvhdEnd)
+          VideoHeader(docId, n.toLong, "mp4", 1L, be32(mvhd + 20), be64(mvhd + 24))
+        else unknown
+      }).getOrElse(unknown)
+    }
+  }
+
+  /** Decode a (doc_id, blob) DataFrame of MP4 containers into typed video
+    * metadata — same per-partition batching contract as [[decodeMeta]].
+    */
+  def decodeVideoMeta(blobs: DataFrame): Dataset[VideoHeader] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => parseMp4Header(id, bytes) })
   }
 
   /** Decode a (doc_id, blob) DataFrame of WAVE containers into typed audio

@@ -370,6 +370,59 @@ object MultimodalQueries {
     Multimodal.decodeAudioMeta(blobs).toDF().orderBy("doc_id")
   }
 
+  /** Spec-correct-layout ISO BMFF header hex over columns (v1, ts, dur):
+    * `ftyp` (isom + compat brands), a top-level `free` box the outer walk
+    * must skip, `moov` containing a `udta` box the NESTED walk must skip
+    * and then a minimal `mvhd` carrying version/flags + times + timescale +
+    * duration (v0 = 32-bit fields, v1 = 64-bit times and duration — §8.2.2
+    * field widths), then a size-0 (to-EOF) `mdat` holding the payload.
+    * Box sizes are self-declared, so the minimal mvhd (fields through
+    * duration) walks exactly like a full 108/120-byte one.
+    */
+  private[graft] def mp4HeaderHex(idiv: String): String = {
+    def be32(e: String) = beHex(e, 4, idiv)
+    def be64(e: String) = beHex(e, 8, idiv)
+    s"""concat(
+       '0000001866747970', '69736F6D', '00000000', '69736F6D', '6D703432',
+       '0000001066726565', '4752414654454E47',
+       IF(v1, '00000040', '00000034'), '6D6F6F76',
+       '0000001075647461', '4752414654454E47',
+       IF(v1,
+          concat('000000286D766864', '01000000',
+                 '0000000000000000', '0000000000000000',
+                 ${be32("ts")}, ${be64("dur")}),
+          concat('0000001C6D766864', '00000000',
+                 '00000000', '00000000',
+                 ${be32("ts")}, ${be32("dur")})),
+       '000000006D646174')"""
+  }
+
+  /** M12 — MP4/ISO-BMFF metadata decode, the video lane of the container
+    * family (images m3/m11, audio m10, video m12). BMFF brings the three
+    * decode capabilities the other lanes never combine: NESTED boxes (mvhd
+    * lives inside moov — the walk recurses one level), EXTENDED sizes
+    * (size == 1 → 64-bit size follows; size == 0 → box runs to EOF), and
+    * VERSION-SWITCHED field widths (mvhd v0 = 32-bit times/duration, v1 =
+    * 64-bit — half the framed corpus each). The walker must also skip a
+    * top-level `free` box and an in-moov `udta` box to reach the payload
+    * fields. Oracle rebuilds the blobs and slices timescale/duration at
+    * the version-determined offsets — agreement proves outer walk, nested
+    * walk, and both version layouts end-to-end. Scale: m3's contract
+    * (narrow codegen header build, header-bounded reads, embarrassingly
+    * parallel per partition).
+    */
+  def m12Mp4Meta(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").selectExpr(
+      "doc_id", "text",
+      "doc_id % 2 = 1 AS v1",
+      "element_at(array(600, 1000, 90000, 44100), CAST((doc_id div 2) % 4 AS INT) + 1) AS ts",
+      "element_at(array(600, 1000, 90000, 44100), CAST((doc_id div 2) % 4 AS INT) + 1)" +
+        " * (1 + doc_id % 60) + doc_id % 7 AS dur")
+    val blobs = base.select(col("doc_id"),
+      expr(s"concat(unhex(${mp4HeaderHex("div")}), CAST(text AS BINARY))").as("blob"))
+    Multimodal.decodeVideoMeta(blobs).toDF().orderBy("doc_id")
+  }
+
   /** M11 — TIFF metadata decode: the endianness-switched container. PNG is
     * big-endian by spec, GIF and WAVE little-endian by spec — TIFF alone
     * declares its byte order per FILE ("II"/"MM", TIFF 6.0 §2), so a
@@ -486,9 +539,37 @@ object MultimodalQueries {
     "m6_chunk_dedup" -> (m6ChunkDedup _),
     "m7_cdc_chunk_dedup" -> (m7CdcChunkDedup _),
     "m10_wav_meta" -> (m10WavMeta _),
-    "m11_tiff_meta" -> (m11TiffMeta _))
+    "m11_tiff_meta" -> (m11TiffMeta _),
+    "m12_mp4_meta" -> (m12Mp4Meta _))
 
   val oracles: Map[String, String] = Map(
+    "m12_mp4_meta" ->
+      // Rebuilds the exact BMFF blobs (same recipe as mp4HeaderHex with
+      // DuckDB's `//` integral division) and reads timescale/duration at
+      // the offsets the fixed layout + mvhd version determine (v0: bytes
+      // 84/88 as BE32; v1: bytes 92 BE32 / 96 BE64) — the Spark side WALKS
+      // the box chain and the nested moov children, so agreement verifies
+      // outer walk + nested walk + both version layouts end-to-end.
+      s"""WITH base AS (
+           SELECT doc_id, text, doc_id % 2 = 1 AS v1,
+                  ([600, 1000, 90000, 44100])[CAST((doc_id // 2) % 4 AS INT) + 1] AS ts,
+                  ([600, 1000, 90000, 44100])[CAST((doc_id // 2) % 4 AS INT) + 1]
+                    * (1 + doc_id % 60) + doc_id % 7 AS dur
+           FROM documents),
+         blobs AS (
+           SELECT doc_id, v1,
+                  ${mp4HeaderHex("//")} || hex(encode(text)) AS h
+           FROM base)
+         SELECT doc_id,
+                CAST(length(h) // 2 AS BIGINT) AS n_bytes,
+                CASE WHEN substr(h, 9, 8) = '66747970' THEN 'mp4'
+                     ELSE 'unknown' END AS format,
+                CAST(IF(v1, 1, 0) AS BIGINT) AS version,
+                IF(v1, CAST('0x' || substr(h, 185, 8) AS BIGINT),
+                       CAST('0x' || substr(h, 169, 8) AS BIGINT)) AS timescale,
+                IF(v1, CAST('0x' || substr(h, 193, 16) AS BIGINT),
+                       CAST('0x' || substr(h, 177, 8) AS BIGINT)) AS duration
+         FROM blobs ORDER BY doc_id""",
     "m11_tiff_meta" ->
       // Rebuilds the exact TIFF blobs (same recipe as tiffHeaderHex with
       // DuckDB's `//` integral division) and reads width/height/spp by

@@ -462,6 +462,102 @@ object StreamingIngest {
       .start()
   }
 
+  /** One micro-batch folded into t19's persisted vocab-state MV (the
+    * streaming face of the text lane's e12; see
+    * [[graft.text.TextQueries.t19IncrementalVocab]]). Sum-merge is NOT
+    * idempotent — re-folding a batch double-counts — so the replay marker
+    * cannot be written AFTER the data commit the way [[applyMergeBatchOnce]]'s
+    * can (that crash window is benign only under idempotent LWW merges).
+    * Here the marker is written INTO the staged state directory and
+    * published by the SAME atomic rename that publishes the merged counts:
+    * state and fold-ledger commit together, so a replay after any crash
+    * either sees no marker and refolds from the still-unswapped old state,
+    * or sees the marker and skips. (`__applied/` is underscore-prefixed, so
+    * Spark's source listing hides it from the parquet read.) Crash between
+    * the two swap renames parks the state at `__old`; the recovery preamble
+    * restores it and the refold rebuilds the same staging. Lease-guarded
+    * like every rename-based lake mutation. Returns whether the batch was
+    * folded (false = replay suppressed).
+    */
+  def foldVocabBatchOnce(
+      batch: DataFrame,
+      batchId: Long,
+      statePath: String,
+      sinkId: String = "default"): Boolean = {
+    val s = batch.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    graft.etl.LakeLease.withLease(conf, statePath) {
+      val cur = new org.apache.hadoop.fs.Path(statePath)
+      val fs = cur.getFileSystem(conf)
+      val old = new org.apache.hadoop.fs.Path(statePath + "__old")
+      // crashed between the swap renames: restore the parked state — the
+      // marker was never published, so the refold below rebuilds staging
+      if (!fs.exists(cur) && fs.exists(old)) Upsert.renameOrThrow(fs, old, cur)
+      val marker = new org.apache.hadoop.fs.Path(cur, s"__applied/$sinkId/$batchId")
+      if (fs.exists(marker)) false
+      else {
+        val batchState = graft.text.TextQueries.t19StateOf(batch)
+        val merged =
+          if (fs.exists(cur))
+            graft.text.TextQueries.t19MergeStates(s.read.parquet(statePath), batchState)
+          else batchState
+        val staging = new org.apache.hadoop.fs.Path(statePath + "__staging")
+        if (fs.exists(staging)) fs.delete(staging, true)
+        merged.write.mode("overwrite").parquet(staging.toString)
+        // carry every already-applied marker forward, then add this batch's —
+        // all published atomically by the staging→cur rename below
+        val appliedRoot = new org.apache.hadoop.fs.Path(cur, "__applied")
+        if (fs.exists(appliedRoot))
+          fs.listStatus(appliedRoot).foreach { sink =>
+            fs.listStatus(sink.getPath).foreach { m =>
+              val dst = new org.apache.hadoop.fs.Path(
+                staging, s"__applied/${sink.getPath.getName}/${m.getPath.getName}")
+              fs.mkdirs(dst.getParent)
+              fs.create(dst, false).close()
+            }
+          }
+        val dst = new org.apache.hadoop.fs.Path(staging, s"__applied/$sinkId/$batchId")
+        fs.mkdirs(dst.getParent)
+        fs.create(dst, false).close()
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(cur)) Upsert.renameOrThrow(fs, cur, old)
+        Upsert.renameOrThrow(fs, staging, cur)
+        fs.delete(old, true)
+        true
+      }
+    }
+  }
+
+  /** Maintain the t19 vocab-state MV from a document stream: AvailableNow
+    * micro-batches, each folded exactly once via [[foldVocabBatchOnce]].
+    * Per-tick cost is state-of-batch + a vocab-sized merge — the corpus is
+    * never rescanned, which is the whole point of the MV at 100 TB. Query
+    * the maintained view with `TextQueries.t19StatsOf(spark.read.parquet(statePath))`.
+    *
+    * `sinkId` is REQUIRED and must be the stream's stable LOGICAL identity
+    * — unlike the idempotent-merge sinks (whose checkpoint-derived default
+    * is safe because any replay converges), a sum-fold replayed under a
+    * rebuilt checkpoint would double-count unless the rebuilt stream folds
+    * into the SAME marker namespace. Cross-lineage suppression additionally
+    * assumes the rebuilt stream re-forms the same (batchId → files)
+    * batches, which AvailableNow's deterministic listing gives when the
+    * source options are unchanged; within one checkpoint lineage the
+    * (sinkId, batchId) match is exact.
+    */
+  def vocabStateAvailableNow(
+      docs: DataFrame,
+      statePath: String,
+      checkpoint: String,
+      sinkId: String): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldVocabBatchOnce(batch, batchId, statePath, sinkId)
+        ()
+      }
+      .start()
+
   /** One micro-batch through the ledgered JDBC sink: skip if this
     * (sinkId, batchId) is already recorded, else LWW-dedup → keyed MERGE →
     * record. Returns whether the batch was applied (false = replay

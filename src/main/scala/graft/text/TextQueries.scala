@@ -516,6 +516,57 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** T19 — incremental vocabulary maintenance (the text lane's e12): t16's
+    * per-source hapax/type-token telemetry maintained from MERGEABLE
+    * per-batch vocab states instead of a corpus rescan. [[t19StateOf]]
+    * reduces a document batch to its (source, term, count) table;
+    * [[t19MergeStates]] folds any number of such states by summing counts
+    * (trivially associative — the reason token counts, unlike medians, can
+    * be maintained incrementally); [[t19StatsOf]] derives the t16 row from
+    * the merged state. The declared query splits the corpus by doc_id
+    * parity into two "batches", merges their states, and must equal t16's
+    * full recompute — the oracle IS t16's SQL, shared as a string constant
+    * (x17b's structural-equality trick), so the MV-maintenance claim is
+    * hash-checked, not asserted.
+    *
+    * Scale contract: the corpus is reduced ONCE to its vocab state (the
+    * materialized view — vocab-sized, not corpus-sized); each incoming
+    * batch pays state-of-batch + a merge proportional to the touched
+    * (source, term) keys. Hapax counts, type counts, and token counts all
+    * derive from the state, so no statistic forces a rescan.
+    */
+  def t19IncrementalVocab(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    t19StatsOf(t19MergeStates(
+      t19StateOf(docs.filter(col("doc_id") % 2 === 0)),
+      t19StateOf(docs.filter(col("doc_id") % 2 === 1))))
+  }
+
+  /** One batch's vocab state: (source, term, c). */
+  def t19StateOf(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Fold vocab states: counts sum per key (associative + commutative). */
+  def t19MergeStates(states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col("source"), col("term"))
+      .agg(sum(col("c")).as("c"))
+
+  /** Derive t16's telemetry row from a (merged) vocab state. */
+  def t19StatsOf(state: DataFrame): DataFrame =
+    state.groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_rate",
+        col("n_hapax").cast("double") / col("n_types").cast("double"))
+      .withColumn("type_token_ratio",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("source")
+
   /** T18 — token-frequency concentration per language: the Gini coefficient
     * over each language's term-frequency distribution, the single-number
     * "is this corpus slice a few templates stamped out, or genuinely
@@ -559,7 +610,28 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** t16's oracle, shared with t19: merged per-batch vocab states must
+    * equal the full recompute, so the MV query's oracle IS the base
+    * query's SQL — the equality claim is structural, not re-derived.
+    */
+  private val t16Sql =
+    """WITH tc AS (
+           SELECT source, term, COUNT(*) AS c
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+                 FROM documents)
+           GROUP BY source, term)
+         SELECT source,
+                CAST(SUM(c) AS BIGINT) AS n_tokens,
+                COUNT(*) AS n_types,
+                CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS hapax_rate,
+                CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                  AS type_token_ratio
+         FROM tc GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_incremental_vocab" -> (t19IncrementalVocab _),
     "t18_token_gini" -> (t18TokenGini _),
     "t17_pattern_scan" -> (t17PatternScan _),
     "t15_heavy_hitters" -> ((s: SparkSession, d: String) => t15HeavyHitters(s, d)),
@@ -640,21 +712,10 @@ object TextQueries {
            GROUP BY term)
          SELECT term, cnt, TRUE AS mg_ok
          FROM tc ORDER BY cnt DESC, term LIMIT 10""",
-    "t16_hapax_stats" ->
-      """WITH tc AS (
-           SELECT source, term, COUNT(*) AS c
-           FROM (SELECT source, unnest(string_split(text, ' ')) AS term
-                 FROM documents)
-           GROUP BY source, term)
-         SELECT source,
-                CAST(SUM(c) AS BIGINT) AS n_tokens,
-                COUNT(*) AS n_types,
-                CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-                CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                  / CAST(COUNT(*) AS DOUBLE) AS hapax_rate,
-                CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
-                  AS type_token_ratio
-         FROM tc GROUP BY source ORDER BY source""",
+    "t16_hapax_stats" -> t16Sql,
+    // merged per-batch states must equal the full recompute: the oracle IS
+    // t16's SQL (shared constant — the equality claim is structural).
+    "t19_incremental_vocab" -> t16Sql,
     "t14_vocab_coverage" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -162,6 +162,45 @@ class MultimodalSpec extends SparkSuite {
       ++ num(8, 4, le = true) ++ num(40, 2, le = true)).format == "unknown")
   }
 
+  test("m12 golden values: BMFF nested box walk, both mvhd versions, extended sizes; corrupt blobs degrade") {
+    def be(v: Long, n: Int): Array[Byte] =
+      (n - 1 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def tag(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be(8L + body.length, 4) ++ tag(typ) ++ body
+    val ftyp = box("ftyp", tag("isom") ++ be(0, 4) ++ tag("isommp42"))
+    def mvhd0(ts: Long, dur: Long): Array[Byte] =
+      box("mvhd", be(0, 4) ++ be(0, 4) ++ be(0, 4) ++ be(ts, 4) ++ be(dur, 4))
+    def mvhd1(ts: Long, dur: Long): Array[Byte] =
+      box("mvhd", Array[Byte](1, 0, 0, 0) ++ be(0, 8) ++ be(0, 8) ++ be(ts, 4) ++ be(dur, 8))
+    // v0, with a free box at top level and a udta box inside moov
+    val v0 = ftyp ++ box("free", tag("GRAFTENG")) ++
+      box("moov", box("udta", tag("GRAFTENG")) ++ mvhd0(90000, 123456)) ++
+      box("mdat", tag("payload"))
+    assert(Multimodal.parseMp4Header(1L, v0) ==
+      VideoHeader(1L, v0.length.toLong, "mp4", 0L, 90000L, 123456L))
+    // v1: 64-bit times and duration (value above 2^32 proves the BE64 read)
+    val bigDur = (1L << 33) + 5L
+    val v1 = ftyp ++ box("moov", mvhd1(600, bigDur))
+    assert(Multimodal.parseMp4Header(2L, v1) ==
+      VideoHeader(2L, v1.length.toLong, "mp4", 1L, 600L, bigDur))
+    // EXTENDED size: a size==1 box with a 64-bit size field before moov
+    val extBody = tag("GRAFTENG")
+    val ext = be(1, 4) ++ tag("skip") ++ be(16L + extBody.length, 8) ++ extBody
+    val withExt = ftyp ++ ext ++ box("moov", mvhd0(1000, 777))
+    assert(Multimodal.parseMp4Header(3L, withExt) ==
+      VideoHeader(3L, withExt.length.toLong, "mp4", 0L, 1000L, 777L))
+    // degradation contract: no ftyp, moov-less, truncated mvhd, corrupt size
+    assert(Multimodal.parseMp4Header(4L, tag("plain text bytes")).format == "unknown")
+    assert(Multimodal.parseMp4Header(5L, ftyp ++ box("mdat", tag("x"))).format == "unknown")
+    val shortMvhd = ftyp ++ box("moov", box("mvhd", be(0, 4) ++ be(0, 4)))
+    assert(Multimodal.parseMp4Header(6L, shortMvhd).format == "unknown")
+    val badSize = ftyp ++ be(3, 4) ++ tag("junk") // declared size < 8
+    assert(Multimodal.parseMp4Header(7L, badSize).format == "unknown")
+    val overSize = ftyp ++ be(1 << 20, 4) ++ tag("moov") // size past EOF
+    assert(Multimodal.parseMp4Header(8L, overSize).format == "unknown")
+  }
+
   test("m10 golden values: WAV chunk walk finds fmt behind a LIST chunk; corrupt blobs degrade") {
     def le(v: Long, n: Int): Array[Byte] =
       (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray

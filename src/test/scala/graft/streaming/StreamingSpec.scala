@@ -325,6 +325,51 @@ class StreamingSpec extends SparkSuite {
     assert(snapshot() == s1, "replay must converge to the identical table")
   }
 
+  test("streaming vocab MV: per-batch folds converge to the batch recompute; " +
+    "replays, checkpoint loss, and swap-crash windows all suppressed") {
+    val docsDir = s"$work/docs_landing"
+    val state = s"$work/vocab_state"
+    val docs = Tables(spark, sf001, "documents").select("doc_id", "source", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(docsDir)
+    val schema = spark.read.parquet(docsDir).schema
+    def tick(n: Int): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(docsDir)
+      StreamingIngest.vocabStateAvailableNow(
+        stream, state, s"$work/ckpt_vocab_$n", sinkId = "docs-vocab")
+        .awaitTermination()
+    }
+    tick(1) // ≥ 3 micro-batches fold incrementally
+    val want = graft.text.TextQueries.t16HapaxStats(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    def stats() = graft.text.TextQueries
+      .t19StatsOf(spark.read.parquet(state)).collect().map(_.toSeq).toSeq
+    assert(stats() == want, "incremental folds drifted from the full recompute")
+    // fresh checkpoint ⇒ FULL re-delivery; the in-state markers must
+    // suppress every batch even though the engine's own commit log is gone
+    // (sum-merge would otherwise double every count)
+    tick(2)
+    assert(stats() == want, "checkpoint-loss replay double-counted")
+    // direct replay of an applied (sinkId, batchId) is a no-op
+    val state2 = s"$work/vocab_state2"
+    assert(StreamingIngest.foldVocabBatchOnce(docs.toDF(), 0L, state2))
+    assert(!StreamingIngest.foldVocabBatchOnce(docs.toDF(), 0L, state2),
+      "replayed batch was folded twice")
+    // swap-crash window: state parked at __old (death between the two
+    // renames) — the next fold restores it and applies the new batch
+    val fs = new org.apache.hadoop.fs.Path(state2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(state2),
+      new org.apache.hadoop.fs.Path(state2 + "__old")))
+    assert(StreamingIngest.foldVocabBatchOnce(docs.toDF(), 1L, state2),
+      "fold after crash-parked state did not apply")
+    val tokensTwice = graft.text.TextQueries.t19StatsOf(spark.read.parquet(state2))
+      .agg(sum("n_tokens")).head().getLong(0)
+    val tokensOnce = want.map(_(1).asInstanceOf[Long]).sum
+    assert(tokensTwice == 2 * tokensOnce,
+      s"recovered state should hold exactly two folds ($tokensTwice vs 2×$tokensOnce)")
+  }
+
   test("streaming foreachBatch into a JDBC MERGE sink converges across re-delivery") {
     val url = "jdbc:derby:memory:graft_stream_jdbc;create=true"
     val c = java.sql.DriverManager.getConnection(url)

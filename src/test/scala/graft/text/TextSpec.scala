@@ -6,6 +6,22 @@ import graft.SparkSuite
 
 class TextSpec extends SparkSuite {
 
+  test("t19: merged vocab states equal the full t16 recompute, for any batch split") {
+    import org.apache.spark.sql.functions._
+    val full = TextQueries.t16HapaxStats(spark, sf001).collect().map(_.toSeq)
+    // the declared parity split
+    val merged2 = TextQueries.t19IncrementalVocab(spark, sf001).collect().map(_.toSeq)
+    assert(merged2.toSeq == full.toSeq, "parity split drifted from full recompute")
+    // a three-way uneven split — merge must be associative over any batching
+    val docs = graft.Tables(spark, sf001, "documents")
+    val merged3 = TextQueries.t19StatsOf(TextQueries.t19MergeStates(
+        TextQueries.t19StateOf(docs.filter(col("doc_id") % 3 === 0)),
+        TextQueries.t19StateOf(docs.filter(col("doc_id") % 3 === 1)),
+        TextQueries.t19StateOf(docs.filter(col("doc_id") % 3 === 2))))
+      .collect().map(_.toSeq)
+    assert(merged3.toSeq == full.toSeq, "three-way merge drifted from full recompute")
+  }
+
   test("t3: token counts agree with a driver-side recount on a sample") {
     val sample = graft.Tables(spark, sf001, "documents")
       .select("doc_id", "text").limit(20).collect()
