@@ -531,9 +531,13 @@ object TextQueries {
     *
     * Scale contract: the corpus is reduced ONCE to its vocab state (the
     * materialized view — vocab-sized, not corpus-sized); each incoming
-    * batch pays state-of-batch + a merge proportional to the touched
-    * (source, term) keys. Hapax counts, type counts, and token counts all
-    * derive from the state, so no statistic forces a rescan.
+    * batch pays state-of-batch + a VOCAB-SIZED merge (the streaming face's
+    * flat-dir swap rewrites the whole state table per fold — unlike e12's
+    * partition-scoped candle merge, a text batch's terms scatter across
+    * the entire vocabulary, so key-locality pruning buys little; what
+    * keeps the fold cheap is that vocab ≪ corpus). Hapax counts, type
+    * counts, and token counts all derive from the state, so no statistic
+    * forces a corpus rescan.
     */
   def t19IncrementalVocab(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -584,7 +588,10 @@ object TextQueries {
     * count — vocab-sized output, not corpus-sized; the rank window
     * partitions by language over that vocab table; the final aggregate is
     * #langs rows. Nothing downstream of the first aggregate touches
-    * corpus-cardinality data.
+    * corpus-cardinality data. If a single language's vocabulary ever
+    * outgrew one partition's sort, the per-lang `row_number` is exactly
+    * the shape `operators/Ranking`'s two-phase distributed rank (c8)
+    * replaces — the escape hatch is already in the library.
     */
   def t18TokenGini(s: SparkSession, dir: String): DataFrame = {
     val counts = t(s, dir, "documents")
