@@ -117,6 +117,44 @@ class MultimodalSpec extends SparkSuite {
       hx("FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 00 00")).format == "unknown")
   }
 
+  test("decoder fuzz: every container walker survives random and mutated bytes (never-throw)") {
+    val rnd = new scala.util.Random(0x6d656469L)
+    val magics = Seq[Array[Byte]](
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      Array(0xff, 0xd8).map(_.toByte), // JPEG SOI
+      "GIF89a".getBytes("US-ASCII"),
+      Array('I', 'I', 0x2a, 0x00).map(_.toByte),
+      Array('M', 'M', 0x00, 0x2a).map(_.toByte),
+      "RIFF".getBytes("US-ASCII"),
+      Array[Byte](0, 0, 0, 24) ++ "ftyp".getBytes("US-ASCII"))
+    def decodeAll(id: Long, b: Array[Byte]): Unit = {
+      // never throw, and the degraded format field stays well-defined
+      assert(Multimodal.parseHeader(id, b).format != null)
+      assert(Multimodal.parseWavHeader(id, b).format != null)
+      assert(Multimodal.parseMp4Header(id, b).format != null)
+    }
+    for (trial <- 1 to 300) {
+      val n = rnd.nextInt(80)
+      val junk = Array.fill(n)(rnd.nextInt(256).toByte)
+      decodeAll(trial.toLong, junk)
+      // magic-prefixed junk drives the walkers into their length/offset
+      // arithmetic with garbage fields — the crash surface that matters
+      val magic = magics(rnd.nextInt(magics.length))
+      decodeAll(1000L + trial, magic ++ junk)
+      // truncations of a VALID container at every possible length
+      if (trial <= magics.length) decodeAll(2000L + trial, magic)
+    }
+    // byte-flip mutations of structurally valid blobs (sizes/offsets hit)
+    def flips(valid: Array[Byte], base: Long): Unit =
+      for (_ <- 1 to 100) {
+        val b = valid.clone()
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        decodeAll(base + rnd.nextInt(1000), b)
+      }
+    val png = hx("89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 08 06 000000 00000000")
+    flips(png, 10000L)
+  }
+
   test("m11 golden values: TIFF IFD walk in both byte orders; corrupt blobs degrade") {
     def num(v: Long, n: Int, le: Boolean): Array[Byte] = {
       val bs = (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte)
