@@ -778,6 +778,34 @@ object DedupQueries {
       .orderBy("lang", "source")
   }
 
+  /** C11 — cluster SURVIVORSHIP policy: which member of each duplicate
+    * cluster survives into the training mix. x9/c3 keep the MIN-ID member
+    * (the label itself) — cheap but arbitrary; the record-linkage
+    * survivorship answer is to keep the BEST member, here by t2's quality
+    * score with doc_id as the deterministic tiebreak. One cluster-keyed
+    * aggregate after the labels: `max_by(doc_id, struct(score, -doc_id))`
+    * picks the survivor without a window sort (the oracle states the
+    * row_number formulation), and quality is a per-row projection, so the
+    * whole policy adds zero corpus-scale shuffles beyond x9's own.
+    * Deterministic across engines because the score arithmetic is the
+    * oracle-matched t2 expression (identical doubles) and ties are
+    * impossible once doc_id joins the comparison key.
+    */
+  def c11Survivorship(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.CoreQueries.qualityScoreExpr
+    val clusters = x9DedupClusters(s, dir)
+    val scored = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), qualityScoreExpr.as("quality_score"))
+    clusters.join(scored, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        expr("max_by(doc_id, struct(quality_score, -doc_id))").as("survivor"),
+        count(lit(1)).as("n_members"),
+        round(max(col("quality_score")), 4).as("best_score"))
+      .orderBy("cluster_id")
+  }
+
   /** X10 — per-source duplication telemetry: corpus curation's dashboard
     * numbers (docs, distinct contents, dup ratio per source). Two stacked
     * aggregates, both shuffle-on-key.
@@ -1159,7 +1187,8 @@ object DedupQueries {
     "x11_containment" -> (x11Containment _),
     "x12_contamination" -> (x12Contamination _),
     "c3_corpus_blend" -> (c3CorpusBlend _),
-    "c4_decontaminated_blend" -> (c4DecontaminatedBlend _))
+    "c4_decontaminated_blend" -> (c4DecontaminatedBlend _),
+    "c11_survivorship" -> (c11Survivorship _))
 
   private def shingleCte(name: String) =
     s"""$name AS (
@@ -1518,6 +1547,34 @@ object DedupQueries {
       s"""WITH RECURSIVE $clusterCtes
          SELECT src AS doc_id, MIN(dst) AS cluster_id
          FROM reach GROUP BY src ORDER BY doc_id""",
+    "c11_survivorship" ->
+      // survivorship = best-quality member per duplicate cluster; the
+      // oracle states the window formulation of the max_by pick, with the
+      // SAME quality expression as c3's scored CTE and doc_id tiebreak.
+      s"""WITH RECURSIVE $clusterCtes,
+         labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                    FROM reach GROUP BY src),
+         scored AS (
+           SELECT d.doc_id,
+                  (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)
+                    / length(d.text)) * 0.5
+                  + (CAST(len(list_filter(string_split(d.text, ' '),
+                       x -> list_contains(['the','a','of','and','to','is','in'], x))) AS DOUBLE)
+                    / len(string_split(d.text, ' '))) * 0.3
+                  + (CASE WHEN len(string_split(d.text, ' ')) BETWEEN 20 AND 200
+                     THEN 0.2 ELSE 0.0 END) AS quality_score
+           FROM documents d),
+         ranked AS (
+           SELECT l.cluster_id, s.doc_id, s.quality_score,
+                  row_number() OVER (PARTITION BY l.cluster_id
+                    ORDER BY s.quality_score DESC, s.doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+                  MAX(s.quality_score) OVER (PARTITION BY l.cluster_id) AS best
+           FROM labels l JOIN scored s USING (doc_id))
+         SELECT cluster_id, doc_id AS survivor,
+                CAST(n_members AS BIGINT) AS n_members,
+                round(best, 4) AS best_score
+         FROM ranked WHERE rn = 1 ORDER BY cluster_id""",
     "c3_corpus_blend" ->
       s"""WITH RECURSIVE $clusterCtes,
          labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id

@@ -114,6 +114,30 @@ object CoreQueries {
         col("n_bars"), col("volume_proxy"))
       .orderBy("user_id", "day_start")
 
+  /** E13 — weekly OHLCV candles: e4 at CALENDAR-week granularity. The
+    * deliberate choice is `date_trunc('week', ts)` (ISO weeks, Monday
+    * start — the convention both Spark and DuckDB implement) rather than
+    * `window(ts, "7 days")`, whose epoch-aligned buckets start on a
+    * THURSDAY (1970-01-01) and match no market calendar — the difference
+    * between a time-series resample and a calendar resample, invisible at
+    * daily granularity (e4's 1-day windows coincide with calendar days)
+    * and wrong at weekly. Same single-pass min_by/max_by shape as e4.
+    */
+  def e13WeeklyCandles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), date_trunc("week", col("ts")).as("week_start"))
+      .agg(
+        expr("min_by(value, ts)").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        expr("max_by(value, ts)").as("close"),
+        count(lit(1)).as("n_bars"),
+        dsum(col("value"), 6).as("volume_proxy"))
+      .select(col("user_id"), ntz(col("week_start")).as("week_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_bars"), col("volume_proxy"))
+      .orderBy("user_id", "week_start")
+
   /** E5 — calendar gap-fill + forward-fill (pandas `asfreq('D')` + `ffill`
     * re-expressed): build each key's full daily calendar via
     * `sequence`+`explode`, left-join the observed daily closes, and carry
@@ -1436,6 +1460,7 @@ object CoreQueries {
     "e2_convert" -> (e2Convert _),
     "e3_upsert" -> (e3Upsert _),
     "e4_ohlcv_resample" -> (e4OhlcvResample _),
+    "e13_weekly_candles" -> (e13WeeklyCandles _),
     "e5_gap_fill" -> (e5GapFill _),
     "e6_rolling_vol" -> (e6RollingVol _),
     "e7_correlation" -> (e7Correlation _),
@@ -1556,6 +1581,14 @@ object CoreQueries {
                 COUNT(*) AS n_bars,
                 CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS volume_proxy
          FROM events GROUP BY 1, 2 ORDER BY user_id, day_start""",
+    "e13_weekly_candles" ->
+      """SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week_start,
+                arg_min(value, CAST(ts AS TIMESTAMP)) AS open,
+                MAX(value) AS high, MIN(value) AS low,
+                arg_max(value, CAST(ts AS TIMESTAMP)) AS close,
+                COUNT(*) AS n_bars,
+                CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS volume_proxy
+         FROM events GROUP BY 1, 2 ORDER BY user_id, week_start""",
     "e4_ohlcv_resample" ->
       """SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start,
                 arg_min(value, CAST(ts AS TIMESTAMP)) AS open,

@@ -666,6 +666,34 @@ class DedupSpec extends SparkSuite {
     assert(dists.nonEmpty && dists.forall(_ <= 16), s"hamming: ${dists.mkString(",")}")
   }
 
+  test("c11: every survivor is its cluster's max-quality member; clusters partition the corpus") {
+    import org.apache.spark.sql.functions._
+    val survivors = DedupQueries.c11Survivorship(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("survivor"),
+        r.getAs[Long]("n_members"), r.getAs[Double]("best_score"))).toMap
+    val clusters = DedupQueries.x9DedupClusters(spark, sf001)
+    val scored = graft.Tables(spark, sf001, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        graft.queries.CoreQueries.qualityScoreExpr.as("q"))
+    val members = clusters.join(scored, "doc_id").collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("doc_id"), r.getAs[Double]("q")))
+      .groupBy(_._1)
+    assert(survivors.keySet == members.keySet)
+    assert(survivors.values.map(_._2).sum ==
+      graft.Tables(spark, sf001, "documents").count(), "clusters must partition the corpus")
+    members.foreach { case (cid, ms) =>
+      val (surv, n, best) = survivors(cid)
+      assert(n == ms.length.toLong, s"cluster $cid member count")
+      val want = ms.map(m => (m._3, -m._2)).max // (quality desc, doc_id asc)
+      assert(ms.find(_._2 == surv).exists(m => (m._3, -m._2) == want),
+        s"cluster $cid survivor $surv is not the max-quality member")
+      val wantBest = BigDecimal(ms.map(_._3).max)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble // Spark round()
+      assert(best == wantBest, s"cluster $cid best_score")
+    }
+  }
+
   test("x17b: bloom-pruned novelty equals x17 exactly, even at a pathological fpp") {
     import org.apache.spark.sql.functions._
     val exact = DedupQueries.x17IncrementalNovelty(spark, sf001).collect().map(_.toSeq)

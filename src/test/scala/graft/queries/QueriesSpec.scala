@@ -607,6 +607,26 @@ class QueriesSpec extends SparkSuite {
       f"weighted sample mean $meanPicked%.1f not above corpus mean $meanAll%.1f")
   }
 
+  test("e13: weekly candles bucket by ISO calendar weeks, not epoch-aligned 7-day windows") {
+    import org.apache.spark.sql.functions._
+    val rows = CoreQueries.e13WeeklyCandles(spark, sf001)
+    // every bucket starts on a Monday (Spark dayofweek: Sunday=1, Monday=2)
+    val nonMonday = rows.filter(dayofweek(col("week_start")) =!= 2).count()
+    assert(nonMonday == 0, "week_start not a Monday")
+    // the naive window(ts, "7 days") buckets start Thursday (1970-01-01) —
+    // the calendar-vs-time-series distinction the scaladoc claims
+    val ev = graft.Tables(spark, sf001, "events")
+    val thursday = ev.select(window(col("ts"), "7 days").getField("start").as("s"))
+      .select(dayofweek(col("s"))).distinct().collect().map(_.getInt(0)).toSet
+    assert(thursday == Set(5), s"epoch-aligned weeks start $thursday, expected Thursday(5)")
+    // candle integrity: high ≥ open/close ≥ low on every row
+    rows.collect().foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(h >= o && h >= c && l <= o && l <= c, s"candle order violated: $r")
+    }
+  }
+
   test("e12: merged partial states equal the full e4 recompute, for any batch split") {
     import org.apache.spark.sql.functions._
     val full = CoreQueries.e4OhlcvResample(spark, sf001).collect().map(_.toSeq)
