@@ -146,7 +146,16 @@ object Multimodal {
           var e = 0
           while (e < cnt) {
             val o = base + 2 + 12 * e
-            val v: Long = t16(o + 2) match {
+            // The value field holds the value INLINE only when it fits in 4
+            // bytes; otherwise it holds a file offset (TIFF 6.0 §2, "Value
+            // Offset"). For the tags this walker wants, the spec fixes
+            // count = 1 — so accept the inline read ONLY when the entry's
+            // count field says 1. A SHORT/LONG entry with count > 1 stores
+            // an offset (or two packed shorts), and reading it as the value
+            // would fabricate a bogus width/height/spp on real-world TIFFs;
+            // such entries degrade to unparsed, same as unknown types.
+            val v: Long = if (t32(o + 4) != 1L) -1L
+            else t16(o + 2) match {
               case 3 => t16(o + 8)
               case 4 => t32(o + 8)
               case _ => -1L

@@ -47,9 +47,15 @@ object SkewJoin {
     // and casting it to int first overflows the moment ids pass 2³¹ — a
     // bug invisible at test scale that the 10× replica bench caught (ids
     // are key-offset per replica). The mod result is < salts, so the cast
-    // is always safe.
+    // is always safe. coalesce to 0 for a NULL salt source: pmod(null)
+    // is null, and a null never equals any build-side replica's salt, so
+    // without the fallback an inner join would silently DROP the row (and
+    // a left join null-extend it) — diverging from the unsalted join this
+    // operator is documented to be semantically identical to. Salting a
+    // null-salt row to bucket 0 is always sound: the salt only spreads
+    // rows, it never filters them.
     val p = probe.withColumn(SaltCol,
-      pmod(saltOf.cast("long"), lit(salts.toLong)).cast("int"))
+      coalesce(pmod(saltOf.cast("long"), lit(salts.toLong)), lit(0L)).cast("int"))
     val b = build.withColumn(SaltCol,
       explode(expr(s"sequence(0, ${salts - 1})")))
     p.join(b.hint("shuffle_merge"), keys :+ SaltCol, joinType).drop(SaltCol)

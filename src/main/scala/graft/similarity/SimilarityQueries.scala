@@ -278,10 +278,24 @@ object SimilarityQueries {
     * Determinism: max-abs of doubles is exact; quantize/score are fixed
     * IEEE op sequences on identical operands; ties broken by neighbor_id
     * on both sides.
+    *
+    * Zero-code guard: a vector whose components ALL quantize to 0 (every
+    * |v_i| < scale_i/127) has integer norm 0, and a bare division would
+    * yield NaN/±Inf cosines whose sort placement differs between engines.
+    * Both the Spark plan and the DuckDB oracle compute the cosine over
+    * `nullif(na*nv, 0)` and drop null cosines BEFORE ranking, so a
+    * zero-code vector simply never appears as a neighbor (and a zero-code
+    * query returns no rows) — identically on both sides.
     */
-  def x8bAnnSq8(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def x8bAnnSq8(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    x8bAnnSq8From(vecs(s, dir), k)
+
+  /** X8b core over an arbitrary (vec_id, v) frame — the seam that lets the
+    * spec inject pathological corpora (zero-code vectors) the synthetic
+    * table never contains.
+    */
+  def x8bAnnSq8From(e: DataFrame, k: Int = 10): DataFrame = {
     val dim = 64
-    val e = vecs(s, dir)
     val stats = e.agg(
       array((1 to dim).map(i => max(abs(expr(s"element_at(v, $i)")))): _*).as("scales"))
     val qe = e.crossJoin(broadcast(stats))
@@ -300,7 +314,8 @@ object SimilarityQueries {
       .withColumn("cosine", expr(
         """CAST(aggregate(zip_with(qa, qv, (x, y) -> x * y),
            CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)""") /
-        (col("na") * col("nv")))
+        expr("nullif(na * nv, CAST(0.0 AS DOUBLE))"))
+      .filter(col("cosine").isNotNull)
     topKPerQuery(scored, k, col("q_id"))
       .select(col("q_id"), col("neighbor_id"), col("cosine").as("qcos"), col("rnk"))
       .orderBy("q_id", "rnk")
@@ -466,12 +481,13 @@ object SimilarityQueries {
            SELECT q.q_id, e2.vec_id AS neighbor_id,
                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                     list_transform(range(1, 65), i -> qa[i] * qv[i])),
-                    (x, y) -> x + y) AS DOUBLE) / (na * nv) AS qcos
+                    (x, y) -> x + y) AS DOUBLE)
+                    / nullif(na * nv, CAST(0.0 AS DOUBLE)) AS qcos
            FROM normed e2 CROSS JOIN q WHERE e2.vec_id <> q.q_id),
          ranked AS (
            SELECT *, row_number() OVER (PARTITION BY q_id
              ORDER BY qcos DESC, neighbor_id) AS rnk
-           FROM scored)
+           FROM scored WHERE qcos IS NOT NULL)
          SELECT q_id, neighbor_id, qcos, rnk FROM ranked
          WHERE rnk <= 10 ORDER BY q_id, rnk""",
     "x7_ann_lsh" ->

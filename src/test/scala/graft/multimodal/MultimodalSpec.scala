@@ -198,6 +198,19 @@ class MultimodalSpec extends SparkSuite {
     // entry table declared longer than the blob
     assert(Multimodal.parseHeader(7L, Array('I', 'I', 0x2a, 0x00).map(_.toByte)
       ++ num(8, 4, le = true) ++ num(40, 2, le = true)).format == "unknown")
+    // count > 1: the value field holds a file OFFSET (or packed values),
+    // never THE value — a count=2 SHORT entry for ImageWidth must be left
+    // unparsed instead of fabricating width=9999 from the offset bytes
+    val multiCount: Array[Byte] =
+      Array('I', 'I', 0x2a, 0x00).map(_.toByte) ++ num(8, 4, le = true) ++
+        num(3, 2, le = true) ++
+        entry(0x0100, 3, 2, num(9999, 4, le = true), le = true) ++ // offset, not width
+        entry(0x0101, 3, 1, short(222, le = true), le = true) ++
+        entry(0x0115, 4, 3, num(12345, 4, le = true), le = true) ++ // offset, not spp
+        num(0, 4, le = true)
+    val mc = Multimodal.parseHeader(8L, multiCount)
+    assert(mc.format == "tiff_le" && mc.width == 0L && mc.height == 222L &&
+      mc.channels == 1L, s"count>1 entries must be unparsed, got $mc")
   }
 
   test("m12 golden values: BMFF nested box walk, both mvhd versions, extended sizes; corrupt blobs degrade") {

@@ -545,6 +545,24 @@ class QueriesSpec extends SparkSuite {
       Seq(7L -> 20.0, 3000000000L -> 10.0, 3000000001L -> 10.0))
   }
 
+  test("a26: a NULL salt source never drops or null-extends the probe row") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // pmod(null, salts) is null and null matches no build replica — without
+    // the coalesce-to-0 fallback the id=2 row vanishes from the inner join
+    // and null-extends under left, diverging from the unsalted join
+    val probe = Seq((1L, "a", Some(10L)), (2L, "a", None), (3L, "b", Some(7L)))
+      .toDF("id", "k", "salt_src")
+    val build = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "w")
+    for (jt <- Seq("inner", "left")) {
+      val got = graft.operators.SkewJoin.saltedEquiJoin(
+          probe, build, Seq("k"), col("salt_src"), 8, joinType = jt)
+        .orderBy("id").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Double]("w"))).toSeq
+      assert(got == Seq(1L -> 1.0, 2L -> 1.0, 3L -> 2.0), s"joinType=$jt: $got")
+    }
+  }
+
   test("a26: replication is unsound for right/full joins and rejected") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables(spark, sf001, "events").limit(10)

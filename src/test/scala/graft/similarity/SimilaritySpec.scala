@@ -218,4 +218,28 @@ class SimilaritySpec extends SparkSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.7, f"mean recall@10 $mean%.2f below the sq8 quality floor")
   }
+
+  test("x8b: zero-code vectors (norm 0) never yield NaN/Inf cosines, as neighbor or query") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // vec 0..9 are queries; vec 5 and vec 42 quantize to all-zero codes
+    // (every |component| < scale_i / 127, given the big-vector scales)
+    val big = (vid: Long) =>
+      (vid, (1 to 64).map(i => ((vid * 31 + i * 7) % 19 + 1).toDouble / 4.0).toArray)
+    val tiny = (vid: Long) => (vid, Array.fill(64)(1e-9))
+    val rows = (0L until 60L).map(v => if (v == 5L || v == 42L) tiny(v) else big(v))
+    val e = rows.toDF("vec_id", "v")
+    val out = SimilarityQueries.x8bAnnSq8From(e, 10).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val c = r.getAs[Double]("qcos")
+      assert(!c.isNaN && !c.isInfinite, s"non-finite cosine in $r")
+      assert(r.getAs[Long]("neighbor_id") != 5L && r.getAs[Long]("neighbor_id") != 42L,
+        "zero-code vector ranked as a neighbor")
+    }
+    // the zero-code QUERY contributes no rows (its na is 0 -> cosine null)
+    assert(!out.exists(_.getAs[Long]("q_id") == 5L))
+    // every other query still returns a full top-10
+    assert(out.count(_.getAs[Long]("q_id") == 0L) == 10)
+  }
 }
