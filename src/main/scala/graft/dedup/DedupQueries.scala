@@ -1000,9 +1000,12 @@ object DedupQueries {
     val nOld = oldSpans.count()
     val bf = oldSpans.stat.bloomFilter("h", math.max(nOld, 1L), fpp)
     val bfB = s.sparkContext.broadcast(bf)
-    val maybeOld = udf((h: String) => h != null && bfB.value.mightContainString(h))
+    // codegen'd Catalyst probe (graft.functions.BloomMightContainString) —
+    // the span stream is the gate's hottest map stage, and a per-row Scala
+    // UDF would box every row and sever the whole-stage codegen span
+    val probe = graft.functions.BloomExpressions.registerProbe(s, bfB)
     val newSpans = spanDigests(newDocs, "doc_id", spanLen)
-      .withColumn("maybe_old", maybeOld(col("h")))
+      .withColumn("maybe_old", expr(s"$probe(h)"))
     val totals = newSpans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
     // Bloom miss ⇒ novel, no verification. Bloom hit ⇒ exact anti-join
     // rescues the false positives; only the hit set probes the snapshot.

@@ -176,6 +176,14 @@ class PlanSpec extends SparkSuite {
       "corpus-vs-corpus anti join must stay a keyed shuffle join:\n" + p)
   }
 
+  test("x17b: the Bloom probe is a native codegen expression — no per-row UDF anywhere") {
+    val p = plan(graft.dedup.DedupQueries.x17bNoveltyBloom(spark, sf001))
+    assert(p.contains("bloom_might_contain_str"),
+      "the sketch probe must be the Catalyst expression:\n" + p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      "the span stream must stay inside whole-stage codegen:\n" + p)
+  }
+
   test("a24: one user-keyed exchange feeds the lead window; matrix window is post-agg") {
     val p = simplePlan(CoreQueries.a24MarkovTransitions(spark, sf001))
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
