@@ -608,6 +608,19 @@ object DedupQueries {
     * 300-link chain converges here and exceeds x9's round cap). Each
     * phase is one keyed aggregate + one join — the same per-round cost as
     * a propagation step; the win is the ROUND COUNT.
+    *
+    * Convergence probe: the fixpoint test compares the round's edge SET to
+    * the previous round's by (count, Σ xxhash64(u,v), Σ xxhash64(v,u)) —
+    * one scan-light aggregate over the just-checkpointed frame, no
+    * shuffle. The earlier formulation ran TWO `exceptAll` jobs per round
+    * (each a full shuffle of both edge sets), which at O(log² n) rounds
+    * cost about as much as the algorithm itself. Both frames are
+    * `distinct()` canonical (u > v) sets, so set equality ⟺ multiset
+    * equality, and the two independent 64-bit hash lanes + the count make
+    * a false "converged" a ~2⁻¹²⁸ event — and even that is caught, because
+    * the final label join is built from the edges themselves, and DedupSpec
+    * replays equality against x9. Hash sums accumulate in decimal(38,0):
+    * order-insensitive, overflow-free under ANSI.
     */
   def x9bClustersAltStar(docs: DataFrame, pairs: DataFrame): DataFrame = {
     // canonical undirected edge set, (hi, lo) with hi > lo
@@ -615,6 +628,16 @@ object DedupQueries {
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    def sig(df: DataFrame): (Long, BigDecimal, BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        sum(xxhash64(col("v"), col("u")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)),
+        if (r.isNullAt(2)) BigDecimal(0) else BigDecimal(r.getDecimal(2)))
+    }
+    var edgeSig = sig(edges)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 25) {
@@ -635,10 +658,10 @@ object DedupQueries {
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(ssMin.select(col("u"), col("m").as("v")))
         .distinct().localCheckpoint()
-      val changed = next.exceptAll(edges).limit(1).count() +
-        edges.exceptAll(next).limit(1).count()
-      converged = changed == 0
+      val nextSig = sig(next)
+      converged = nextSig == edgeSig
       edges = next
+      edgeSig = nextSig
       rounds += 1
     }
     if (!converged)

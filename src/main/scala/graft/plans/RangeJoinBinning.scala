@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, LongType, TimestampType}
+import org.apache.spark.unsafe.types.CalendarInterval
 
 /** Optimizer rule: rewrite a KEYLESS bounded-range join into the binned
   * equi-join shape (the a17b rewrite, applied automatically to any plan —
@@ -25,10 +26,14 @@ import org.apache.spark.sql.types.LongType
   * Scope guards (each one load-bearing):
   *  - inner joins only, with NO existing inter-side equality conjunct (if
   *    one exists, the native hash/sort-merge join already bounds the work);
-  *  - `t` and `base` must be `LongType` (epoch-micro columns — the
-  *    engine's canonical event-time representation) and deterministic;
+  *  - `t` and `base` must be epoch-micros longs or `TimestampType`
+  *    columns (timestamps are micros-since-epoch underneath; they enter
+  *    the bucket math through `UnixMicros`, a zero-cost reinterpretation)
+  *    and deterministic;
   *  - both bounds must share one `base` (semantic equality) with literal
-  *    offsets, so the bucket width is known at plan time;
+  *    offsets — long literals, or fixed-duration intervals on timestamps
+  *    (`ts BETWEEN base - INTERVAL x AND base + INTERVAL y`) — so the
+  *    bucket width is known at plan time;
   *  - floor division is literal-exact for NEGATIVE times too:
   *    `(t - pmod(t, W)) div W` (pmod is non-negative, the numerator is an
   *    exact multiple of W, so truncating division IS floor division).
@@ -41,23 +46,50 @@ object RangeJoinBinningRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val BucketCol = "__graft_range_bucket"
 
-  /** Decompose `e` as (base, literal offset). */
+  /** Decompose `e` as (base, literal offset in the micros domain). The long
+    * lane matches `base ± literal`; the timestamp lane matches the analyzed
+    * form of `ts ± INTERVAL ...` — `TimestampAddInterval(base, interval)`
+    * (subtraction reaches the optimizer as an added NEGATIVE literal: the
+    * analyzer's `DatetimeSub` is RuntimeReplaceable and constant folding
+    * collapses `UnaryMinus(Literal)` before user rules run). Only intervals
+    * that are a fixed micros duration qualify: any ANSI day-time interval
+    * (stored as micros, added as exact micros), or a calendar interval with
+    * zero months AND days (month/day arithmetic is timezone/calendar-
+    * dependent, so the bucket width would not be a plan-time constant).
+    */
   private def baseOffset(e: Expression): (Expression, Long) = e match {
     case Add(b, Literal(c: Long, LongType), _) => (b, c)
     case Add(Literal(c: Long, LongType), b, _) => (b, c)
     case Subtract(b, Literal(c: Long, LongType), _) => (b, -c)
+    case TimestampAddInterval(b, Literal(c: Long, _: DayTimeIntervalType), _) => (b, c)
+    case TimestampAddInterval(b, Literal(ci: CalendarInterval, CalendarIntervalType), _)
+        if ci.months == 0 && ci.days == 0 => (b, ci.microseconds)
     case b => (b, 0L)
   }
 
-  /** One classified range bound: `t` vs `base + offset`. */
+  /** `e` as an epoch-micros LongType expression, when its domain admits one.
+    * TimestampType IS micros-since-epoch underneath, so `UnixMicros` is a
+    * zero-cost reinterpretation (and zone-independent) — this is what lets
+    * raw-SQL joins on `timestamp_utc BETWEEN base ± INTERVAL` take the
+    * binned plan instead of a nested loop.
+    */
+  private def asMicros(e: Expression): Option[Expression] = e.dataType match {
+    case LongType => Some(e)
+    case TimestampType => Some(UnixMicros(e))
+    case _ => None
+  }
+
+  /** One classified range bound: `t` vs `base + offset`, all in micros. */
   private case class Bound(t: Expression, base: Expression, offset: Long, lower: Boolean)
 
   private def classify(c: Expression): Seq[Bound] = {
     def mk(t: Expression, boundExpr: Expression, lower: Boolean): Seq[Bound] = {
       val (base, off) = baseOffset(boundExpr)
-      if (t.dataType == LongType && base.dataType == LongType &&
-        t.deterministic && base.deterministic) Seq(Bound(t, base, off, lower))
-      else Nil
+      (asMicros(t), asMicros(base)) match {
+        case (Some(tm), Some(bm)) if t.deterministic && base.deterministic =>
+          Seq(Bound(tm, bm, off, lower))
+        case _ => Nil
+      }
     }
     c match {
       // t >= bound / t > bound → lower; bound >= t → upper (mirrored)

@@ -83,6 +83,55 @@ class RangeJoinBinningSpec extends SparkSuite {
     }
   }
 
+  test("TimestampType BETWEEN base ± INTERVAL gets the binned plan, results identical") {
+    // the form raw-SQL users actually write against a timestamp column —
+    // no manual unix_micros() anywhere; the rule must reach through
+    // TimestampAddInterval and bin via UnixMicros
+    val ev = Tables(spark, sf001, "events")
+    def q: DataFrame = {
+      val pts = ev.filter(col("event_type") === "click").select(col("ts"))
+      val iv = ev.filter(col("event_type") === "purchase" && col("value") >= 200)
+        .select(col("event_id"), col("ts").as("p_ts"))
+      iv.join(pts,
+          col("ts") >= col("p_ts") - expr("INTERVAL 30 MINUTE") &&
+            col("ts") <= col("p_ts") + expr("INTERVAL 30 MINUTE"))
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+        .orderBy("event_id")
+    }
+    val before = physical(q)
+    assert(before.contains("BroadcastNestedLoopJoin") || before.contains("CartesianProduct"),
+      "fixture no longer exercises the nested-loop baseline:\n" + before)
+    val expected = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(expected.nonEmpty)
+    withRule {
+      val after = physical(q)
+      assert(!after.contains("BroadcastNestedLoopJoin") && !after.contains("CartesianProduct"),
+        "rule did not rewrite the timestamp range join:\n" + after)
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expected, "timestamp rewrite changed the join result")
+    }
+  }
+
+  test("raw SQL on the timestamp column: asymmetric interval bounds bin correctly") {
+    Tables.registerViews(spark, sf001)
+    def q = spark.sql(
+      """SELECT i.event_id, COUNT(*) AS n
+         FROM (SELECT event_id, ts FROM events
+               WHERE event_type = 'purchase' AND value >= 200) i
+         JOIN (SELECT ts AS c_ts FROM events WHERE event_type = 'click') p
+           ON p.c_ts BETWEEN i.ts - INTERVAL 10 MINUTE
+                         AND i.ts + INTERVAL 50 MINUTE
+         GROUP BY i.event_id ORDER BY i.event_id""")
+    val expected = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(expected.nonEmpty)
+    withRule {
+      val after = physical(q)
+      assert(!after.contains("BroadcastNestedLoopJoin") && !after.contains("CartesianProduct"),
+        "raw-SQL timestamp join did not bin:\n" + after)
+      assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == expected)
+    }
+  }
+
   test("equi-keyed range joins are left alone") {
     val ev = Tables(spark, sf001, "events")
     val pts = ev.filter(col("event_type") === "click")
