@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -16,9 +15,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *
   *  1. `repartitionByRange` on the order key (range exchange — the same
   *     machinery a global sort uses), then an in-partition sort and a
-  *     per-partition streamed local rank (`mapPartitions`, O(1) state —
-  *     the same justification as c5's packer: a prefix recurrence no
-  *     window expresses without re-keying).
+  *     per-partition streamed local rank. The local rank rides
+  *     `monotonically_increasing_id()` — Spark's documented
+  *     `(partitionId << 33) + rowIndexInPartition` assignment, evaluated
+  *     in iteration order ABOVE the in-partition sort (Catalyst never
+  *     reorders a nondeterministic projection through a Sort) — so both
+  *     the bucket id and the 1-based local rank are pure bit arithmetic
+  *     inside whole-stage codegen: no external `Row` rebuild per row, no
+  *     encoder boundary, no codegen break. (The id's 33-bit row field
+  *     bounds a single range bucket at 2³³ ≈ 8.6 B rows — with buckets
+  *     sized to the shuffle parallelism, orders of magnitude above any
+  *     sane per-partition row count.)
   *  2. Bucket row-counts (one partial-combined aggregate over the SAME
   *     shuffle output — Catalyst's ReuseExchange dedups the exchange, so
   *     the corpus shuffles once) are collected — ≤ #buckets rows, a
@@ -39,13 +46,11 @@ object Ranking {
     */
   def globalRank(df: DataFrame, order: Seq[Column], buckets: Int = 32): DataFrame = {
     val ranged = df.repartitionByRange(buckets, order: _*).sortWithinPartitions(order: _*)
-    val enc = Encoders.row(
-      ranged.schema.add("rank_bucket", IntegerType).add("local_rank", LongType))
-    val local = ranged.mapPartitions { it =>
-      val b = TaskContext.getPartitionId()
-      var i = 0L
-      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ b :+ i) }
-    }(enc)
+    val local = ranged
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("rank_bucket", shiftright(col("__mid"), 33).cast(IntegerType))
+      .withColumn("local_rank", col("__mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .drop("__mid")
     // Bucket sizes → cumulative offsets. Range buckets are index-ordered by
     // key range, so the offset of bucket b is the total count of buckets < b.
     val counts = local.groupBy(col("rank_bucket")).agg(count(lit(1)).as("cnt"))

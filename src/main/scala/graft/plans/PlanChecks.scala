@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, LocalLimit, LogicalPlan, Window}
+
+/** Static plan lints for the scale cliffs Catalyst accepts silently.
+  *
+  * The one checked today: a `Window` with an EMPTY partition spec funnels
+  * every input row through ONE task (Spark itself only warns at runtime,
+  * `WindowExec.doExecute`) — the hard cliff [[graft.operators.Ranking]]
+  * exists to avoid. A global window is fine when its input is provably
+  * small; the sanctioned shape is "rank the aggregate", where the window
+  * input is bounded by a group-key domain (t5's top terms, c2's per-lang
+  * counts) or an explicit limit. So the lint flags global windows whose
+  * subtree reaches any LEAF without passing through an Aggregate /
+  * Deduplicate / Limit — i.e. windows ordering raw corpus-scale rows.
+  */
+object PlanChecks {
+
+  /** The `Window` nodes of `plan` that rank an unbounded input with no
+    * partition spec — empty means the surface is scale-safe.
+    */
+  def unboundedGlobalWindows(plan: LogicalPlan): Seq[Window] =
+    plan.collect {
+      case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) => w
+    }
+
+  /** Convenience: lint a DataFrame's optimized plan. */
+  def unboundedGlobalWindows(df: DataFrame): Seq[Window] =
+    unboundedGlobalWindows(df.queryExecution.optimizedPlan)
+
+  /** Cardinality-bounded: every path from here to a leaf crosses an
+    * Aggregate (cardinality ≤ the group-key domain), a Deduplicate (same
+    * bound — `dropDuplicates` lowers to it), or a Limit. A join of bounded
+    * inputs is bounded (product of domains); a bare scan is not.
+    */
+  private def bounded(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate | _: Deduplicate | _: GlobalLimit | _: LocalLimit => true
+    case _ if p.children.isEmpty => false
+    case _ => p.children.forall(bounded)
+  }
+}

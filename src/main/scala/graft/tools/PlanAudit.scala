@@ -14,11 +14,15 @@ object PlanAudit {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // materialize THIS queryExecution so AQE finalizes the plan
       val fin = df.queryExecution.executedPlan.toString
+      val globalWindows = graft.plans.PlanChecks.unboundedGlobalWindows(df)
       println(s"  exchanges=${"Exchange hashpartitioning".r.findAllIn(fin).length}" +
         s" reused=${"ReusedExchange".r.findAllIn(fin).length}" +
         s" scans=${"FileScan parquet".r.findAllIn(fin).length}" +
         s" bhj=${"BroadcastHashJoin".r.findAllIn(fin).length}" +
-        s" smj=${"SortMergeJoin".r.findAllIn(fin).length}")
+        s" smj=${"SortMergeJoin".r.findAllIn(fin).length}" +
+        s" unboundedGlobalWindows=${globalWindows.length}")
+      if (globalWindows.nonEmpty)
+        println(s"  !! one-task Window over unbounded input — see graft.operators.Ranking")
       println(fin)
     }
     spark.stop()

@@ -79,6 +79,11 @@ class PlanSpec extends SparkSuite {
       "distributed rank must range-partition the order key:\n" + p)
     assert(!p.contains("Window"),
       "global ntile must not fall back to a one-task Window:\n" + p)
+    // the local-rank stage is monotonically_increasing_id bit arithmetic —
+    // it must stay inside codegen, never cross an object/encoder boundary
+    assert(!p.contains("DeserializeToObject") && !p.contains("SerializeFromObject") &&
+      !p.contains("MapPartitions"),
+      "the rank stage must not leave whole-stage codegen:\n" + p)
   }
 
   test("x6: ANN top-k plans as a partial object aggregate, not a window sort") {
@@ -306,6 +311,17 @@ class PlanSpec extends SparkSuite {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sf001))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("no global (empty-partition) Window over an unbounded input anywhere in the surface") {
+    // the one-task global-sort cliff Ranking exists to avoid: a Window with
+    // no PARTITION BY is only sanctioned over aggregate/limit-bounded rows
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = graft.plans.PlanChecks.unboundedGlobalWindows(fn(spark, sf001))
+      assert(bad.isEmpty,
+        s"$name plans a single-task global Window over an unbounded input:\n" +
+          bad.mkString("\n"))
     }
   }
 }
