@@ -1341,6 +1341,32 @@ object CoreQueries {
         col("open_ts"), col("open"), col("close_ts"), col("close"),
         col("high"), col("low"), col("n_bars"), col("vol_dec"))
 
+  /** Fold candle states into ONE candle state (state × state → state, the
+    * closed merge the persisted MV lane needs: [[e12MergeStates]] finalizes
+    * to e4's output schema and cannot be folded again). Open/close ride
+    * their carried endpoint timestamps, so the fold is associative,
+    * commutative, and order-independent across any batch packing — the
+    * same sufficient statistics as the streaming candle aggregate. The
+    * volume accumulator is pinned at decimal(38,6) so the persisted state
+    * schema is a fixpoint under repeated folding (sum() would otherwise
+    * widen the precision per fold until it hits the cap).
+    */
+  def e12FoldStates(states: DataFrame*): DataFrame =
+    states.reduce(_.unionByName(_))
+      .groupBy(col("user_id"), col("day_start"))
+      .agg(
+        min(col("open_ts")).as("open_ts"),
+        expr("min_by(open, open_ts)").as("open"),
+        max(col("close_ts")).as("close_ts"),
+        expr("max_by(close, close_ts)").as("close"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        sum(col("n_bars")).as("n_bars"),
+        sum(col("vol_dec")).cast("decimal(38,6)").as("vol_dec"))
+      .select(col("user_id"), col("day_start"),
+        col("open_ts"), col("open"), col("close_ts"), col("close"),
+        col("high"), col("low"), col("n_bars"), col("vol_dec"))
+
   /** Fold candle states (any number of batches, any overlap of keys) into
     * final candles; output schema matches [[e4OhlcvResample]].
     */

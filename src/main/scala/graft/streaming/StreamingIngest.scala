@@ -483,7 +483,46 @@ object StreamingIngest {
       batch: DataFrame,
       batchId: Long,
       statePath: String,
-      sinkId: String = "default"): Boolean = {
+      sinkId: String = "default"): Boolean =
+    foldStateBatchOnce(batch, batchId, statePath, sinkId,
+      graft.text.TextQueries.t19StateOf,
+      (cur, b) => graft.text.TextQueries.t19MergeStates(cur, b))
+
+  /** One micro-batch folded into e12's persisted candle-state MV — the
+    * market-data lane of the SAME exactly-once fold as [[foldVocabBatchOnce]]
+    * (shared machinery: [[foldStateBatchOnce]]). The batch reduces to one
+    * mergeable row per touched (user_id, day) ([[graft.queries.CoreQueries
+    * .e12StateOf]]) and folds into the stored state with the associative,
+    * order-independent endpoint merge ([[graft.queries.CoreQueries
+    * .e12FoldStates]]); n_bars/volume are SUMS, so like the vocab fold the
+    * merge is not idempotent and replay suppression must commit atomically
+    * with the data — which the shared rename protocol provides. Query the
+    * maintained view with `CoreQueries.e12MergeStates(spark.read.parquet(
+    * statePath))` — e4's exact output, never rescanning history.
+    */
+  def foldCandleBatchOnce(
+      batch: DataFrame,
+      batchId: Long,
+      statePath: String,
+      sinkId: String = "default"): Boolean =
+    foldStateBatchOnce(batch, batchId, statePath, sinkId,
+      graft.queries.CoreQueries.e12StateOf,
+      (cur, b) => graft.queries.CoreQueries.e12FoldStates(cur, b))
+
+  /** The shared exactly-once state fold behind [[foldVocabBatchOnce]] and
+    * [[foldCandleBatchOnce]]: reduce the batch with `stateOf`, fold it into
+    * the persisted state with `merge` (which must be a NON-rescanning
+    * state × state merge), and publish state + fold-ledger in one atomic
+    * rename (see the replay analysis on [[foldVocabBatchOnce]]'s scaladoc
+    * header above — it applies verbatim to every lane riding this).
+    */
+  def foldStateBatchOnce(
+      batch: DataFrame,
+      batchId: Long,
+      statePath: String,
+      sinkId: String,
+      stateOf: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame): Boolean = {
     val s = batch.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
     graft.etl.LakeLease.withLease(conf, statePath) {
@@ -496,10 +535,9 @@ object StreamingIngest {
       val marker = new org.apache.hadoop.fs.Path(cur, s"__applied/$sinkId/$batchId")
       if (fs.exists(marker)) false
       else {
-        val batchState = graft.text.TextQueries.t19StateOf(batch)
+        val batchState = stateOf(batch)
         val merged =
-          if (fs.exists(cur))
-            graft.text.TextQueries.t19MergeStates(s.read.parquet(statePath), batchState)
+          if (fs.exists(cur)) merge(s.read.parquet(statePath), batchState)
           else batchState
         val staging = new org.apache.hadoop.fs.Path(statePath + "__staging")
         if (fs.exists(staging)) fs.delete(staging, true)
@@ -554,6 +592,28 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldVocabBatchOnce(batch, batchId, statePath, sinkId)
+        ()
+      }
+      .start()
+
+  /** Maintain the e12 candle-state MV from an event stream — the market-data
+    * twin of [[vocabStateAvailableNow]], same per-tick cost shape
+    * (state-of-batch + a merge proportional to the TOUCHED key×days, never
+    * a history rescan) and the same `sinkId` contract: it must be the
+    * stream's stable logical identity, because a sum-fold replayed under a
+    * rebuilt checkpoint must land in the SAME marker namespace to be
+    * suppressed.
+    */
+  def candleStateAvailableNow(
+      events: DataFrame,
+      statePath: String,
+      checkpoint: String,
+      sinkId: String): StreamingQuery =
+    events.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldCandleBatchOnce(batch, batchId, statePath, sinkId)
         ()
       }
       .start()

@@ -370,6 +370,51 @@ class StreamingSpec extends SparkSuite {
       s"recovered state should hold exactly two folds ($tokensTwice vs 2×$tokensOnce)")
   }
 
+  test("streaming candle MV: per-batch folds equal the e4 full recompute; " +
+    "fresh-checkpoint re-delivery suppressed") {
+    val evDir = s"$work/candle_landing"
+    val state = s"$work/candle_state"
+    Tables(spark, sf001, "events").select("user_id", "ts", "value")
+      .repartition(3).write.mode("overwrite").parquet(evDir)
+    val schema = spark.read.parquet(evDir).schema
+    def tick(n: Int): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(evDir)
+      StreamingIngest.candleStateAvailableNow(
+        stream, state, s"$work/ckpt_candle_$n", sinkId = "events-candles")
+        .awaitTermination()
+    }
+    tick(1) // >= 3 micro-batches fold incrementally
+    val want = graft.queries.CoreQueries.e4OhlcvResample(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    def candles() = graft.queries.CoreQueries
+      .e12MergeStates(spark.read.parquet(state))
+      .orderBy("user_id", "day_start").collect().map(_.toSeq).toSeq
+    assert(candles() == want, "incremental candle folds drifted from the e4 recompute")
+    // fresh checkpoint => FULL re-delivery; the in-state fold ledger must
+    // suppress every batch (n_bars/volume are sums — a refold doubles them)
+    tick(2)
+    assert(candles() == want, "checkpoint-loss replay double-counted the candles")
+    // direct replay of an applied (sinkId, batchId) is a no-op
+    val ev = spark.read.parquet(evDir)
+    val state2 = s"$work/candle_state2"
+    assert(StreamingIngest.foldCandleBatchOnce(ev, 0L, state2))
+    assert(!StreamingIngest.foldCandleBatchOnce(ev, 0L, state2),
+      "replayed candle batch was folded twice")
+    // a second DISTINCT batch doubles n_bars but leaves OHLC values fixed
+    // (endpoint merges are idempotent on identical extremes — the fold's
+    // order-independence contract, visible through the state)
+    assert(StreamingIngest.foldCandleBatchOnce(ev, 1L, state2))
+    val twice = graft.queries.CoreQueries
+      .e12MergeStates(spark.read.parquet(state2))
+      .orderBy("user_id", "day_start").collect().map(_.toSeq).toSeq
+    assert(twice.map(r => r.take(6)) == want.map(r => r.take(6)),
+      "OHLC endpoints drifted under a double fold")
+    assert(twice.map(_(6).asInstanceOf[Long]).sum ==
+      2L * want.map(_(6).asInstanceOf[Long]).sum,
+      "n_bars should sum across folds")
+  }
+
   test("streaming foreachBatch into a JDBC MERGE sink converges across re-delivery") {
     val url = "jdbc:derby:memory:graft_stream_jdbc;create=true"
     val c = java.sql.DriverManager.getConnection(url)
