@@ -402,16 +402,31 @@ object DedupQueries {
     * hamming filter keeps a pair that shares several blocks from being
     * verified more than once.
     */
-  def x20SimhashPairs(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    require(k <= 3, s"4x16-bit blocking guarantees recall only for k <= 3, got $k")
-    val fp = x3Simhash(s, dir)
+  def x20SimhashPairs(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    simhashPairsBlocked(x3Simhash(s, dir), k, nBlocks = 4)
+
+  /** The X20 pair scan over an arbitrary (doc_id, simhash_hi, simhash_lo)
+    * frame with a PARAMETERIZED pigeonhole split: `nBlocks` equal-width
+    * blocks over the 64-bit fingerprint (nBlocks must divide 64 and exceed
+    * `k` — k differing bits touch at most k blocks, so every qualifying
+    * pair shares at least one block verbatim). The declared x20 runs the
+    * paper's 4×16 split; the 10× scale gate re-derives the same pairs
+    * through an INDEPENDENT 8×8 split (different join keys, different
+    * candidate sets, same exactness guarantee) — two blockings agreeing is
+    * a correctness proof no single blocking can fake.
+    */
+  def simhashPairsBlocked(fp: DataFrame, k: Int, nBlocks: Int): DataFrame = {
+    require(64 % nBlocks == 0 && nBlocks > k,
+      s"pigeonhole blocking needs nBlocks | 64 and nBlocks > k, got nBlocks=$nBlocks k=$k")
+    val w = 64 / nBlocks
+    val perHalf = 32 / w // blocks per 32-bit half (hi/lo are non-negative)
+    val parts = (0 until nBlocks).map { b =>
+      val src = if (b < perHalf) "simhash_lo" else "simhash_hi"
+      val shift = (b % perHalf) * w
+      s"named_struct('b', ${b}L, 'v', ($src div ${1L << shift}L) % ${1L << w}L)"
+    }
     val blocks = fp.select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
-      explode(expr(
-        """array(
-             named_struct('b', 0L, 'v', simhash_lo % 65536L),
-             named_struct('b', 1L, 'v', simhash_lo div 65536L),
-             named_struct('b', 2L, 'v', simhash_hi % 65536L),
-             named_struct('b', 3L, 'v', simhash_hi div 65536L))""")).as("blk"))
+      explode(expr(s"array(${parts.mkString(", ")})")).as("blk"))
       .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
         col("blk.b").as("b"), col("blk.v").as("v"))
     // Verify BEFORE deduplicating: the hamming check is row-local integer

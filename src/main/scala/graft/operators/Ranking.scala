@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -13,46 +14,63 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * train/eval splits by rank). This operator computes the SAME ranks with
   * no single-task stage, the classic two-phase distributed rank:
   *
-  *  1. `repartitionByRange` on the order key (range exchange — the same
-  *     machinery a global sort uses), then an in-partition sort and a
-  *     per-partition streamed local rank. The local rank rides
-  *     `monotonically_increasing_id()` — Spark's documented
-  *     `(partitionId << 33) + rowIndexInPartition` assignment, evaluated
-  *     in iteration order ABOVE the in-partition sort (Catalyst never
-  *     reorders a nondeterministic projection through a Sort) — so both
-  *     the bucket id and the 1-based local rank are pure bit arithmetic
-  *     inside whole-stage codegen: no external `Row` rebuild per row, no
-  *     encoder boundary, no codegen break. (The id's 33-bit row field
-  *     bounds a single range bucket at 2³³ ≈ 8.6 B rows — with buckets
-  *     sized to the shuffle parallelism, orders of magnitude above any
-  *     sane per-partition row count.)
-  *  2. Bucket row-counts (one partial-combined aggregate over the SAME
-  *     shuffle output — Catalyst's ReuseExchange dedups the exchange, so
-  *     the corpus shuffles once) are collected — ≤ #buckets rows, a
-  *     bounded driver collect like T8's — turned into cumulative offsets,
-  *     and broadcast back. `global_rank = offset(bucket) + local_rank`.
+  *  1. Bucket the corpus into order-contiguous ranges. The bucket is a
+  *     PURE FUNCTION of the row — the count of approx-quantile bounds
+  *     (collected ONCE, embedded as literals) strictly below the head
+  *     order key — so every evaluation of the frame assigns identical
+  *     buckets. This is load-bearing: `repartitionByRange`'s sampled
+  *     bounds are seeded by `rdd.id` and DRIFT between the offsets job
+  *     and the final job, which silently corrupts global ranks
+  *     (duplicates + gaps) — invisible at small scale, caught by the 10×
+  *     replica gate (`tools/VerifySf1`, c8 emitted 11 ntile bins).
+  *  2. Per-bucket local ranks ride an ordinary KEYED window
+  *     (`row_number() OVER (PARTITION BY bucket ORDER BY key)`) — one
+  *     hash exchange on the bucket id, parallelism = #buckets, never a
+  *     single-task global Window. Bucket row-counts (one partial-combined
+  *     aggregate, ≤ #buckets rows — a bounded driver collect like T8's)
+  *     become cumulative offsets, broadcast back:
+  *     `global_rank = offset(bucket) + local_rank`.
   *
-  * Determinism: range-partitioner bounds are sampled and NOT stable run
-  * to run, but any order-contiguous bucketing yields the same global rank
-  * as long as the order key is a TOTAL order — callers must pass a
-  * tie-broken key (e.g. `(score, doc_id)`). Equal keys always land in one
-  * bucket, so ranks never depend on where the sampled bounds fell.
+  * Determinism: bucket assignment is literal arithmetic; the in-bucket
+  * window sorts a TOTAL order (callers must pass a tie-broken key, e.g.
+  * `(score, doc_id)`), so ranks are a permutation of 1..n on every
+  * evaluation. Equal head keys always land in one bucket (strict-less
+  * counting), so ranks never depend on where the sampled bounds fell —
+  * bound quality affects only balance, never correctness.
+  *
+  * Contract: the HEAD of `order` must be an ascending, double-castable
+  * key (it feeds `approxQuantile`); heavy ties on it concentrate a bucket
+  * the same way any range partitioning of a skewed key does.
   */
 object Ranking {
 
+  private def bucketOf(head: Column, bounds: Array[Double]): Column =
+    if (bounds.isEmpty) lit(0)
+    else {
+      // count of bounds strictly below the key — monotone in the total
+      // order, so buckets are order-contiguous; NULL keys sort first in
+      // Spark ascending order and take bucket 0
+      val k = head.cast("double")
+      val cnt = bounds.toSeq.map(b => when(k > lit(b), 1).otherwise(0)).reduce(_ + _)
+      when(k.isNull, lit(0)).otherwise(cnt)
+    }
+
   /** `df` plus `global_rank` (1-based, dense total order) over `order`.
-    * `buckets` bounds the range exchange's parallelism (#buckets ≈
-    * #shuffle partitions at the target scale).
+    * `buckets` bounds the rank stage's parallelism (#buckets ≈ #shuffle
+    * partitions at the target scale).
     */
   def globalRank(df: DataFrame, order: Seq[Column], buckets: Int = 32): DataFrame = {
-    val ranged = df.repartitionByRange(buckets, order: _*).sortWithinPartitions(order: _*)
-    val local = ranged
-      .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("rank_bucket", shiftright(col("__mid"), 33).cast(IntegerType))
-      .withColumn("local_rank", col("__mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
-      .drop("__mid")
-    // Bucket sizes → cumulative offsets. Range buckets are index-ordered by
-    // key range, so the offset of bucket b is the total count of buckets < b.
+    // one deterministic pass: (buckets-1) approximate quantile cuts of the
+    // head key, collected once and fixed as literals for EVERY downstream
+    // evaluation (offsets job and final job must agree on the bucketing)
+    val qdf = df.select(order.head.cast("double").as("__rk"))
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = qdf.stat.approxQuantile("__rk", probs, 1.0 / (buckets * 8)).distinct
+    val keyed = df.withColumn("rank_bucket", bucketOf(order.head, bounds).cast(IntegerType))
+    val w = Window.partitionBy(col("rank_bucket")).orderBy(order: _*)
+    val local = keyed.withColumn("local_rank", row_number().over(w).cast(LongType))
+    // Bucket sizes → cumulative offsets. Buckets are index-ordered by key
+    // range, so the offset of bucket b is the total count of buckets < b.
     val counts = local.groupBy(col("rank_bucket")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L

@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** 10×-scale correctness gate for the queries whose scale behavior carries
+  * PROVEN risk (the a26 `cast("int")` overflow was invisible below replica
+  * ids ≥ 2³¹ — exactly the class the sf0.01 DuckDB gate cannot see). Each
+  * query is recomputed through an INDEPENDENT in-engine twin — a different
+  * algorithm or plan shape with the same contract — at the 10× replica
+  * point, and compared by (row count, order-insensitive row-hash sum):
+  *
+  *  - a26 salted skew join  ↔ the plain unsalted join (the documented
+  *    semantic identity the salt must never break);
+  *  - a17b binned range join ↔ the nested-loop plan the binning replaces;
+  *  - c8 distributed ntile   ↔ the single-partition `ntile()` Window
+  *    (affordable only because this is a one-shot gate, not production);
+  *  - x9b alt-star CC        ↔ x9 min-label propagation (different
+  *    convergence class, same components);
+  *  - x20 4×16 simhash pairs ↔ an 8×8 pigeonhole split (different join
+  *    keys and candidate sets, same exactness guarantee for k ≤ 3).
+  *
+  * Writes `CORRECTNESS_sf1.json`. Replicas are built once per work dir
+  * ([[Replicas]] — the same scaled-dataset definition as `BENCH_sf1.json`).
+  *
+  * Usage: `runMain graft.tools.VerifySf1 [workDir] [outFile] [n]`
+  */
+object VerifySf1 {
+
+  /** (row count, Σ xxhash64 over the name-sorted stringified row) — an
+    * order-insensitive exact signature; both sides run in THIS engine, so
+    * double formatting is identical by construction.
+    */
+  private def sig(df: DataFrame): (Long, String) = {
+    val cols = df.columns.sorted.toIndexedSeq.map(c => col(c).cast("string"))
+    val r = df.select(xxhash64(cols: _*).as("h"))
+      .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val work = if (args.length > 0) args(0) else "/tmp/graft_sf1"
+    val out = if (args.length > 1) args(1) else "CORRECTNESS_sf1.json"
+    val n = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.tune(spark)
+    val marker = new java.io.File(s"$work/region.parquet")
+    if (!marker.exists()) Replicas.build(spark, "/root/testdata/sf0.1", work, n)
+
+    import graft.queries.CoreQueries
+    import graft.dedup.DedupQueries
+
+    def ev = graft.Tables(spark, work, "events")
+    def docs = graft.Tables(spark, work, "documents")
+
+    val checks: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("a26_salted_skew_join",
+        () => CoreQueries.a26SaltedSkewJoin(spark, work),
+        () => {
+          val stats = ev.groupBy(col("event_type"))
+            .agg((sum(col("value").cast("decimal(25,6)")).cast("double") /
+              count(lit(1)).cast("double")).as("type_avg"))
+          ev.select(col("event_id"), col("event_type"), col("value"))
+            .join(stats, Seq("event_type"))
+            .select(col("event_id"), col("event_type"), col("value"), col("type_avg"),
+              (col("value") - col("type_avg")).as("deviation"))
+        }),
+      ("a17b_interval_join_binned",
+        () => CoreQueries.a17bIntervalJoinBinned(spark, work),
+        () => {
+          // the nested-loop plan the binning replaces, verbatim semantics
+          val halfUs = 1800000000L
+          val iv = ev.filter(col("event_type") === "purchase" && col("value") >= 200)
+            .select(col("event_id"),
+              (unix_micros(col("ts")) - halfUs).as("lo"),
+              (unix_micros(col("ts")) + halfUs).as("hi"))
+          val pts = ev.filter(col("event_type") === "click")
+            .select(unix_micros(col("ts")).as("c_us"), col("value").as("c_value"))
+          iv.join(pts, col("c_us") >= col("lo") && col("c_us") <= col("hi"))
+            .groupBy(col("event_id"))
+            .agg(count(lit(1)).as("n_clicks"),
+              sum(col("c_value").cast("decimal(25,6)")).cast("double")
+                .as("sum_click_value"))
+        }),
+      ("c8_curriculum_bins",
+        () => CoreQueries.c8CurriculumBins(spark, work),
+        () => docs.select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
+          .withColumn("bin",
+            ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("source")).as("n_sources"))),
+      ("x9b_clusters_altstar",
+        () => DedupQueries.x9bDedupClustersAltStar(spark, work),
+        () => DedupQueries.x9DedupClusters(spark, work)),
+      ("x20_simhash_pairs",
+        () => DedupQueries.x20SimhashPairs(spark, work, 3),
+        () => DedupQueries.simhashPairsBlocked(
+          DedupQueries.x3Simhash(spark, work), 3, nBlocks = 8)))
+
+    val results = checks.map { case (name, gate, twin) =>
+      val t0 = System.nanoTime()
+      val (gn, gh) = sig(gate())
+      val (tn, th) = sig(twin())
+      val secs = (System.nanoTime() - t0) / 1e9
+      val ok = gn == tn && gh == th
+      println(f"[verify_sf1] $name%-28s rows=$gn%9d twin=$tn%9d " +
+        f"hash_match=$ok%-5s ${secs}%8.1f s")
+      s"""  "$name": {"rows": $gn, "twin_rows": $tn, "rows_match": ${gn == tn},
+         |    "hash_match": ${gh == th}, "secs": ${f"$secs%.1f"}}""".stripMargin
+    }
+    val allOk = !results.exists(_.contains("false"))
+    val json = s"{\n${results.mkString(",\n")},\n" +
+      s"""  "replicas": $n, "all_match": $allOk\n}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes("UTF-8"))
+    println(s"[verify_sf1] wrote $out all_match=$allOk")
+    spark.stop()
+    if (!allOk) sys.exit(1)
+  }
+}

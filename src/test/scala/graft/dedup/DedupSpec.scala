@@ -523,6 +523,25 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("x20: an independent 8x8 pigeonhole split derives the identical pair set") {
+    // different join keys, different candidate sets, same exactness
+    // guarantee — this is the twin VerifySf1 replays at the 10x point
+    val fp = DedupQueries.x3Simhash(spark, sf001)
+    val four = DedupQueries.x20SimhashPairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val eight = DedupQueries.simhashPairsBlocked(fp, 3, nBlocks = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(four.nonEmpty && four == eight,
+      s"blockings disagree: only4=${(four diff eight).take(5)} only8=${(eight diff four).take(5)}")
+    // the pigeonhole bound itself is enforced for any split
+    intercept[IllegalArgumentException] {
+      DedupQueries.simhashPairsBlocked(fp, 8, nBlocks = 8)
+    }
+    intercept[IllegalArgumentException] {
+      DedupQueries.simhashPairsBlocked(fp, 3, nBlocks = 7) // 7 does not divide 64
+    }
+  }
+
   test("x21: estimates are lane-consistent and cover every x2-verified pair") {
     val est = DedupQueries.x21MinhashEstimate(spark, sf001).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getDouble(3)))

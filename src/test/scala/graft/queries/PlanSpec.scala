@@ -73,14 +73,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Join"), "the rewrite must still be a join:\n" + p)
   }
 
-  test("c8: curriculum ntile plans a range exchange, never a single-partition Window") {
-    val p = simplePlan(CoreQueries.c8CurriculumBins(spark, sf001))
-    assert(p.contains("rangepartitioning"),
-      "distributed rank must range-partition the order key:\n" + p)
-    assert(!p.contains("Window"),
+  test("c8: curriculum ntile plans a bucket-keyed window, never a single-partition one") {
+    val df = CoreQueries.c8CurriculumBins(spark, sf001)
+    val p = simplePlan(df)
+    assert(p.contains("hashpartitioning(rank_bucket"),
+      "distributed rank must exchange on the literal-derived bucket id:\n" + p)
+    // the rank window must be PARTITIONED (by rank_bucket) — the global
+    // empty-partition Window is the one-task cliff this operator replaces
+    assert(graft.plans.PlanChecks.unboundedGlobalWindows(df).isEmpty,
       "global ntile must not fall back to a one-task Window:\n" + p)
-    // the local-rank stage is monotonically_increasing_id bit arithmetic —
-    // it must stay inside codegen, never cross an object/encoder boundary
+    // the local-rank stage is literal bucket arithmetic + a keyed window —
+    // it must never cross an object/encoder boundary
     assert(!p.contains("DeserializeToObject") && !p.contains("SerializeFromObject") &&
       !p.contains("MapPartitions"),
       "the rank stage must not leave whole-stage codegen:\n" + p)
