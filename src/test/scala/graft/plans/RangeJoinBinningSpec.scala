@@ -132,6 +132,37 @@ class RangeJoinBinningSpec extends SparkSuite {
     }
   }
 
+  test("seeded fuzz: random widths/offsets/strictness match the nested-loop result") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val pts = (-500L to 500L).map(v => v * 7L).toDF("us").localCheckpoint()
+    for (trial <- 1 to 12) {
+      val bases = Seq.fill(40)(rnd.between(-3000L, 3000L)).distinct.toDF("base")
+        .localCheckpoint()
+      val lo = rnd.between(-200L, 100L)
+      val hi = lo + rnd.between(0L, 400L)
+      val strictLo = rnd.nextBoolean()
+      val strictHi = rnd.nextBoolean()
+      def cond = {
+        val l = if (strictLo) col("us") > col("base") + lit(lo)
+                else col("us") >= col("base") + lit(lo)
+        val h = if (strictHi) col("us") < col("base") + lit(hi)
+                else col("us") <= col("base") + lit(hi)
+        l && h
+      }
+      def q = bases.join(pts, cond)
+        .groupBy(col("base")).agg(count(lit(1)).as("n"), sum(col("us")).as("s"))
+      val expected = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      withRule {
+        assert(!physical(q).contains("BroadcastNestedLoopJoin"),
+          s"trial $trial (lo=$lo hi=$hi strict=($strictLo,$strictHi)) did not bin")
+        val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == expected,
+          s"trial $trial (lo=$lo hi=$hi strict=($strictLo,$strictHi)) diverged")
+      }
+    }
+  }
+
   test("equi-keyed range joins are left alone") {
     val ev = Tables(spark, sf001, "events")
     val pts = ev.filter(col("event_type") === "click")

@@ -661,4 +661,28 @@ class QueriesSpec extends SparkSuite {
       .orderBy("user_id", "day_start").collect().map(_.toSeq)
     assert(merged3.toSeq == full.toSeq, "three-way merge drifted from full recompute")
   }
+
+  test("e12FoldStates: state x state folding is closed, order-independent, and finalizes to e4") {
+    import org.apache.spark.sql.functions._
+    val full = CoreQueries.e4OhlcvResample(spark, sf001).collect().map(_.toSeq)
+    val ev = graft.Tables(spark, sf001, "events")
+    val s = (0 to 3).map(i => CoreQueries.e12StateOf(ev.filter(col("event_id") % 4 === i)))
+    // two different fold TREES over the same four batches — the persisted-MV
+    // lane folds incrementally (((s0+s1)+s2)+s3); a backfill might fold
+    // pairwise ((s0+s1)+(s2+s3)); both must finalize identically
+    val chain = CoreQueries.e12FoldStates(
+      CoreQueries.e12FoldStates(
+        CoreQueries.e12FoldStates(s(0), s(1)), s(2)), s(3))
+    val pairs = CoreQueries.e12FoldStates(
+      CoreQueries.e12FoldStates(s(3), s(2)), CoreQueries.e12FoldStates(s(1), s(0)))
+    def fin(st: org.apache.spark.sql.DataFrame) = CoreQueries.e12MergeStates(st)
+      .orderBy("user_id", "day_start").collect().map(_.toSeq).toSeq
+    assert(fin(chain) == full.toSeq, "incremental fold chain drifted from e4")
+    assert(fin(pairs) == full.toSeq, "pairwise/reversed fold tree drifted from e4")
+    // closure: the folded state's schema is a fixpoint (decimal(38,6) pin) —
+    // folding a folded state with a fresh batch state must not widen types
+    assert(CoreQueries.e12FoldStates(chain, s(0)).schema ==
+      CoreQueries.e12FoldStates(chain, s(1)).schema)
+    assert(chain.schema("vol_dec").dataType.simpleString == "decimal(38,6)")
+  }
 }
