@@ -77,5 +77,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // binned equi-join shape instead of a nested loop — see
     // graft.plans.RangeJoinBinningRule
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinningRule)
+    // native point-in-time join: the asof_match marker, its rewrite rule,
+    // and the physical operator — see graft.plans.AsOfJoin
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.plans.AsOfJoin.FunctionName),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.plans.AsOfMatch].getName, graft.plans.AsOfJoin.FunctionName),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.plans.AsOfMatch(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

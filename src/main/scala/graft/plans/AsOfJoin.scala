@@ -1,0 +1,296 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BinaryExpression, Expression, GenericInternalRow,
+  JoinedRow, PredicateHelper, RowOrdering, SortOrder, Unevaluable,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+/** WHOLE-OPERATOR Catalyst extension: a native point-in-time (as-of) join.
+  *
+  * `l ASOF JOIN r ON l.k = r.k AND asof_match(l.ts, r.ts)` pairs every left
+  * row with the single right row of the same key having the LARGEST
+  * `r.ts <= l.ts` — the reference's rate-lookup semantics (T9) generalized,
+  * and the query shape behind a13. Spark has no native operator for it; the
+  * stock compositions are
+  *   (a) the union-and-carry window plan (a13: union both sides, one
+  *       shuffle, running `last(_, ignoreNulls)`), or
+  *   (b) a range join + per-key argmax re-aggregation.
+  * Both are correct at scale; this operator is the step beyond: the full
+  * `LogicalPlan → Rule → SparkStrategy → SparkPlan` ladder producing a
+  * first-class physical join that
+  *   - shuffles EACH SIDE ONCE on the key (ClusteredDistribution, exactly a
+  *     sort-merge join's exchange shape — AQE still owns partition
+  *     coalescing/skew handling of those exchanges),
+  *   - sort-merges with a ONE-ROW lookahead — no union materialization, no
+  *     window carry state, no null-padded wide rows, no per-key buffering
+  *     (an entire hot key streams through O(1) memory, where a window's
+  *     running-frame state buffers per partition task),
+  *   - emits at most one output row per left row (LEFT OUTER) — the join
+  *     NEVER inflates, so downstream cardinality is known at plan time.
+  *
+  * Deployment mirrors the engine's other Catalyst extensions
+  * ([[RangeJoinBinningRule]]): session-scoped via
+  * [[AsOfJoin.ensureRegistered]] (experimental.extraOptimizations +
+  * extraStrategies + the `asof_match` function), or cluster-wide via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  *
+  * Determinism contract: ties on `r.ts` within a key resolve to the row
+  * latest in the right side's (key, ts) sort, which is NOT total — callers
+  * wanting bit-stable output pre-aggregate the right side to one row per
+  * (key, ts), exactly as a13 does (and as its DuckDB ASOF JOIN oracle
+  * requires).
+  */
+case class AsOfMatch(left: Expression, right: Expression)
+    extends BinaryExpression with Unevaluable {
+  // Boolean so the analyzer accepts it anywhere a join predicate goes; it
+  // never evaluates — AsOfJoinRule MUST rewrite it into AsOfJoinNode (an
+  // unrewritten marker fails fast at physical planning, never silently
+  // degrades to an all-pairs join).
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "asof_match"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Logical as-of join: keys equi-match, and per left row the single right
+  * row with max `rightTs <= leftTs` (nulls never match). LeftOuter keeps
+  * unmatched left rows null-extended; Inner drops them.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    joinType: JoinType)
+    extends BinaryNode {
+  override def output: Seq[Attribute] = joinType match {
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Optimizer rule: a Join whose condition carries the `asof_match` marker
+  * becomes [[AsOfJoinNode]]. Runs in the user-rule batch — AFTER column
+  * pruning and predicate pushdown have already treated the join as a normal
+  * Join, so the rewrite inherits pruned inputs for free.
+  *
+  * The marker is a semantic operator, not an optimization, so a condition
+  * this rule cannot soundly rewrite is an ERROR (never a silent fallback to
+  * the all-pairs join the unrewritten plan would mean).
+  */
+object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(
+      s"asof_match: $msg. Supported shape: l.join(r, l(k) === r(k) && " +
+        "expr(\"asof_match(l_ts, r_ts)\"), \"left\"|\"inner\") with at " +
+        "least one equi-key, both ts of one orderable type, extra " +
+        "predicates applied as filters outside the join.")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Join(left, right, jt @ (Inner | LeftOuter), Some(cond), _)
+        if cond.find(_.isInstanceOf[AsOfMatch]).isDefined =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (markers, rest) = conjuncts.partition(_.isInstanceOf[AsOfMatch])
+      if (markers.size != 1) fail("exactly one asof_match conjunct required")
+      val AsOfMatch(a, b) = markers.head: @unchecked
+      val (lts, rts) =
+        if (a.references.subsetOf(left.outputSet) &&
+          b.references.subsetOf(right.outputSet)) (a, b)
+        else if (a.references.subsetOf(right.outputSet) &&
+          b.references.subsetOf(left.outputSet))
+          fail("first argument must come from the left (probe) side, " +
+            "second from the right (reference) side")
+        else fail("each asof_match argument must reference exactly one side")
+      if (lts.dataType != rts.dataType || !RowOrdering.isOrderable(lts.dataType))
+        fail(s"ts types must match and be orderable, got " +
+          s"${lts.dataType.simpleString} vs ${rts.dataType.simpleString}")
+      val keys = rest.map {
+        case e @ org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
+          if (l.references.subsetOf(left.outputSet) &&
+            r.references.subsetOf(right.outputSet)) (l, r)
+          else if (l.references.subsetOf(right.outputSet) &&
+            r.references.subsetOf(left.outputSet)) (r, l)
+          else fail(s"non-equi-key conjunct in as-of condition: ${e.sql}")
+        case e => fail(s"non-equi-key conjunct in as-of condition: ${e.sql}")
+      }
+      if (keys.isEmpty)
+        fail("at least one equi-key required (a keyless global as-of is a " +
+          "single-ordering problem — use the union-and-carry window shape)")
+      keys.foreach { case (l, r) =>
+        if (l.dataType != r.dataType)
+          fail(s"equi-key types must match exactly (hash co-partitioning), " +
+            s"got ${l.dataType.simpleString} vs ${r.dataType.simpleString}")
+      }
+      AsOfJoinNode(left, right, keys.map(_._1), keys.map(_._2), lts, rts, jt)
+  }
+}
+
+/** Plans [[AsOfJoinNode]] → [[AsOfJoinExec]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, jt) =>
+      AsOfJoinExec(lk, rk, lts, rts, jt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of join: both children hash-clustered on the keys (the
+  * planner's EnsureRequirements inserts compatible exchanges, exactly as
+  * for a shuffled join) and sorted by (keys…, ts) NULLS FIRST; each
+  * co-located partition pair then merges with a single-row lookahead.
+  *
+  * Scale shape (the 100 TB lens): two hash exchanges + two sorts — a
+  * sort-merge join's exact cost envelope — but the merge keeps O(1) state
+  * (last candidate + peeked row), emits ≤ 1 row per left row, and builds
+  * output rows through one UnsafeProjection. No window buffer, no union of
+  * mismatched schemas, no candidate pairs to re-aggregate.
+  */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    joinType: JoinType,
+    left: SparkPlan,
+    right: SparkPlan)
+    extends BinaryExecNode {
+
+  require(joinType == Inner || joinType == LeftOuter,
+    s"as-of join supports Inner/LeftOuter, got $joinType")
+
+  override lazy val metrics: Map[String, SQLMetric] =
+    Map("numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def output: Seq[Attribute] = joinType match {
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+
+  // rows stream out in left-child order, one-to-(at most)-one
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val keyTypes = leftKeys.map(_.dataType)
+    val tsType = leftTs.dataType
+    val isLeftOuter = joinType == LeftOuter
+    val lOut = left.output
+    val rOut = right.output
+    val lSortExprs = leftKeys :+ leftTs
+    val rSortExprs = rightKeys :+ rightTs
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lSortProj = UnsafeProjection.create(lSortExprs, lOut)
+      val rSortProj = UnsafeProjection.create(rSortExprs, rOut)
+      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      val fullOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes :+ tsType)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val nKeys = keyTypes.length
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.length)
+
+      new Iterator[InternalRow] {
+        // peeked right row + its sort key (copies: child iterators reuse rows)
+        private var rRow: InternalRow = _
+        private var rSort: InternalRow = _
+        // best as-of candidate so far (reference to an already-copied rRow)
+        private var candRow: InternalRow = _
+        private var candSort: InternalRow = _
+        private var pending: InternalRow = _
+
+        private def fetchRight(): Unit =
+          if (rIter.hasNext) {
+            rRow = rIter.next().copy()
+            rSort = rSortProj(rRow).copy()
+          } else { rRow = null; rSort = null }
+        fetchRight()
+
+        private def keyHasNull(sort: InternalRow): Boolean = {
+          var i = 0
+          while (i < nKeys) { if (sort.isNullAt(i)) return true; i += 1 }
+          false
+        }
+
+        private def advance(): Unit =
+          while (pending == null && lIter.hasNext) {
+            val lRow = lIter.next()
+            val lSort = lSortProj(lRow)
+            // consume right rows ordered ≤ (key, ts): inclusive bound
+            while (rRow != null && fullOrd.compare(rSort, lSort) <= 0) {
+              // null key or null ts never matches (SQL three-valued ≤)
+              if (!keyHasNull(rSort) && !rSort.isNullAt(nKeys)) {
+                candRow = rRow; candSort = rSort
+              }
+              fetchRight()
+            }
+            val matched = candRow != null && !keyHasNull(lSort) &&
+              !lSort.isNullAt(nKeys) && keyOrd.compare(candSort, lSort) == 0
+            if (matched) {
+              numOutputRows += 1
+              pending = resultProj(joined(lRow, candRow))
+            } else if (isLeftOuter) {
+              numOutputRows += 1
+              pending = resultProj(joined(lRow, nullRight))
+            }
+          }
+
+        override def hasNext: Boolean = { advance(); pending != null }
+        override def next(): InternalRow = {
+          advance()
+          if (pending == null) throw new NoSuchElementException("empty iterator")
+          val out = pending
+          pending = null
+          out
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session-scoped deployment of the as-of operator (the
+  * [[graft.functions.BloomExpressions]] / extraOptimizations idiom — no
+  * `spark.sql.extensions` restart required; idempotent).
+  */
+object AsOfJoin {
+  val FunctionName = "asof_match"
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FunctionName, exprs => AsOfMatch(exprs(0), exprs(1)), "scala_udf")
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.contains(AsOfJoinRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ AsOfJoinRule
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+  }
+}

@@ -674,6 +674,38 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** A13b: the SAME point-in-time semantics as a13, through the engine's
+    * native as-of operator ([[graft.plans.AsOfJoinExec]]) — the full
+    * `LogicalPlan → Rule → SparkStrategy → SparkPlan` Catalyst ladder. The
+    * query is a plain left join carrying the `asof_match` marker; the
+    * injected rule rewrites it into the physical merge join (one hash
+    * exchange per side, O(1) merge state, ≤ 1 output row per click — see
+    * the operator's scaladoc for the scale contract vs. the a13
+    * union-and-carry plan). Purchases are pre-aggregated per (user, ts) so
+    * right-side ties are impossible and the output is bit-stable — the
+    * operator's documented determinism contract.
+    *
+    * Oracle: DuckDB's native `ASOF LEFT JOIN` — two engines, two
+    * independent as-of implementations, one hash-compared result.
+    */
+  def a13bAsofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.AsOfJoin.ensureRegistered(s)
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("value")).as("p_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    clicks
+      .join(purchases,
+        col("user_id") === col("p_user") && expr("asof_match(ts, p_ts)"),
+        "left")
+      .select(col("event_id"), ntz(col("ts")).as("timestamp_utc"), col("user_id"),
+        col("value"), ntz(col("p_ts")).as("purchase_ts"),
+        col("p_value").as("purchase_value"))
+      .orderBy("event_id")
+  }
+
   /** A17: interval (range) join — per click, the same user's purchases in
     * the preceding hour. Plans as a sort-merge join on the user key with the
     * time-range predicate evaluated inside the merge — the equi-key bounds
@@ -1522,6 +1554,7 @@ object CoreQueries {
     "a12b_sliding_window" -> (a12bSlidingWindow _),
     "a12c_session_window" -> (a12cSessionWindow _),
     "a13_asof_join" -> (a13AsofJoin _),
+    "a13b_asof_join_native" -> (a13bAsofJoinNative _),
     "a14_correlated_subquery" -> (a14CorrelatedSubquery _),
     "a10b_cube" -> (a10bCube _),
     "a15_quantiles" -> (a15Quantiles _),
@@ -2083,6 +2116,22 @@ object CoreQueries {
                 CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
          FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "a13_asof_join" ->
+      """WITH purchases AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, MAX(value) AS p_value
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+         clicks AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS cts, value
+           FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.cts AS timestamp_utc, c.user_id, c.value,
+                p.pts AS purchase_ts, p.p_value AS purchase_value
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND p.pts <= c.cts
+         ORDER BY c.event_id""",
+    // a13b: the native-operator lane computes the SAME declared result as
+    // a13 (one as-of semantics, two engine plans), so the oracle is shared —
+    // DuckDB's ASOF LEFT JOIN adjudicates both.
+    "a13b_asof_join_native" ->
       """WITH purchases AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, MAX(value) AS p_value
            FROM events WHERE event_type = 'purchase'

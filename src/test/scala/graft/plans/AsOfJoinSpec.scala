@@ -1,0 +1,153 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The native as-of operator: semantics (backward inclusive, null
+  * three-valued logic, join types), the rewrite rule's guardrails, the
+  * physical plan shape, and a seeded randomized equivalence law against an
+  * independent driver-side reference.
+  */
+class AsOfJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  AsOfJoin.ensureRegistered(spark)
+
+  // probe(k, ts) — reference(k, ts, v)
+  private def probe: DataFrame =
+    Seq[(Option[Long], Option[Long])](
+      (Some(1L), Some(5L)),   // before any reference row → no match
+      (Some(1L), Some(10L)),  // equal ts → INCLUSIVE match (v=a)
+      (Some(1L), Some(15L)),  // between → backward match (v=a)
+      (Some(1L), Some(25L)),  // after both → latest (v=b)
+      (Some(2L), Some(14L)),  // other key, before its row → no match
+      (Some(2L), Some(15L)),  // other key, equal → match (v=c)
+      (Some(3L), Some(50L)),  // key with no reference rows → no match
+      (None, Some(30L)),      // null key never matches
+      (Some(1L), None)        // null ts never matches
+    ).toDF("k", "ts")
+
+  private def reference: DataFrame =
+    Seq[(Option[Long], Option[Long], String)](
+      (Some(1L), Some(10L), "a"),
+      (Some(1L), Some(20L), "b"),
+      (Some(2L), Some(15L), "c"),
+      (None, Some(1L), "never"),   // null key never matches
+      (Some(1L), None, "never")    // null ts never matches
+    ).toDF("rk", "rts", "v")
+
+  private def asofLeft: DataFrame =
+    probe.join(reference,
+      col("k") === col("rk") && expr("asof_match(ts, rts)"), "left")
+
+  test("backward-inclusive semantics, null keys/ts never match (left outer)") {
+    val got = asofLeft
+      .select(col("k"), col("ts"), col("v"))
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2))))
+      .toSet
+    val expected = Set[(Option[Any], Option[Any], Option[Any])](
+      (Some(1L), Some(5L), None),
+      (Some(1L), Some(10L), Some("a")),
+      (Some(1L), Some(15L), Some("a")),
+      (Some(1L), Some(25L), Some("b")),
+      (Some(2L), Some(14L), None),
+      (Some(2L), Some(15L), Some("c")),
+      (Some(3L), Some(50L), None),
+      (None, Some(30L), None),
+      (Some(1L), None, None))
+    assert(got == expected)
+  }
+
+  test("inner as-of drops unmatched probe rows") {
+    val got = probe.join(reference,
+        col("k") === col("rk") && expr("asof_match(ts, rts)"), "inner")
+      .select(col("k"), col("ts"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 10L, "a"), (1L, 15L, "a"), (1L, 25L, "b"), (2L, 15L, "c")))
+  }
+
+  test("raw SQL surface: asof_match resolves and rewrites through spark.sql") {
+    probe.createOrReplaceTempView("asof_probe")
+    reference.createOrReplaceTempView("asof_ref")
+    val sql = spark.sql(
+      """SELECT p.k, p.ts, r.v FROM asof_probe p LEFT JOIN asof_ref r
+         ON p.k = r.rk AND asof_match(p.ts, r.rts)""")
+    assert(sql.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val viaApi = asofLeft.select(col("k"), col("ts"), col("v")).collect().toSeq
+    assert(sql.collect().toSeq.sortBy(_.toString) == viaApi.sortBy(_.toString))
+  }
+
+  test("plan shape: AsOfJoin node, one exchange+sort per side, no window/SMJ") {
+    val p = asofLeft.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("Window"), "marker join must plan ONLY the native exec:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      "exactly one hash exchange per side:\n" + p)
+  }
+
+  test("composite keys join on all equi conjuncts") {
+    val l = Seq((1L, 1L, 10L), (1L, 2L, 10L)).toDF("k1", "k2", "ts")
+    val r = Seq((1L, 1L, 5L, "x"), (1L, 2L, 7L, "y")).toDF("rk1", "rk2", "rts", "v")
+    val got = l.join(r,
+        col("k1") === col("rk1") && col("k2") === col("rk2") &&
+          expr("asof_match(ts, rts)"), "left")
+      .select(col("k2"), col("v")).collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(got == Set((1L, "x"), (2L, "y")))
+  }
+
+  test("guardrails: keyless, reversed sides, type mismatch, non-equi conjunct all fail fast") {
+    val l = Seq((1L, 10L)).toDF("k", "ts")
+    val r = Seq((1L, 5L, "x")).toDF("rk", "rts", "v")
+    def msg(f: => DataFrame): String =
+      intercept[Exception](f.collect()).getMessage
+    assert(msg(l.join(r, expr("asof_match(ts, rts)"), "left"))
+      .contains("equi-key"))
+    assert(msg(l.join(r, col("k") === col("rk") && expr("asof_match(rts, ts)"), "left"))
+      .contains("left (probe) side"))
+    assert(msg(l.join(r.withColumn("rts", col("rts").cast("int")),
+        col("k") === col("rk") && expr("asof_match(ts, rts)"), "left"))
+      .contains("ts types"))
+    assert(msg(l.join(r, col("k") === col("rk") && col("ts") > col("rts") &&
+        expr("asof_match(ts, rts)"), "left"))
+      .contains("non-equi-key"))
+  }
+
+  test("law: seeded random corpus matches an independent driver-side reference") {
+    val rnd = new scala.util.Random(42)
+    val leftRows = Seq.fill(400)((rnd.nextInt(20).toLong, rnd.nextInt(100).toLong))
+    // distinct (k, ts) on the reference side — the operator's documented
+    // determinism contract (ties within (k, ts) are plan-order dependent)
+    val rightRows = Seq.fill(400)((rnd.nextInt(20).toLong, rnd.nextInt(100).toLong))
+      .distinct.map { case (k, ts) => (k, ts, s"v${k}_$ts") }
+    val l = leftRows.toDF("k", "ts")
+    val r = rightRows.toDF("rk", "rts", "v")
+    val got = l.join(r, col("k") === col("rk") && expr("asof_match(ts, rts)"), "left")
+      .select(col("k"), col("ts"), col("v")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), Option(x.getString(2))))
+      .sortBy(t => (t._1, t._2, t._3))
+    val byKey = rightRows.groupBy(_._1)
+    val expected = leftRows.map { case (k, ts) =>
+      val best = byKey.getOrElse(k, Nil).filter(_._2 <= ts).sortBy(_._2).lastOption
+      (k, ts, best.map(_._3))
+    }.sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq == expected)
+  }
+
+  test("a13b ≡ a13: the native operator and the union-and-carry plan agree on sf0.001") {
+    val a = graft.queries.CoreQueries.a13AsofJoin(spark, sf001).collect().toSeq
+    val b = graft.queries.CoreQueries.a13bAsofJoinNative(spark, sf001).collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("ensureRegistered is idempotent") {
+    AsOfJoin.ensureRegistered(spark)
+    AsOfJoin.ensureRegistered(spark)
+    assert(spark.experimental.extraOptimizations.count(_ == AsOfJoinRule) == 1)
+    assert(spark.experimental.extraStrategies.count(_ == AsOfJoinStrategy) == 1)
+  }
+}
