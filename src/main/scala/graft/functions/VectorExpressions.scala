@@ -84,7 +84,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[graft.plans.AsOfMatch].getName, graft.plans.AsOfJoin.FunctionName),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          graft.plans.AsOfMatch(exprs(0), exprs(1))))
+          graft.plans.AsOfMatch.fromArgs(exprs)))
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -44,29 +44,60 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   * extraStrategies + the `asof_match` function), or cluster-wide via
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   *
+  * The full pandas-`merge_asof`/QuestDB-style family is supported through
+  * the marker's optional literal args
+  * `asof_match(lts, rts[, 'backward'|'forward'[, tolerance]])`:
+  * backward = max `rts <= lts` (default), forward = min `rts >= lts`,
+  * and a tolerance (long micros or fixed-duration interval literal)
+  * rejects matches further than that from the probe ts.
+  *
   * Determinism contract: ties on `r.ts` within a key resolve to the row
-  * latest in the right side's (key, ts) sort, which is NOT total — callers
-  * wanting bit-stable output pre-aggregate the right side to one row per
-  * (key, ts), exactly as a13 does (and as its DuckDB ASOF JOIN oracle
-  * requires).
+  * latest (backward) / earliest-peeked (forward) in the right side's
+  * (key, ts) sort, which is NOT total — callers wanting bit-stable output
+  * pre-aggregate the right side to one row per (key, ts), exactly as a13
+  * does (and as its DuckDB ASOF JOIN oracle requires).
   */
-case class AsOfMatch(left: Expression, right: Expression)
-    extends BinaryExpression with Unevaluable {
+case class AsOfMatch(
+    left: Expression,
+    right: Expression,
+    direction: Expression,
+    tolerance: Expression)
+    extends Expression with Unevaluable {
   // Boolean so the analyzer accepts it anywhere a join predicate goes; it
   // never evaluates — AsOfJoinRule MUST rewrite it into AsOfJoinNode (an
   // unrewritten marker fails fast at physical planning, never silently
   // degrades to an all-pairs join).
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(left, right, direction, tolerance)
   override def prettyName: String = "asof_match"
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(left = newChildren(0), right = newChildren(1),
+      direction = newChildren(2), tolerance = newChildren(3))
+}
+
+object AsOfMatch {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  /** SQL/function-registry arities:
+    * `asof_match(lts, rts[, 'backward'|'forward'[, tolerance]])` —
+    * tolerance a long (micros) or a fixed-duration interval literal.
+    */
+  def fromArgs(exprs: Seq[Expression]): AsOfMatch = exprs match {
+    case Seq(l, r) => AsOfMatch(l, r, Literal("backward"), Literal(null))
+    case Seq(l, r, d) => AsOfMatch(l, r, d, Literal(null))
+    case Seq(l, r, d, t) => AsOfMatch(l, r, d, t)
+    case _ => throw new IllegalArgumentException(
+      s"asof_match takes 2-4 arguments, got ${exprs.length}")
+  }
 }
 
 /** Logical as-of join: keys equi-match, and per left row the single right
-  * row with max `rightTs <= leftTs` (nulls never match). LeftOuter keeps
-  * unmatched left rows null-extended; Inner drops them.
+  * row with max `rightTs <= leftTs` (backward, the default) or min
+  * `rightTs >= leftTs` (forward); nulls never match; with a tolerance, a
+  * candidate further than `toleranceUs` micros from the probe ts is
+  * rejected. LeftOuter keeps unmatched left rows null-extended; Inner
+  * drops them.
   */
 case class AsOfJoinNode(
     left: LogicalPlan,
@@ -75,7 +106,9 @@ case class AsOfJoinNode(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
-    joinType: JoinType)
+    joinType: JoinType,
+    forward: Boolean = false,
+    toleranceUs: Option[Long] = None)
     extends BinaryNode {
   override def output: Seq[Attribute] = joinType match {
     case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
@@ -110,7 +143,35 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       val conjuncts = splitConjunctivePredicates(cond)
       val (markers, rest) = conjuncts.partition(_.isInstanceOf[AsOfMatch])
       if (markers.size != 1) fail("exactly one asof_match conjunct required")
-      val AsOfMatch(a, b) = markers.head: @unchecked
+      val AsOfMatch(a, b, dirE, tolE) = markers.head: @unchecked
+      // direction/tolerance must be plan-time constants: by the user batch,
+      // constant folding has collapsed any foldable arg to a Literal
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType,
+        LongType, StringType, TimestampType, CalendarIntervalType}
+      import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
+      val forward = dirE match {
+        case Literal(s: UTF8String, StringType) =>
+          s.toString.toLowerCase match {
+            case "backward" => false
+            case "forward" => true
+            case d => fail(s"direction must be 'backward' or 'forward', got '$d'")
+          }
+        case e => fail(s"direction must be a string literal, got ${e.sql}")
+      }
+      val toleranceUs: Option[Long] = tolE match {
+        case Literal(null, _) => None
+        case Literal(c: Long, LongType) => Some(c)
+        case Literal(c: Int, IntegerType) => Some(c.toLong)
+        case Literal(c: Long, _: DayTimeIntervalType) => Some(c)
+        case Literal(ci: CalendarInterval, CalendarIntervalType)
+            if ci.months == 0 && ci.days == 0 => Some(ci.microseconds)
+        case e => fail("tolerance must be a long (micros) or fixed-duration " +
+          s"interval literal, got ${e.sql}")
+      }
+      toleranceUs.foreach { t =>
+        if (t < 0) fail(s"tolerance must be non-negative, got $t")
+      }
       val (lts, rts) =
         if (a.references.subsetOf(left.outputSet) &&
           b.references.subsetOf(right.outputSet)) (a, b)
@@ -122,6 +183,10 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       if (lts.dataType != rts.dataType || !RowOrdering.isOrderable(lts.dataType))
         fail(s"ts types must match and be orderable, got " +
           s"${lts.dataType.simpleString} vs ${rts.dataType.simpleString}")
+      if (toleranceUs.isDefined && lts.dataType != TimestampType &&
+        lts.dataType != LongType)
+        fail("tolerance requires TIMESTAMP or BIGINT (epoch-micros) ts, " +
+          s"got ${lts.dataType.simpleString}")
       val keys = rest.map {
         case e @ org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
           if (l.references.subsetOf(left.outputSet) &&
@@ -139,15 +204,16 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           fail(s"equi-key types must match exactly (hash co-partitioning), " +
             s"got ${l.dataType.simpleString} vs ${r.dataType.simpleString}")
       }
-      AsOfJoinNode(left, right, keys.map(_._1), keys.map(_._2), lts, rts, jt)
+      AsOfJoinNode(left, right, keys.map(_._1), keys.map(_._2), lts, rts, jt,
+        forward, toleranceUs)
   }
 }
 
 /** Plans [[AsOfJoinNode]] → [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lts, rts, jt) =>
-      AsOfJoinExec(lk, rk, lts, rts, jt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, jt, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lts, rts, jt, planLater(l), planLater(r), fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -170,7 +236,9 @@ case class AsOfJoinExec(
     rightTs: Expression,
     joinType: JoinType,
     left: SparkPlan,
-    right: SparkPlan)
+    right: SparkPlan,
+    forward: Boolean = false,
+    toleranceUs: Option[Long] = None)
     extends BinaryExecNode {
 
   require(joinType == Inner || joinType == LeftOuter,
@@ -237,23 +305,44 @@ case class AsOfJoinExec(
           false
         }
 
+        // tolerance as primitives (no Option boxing on the per-row path);
+        // ts reads via getLong are sound: tolerance is rule-restricted to
+        // TimestampType/LongType, both long-backed
+        private val hasTol = toleranceUs.isDefined
+        private val tol = toleranceUs.getOrElse(0L)
+
         private def advance(): Unit =
           while (pending == null && lIter.hasNext) {
             val lRow = lIter.next()
             val lSort = lSortProj(lRow)
-            // consume right rows ordered ≤ (key, ts): inclusive bound
-            while (rRow != null && fullOrd.compare(rSort, lSort) <= 0) {
-              // null key or null ts never matches (SQL three-valued ≤)
-              if (!keyHasNull(rSort) && !rSort.isNullAt(nKeys)) {
-                candRow = rRow; candSort = rSort
+            var matchRow: InternalRow = null
+            val lValid = !keyHasNull(lSort) && !lSort.isNullAt(nKeys)
+            if (forward) {
+              // consume right rows STRICTLY before (key, ts); the peeked row
+              // itself is the at-or-after candidate (NOT consumed — later
+              // probe rows of the same key may match it too)
+              while (rRow != null && fullOrd.compare(rSort, lSort) < 0) fetchRight()
+              if (lValid && rRow != null && !keyHasNull(rSort) &&
+                !rSort.isNullAt(nKeys) && keyOrd.compare(rSort, lSort) == 0 &&
+                (!hasTol || rSort.getLong(nKeys) - lSort.getLong(nKeys) <= tol))
+                matchRow = rRow
+            } else {
+              // consume right rows ordered ≤ (key, ts): inclusive bound
+              while (rRow != null && fullOrd.compare(rSort, lSort) <= 0) {
+                // null key or null ts never matches (SQL three-valued ≤)
+                if (!keyHasNull(rSort) && !rSort.isNullAt(nKeys)) {
+                  candRow = rRow; candSort = rSort
+                }
+                fetchRight()
               }
-              fetchRight()
+              if (lValid && candRow != null &&
+                keyOrd.compare(candSort, lSort) == 0 &&
+                (!hasTol || lSort.getLong(nKeys) - candSort.getLong(nKeys) <= tol))
+                matchRow = candRow
             }
-            val matched = candRow != null && !keyHasNull(lSort) &&
-              !lSort.isNullAt(nKeys) && keyOrd.compare(candSort, lSort) == 0
-            if (matched) {
+            if (matchRow != null) {
               numOutputRows += 1
-              pending = resultProj(joined(lRow, candRow))
+              pending = resultProj(joined(lRow, matchRow))
             } else if (isLeftOuter) {
               numOutputRows += 1
               pending = resultProj(joined(lRow, nullRight))
@@ -286,7 +375,7 @@ object AsOfJoin {
 
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName, exprs => AsOfMatch(exprs(0), exprs(1)), "scala_udf")
+      FunctionName, AsOfMatch.fromArgs, "scala_udf")
     val exp = spark.experimental
     if (!exp.extraOptimizations.contains(AsOfJoinRule))
       exp.extraOptimizations = exp.extraOptimizations :+ AsOfJoinRule

@@ -706,6 +706,35 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** A13c: the as-of family's other half — FORWARD direction with a
+    * TOLERANCE: for every click, the same user's NEXT purchase at-or-after
+    * it, but only within 2 hours (the attribution-window shape:
+    * click → conversion inside the window, else null). Same native
+    * operator, `asof_match(ts, p_ts, 'forward', INTERVAL 2 HOUR)`; the
+    * tolerance is enforced inside the merge, so out-of-window rows are
+    * never emitted then re-filtered. Oracle: DuckDB has no forward ASOF,
+    * so the oracle derives it independently via correlated MIN/arg_min
+    * subqueries over the window — two unrelated formulations, one hash.
+    */
+  def a13cAsofJoinForwardTol(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.AsOfJoin.ensureRegistered(s)
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("value")).as("p_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    clicks
+      .join(purchases,
+        col("user_id") === col("p_user") &&
+          expr("asof_match(ts, p_ts, 'forward', INTERVAL 2 HOUR)"),
+        "left")
+      .select(col("event_id"), ntz(col("ts")).as("timestamp_utc"), col("user_id"),
+        col("value"), ntz(col("p_ts")).as("next_purchase_ts"),
+        col("p_value").as("next_purchase_value"))
+      .orderBy("event_id")
+  }
+
   /** A17: interval (range) join — per click, the same user's purchases in
     * the preceding hour. Plans as a sort-merge join on the user key with the
     * time-range predicate evaluated inside the merge — the equi-key bounds
@@ -1555,6 +1584,7 @@ object CoreQueries {
     "a12c_session_window" -> (a12cSessionWindow _),
     "a13_asof_join" -> (a13AsofJoin _),
     "a13b_asof_join_native" -> (a13bAsofJoinNative _),
+    "a13c_asof_forward_tol" -> (a13cAsofJoinForwardTol _),
     "a14_correlated_subquery" -> (a14CorrelatedSubquery _),
     "a10b_cube" -> (a10bCube _),
     "a15_quantiles" -> (a15Quantiles _),
@@ -2144,6 +2174,25 @@ object CoreQueries {
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.user_id AND p.pts <= c.cts
          ORDER BY c.event_id""",
+    // a13c: DuckDB has no forward-direction ASOF JOIN, so the oracle derives
+    // "next purchase within the window" through correlated MIN / arg_min
+    // subqueries — an independent formulation of the same semantics.
+    "a13c_asof_forward_tol" ->
+      """WITH purchases AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, MAX(value) AS p_value
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+         clicks AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS cts, value
+           FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.cts AS timestamp_utc, c.user_id, c.value,
+                (SELECT MIN(p.pts) FROM purchases p
+                 WHERE p.user_id = c.user_id AND p.pts >= c.cts
+                   AND p.pts <= c.cts + INTERVAL 2 HOUR) AS next_purchase_ts,
+                (SELECT arg_min(p.p_value, p.pts) FROM purchases p
+                 WHERE p.user_id = c.user_id AND p.pts >= c.cts
+                   AND p.pts <= c.cts + INTERVAL 2 HOUR) AS next_purchase_value
+         FROM clicks c ORDER BY c.event_id""",
     "a14_correlated_subquery" -> a14Sql,
     "a10b_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

@@ -117,6 +117,86 @@ class AsOfJoinSpec extends SparkSuite {
       .contains("non-equi-key"))
   }
 
+  test("forward direction: min rts >= lts, inclusive, one right row can serve many probes") {
+    val l = Seq((1L, 5L), (1L, 10L), (1L, 11L), (1L, 21L), (2L, 1L)).toDF("k", "ts")
+    val r = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("rk", "rts", "v")
+    val got = l.join(r, col("k") === col("rk") &&
+        expr("asof_match(ts, rts, 'forward')"), "left")
+      .select(col("ts"), col("v")).collect()
+      .map(x => (x.getLong(0), Option(x.getString(1)))).toSet
+    assert(got == Set(
+      (5L, Some("a")),   // next at-or-after 5 is 10
+      (10L, Some("a")),  // equal ts → inclusive
+      (11L, Some("b")),
+      (21L, None),       // nothing after 21
+      (1L, None)))       // key 2 has no reference rows
+  }
+
+  test("tolerance bounds the match distance in both directions") {
+    val l = Seq((1L, 100L)).toDF("k", "ts")
+    val r = Seq((1L, 80L, "back"), (1L, 130L, "fwd")).toDF("rk", "rts", "v")
+    def run(cond: String): Option[String] = {
+      val rows = l.join(r, col("k") === col("rk") && expr(cond), "left")
+        .select(col("v")).collect()
+      assert(rows.length == 1)
+      Option(rows.head.getString(0))
+    }
+    assert(run("asof_match(ts, rts, 'backward', 20)") == Some("back"))   // 100-80 = 20 ≤ 20 (inclusive)
+    assert(run("asof_match(ts, rts, 'backward', 19)") == None)
+    assert(run("asof_match(ts, rts, 'forward', 30)") == Some("fwd"))     // 130-100 = 30 ≤ 30
+    assert(run("asof_match(ts, rts, 'forward', 29)") == None)
+  }
+
+  test("interval-literal tolerance on timestamp ts") {
+    val l = Seq(java.sql.Timestamp.valueOf("2024-01-01 12:00:00")).toDF("ts")
+      .withColumn("k", lit(1L))
+    val r = Seq(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:59:00"), "stale"),
+        (java.sql.Timestamp.valueOf("2024-01-01 11:30:00"), "fresh"))
+      .toDF("rts", "v").withColumn("rk", lit(1L))
+    val got = l.join(r, col("k") === col("rk") &&
+        expr("asof_match(ts, rts, 'backward', INTERVAL 1 HOUR)"), "left")
+      .select(col("v")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("fresh"))
+  }
+
+  test("direction/tolerance guardrails fail fast") {
+    val l = Seq((1L, 10L)).toDF("k", "ts")
+    val r = Seq((1L, 5L, "x")).toDF("rk", "rts", "v")
+    def msg(cond: String): String =
+      intercept[Exception](
+        l.join(r, col("k") === col("rk") && expr(cond), "left").collect()
+      ).getMessage
+    assert(msg("asof_match(ts, rts, 'sideways')").contains("direction"))
+    assert(msg("asof_match(ts, rts, 'backward', -5)").contains("non-negative"))
+    val ls = Seq((1L, "2024")).toDF("k", "ts")
+    val rs = Seq((1L, "2023", "x")).toDF("rk", "rts", "v")
+    assert(intercept[Exception](
+      ls.join(rs, col("k") === col("rk") &&
+        expr("asof_match(ts, rts, 'backward', 5)"), "left").collect()
+    ).getMessage.contains("tolerance requires"))
+  }
+
+  test("law: seeded random corpus, forward + tolerance, vs driver-side reference") {
+    val rnd = new scala.util.Random(7)
+    val leftRows = Seq.fill(300)((rnd.nextInt(15).toLong, rnd.nextInt(100).toLong))
+    val rightRows = Seq.fill(300)((rnd.nextInt(15).toLong, rnd.nextInt(100).toLong))
+      .distinct.map { case (k, ts) => (k, ts, s"v${k}_$ts") }
+    val got = leftRows.toDF("k", "ts")
+      .join(rightRows.toDF("rk", "rts", "v"),
+        col("k") === col("rk") && expr("asof_match(ts, rts, 'forward', 25)"), "left")
+      .select(col("k"), col("ts"), col("v")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), Option(x.getString(2))))
+      .sortBy(t => (t._1, t._2, t._3))
+    val byKey = rightRows.groupBy(_._1)
+    val expected = leftRows.map { case (k, ts) =>
+      val best = byKey.getOrElse(k, Nil)
+        .filter(r => r._2 >= ts && r._2 - ts <= 25).sortBy(_._2).headOption
+      (k, ts, best.map(_._3))
+    }.sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq == expected)
+  }
+
   test("law: seeded random corpus matches an independent driver-side reference") {
     val rnd = new scala.util.Random(42)
     val leftRows = Seq.fill(400)((rnd.nextInt(20).toLong, rnd.nextInt(100).toLong))
