@@ -276,7 +276,12 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lSortProj = UnsafeProjection.create(lSortExprs, lOut)
       val rSortProj = UnsafeProjection.create(rSortExprs, rOut)
-      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // LeftOuter feeds an all-null right row through the projection, so
+      // the right inputs MUST bind as nullable even when the child schema
+      // says otherwise (e.g. a bucketed-table scan with required columns) —
+      // a non-nullable binding elides the null check and reads garbage
+      val rInput = if (isLeftOuter) rOut.map(_.withNullability(true)) else rOut
+      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rInput)
       val fullOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes :+ tsType)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val nKeys = keyTypes.length

@@ -617,6 +617,43 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** T20 — RAG-style overlapping chunking: each document's whitespace
+    * token stream split into fixed `window`-token chunks advancing by
+    * `stride` (overlap = window − stride), emitting per chunk its 0-based
+    * id, token offset, token count, and an md5 content hash — the
+    * retrieval-index build step of a RAG/embedding pipeline (the chunk
+    * hash doubles as the dedup key for chunk-level dedup).
+    *
+    * Chunk count is `1 + ceil(max(0, n − window) / stride)` — every token
+    * lands in ≥ 1 chunk, short docs yield exactly one chunk, and the
+    * last chunk is the only ragged one.
+    *
+    * Scale shape (100 TB): a pure per-row fan-out (split → sequence →
+    * explode → slice), NO shuffle anywhere but the gate's presentation
+    * sort — chunking streams at parquet-scan speed and the output is
+    * bounded by ⌈tokens/stride⌉ rows. All arithmetic is integral; the
+    * hash is md5 over the exact chunk text, bit-identical in DuckDB.
+    */
+  def ragChunksOf(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(0L, (greatest(n_toks - $window, 0L) + ${stride - 1}) div $stride)")))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("chunk",
+        expr(s"slice(toks, CAST(start_tok + 1 AS INT), $window)"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  def t20RagChunks(s: SparkSession, dir: String): DataFrame =
+    ragChunksOf(t(s, dir, "documents"), window = 64, stride = 48)
+
   /** t16's oracle, shared with t19: merged per-batch vocab states must
     * equal the full recompute, so the MV query's oracle IS the base
     * query's SQL — the equality claim is structural, not re-derived.
@@ -638,6 +675,7 @@ object TextQueries {
          FROM tc GROUP BY source ORDER BY source"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_rag_chunks" -> (t20RagChunks _),
     "t19_incremental_vocab" -> (t19IncrementalVocab _),
     "t18_token_gini" -> (t18TokenGini _),
     "t17_pattern_scan" -> (t17PatternScan _),
@@ -659,6 +697,22 @@ object TextQueries {
     "t8_tfidf" -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "t20_rag_chunks" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+         ch AS (
+           SELECT doc_id, t,
+                  unnest(range(0, 1 + (greatest(n - 64, 0) + 47) // 48))
+                    AS chunk_id
+           FROM toks)
+         SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+                CAST(len(t[chunk_id*48 + 1 : chunk_id*48 + 64]) AS BIGINT)
+                  AS chunk_tokens,
+                md5(array_to_string(t[chunk_id*48 + 1 : chunk_id*48 + 64], ' '))
+                  AS chunk_hash
+         FROM ch ORDER BY doc_id, chunk_id""",
     "t18_token_gini" ->
       """-- HUGEINT rank mass mirrors the Spark plan's DECIMAL(38,0)
          -- accumulator; the final double expression is associated

@@ -107,7 +107,36 @@ object VerifySf1 {
       ("x20_simhash_pairs",
         () => DedupQueries.x20SimhashPairs(spark, work, 3),
         () => DedupQueries.simhashPairsBlocked(
-          DedupQueries.x3Simhash(spark, work), 3, nBlocks = 8)))
+          DedupQueries.x3Simhash(spark, work), 3, nBlocks = 8)),
+      // a13b: the custom AsOfJoinExec merge ↔ the union-and-carry window
+      // plan — same contract, disjoint code paths (a13's shape is itself
+      // DuckDB-gated at sf0.01, so this closes the 10× loop for the exec)
+      ("a13b_asof_join_native",
+        () => CoreQueries.a13bAsofJoinNative(spark, work),
+        () => CoreQueries.a13AsofJoin(spark, work)),
+      // a13c: forward+tolerance through the exec ↔ an equi-keyed range join
+      // re-aggregated by MIN/min_by — the candidate-pair formulation the
+      // operator exists to avoid, affordable once per round as a twin
+      ("a13c_asof_forward_tol",
+        () => CoreQueries.a13cAsofJoinForwardTol(spark, work),
+        () => {
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+            .agg(max(col("value")).as("p_value"))
+          val clicks = ev.filter(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          clicks.join(purchases,
+              col("user_id") === col("p_user") && col("p_ts") >= col("ts") &&
+                col("p_ts") <= col("ts") + expr("INTERVAL 2 HOUR"), "left")
+            .groupBy(col("event_id"), col("ts"), col("user_id"), col("value"))
+            .agg(min(col("p_ts")).as("np_ts"),
+              expr("min_by(p_value, p_ts)").as("next_purchase_value"))
+            .select(col("event_id"),
+              col("ts").cast("timestamp_ntz").as("timestamp_utc"),
+              col("user_id"), col("value"),
+              col("np_ts").cast("timestamp_ntz").as("next_purchase_ts"),
+              col("next_purchase_value"))
+        }))
 
     val results = checks.map { case (name, gate, twin) =>
       val t0 = System.nanoTime()

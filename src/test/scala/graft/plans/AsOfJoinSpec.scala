@@ -224,6 +224,41 @@ class AsOfJoinSpec extends SparkSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("bucketed layout: the co-located as-of join plans with ZERO exchanges") {
+    // the 100 TB composition story: AsOfJoinExec only DECLARES
+    // ClusteredDistribution — when both sides are bucketed on the key with
+    // matching bucket counts, EnsureRequirements finds the scans'
+    // HashPartitioning already satisfies it and inserts no shuffle at all,
+    // exactly as for a co-located sort-merge join (LayoutSpec's contract)
+    Seq("asof_clicks_b", "asof_purch_b").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$tbl")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val ev = graft.Tables(spark, sf001, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("value")).as("p_value"))
+    graft.sources.Layout.writeBucketed(
+      clicks, "asof_clicks_b", 4, Seq("user_id"), Seq("user_id", "ts"))
+    graft.sources.Layout.writeBucketed(
+      purchases, "asof_purch_b", 4, Seq("p_user"), Seq("p_user", "p_ts"))
+    val joined = spark.table("asof_clicks_b")
+      .join(spark.table("asof_purch_b"),
+        col("user_id") === col("p_user") && expr("asof_match(ts, p_ts)"), "left")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Exchange"),
+      "bucket-co-located as-of join must not shuffle:\n" + p)
+    val want = clicks.join(purchases,
+        col("user_id") === col("p_user") && expr("asof_match(ts, p_ts)"), "left")
+      .collect().map(_.toString).toSet
+    assert(joined.collect().map(_.toString).toSet == want)
+  }
+
   test("ensureRegistered is idempotent") {
     AsOfJoin.ensureRegistered(spark)
     AsOfJoin.ensureRegistered(spark)

@@ -712,4 +712,50 @@ class StreamingSpec extends SparkSuite {
     assert(state == Map(1L -> "alpha beta", 3L -> "gamma delta",
       11L -> "epsilon zeta"))
   }
+
+  test("streaming as-of enrichment (foreachBatch + native exec) equals the batch join") {
+    // as-of ENRICHMENT streams embarrassingly: each probe row's match
+    // depends only on the static reference side, never on other probe rows,
+    // so per-micro-batch joins compose to exactly the batch result. Each
+    // micro-batch is a BATCH plan, so the custom AsOfJoinExec applies
+    // unchanged — the streaming face of a13b costs zero extra machinery.
+    graft.plans.AsOfJoin.ensureRegistered(spark)
+    val ev = Tables(spark, sf001, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("value")).as("p_value"))
+    val schema = spark.read.parquet(landing).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing) // ≥ 2 micro-batches
+    val outDir = s"$work/asof_out"
+    @volatile var sawExec = false
+    val q = stream.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.plans.AsOfJoin.ensureRegistered(batch.sparkSession)
+        val joined = batch.join(purchases,
+          col("user_id") === col("p_user") && expr("asof_match(ts, p_ts)"),
+          "left")
+        if (joined.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+          sawExec = true
+        joined.write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", s"$work/ckpt_asof")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(sawExec, "micro-batches must plan the native AsOfJoinExec")
+    val got = spark.read.parquet(outDir)
+      .select(col("event_id"), col("p_ts"), col("p_value"))
+      .collect().map(_.toString).toSet
+    val batchWant = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .join(purchases,
+        col("user_id") === col("p_user") && expr("asof_match(ts, p_ts)"), "left")
+      .select(col("event_id"), col("p_ts"), col("p_value"))
+      .collect().map(_.toString).toSet
+    assert(got == batchWant, "streamed as-of enrichment drifted from the batch join")
+  }
 }

@@ -311,4 +311,34 @@ class TextSpec extends SparkSuite {
       .map(r => (r.getString(1), r.getLong(2))).toSeq
     assert(got == expect)
   }
+
+  test("t20: chunk grid covers every token, overlaps by window-stride, hashes the exact text") {
+    import spark.implicits._
+    val text100 = (0 until 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, text100),          // 100 tokens → 13 chunks at 10/8
+      (2L, "a b c"),          // shorter than the window → exactly 1 chunk
+      (3L, "")                // empty text → split yields [""] → 1 chunk
+    ).toDF("doc_id", "text")
+    val got = TextQueries.ragChunksOf(docs, window = 10, stride = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val d1 = got.filter(_._1 == 1L)
+    // count: 1 + ceil((100-10)/8) = 13; starts advance by the stride
+    assert(d1.length == 13)
+    assert(d1.map(_._3).toSeq == (0 until 13).map(_ * 8L))
+    // the last chunk is the only ragged one and still reaches the last token
+    assert(d1.dropRight(1).forall(_._4 == 10L) && d1.last._4 == 4L)
+    assert(d1.last._3 + d1.last._4 == 100L, "tail tokens must be covered")
+    // hashes are over the exact reconstructed chunk text
+    val toks = text100.split(" ")
+    d1.foreach { case (_, cid, start, n, h) =>
+      val expect = java.security.MessageDigest.getInstance("MD5")
+        .digest(toks.slice(start.toInt, start.toInt + n.toInt).mkString(" ")
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(h == expect, s"chunk $cid hash mismatch")
+    }
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 3L,
+      got.filter(_._1 == 2L).head._5)))
+    assert(got.count(_._1 == 3L) == 1)
+  }
 }
