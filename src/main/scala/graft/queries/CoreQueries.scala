@@ -735,6 +735,26 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** E14: SCD Type-2 dimension history — every purchase opens a version
+    * row with a validity interval, `valid_to` NULL marking the current
+    * version ([[graft.etl.Scd2]]; the history-preserving sibling of e3's
+    * last-write-wins upsert). One keyed window, no self-join; the
+    * incremental face ([[graft.etl.Scd2.fold]] — touched keys rebuilt,
+    * untouched keys anti-joined through) is law-tested in Scd2Spec.
+    */
+  def e14Scd2History(s: SparkSession, dir: String): DataFrame = {
+    val changes = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("value"))
+    graft.etl.Scd2.build(changes, "user_id", "ts", Seq("value"))
+      .select(col("user_id"), col("version"),
+        ntz(col("valid_from")).as("valid_from"),
+        ntz(col("valid_to")).as("valid_to"),
+        col("value"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   /** A17: interval (range) join — per click, the same user's purchases in
     * the preceding hour. Plans as a sort-merge join on the user key with the
     * time-range predicate evaluated inside the merge — the equi-key bounds
@@ -1585,6 +1605,7 @@ object CoreQueries {
     "a13_asof_join" -> (a13AsofJoin _),
     "a13b_asof_join_native" -> (a13bAsofJoinNative _),
     "a13c_asof_forward_tol" -> (a13cAsofJoinForwardTol _),
+    "e14_scd2_history" -> (e14Scd2History _),
     "a14_correlated_subquery" -> (a14CorrelatedSubquery _),
     "a10b_cube" -> (a10bCube _),
     "a15_quantiles" -> (a15Quantiles _),
@@ -2193,6 +2214,19 @@ object CoreQueries {
                  WHERE p.user_id = c.user_id AND p.pts >= c.cts
                    AND p.pts <= c.cts + INTERVAL 2 HOUR) AS next_purchase_value
          FROM clicks c ORDER BY c.event_id""",
+    "e14_scd2_history" ->
+      """WITH ch AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, CAST(ts AS TIMESTAMP))
+         SELECT user_id,
+                ROW_NUMBER() OVER w AS version,
+                ts AS valid_from,
+                LEAD(ts) OVER w AS valid_to,
+                value,
+                LEAD(ts) OVER w IS NULL AS is_current
+         FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ORDER BY user_id, version""",
     "a14_correlated_subquery" -> a14Sql,
     "a10b_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

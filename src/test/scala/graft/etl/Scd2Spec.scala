@@ -1,0 +1,79 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** SCD2 history: interval correctness on a hand-traced key, the fold law
+  * (incremental folds ≡ one-shot build, any batch grouping), batch-wins
+  * collision policy, and the plan shape (keyed window, no self-join).
+  */
+class Scd2Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("build: versions chain, intervals abut, only the last is current") {
+    val ch = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), (2L, 5L, "z"))
+      .toDF("k", "ts", "value")
+    val h = Scd2.build(ch, "k", "ts", Seq("value")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getString(4), r.getBoolean(5)))
+      .toSet
+    assert(h == Set(
+      (1L, 1, 10L, Some(20L), "a", false),
+      (1L, 2, 20L, Some(30L), "b", false),
+      (1L, 3, 30L, None, "c", true),
+      (2L, 1, 5L, None, "z", true)))
+  }
+
+  test("fold law: incremental folds equal the one-shot build for any batch grouping") {
+    val rnd = new scala.util.Random(11)
+    val all = Seq.fill(300)((rnd.nextInt(12).toLong, rnd.nextInt(500).toLong))
+      .distinct.map { case (k, ts) => (k, ts, s"v${k}_$ts") }
+    val want = rows(Scd2.build(all.toDF("k", "ts", "value"), "k", "ts", Seq("value")))
+    for (nBatches <- Seq(2, 3, 5)) {
+      val batches = all.grouped((all.size + nBatches - 1) / nBatches).toSeq
+      val h0 = Scd2.build(batches.head.toDF("k", "ts", "value"), "k", "ts", Seq("value"))
+      val folded = batches.tail.foldLeft(h0) { (h, b) =>
+        Scd2.fold(h, b.toDF("k", "ts", "value"), "k", "ts", Seq("value"))
+      }
+      assert(rows(folded) == want, s"fold of $nBatches batches drifted from build")
+    }
+  }
+
+  test("fold: a (key, ts) collision is won by the batch (new data corrects history)") {
+    val h0 = Scd2.build(Seq((1L, 10L, "old"), (1L, 20L, "keep"))
+      .toDF("k", "ts", "value"), "k", "ts", Seq("value"))
+    val h1 = Scd2.fold(h0, Seq((1L, 10L, "corrected")).toDF("k", "ts", "value"),
+      "k", "ts", Seq("value"))
+    val got = h1.collect().map(r => (r.getInt(1), r.getString(4))).toSet
+    assert(got == Set((1, "corrected"), (2, "keep")))
+  }
+
+  test("fold: untouched keys stream through without a rebuild") {
+    val h0 = Scd2.build(
+      Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("k", "ts", "value"),
+      "k", "ts", Seq("value"))
+    val h1 = Scd2.fold(h0, Seq((2L, 20L, "b2")).toDF("k", "ts", "value"),
+      "k", "ts", Seq("value"))
+    assert(rows(h1.filter(col("k") === 1L)) == rows(h0.filter(col("k") === 1L)))
+    assert(h1.filter(col("k") === 2L).count() == 2)
+    // the pass-through lane is an anti join, the rebuild lane a semi join —
+    // nothing joins the full history to itself
+    val p = h1.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti") && p.contains("LeftSemi"), p)
+  }
+
+  test("e14 plan: one keyed window over the pre-aggregated changes, no self-join") {
+    val df = graft.queries.CoreQueries.e14Scd2History(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "SCD2 build must be a window, never a self-join:\n" + p)
+    assert(graft.plans.PlanChecks.unboundedGlobalWindows(df).isEmpty)
+    assert(df.count() > 0)
+  }
+}

@@ -259,6 +259,28 @@ class AsOfJoinSpec extends SparkSuite {
     assert(joined.collect().map(_.toString).toSet == want)
   }
 
+  test("rule is conjunct-order and equality-direction invariant") {
+    val l = Seq((1L, 10L, 5L), (1L, 20L, 8L), (2L, 10L, 3L))
+      .toDF("k1", "k2", "ts")
+    val r = Seq((1L, 10L, 4L, "a"), (1L, 10L, 7L, "b"), (2L, 10L, 1L, "c"))
+      .toDF("rk1", "rk2", "rts", "v")
+    // the marker in any position, keys written in either direction — every
+    // permutation must rewrite to the same operator and the same rows
+    val conjuncts = Seq(
+      col("k1") === col("rk1"),
+      col("rk2") === col("k2"), // reversed sides on purpose
+      expr("asof_match(ts, rts)"))
+    val results = conjuncts.permutations.map { perm =>
+      val df = l.join(r, perm.reduce(_ && _), "left")
+      assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+      df.select(col("k1"), col("k2"), col("ts"), col("v")).collect()
+        .map(_.toString).sorted.toSeq
+    }.toSeq
+    assert(results.distinct.size == 1,
+      "conjunct order changed the as-of result")
+    assert(results.head.nonEmpty)
+  }
+
   test("ensureRegistered is idempotent") {
     AsOfJoin.ensureRegistered(spark)
     AsOfJoin.ensureRegistered(spark)
