@@ -228,6 +228,16 @@ object AsOfJoinStrategy extends SparkStrategy {
   * (last candidate + peeked row), emits ≤ 1 row per left row, and builds
   * output rows through one UnsafeProjection. No window buffer, no union of
   * mismatched schemas, no candidate pairs to re-aggregate.
+  *
+  * AQE interaction: partition COALESCING applies to the exec's exchanges
+  * like to any join's (spec-pinned); AQE's skew-JOIN splitting does NOT —
+  * Spark only rewrites its own SMJ/SHJ nodes. A pathologically hot key
+  * therefore costs one task's sort of that key's rows (the same envelope
+  * as a pre-AQE sort-merge join); the merge itself stays O(1)-state, so
+  * the cliff is the sort spill, not memory. If a key ever concentrates a
+  * double-digit share of the corpus, the a26 salting escape applies:
+  * salt the PROBE side and replicate each reference row across the salt
+  * domain (reference rows per key are dimension-sized by contract).
   */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],

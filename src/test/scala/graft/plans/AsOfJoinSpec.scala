@@ -259,6 +259,60 @@ class AsOfJoinSpec extends SparkSuite {
     assert(joined.collect().map(_.toString).toSet == want)
   }
 
+  test("AQE re-plans the exec's exchanges (coalesced shuffle reads feed the merge)") {
+    // the exec only DECLARES distribution/ordering — EnsureRequirements
+    // inserts the exchanges, so AQE's runtime coalescing applies to them
+    // like to any join's (the 1000-executor knob the scaladoc promises)
+    val df = graft.queries.CoreQueries.a13bAsofJoinNative(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    assert(p.contains("AsOfJoin"), p)
+    assert(p.contains("AQEShuffleRead"),
+      "AQE must own the exec's exchanges at runtime:\n" + p)
+  }
+
+  test("feature-store composition: chained as-of joins, one exec per reference table") {
+    // the point-in-time feature-store shape: one probe stream enriched
+    // with the latest state from N reference tables, each its own as-of —
+    // execs chain because the probe side's (key, ts) ordering and hash
+    // distribution survive each join (outputPartitioning/outputOrdering)
+    val ev = graft.Tables(spark, sf001, "events")
+    def side(tpe: String, prefix: String) =
+      ev.filter(col("event_type") === tpe)
+        .groupBy(col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
+        .agg(max(col("value")).as(s"${prefix}_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val enriched = clicks
+      .join(side("purchase", "p"),
+        col("user_id") === col("p_user") && expr("asof_match(ts, p_ts)"), "left")
+      .join(side("view", "w"),
+        col("user_id") === col("w_user") && expr("asof_match(ts, w_ts)"), "left")
+      .select(col("event_id"), col("p_value"), col("w_value"))
+    val p = enriched.queryExecution.executedPlan.toString
+    assert("AsOfJoin".r.findAllIn(p).size == 2,
+      "each reference table must plan its own as-of exec:\n" + p)
+    // correctness vs a driver-side point-in-time reference
+    def refMap(prefix: String): Map[Long, Seq[(java.sql.Timestamp, Double)]] =
+      side(if (prefix == "p") "purchase" else "view", prefix).collect()
+        .map(r => (r.getLong(0), (r.getTimestamp(1), r.getDouble(2))))
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).sortBy(_._1.getTime).toSeq).toMap
+    val pRef = refMap("p"); val wRef = refMap("w")
+    def latestAtOrBefore(m: Map[Long, Seq[(java.sql.Timestamp, Double)]],
+        u: Long, ts: java.sql.Timestamp): Option[Double] =
+      m.getOrElse(u, Nil).takeWhile(!_._1.after(ts)).lastOption.map(_._2)
+    val want = clicks.collect().map { r =>
+      val (eid, u, ts) = (r.getLong(0), r.getLong(1), r.getTimestamp(2))
+      (eid, latestAtOrBefore(pRef, u, ts), latestAtOrBefore(wRef, u, ts))
+    }.toSet
+    val got = enriched.collect().map(r => (r.getLong(0),
+      Option(r.get(1)).map(_.asInstanceOf[Double]),
+      Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(got == want)
+  }
+
   test("rule is conjunct-order and equality-direction invariant") {
     val l = Seq((1L, 10L, 5L), (1L, 20L, 8L), (2L, 10L, 3L))
       .toDF("k1", "k2", "ts")
