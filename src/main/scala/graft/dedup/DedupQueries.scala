@@ -698,6 +698,65 @@ object DedupQueries {
       t(s, dir, "documents"),
       x4NgramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
 
+  /** X9c — INCREMENTAL maintenance of x9's cluster labels: fold a batch of
+    * new documents + new near-dup edges into an existing label table
+    * WITHOUT re-running connected components over the corpus. The trick is
+    * CLUSTER CONTRACTION: existing clusters are internally connected by
+    * construction, so the exact components of (old graph ∪ new edges) are
+    * computable on the graph whose nodes are current LABELS and whose
+    * edges are the new pairs with endpoints resolved to labels — a
+    * batch-bounded graph (new docs + touched clusters), never the corpus.
+    * CC runs on that contracted graph only; the corpus-sized label table
+    * is then relabeled through ONE broadcast map-only join (the mapping is
+    * batch-bounded by the same argument). Per-fold cost:
+    * O(batch + touched clusters) for the CC + one streaming pass over the
+    * labels — the e12/t19/Scd2 MV discipline applied to graph clustering.
+    * (With a partition-keyed label store, [[graft.etl.Upsert
+    * .mergePartitionedParquet]] turns even that pass into a touched-
+    * partition merge.)
+    *
+    * Contract: every edge endpoint is either already labeled or in
+    * `newDocs` (the admission pipeline guarantees this — pairs are
+    * discovered by probing the batch against the indexed corpus, x18's
+    * model); edges to unknown docs are dropped by the resolve join.
+    * Law (DedupSpec): any batch grouping folds to exactly
+    * [[x9ClustersFrom]] over the full edge set.
+    */
+  def x9cFoldClusters(
+      labels: DataFrame, newDocs: DataFrame, newPairs: DataFrame): DataFrame = {
+    val all = labels.select(col("doc_id"), col("cluster_id")).unionByName(
+      newDocs.select(col("doc_id"), col("doc_id").as("cluster_id")))
+    val la = all.select(col("doc_id").as("doc_a"), col("cluster_id").as("la"))
+    val lb = all.select(col("doc_id").as("doc_b"), col("cluster_id").as("lb"))
+    val contracted = newPairs.select(col("doc_a"), col("doc_b"))
+      .join(la, Seq("doc_a")).join(lb, Seq("doc_b"))
+      .filter(col("la") =!= col("lb"))
+      .select(col("la").as("doc_a"), col("lb").as("doc_b"))
+      .distinct()
+    val touched = contracted.select(col("doc_a").as("doc_id"))
+      .unionByName(contracted.select(col("doc_b").as("doc_id"))).distinct()
+    val mapping = x9ClustersFrom(touched, contracted)
+      .select(col("doc_id").as("old_label"), col("cluster_id").as("new_label"))
+    all.join(broadcast(mapping), col("cluster_id") === col("old_label"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
+  }
+
+  /** X9c over the default corpus, staged as two admission batches (even
+    * doc_ids first, odd second — an edge arrives with its LAST endpoint,
+    * the admission model's timing): fold(build(b1), b2) must equal the
+    * full x9 recompute, so the oracle is x9's verbatim.
+    */
+  def x9cIncrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = x4Pairs(docs).select(col("doc_a"), col("doc_b"))
+    val even = col("doc_id") % 2 === 0
+    val bothEven = col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0
+    val base = x9ClustersFrom(docs.filter(even), pairs.filter(bothEven))
+    x9cFoldClusters(base, docs.filter(!even), pairs.filter(!bothEven))
+      .orderBy("doc_id")
+  }
+
   /** X12 — eval-set contamination check: which corpus documents share ≥ K
     * 3-gram shingles with any document of a designated evaluation set. This
     * is the decontamination pass every training-data pipeline runs before a
@@ -1224,6 +1283,7 @@ object DedupQueries {
     "x4_ngram_jaccard" -> (x4NgramJaccard _),
     "x9_dedup_clusters" -> (x9DedupClusters _),
     "x9b_clusters_altstar" -> (x9bDedupClustersAltStar _),
+    "x9c_incremental_clusters" -> (x9cIncrementalClusters _),
     "x10_source_dedup_stats" -> (x10SourceDedupStats _),
     "x11_containment" -> (x11Containment _),
     "x12_contamination" -> (x12Contamination _),
@@ -1585,6 +1645,12 @@ object DedupQueries {
     // x9b computes the SAME transitive closure by a different distributed
     // algorithm (alt-star, O(log² n) rounds) — the oracle is x9's verbatim.
     "x9b_clusters_altstar" ->
+      s"""WITH RECURSIVE $clusterCtes
+         SELECT src AS doc_id, MIN(dst) AS cluster_id
+         FROM reach GROUP BY src ORDER BY doc_id""",
+    // x9c folds two admission batches incrementally; the declared result is
+    // the SAME transitive closure, so the oracle is again x9's verbatim.
+    "x9c_incremental_clusters" ->
       s"""WITH RECURSIVE $clusterCtes
          SELECT src AS doc_id, MIN(dst) AS cluster_id
          FROM reach GROUP BY src ORDER BY doc_id""",

@@ -713,6 +713,59 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("x9c fold law: any batch grouping equals the one-shot connected components") {
+    import spark.implicits._
+    // random graph over 90 nodes; an edge arrives with its LAST endpoint
+    // (the admission model: pairs are discovered when the newer doc lands)
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(160)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nodes = (0L until 90L)
+    val want = DedupQueries.x9ClustersFrom(
+        nodes.toDF("doc_id"), edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (cuts <- Seq(Seq(30L, 60L), Seq(20L, 45L, 70L))) {
+      val bounds = (Seq(0L) ++ cuts :+ 90L).sliding(2).toSeq
+      val batches = bounds.map { case Seq(lo, hi) =>
+        (nodes.filter(d => d >= lo && d < hi),
+          // edge arrives in the batch of its max endpoint
+          edges.filter(e => e._2 >= lo && e._2 < hi))
+      }
+      val h0 = DedupQueries.x9ClustersFrom(
+        batches.head._1.toDF("doc_id"), batches.head._2.toDF("doc_a", "doc_b"))
+      val folded = batches.tail.foldLeft(h0) { case (labels, (nd, ed)) =>
+        DedupQueries.x9cFoldClusters(labels,
+          nd.toDF("doc_id"), ed.toDF("doc_a", "doc_b"))
+      }
+      val got = folded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"fold over ${batches.size} batches drifted")
+    }
+  }
+
+  test("x9c: a single new edge merging two big clusters relabels the whole loser") {
+    import spark.implicits._
+    // clusters {0..9} and {10..19}, labels 0 and 10; the bridge edge (9,19)
+    // arrives with doc 20 — every member of cluster 10 must relabel to 0
+    val c1 = (0L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val c2 = (10L to 19L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val labels0 = DedupQueries.x9ClustersFrom(
+      (0L to 19L).toDF("doc_id"), (c1 ++ c2).toDF("doc_a", "doc_b"))
+    val folded = DedupQueries.x9cFoldClusters(labels0,
+      Seq(20L).toDF("doc_id"),
+      Seq((9L, 19L), (19L, 20L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 20L).forall(folded(_) == 0L),
+      s"all 21 docs must land in cluster 0: $folded")
+    // and the relabel pass must be a broadcast of the contracted mapping,
+    // never a corpus-keyed shuffle join
+    val p = DedupQueries.x9cFoldClusters(labels0, Seq(20L).toDF("doc_id"),
+      Seq((9L, 19L), (19L, 20L)).toDF("doc_a", "doc_b"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "label relabel must broadcast the batch-bounded mapping:\n" + p)
+  }
+
   test("x17b: bloom-pruned novelty equals x17 exactly, even at a pathological fpp") {
     import org.apache.spark.sql.functions._
     val exact = DedupQueries.x17IncrementalNovelty(spark, sf001).collect().map(_.toSeq)
