@@ -108,6 +108,11 @@ object VerifySf1 {
         () => DedupQueries.x20SimhashPairs(spark, work, 3),
         () => DedupQueries.simhashPairsBlocked(
           DedupQueries.x3Simhash(spark, work), 3, nBlocks = 8)),
+      // x9c: the contraction fold ↔ x9's one-shot propagation — the fold
+      // law at the scale point where cluster shapes actually stress it
+      ("x9c_incremental_clusters",
+        () => DedupQueries.x9cIncrementalClusters(spark, work),
+        () => DedupQueries.x9DedupClusters(spark, work)),
       // a13b: the custom AsOfJoinExec merge ↔ the union-and-carry window
       // plan — same contract, disjoint code paths (a13's shape is itself
       // DuckDB-gated at sf0.01, so this closes the 10× loop for the exec)
