@@ -708,9 +708,12 @@ object DedupQueries {
     * batch-bounded graph (new docs + touched clusters), never the corpus.
     * CC runs on that contracted graph only; the corpus-sized label table
     * is then relabeled through ONE broadcast map-only join (the mapping is
-    * batch-bounded by the same argument). Per-fold cost:
-    * O(batch + touched clusters) for the CC + one streaming pass over the
-    * labels — the e12/t19/Scd2 MV discipline applied to graph clustering.
+    * batch-bounded by the same argument). The label table is NEVER
+    * shuffled: endpoint resolution broadcasts the batch edges over a
+    * streamed label scan (twice), and the relabel broadcasts the mapping —
+    * three map-only corpus passes total, zero corpus exchanges. Per-fold
+    * cost: O(batch + touched clusters) for the CC + those streaming
+    * passes — the e12/t19/Scd2 MV discipline applied to graph clustering.
     * (With a partition-keyed label store, [[graft.etl.Upsert
     * .mergePartitionedParquet]] turns even that pass into a touched-
     * partition merge.)
@@ -726,10 +729,16 @@ object DedupQueries {
       labels: DataFrame, newDocs: DataFrame, newPairs: DataFrame): DataFrame = {
     val all = labels.select(col("doc_id"), col("cluster_id")).unionByName(
       newDocs.select(col("doc_id"), col("doc_id").as("cluster_id")))
-    val la = all.select(col("doc_id").as("doc_a"), col("cluster_id").as("la"))
-    val lb = all.select(col("doc_id").as("doc_b"), col("cluster_id").as("lb"))
-    val contracted = newPairs.select(col("doc_a"), col("doc_b"))
-      .join(la, Seq("doc_a")).join(lb, Seq("doc_b"))
+    // Resolve edge endpoints to labels with the EDGES broadcast and the
+    // corpus label table STREAMED: each pass is map-only over the labels
+    // (no corpus shuffle — the naive direction would hash-exchange the
+    // whole label table to look up a batch of edges). Outputs are
+    // batch-sized, so the second resolve broadcasts the first's result.
+    val halfA = all.join(broadcast(newPairs.select(col("doc_a"), col("doc_b"))),
+        col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("cluster_id").as("la"))
+    val contracted = all.join(broadcast(halfA), col("doc_id") === col("doc_b"))
+      .select(col("la"), col("cluster_id").as("lb"))
       .filter(col("la") =!= col("lb"))
       .select(col("la").as("doc_a"), col("lb").as("doc_b"))
       .distinct()
