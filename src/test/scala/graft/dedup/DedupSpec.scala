@@ -766,6 +766,18 @@ class DedupSpec extends SparkSuite {
       "label relabel must broadcast the batch-bounded mapping:\n" + p)
   }
 
+  test("x9c: edges to unknown docs are dropped by the resolve join (documented contract)") {
+    import spark.implicits._
+    val labels0 = DedupQueries.x9ClustersFrom(
+      Seq(1L, 2L).toDF("doc_id"), Seq((1L, 2L)).toDF("doc_a", "doc_b"))
+    // edge (2, 99): 99 is neither labeled nor in the batch — must not
+    // invent a node or crash; the known world keeps its labels
+    val folded = DedupQueries.x9cFoldClusters(labels0,
+      Seq(3L).toDF("doc_id"), Seq((2L, 99L), (2L, 3L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(folded == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("x17b: bloom-pruned novelty equals x17 exactly, even at a pathological fpp") {
     import org.apache.spark.sql.functions._
     val exact = DedupQueries.x17IncrementalNovelty(spark, sf001).collect().map(_.toSeq)
