@@ -48,7 +48,10 @@ object Scd2 {
     */
   def fold(history: DataFrame, batch: DataFrame, keyCol: String,
       tsCol: String, valueCols: Seq[String]): DataFrame = {
-    val touchedKeys = batch.select(col(keyCol)).distinct()
+    // the touched-key set is batch-bounded — broadcast it so BOTH the
+    // pass-through (anti) and selection (semi) lanes stream the history
+    // map-only instead of hash-exchanging the corpus on the key
+    val touchedKeys = broadcast(batch.select(col(keyCol)).distinct())
     val untouched = history.join(touchedKeys, Seq(keyCol), "left_anti")
     val touchedChanges = history.join(touchedKeys, Seq(keyCol), "left_semi")
       .select((Seq(col(keyCol), col("valid_from").as(tsCol)) ++

@@ -67,6 +67,32 @@ class Scd2Spec extends SparkSuite {
     assert(p.contains("LeftAnti") && p.contains("LeftSemi"), p)
   }
 
+  test("point-in-time lookup over the history: the as-of join equals the interval lookup") {
+    // the composition the module exists for: "what did the dimension say
+    // at time T?" — as-of on valid_from must agree with the explicit
+    // BETWEEN-interval formulation for every probe, including probes
+    // before the first version (null) and after the last (current row)
+    graft.plans.AsOfJoin.ensureRegistered(spark)
+    val rnd = new scala.util.Random(31)
+    val changes = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(300).toLong))
+      .distinct.map { case (k, ts) => (k, ts, s"v${k}_$ts") }
+    val history = Scd2.build(changes.toDF("k", "ts", "value"), "k", "ts", Seq("value"))
+      .select(col("k").as("h_k"), col("valid_from"), col("valid_to"), col("value"))
+    val probes = Seq.fill(150)((rnd.nextInt(10).toLong, rnd.nextInt(340).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      .toDF("probe_id", "k", "t")
+    val viaAsof = probes.join(history,
+        col("k") === col("h_k") && expr("asof_match(t, valid_from)"), "left")
+      .select(col("probe_id"), col("value")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val viaInterval = probes.join(history,
+        col("k") === col("h_k") && col("t") >= col("valid_from") &&
+          (col("valid_to").isNull || col("t") < col("valid_to")), "left")
+      .select(col("probe_id"), col("value")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(viaAsof == viaInterval)
+  }
+
   test("e14 plan: one keyed window over the pre-aggregated changes, no self-join") {
     val df = graft.queries.CoreQueries.e14Scd2History(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
