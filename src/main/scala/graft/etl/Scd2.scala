@@ -29,6 +29,7 @@ object Scd2 {
     */
   def build(changes: DataFrame, keyCol: String, tsCol: String,
       valueCols: Seq[String]): DataFrame = {
+    requireNoReserved(keyCol, valueCols)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
     changes
       .withColumn("version", row_number().over(w))
@@ -48,12 +49,20 @@ object Scd2 {
     */
   def fold(history: DataFrame, batch: DataFrame, keyCol: String,
       tsCol: String, valueCols: Seq[String]): DataFrame = {
+    requireNoReserved(keyCol, valueCols)
     // the touched-key set is batch-bounded — broadcast it so BOTH the
     // pass-through (anti) and selection (semi) lanes stream the history
-    // map-only instead of hash-exchanging the corpus on the key
-    val touchedKeys = broadcast(batch.select(col(keyCol)).distinct())
-    val untouched = history.join(touchedKeys, Seq(keyCol), "left_anti")
-    val touchedChanges = history.join(touchedKeys, Seq(keyCol), "left_semi")
+    // map-only instead of hash-exchanging the corpus on the key.
+    // NULL-SAFE equality (<=>): build's window groups null keys into one
+    // chain, so the fold's lanes must select them the same way — plain
+    // equality would pass old null-key versions through AND rebuild the
+    // batch's null-key rows as a second chain, breaking the fold law.
+    val touchedKeys = broadcast(
+      batch.select(col(keyCol).as("__touched_key")).distinct())
+    val untouched = history
+      .join(touchedKeys, col(keyCol) <=> col("__touched_key"), "left_anti")
+    val touchedChanges = history
+      .join(touchedKeys, col(keyCol) <=> col("__touched_key"), "left_semi")
       .select((Seq(col(keyCol), col("valid_from").as(tsCol)) ++
         valueCols.map(col)): _*)
     val vs = struct(valueCols.map(col): _*)
@@ -63,5 +72,17 @@ object Scd2 {
       .agg(max_by(vs, col("__src")).as("__vs"))
       .select(col(keyCol), col(tsCol), col("__vs.*"))
     untouched.unionByName(build(merged, keyCol, tsCol, valueCols))
+  }
+
+  /** `withColumn` silently REPLACES an existing column, so a payload
+    * column named like a generated one would be overwritten with the
+    * window ordinal and the user's data lost — fail fast instead.
+    */
+  private def requireNoReserved(keyCol: String, valueCols: Seq[String]): Unit = {
+    val reserved = Set("version", "valid_from", "valid_to", "is_current")
+    val clash = (valueCols :+ keyCol).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"Scd2: column name(s) ${clash.mkString(", ")} collide with generated " +
+        "history columns (version, valid_from, valid_to, is_current) — rename upstream")
   }
 }

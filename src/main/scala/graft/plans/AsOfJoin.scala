@@ -152,7 +152,7 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
       val forward = dirE match {
         case Literal(s: UTF8String, StringType) =>
-          s.toString.toLowerCase match {
+          s.toString.toLowerCase(java.util.Locale.ROOT) match {
             case "backward" => false
             case "forward" => true
             case d => fail(s"direction must be 'backward' or 'forward', got '$d'")
@@ -172,6 +172,12 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       toleranceUs.foreach { t =>
         if (t < 0) fail(s"tolerance must be non-negative, got $t")
       }
+      // empty reference sets (literals, folded constants) are vacuous
+      // subsets of BOTH sides — reject them explicitly, or a constant ts
+      // would sort one side by a literal and return whichever tied row the
+      // shuffle happened to order last (silent nondeterminism)
+      if (a.references.isEmpty || b.references.isEmpty)
+        fail("each asof_match argument must reference a column of its side")
       val (lts, rts) =
         if (a.references.subsetOf(left.outputSet) &&
           b.references.subsetOf(right.outputSet)) (a, b)
@@ -187,14 +193,33 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         lts.dataType != LongType)
         fail("tolerance requires TIMESTAMP or BIGINT (epoch-micros) ts, " +
           s"got ${lts.dataType.simpleString}")
-      val keys = rest.map {
-        case e @ org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
-          if (l.references.subsetOf(left.outputSet) &&
-            r.references.subsetOf(right.outputSet)) (l, r)
-          else if (l.references.subsetOf(right.outputSet) &&
-            r.references.subsetOf(left.outputSet)) (r, l)
-          else fail(s"non-equi-key conjunct in as-of condition: ${e.sql}")
-        case e => fail(s"non-equi-key conjunct in as-of condition: ${e.sql}")
+      // split the remaining conjuncts into cross-side equi keys and a
+      // residual. The residual matters for INNER joins: the optimizer's
+      // PushPredicateThroughJoin merges post-join filters into an inner
+      // join's condition BEFORE this rule runs, so a user following the
+      // documented guidance ("apply extra predicates as filters outside
+      // the join") still presents a residual here — restore it as a
+      // Filter ABOVE the as-of node (the exact inverse of the pushdown,
+      // so the user's written semantics are preserved: match first,
+      // filter the matched pairs after). For LEFT joins no such pushdown
+      // happens, so a residual is user-written ambiguity — fail.
+      import org.apache.spark.sql.catalyst.expressions.EqualTo
+      val (equi, residual) = rest.partition {
+        case EqualTo(l, r) =>
+          l.references.nonEmpty && r.references.nonEmpty &&
+            (((l.references.subsetOf(left.outputSet) &&
+              r.references.subsetOf(right.outputSet)) ||
+              (l.references.subsetOf(right.outputSet) &&
+                r.references.subsetOf(left.outputSet))))
+        case _ => false
+      }
+      if (residual.nonEmpty && jt != Inner)
+        fail("non-equi-key conjunct in a LEFT as-of condition: " +
+          residual.map(_.sql).mkString(", "))
+      val keys = equi.map {
+        case EqualTo(l, r) if l.references.subsetOf(left.outputSet) => (l, r)
+        case EqualTo(l, r) => (r, l)
+        case e => fail(s"unreachable: ${e.sql}")
       }
       if (keys.isEmpty)
         fail("at least one equi-key required (a keyless global as-of is a " +
@@ -204,8 +229,11 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           fail(s"equi-key types must match exactly (hash co-partitioning), " +
             s"got ${l.dataType.simpleString} vs ${r.dataType.simpleString}")
       }
-      AsOfJoinNode(left, right, keys.map(_._1), keys.map(_._2), lts, rts, jt,
-        forward, toleranceUs)
+      val node = AsOfJoinNode(left, right, keys.map(_._1), keys.map(_._2),
+        lts, rts, jt, forward, toleranceUs)
+      if (residual.isEmpty) node
+      else org.apache.spark.sql.catalyst.plans.logical.Filter(
+        residual.reduce(org.apache.spark.sql.catalyst.expressions.And), node)
   }
 }
 

@@ -688,14 +688,27 @@ object CoreQueries {
     * Oracle: DuckDB's native `ASOF LEFT JOIN` — two engines, two
     * independent as-of implementations, one hash-compared result.
     */
+  /** Shared staging for the native as-of lanes (a13b/a13c): purchases
+    * pre-aggregated to ONE row per (user, ts) — the tie policy behind the
+    * operator's determinism contract — and the probe click projection.
+    * One definition so the gate lanes cannot drift from each other (the
+    * VerifySf1 twin and StreamingSpec lanes restate it on purpose — they
+    * are the independent formulations being compared).
+    */
+  private[graft] def asofPurchases(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("value")).as("p_value"))
+
+  private[graft] def asofClicks(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+
   def a13bAsofJoinNative(s: SparkSession, dir: String): DataFrame = {
     graft.plans.AsOfJoin.ensureRegistered(s)
     val ev = t(s, dir, "events")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
-      .agg(max(col("value")).as("p_value"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = asofPurchases(ev)
+    val clicks = asofClicks(ev)
     clicks
       .join(purchases,
         col("user_id") === col("p_user") && expr("asof_match(ts, p_ts)"),
@@ -719,11 +732,8 @@ object CoreQueries {
   def a13cAsofJoinForwardTol(s: SparkSession, dir: String): DataFrame = {
     graft.plans.AsOfJoin.ensureRegistered(s)
     val ev = t(s, dir, "events")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
-      .agg(max(col("value")).as("p_value"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = asofPurchases(ev)
+    val clicks = asofClicks(ev)
     clicks
       .join(purchases,
         col("user_id") === col("p_user") &&

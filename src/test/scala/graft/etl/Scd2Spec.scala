@@ -53,6 +53,28 @@ class Scd2Spec extends SparkSuite {
     assert(got == Set((1, "corrected"), (2, "keep")))
   }
 
+  test("fold law holds for NULL keys (null-safe touched-key lanes)") {
+    val ch1 = Seq((Option(1L), 10L, "a"), (None, 10L, "n1"))
+      .toDF("k", "ts", "value")
+    val ch2 = Seq((Option.empty[Long], 20L, "n2")).toDF("k", "ts", "value")
+    val folded = Scd2.fold(Scd2.build(ch1, "k", "ts", Seq("value")),
+      ch2, "k", "ts", Seq("value"))
+    val want = Scd2.build(
+      Seq((Option(1L), 10L, "a"), (None, 10L, "n1"), (None, 20L, "n2"))
+        .toDF("k", "ts", "value"), "k", "ts", Seq("value"))
+    assert(rows(folded) == rows(want),
+      "null-key versions must fold into ONE chain, not duplicate")
+    assert(folded.filter(col("k").isNull).count() == 2)
+    assert(folded.filter(col("k").isNull && col("is_current")).count() == 1)
+  }
+
+  test("reserved output column names are rejected up front") {
+    val ch = Seq((1L, 10L, "a")).toDF("k", "ts", "version")
+    val e = intercept[IllegalArgumentException](
+      Scd2.build(ch, "k", "ts", Seq("version")))
+    assert(e.getMessage.contains("version"))
+  }
+
   test("fold: untouched keys stream through without a rebuild") {
     val h0 = Scd2.build(
       Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("k", "ts", "value"),

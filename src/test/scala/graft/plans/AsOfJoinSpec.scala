@@ -313,6 +313,41 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("inner as-of with a cross-side post-join filter works (pushdown round-trip)") {
+    // PushPredicateThroughJoin merges a post-join filter into an inner
+    // join's condition BEFORE the rewrite rule runs; the rule must restore
+    // it as a Filter above the as-of node, not error on the conjunct
+    val l = Seq((1L, 10L, 5.0), (1L, 20L, 1.0)).toDF("k", "ts", "value")
+    val r = Seq((1L, 5L, 2.0), (1L, 15L, 9.0)).toDF("rk", "rts", "rvalue")
+    val df = l.join(r, col("k") === col("rk") && expr("asof_match(ts, rts)"), "inner")
+      .filter(col("value") > col("rvalue"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    // matches: (10 → rts=5, 5.0 > 2.0 keep), (20 → rts=15, 1.0 > 9.0 drop)
+    val got = df.select(col("ts"), col("rts")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got == Seq((10L, 5L)))
+    // the same filter on a LEFT as-of stays a rejected ambiguity only when
+    // written INSIDE the condition; outside it is a plain post-filter
+    val leftPost = l.join(r,
+        col("k") === col("rk") && expr("asof_match(ts, rts)"), "left")
+      .filter(col("value") > col("rvalue"))
+    assert(leftPost.collect().map(_.getLong(1)).toSeq == Seq(10L))
+    val msg = intercept[Exception](l.join(r,
+      col("k") === col("rk") && col("value") > col("rvalue") &&
+        expr("asof_match(ts, rts)"), "left").collect()).getMessage
+    assert(msg.contains("LEFT as-of"))
+  }
+
+  test("a literal asof_match argument is rejected, not silently nondeterministic") {
+    val l = Seq((1L, 10L)).toDF("k", "ts")
+    val r = Seq((1L, 5L, "x")).toDF("rk", "rts", "v")
+    val msg = intercept[Exception](l.join(r,
+      col("k") === col("rk") && expr("asof_match(ts, 5)"), "left").collect()
+    ).getMessage
+    assert(msg.contains("reference a column"))
+  }
+
   test("rule is conjunct-order and equality-direction invariant") {
     val l = Seq((1L, 10L, 5L), (1L, 20L, 8L), (2L, 10L, 3L))
       .toDF("k1", "k2", "ts")
