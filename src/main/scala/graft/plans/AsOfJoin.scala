@@ -46,16 +46,18 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   *
   * The full pandas-`merge_asof`/QuestDB-style family is supported through
   * the marker's optional literal args
-  * `asof_match(lts, rts[, 'backward'|'forward'[, tolerance]])`:
+  * `asof_match(lts, rts[, 'backward'|'forward'|'nearest'[, tolerance]])`:
   * backward = max `rts <= lts` (default), forward = min `rts >= lts`,
-  * and a tolerance (long micros or fixed-duration interval literal)
-  * rejects matches further than that from the probe ts.
+  * nearest = min `|rts - lts|` with ties preferring the backward side
+  * (pandas' tie rule), and a tolerance (long micros or fixed-duration
+  * interval literal) rejects matches further than that from the probe
+  * ts — for nearest it bounds both candidates symmetrically.
   *
   * Determinism contract: ties on `r.ts` within a key resolve to the row
-  * latest (backward) / earliest-peeked (forward) in the right side's
-  * (key, ts) sort, which is NOT total — callers wanting bit-stable output
-  * pre-aggregate the right side to one row per (key, ts), exactly as a13
-  * does (and as its DuckDB ASOF JOIN oracle requires).
+  * latest (backward/nearest) / earliest-peeked (forward) in the right
+  * side's (key, ts) sort, which is NOT total — callers wanting bit-stable
+  * output pre-aggregate the right side to one row per (key, ts), exactly
+  * as a13 does (and as its DuckDB ASOF JOIN oracle requires).
   */
 case class AsOfMatch(
     left: Expression,
@@ -77,11 +79,22 @@ case class AsOfMatch(
       direction = newChildren(2), tolerance = newChildren(3))
 }
 
+/** Match direction of the as-of lookup — the pandas `merge_asof` family.
+  * Nearest needs distance arithmetic, so (like tolerance) it is
+  * rule-restricted to long-backed ts types (TIMESTAMP / BIGINT micros).
+  */
+sealed trait AsOfDirection
+object AsOfDirection {
+  case object Backward extends AsOfDirection
+  case object Forward extends AsOfDirection
+  case object Nearest extends AsOfDirection
+}
+
 object AsOfMatch {
   import org.apache.spark.sql.catalyst.expressions.Literal
   /** SQL/function-registry arities:
-    * `asof_match(lts, rts[, 'backward'|'forward'[, tolerance]])` —
-    * tolerance a long (micros) or a fixed-duration interval literal.
+    * `asof_match(lts, rts[, 'backward'|'forward'|'nearest'[, tolerance]])`
+    * — tolerance a long (micros) or a fixed-duration interval literal.
     */
   def fromArgs(exprs: Seq[Expression]): AsOfMatch = exprs match {
     case Seq(l, r) => AsOfMatch(l, r, Literal("backward"), Literal(null))
@@ -93,8 +106,9 @@ object AsOfMatch {
 }
 
 /** Logical as-of join: keys equi-match, and per left row the single right
-  * row with max `rightTs <= leftTs` (backward, the default) or min
-  * `rightTs >= leftTs` (forward); nulls never match; with a tolerance, a
+  * row with max `rightTs <= leftTs` (backward, the default), min
+  * `rightTs >= leftTs` (forward), or min `|rightTs - leftTs|` with ties
+  * preferring backward (nearest); nulls never match; with a tolerance, a
   * candidate further than `toleranceUs` micros from the probe ts is
   * rejected. LeftOuter keeps unmatched left rows null-extended; Inner
   * drops them.
@@ -107,7 +121,7 @@ case class AsOfJoinNode(
     leftTs: Expression,
     rightTs: Expression,
     joinType: JoinType,
-    forward: Boolean = false,
+    direction: AsOfDirection = AsOfDirection.Backward,
     toleranceUs: Option[Long] = None)
     extends BinaryNode {
   override def output: Seq[Attribute] = joinType match {
@@ -150,12 +164,14 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType,
         LongType, StringType, TimestampType, CalendarIntervalType}
       import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
-      val forward = dirE match {
+      val direction = dirE match {
         case Literal(s: UTF8String, StringType) =>
           s.toString.toLowerCase(java.util.Locale.ROOT) match {
-            case "backward" => false
-            case "forward" => true
-            case d => fail(s"direction must be 'backward' or 'forward', got '$d'")
+            case "backward" => AsOfDirection.Backward
+            case "forward" => AsOfDirection.Forward
+            case "nearest" => AsOfDirection.Nearest
+            case d => fail(
+              s"direction must be 'backward', 'forward' or 'nearest', got '$d'")
           }
         case e => fail(s"direction must be a string literal, got ${e.sql}")
       }
@@ -189,10 +205,12 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       if (lts.dataType != rts.dataType || !RowOrdering.isOrderable(lts.dataType))
         fail(s"ts types must match and be orderable, got " +
           s"${lts.dataType.simpleString} vs ${rts.dataType.simpleString}")
-      if (toleranceUs.isDefined && lts.dataType != TimestampType &&
-        lts.dataType != LongType)
-        fail("tolerance requires TIMESTAMP or BIGINT (epoch-micros) ts, " +
-          s"got ${lts.dataType.simpleString}")
+      // tolerance AND nearest both need |Δts| arithmetic on the per-row
+      // merge path — restrict them to long-backed ts types
+      if ((toleranceUs.isDefined || direction == AsOfDirection.Nearest) &&
+        lts.dataType != TimestampType && lts.dataType != LongType)
+        fail("tolerance and 'nearest' require TIMESTAMP or BIGINT " +
+          s"(epoch-micros) ts, got ${lts.dataType.simpleString}")
       // split the remaining conjuncts into cross-side equi keys and a
       // residual. The residual matters for INNER joins: the optimizer's
       // PushPredicateThroughJoin merges post-join filters into an inner
@@ -230,7 +248,7 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             s"got ${l.dataType.simpleString} vs ${r.dataType.simpleString}")
       }
       val node = AsOfJoinNode(left, right, keys.map(_._1), keys.map(_._2),
-        lts, rts, jt, forward, toleranceUs)
+        lts, rts, jt, direction, toleranceUs)
       if (residual.isEmpty) node
       else org.apache.spark.sql.catalyst.plans.logical.Filter(
         residual.reduce(org.apache.spark.sql.catalyst.expressions.And), node)
@@ -240,8 +258,8 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 /** Plans [[AsOfJoinNode]] → [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lts, rts, jt, fwd, tol) =>
-      AsOfJoinExec(lk, rk, lts, rts, jt, planLater(l), planLater(r), fwd, tol) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, jt, dir, tol) =>
+      AsOfJoinExec(lk, rk, lts, rts, jt, planLater(l), planLater(r), dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -275,7 +293,7 @@ case class AsOfJoinExec(
     joinType: JoinType,
     left: SparkPlan,
     right: SparkPlan,
-    forward: Boolean = false,
+    direction: AsOfDirection = AsOfDirection.Backward,
     toleranceUs: Option[Long] = None)
     extends BinaryExecNode {
 
@@ -348,11 +366,14 @@ case class AsOfJoinExec(
           false
         }
 
-        // tolerance as primitives (no Option boxing on the per-row path);
-        // ts reads via getLong are sound: tolerance is rule-restricted to
+        // tolerance/direction as primitives (no Option boxing or enum
+        // dispatch on the per-row path); ts reads via getLong are sound:
+        // tolerance AND nearest are rule-restricted to
         // TimestampType/LongType, both long-backed
         private val hasTol = toleranceUs.isDefined
         private val tol = toleranceUs.getOrElse(0L)
+        private val isForward = direction == AsOfDirection.Forward
+        private val isNearest = direction == AsOfDirection.Nearest
 
         private def advance(): Unit =
           while (pending == null && lIter.hasNext) {
@@ -360,7 +381,7 @@ case class AsOfJoinExec(
             val lSort = lSortProj(lRow)
             var matchRow: InternalRow = null
             val lValid = !keyHasNull(lSort) && !lSort.isNullAt(nKeys)
-            if (forward) {
+            if (isForward) {
               // consume right rows STRICTLY before (key, ts); the peeked row
               // itself is the at-or-after candidate (NOT consumed — later
               // probe rows of the same key may match it too)
@@ -370,7 +391,11 @@ case class AsOfJoinExec(
                 (!hasTol || rSort.getLong(nKeys) - lSort.getLong(nKeys) <= tol))
                 matchRow = rRow
             } else {
-              // consume right rows ordered ≤ (key, ts): inclusive bound
+              // backward AND nearest: consume right rows ordered ≤ (key, ts)
+              // (inclusive), carrying the last valid row as the backward
+              // candidate. For nearest, the peeked row — strictly after
+              // (key, ts), never consumed, so it can still serve later
+              // probes — is the forward candidate.
               while (rRow != null && fullOrd.compare(rSort, lSort) <= 0) {
                 // null key or null ts never matches (SQL three-valued ≤)
                 if (!keyHasNull(rSort) && !rSort.isNullAt(nKeys)) {
@@ -378,8 +403,22 @@ case class AsOfJoinExec(
                 }
                 fetchRight()
               }
-              if (lValid && candRow != null &&
-                keyOrd.compare(candSort, lSort) == 0 &&
+              val backValid = lValid && candRow != null &&
+                keyOrd.compare(candSort, lSort) == 0
+              if (isNearest) {
+                // tolerance bounds each candidate; ties prefer backward —
+                // the pandas merge_asof contract
+                val backOk = backValid &&
+                  (!hasTol || lSort.getLong(nKeys) - candSort.getLong(nKeys) <= tol)
+                val fwdOk = lValid && rRow != null && !keyHasNull(rSort) &&
+                  !rSort.isNullAt(nKeys) && keyOrd.compare(rSort, lSort) == 0 &&
+                  (!hasTol || rSort.getLong(nKeys) - lSort.getLong(nKeys) <= tol)
+                if (backOk && (!fwdOk ||
+                  lSort.getLong(nKeys) - candSort.getLong(nKeys) <=
+                    rSort.getLong(nKeys) - lSort.getLong(nKeys)))
+                  matchRow = candRow
+                else if (fwdOk) matchRow = rRow
+              } else if (backValid &&
                 (!hasTol || lSort.getLong(nKeys) - candSort.getLong(nKeys) <= tol))
                 matchRow = candRow
             }

@@ -745,6 +745,32 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** A13d: the as-of family's third direction — NEAREST with a tolerance:
+    * for every click, the same user's purchase closest in time within
+    * ±90 minutes, ties preferring the earlier (backward) purchase — the
+    * pandas `merge_asof(direction='nearest')` contract. Same native
+    * operator; the merge keeps the backward candidate AND the one-row
+    * forward peek, compares |Δts| once, and the tolerance bounds both
+    * candidates symmetrically. Oracle: DuckDB has no nearest ASOF, so the
+    * oracle derives it independently — a windowed LEFT range join ranked
+    * by (|Δts|, backward-first) — two unrelated formulations, one hash.
+    */
+  def a13dAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.AsOfJoin.ensureRegistered(s)
+    val ev = t(s, dir, "events")
+    val purchases = asofPurchases(ev)
+    val clicks = asofClicks(ev)
+    clicks
+      .join(purchases,
+        col("user_id") === col("p_user") &&
+          expr("asof_match(ts, p_ts, 'nearest', INTERVAL 90 MINUTE)"),
+        "left")
+      .select(col("event_id"), ntz(col("ts")).as("timestamp_utc"), col("user_id"),
+        col("value"), ntz(col("p_ts")).as("nearest_purchase_ts"),
+        col("p_value").as("nearest_purchase_value"))
+      .orderBy("event_id")
+  }
+
   /** E14: SCD Type-2 dimension history — every purchase opens a version
     * row with a validity interval, `valid_to` NULL marking the current
     * version ([[graft.etl.Scd2]]; the history-preserving sibling of e3's
@@ -1615,6 +1641,7 @@ object CoreQueries {
     "a13_asof_join" -> (a13AsofJoin _),
     "a13b_asof_join_native" -> (a13bAsofJoinNative _),
     "a13c_asof_forward_tol" -> (a13cAsofJoinForwardTol _),
+    "a13d_asof_nearest" -> (a13dAsofNearest _),
     "e14_scd2_history" -> (e14Scd2History _),
     "a14_correlated_subquery" -> (a14CorrelatedSubquery _),
     "a10b_cube" -> (a10bCube _),
@@ -2224,6 +2251,30 @@ object CoreQueries {
                  WHERE p.user_id = c.user_id AND p.pts >= c.cts
                    AND p.pts <= c.cts + INTERVAL 2 HOUR) AS next_purchase_value
          FROM clicks c ORDER BY c.event_id""",
+    // a13d: DuckDB has no nearest-direction ASOF JOIN either — the oracle
+    // ranks a windowed LEFT range join by (|Δts|, backward-first), the
+    // independent statement of "closest within the window, ties backward".
+    // An unmatched click keeps its single null-extended row (rn = 1).
+    "a13d_asof_nearest" ->
+      """WITH purchases AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, MAX(value) AS p_value
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+         clicks AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS cts, value
+           FROM events WHERE event_type = 'click'),
+         ranked AS (
+           SELECT c.event_id, c.cts, c.user_id, c.value, p.pts, p.p_value,
+                  ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY
+                    ABS(epoch_us(p.pts) - epoch_us(c.cts)),
+                    CASE WHEN p.pts <= c.cts THEN 0 ELSE 1 END) AS rn
+           FROM clicks c LEFT JOIN purchases p
+             ON c.user_id = p.user_id
+            AND p.pts >= c.cts - INTERVAL 90 MINUTE
+            AND p.pts <= c.cts + INTERVAL 90 MINUTE)
+         SELECT event_id, cts AS timestamp_utc, user_id, value,
+                pts AS nearest_purchase_ts, p_value AS nearest_purchase_value
+         FROM ranked WHERE rn = 1 ORDER BY event_id""",
     "e14_scd2_history" ->
       """WITH ch AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value

@@ -141,6 +141,33 @@ object VerifySf1 {
               col("user_id"), col("value"),
               col("np_ts").cast("timestamp_ntz").as("next_purchase_ts"),
               col("next_purchase_value"))
+        }),
+      // a13d: nearest+tolerance through the exec ↔ the candidate-pair
+      // range join ranked by (|Δts|, backward-first) — the quadratic
+      // formulation the merge's two-candidate compare replaces
+      ("a13d_asof_nearest",
+        () => CoreQueries.a13dAsofNearest(spark, work),
+        () => {
+          import org.apache.spark.sql.expressions.Window
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+            .agg(max(col("value")).as("p_value"))
+          val clicks = ev.filter(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          val w = Window.partitionBy(col("event_id")).orderBy(
+            abs(unix_micros(col("p_ts")) - unix_micros(col("ts"))).asc,
+            when(col("p_ts") <= col("ts"), 0).otherwise(1).asc)
+          clicks.join(purchases,
+              col("user_id") === col("p_user") &&
+                col("p_ts") >= col("ts") - expr("INTERVAL 90 MINUTE") &&
+                col("p_ts") <= col("ts") + expr("INTERVAL 90 MINUTE"), "left")
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("event_id"),
+              col("ts").cast("timestamp_ntz").as("timestamp_utc"),
+              col("user_id"), col("value"),
+              col("p_ts").cast("timestamp_ntz").as("nearest_purchase_ts"),
+              col("p_value").as("nearest_purchase_value"))
         }))
 
     val results = checks.map { case (name, gate, twin) =>

@@ -147,6 +147,72 @@ class AsOfJoinSpec extends SparkSuite {
     assert(run("asof_match(ts, rts, 'forward', 29)") == None)
   }
 
+  test("nearest direction: min |rts - lts|, ties prefer backward") {
+    val l = Seq((1L, 100L), (1L, 112L), (1L, 115L), (1L, 118L), (1L, 300L), (2L, 50L))
+      .toDF("k", "ts")
+    val r = Seq((1L, 110L, "a"), (1L, 120L, "b")).toDF("rk", "rts", "v")
+    val got = l.join(r, col("k") === col("rk") &&
+        expr("asof_match(ts, rts, 'nearest')"), "left")
+      .select(col("ts"), col("v")).collect()
+      .map(x => (x.getLong(0), Option(x.getString(1)))).toSet
+    assert(got == Set(
+      (100L, Some("a")),  // only forward candidates; nearest is 110
+      (112L, Some("a")),  // |112-110|=2 < |120-112|=8
+      (115L, Some("a")),  // equidistant (5 vs 5) → tie prefers backward
+      (118L, Some("b")),  // |118-110|=8 > |120-118|=2
+      (300L, Some("b")),  // only backward candidates; nearest is 120
+      (50L, None)))       // key 2 has no reference rows
+  }
+
+  test("nearest + tolerance bounds both candidates symmetrically") {
+    // back at distance 60, fwd at distance 70
+    val l = Seq((1L, 100L)).toDF("k", "ts")
+    val r = Seq((1L, 40L, "back"), (1L, 170L, "fwd")).toDF("rk", "rts", "v")
+    def run(df: DataFrame, cond: String): Option[String] = {
+      val rows = df.join(r, col("k") === col("rk") && expr(cond), "left")
+        .select(col("v")).collect()
+      assert(rows.length == 1)
+      Option(rows.head.getString(0))
+    }
+    assert(run(l, "asof_match(ts, rts, 'nearest', 100)") == Some("back")) // both in → closer
+    assert(run(l, "asof_match(ts, rts, 'nearest', 65)") == Some("back"))  // fwd excluded
+    assert(run(l, "asof_match(ts, rts, 'nearest', 59)") == None)          // neither in
+    // mirrored: back at distance 70, fwd at distance 60
+    val l2 = Seq((1L, 110L)).toDF("k", "ts")
+    assert(run(l2, "asof_match(ts, rts, 'nearest', 100)") == Some("fwd"))
+    assert(run(l2, "asof_match(ts, rts, 'nearest', 65)") == Some("fwd"))  // back excluded
+    assert(run(l2, "asof_match(ts, rts, 'nearest', 59)") == None)
+    // non-long ts rejects nearest like it rejects tolerance
+    val ls = Seq((1L, "2024")).toDF("k", "ts")
+    val rs = Seq((1L, "2023", "x")).toDF("rk", "rts", "v")
+    assert(intercept[Exception](
+      ls.join(rs, col("k") === col("rk") &&
+        expr("asof_match(ts, rts, 'nearest')"), "left").collect()
+    ).getMessage.contains("'nearest' require"))
+  }
+
+  test("law: seeded random corpus, nearest + tolerance, vs driver-side reference") {
+    val rnd = new scala.util.Random(13)
+    val leftRows = Seq.fill(300)((rnd.nextInt(15).toLong, rnd.nextInt(100).toLong))
+    val rightRows = Seq.fill(300)((rnd.nextInt(15).toLong, rnd.nextInt(100).toLong))
+      .distinct.map { case (k, ts) => (k, ts, s"v${k}_$ts") }
+    val got = leftRows.toDF("k", "ts")
+      .join(rightRows.toDF("rk", "rts", "v"),
+        col("k") === col("rk") && expr("asof_match(ts, rts, 'nearest', 25)"), "left")
+      .select(col("k"), col("ts"), col("v")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), Option(x.getString(2))))
+      .sortBy(t => (t._1, t._2, t._3))
+    val byKey = rightRows.groupBy(_._1)
+    val expected = leftRows.map { case (k, ts) =>
+      val best = byKey.getOrElse(k, Nil)
+        .filter(r => math.abs(r._2 - ts) <= 25)
+        .sortBy(r => (math.abs(r._2 - ts), if (r._2 <= ts) 0 else 1))
+        .headOption
+      (k, ts, best.map(_._3))
+    }.sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq == expected)
+  }
+
   test("interval-literal tolerance on timestamp ts") {
     val l = Seq(java.sql.Timestamp.valueOf("2024-01-01 12:00:00")).toDF("ts")
       .withColumn("k", lit(1L))
@@ -174,7 +240,7 @@ class AsOfJoinSpec extends SparkSuite {
     assert(intercept[Exception](
       ls.join(rs, col("k") === col("rk") &&
         expr("asof_match(ts, rts, 'backward', 5)"), "left").collect()
-    ).getMessage.contains("tolerance requires"))
+    ).getMessage.contains("require TIMESTAMP or BIGINT"))
   }
 
   test("law: seeded random corpus, forward + tolerance, vs driver-side reference") {
