@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, explode, expr, lit, pmod}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, BinaryExpression, Expression, GenericInternalRow,
@@ -281,9 +282,10 @@ object AsOfJoinStrategy extends SparkStrategy {
   * therefore costs one task's sort of that key's rows (the same envelope
   * as a pre-AQE sort-merge join); the merge itself stays O(1)-state, so
   * the cliff is the sort spill, not memory. If a key ever concentrates a
-  * double-digit share of the corpus, the a26 salting escape applies:
-  * salt the PROBE side and replicate each reference row across the salt
-  * domain (reference rows per key are dimension-sized by contract).
+  * double-digit share of the corpus, the a26 salting escape applies —
+  * implemented and equivalence-tested as [[AsOfJoin.salted]]: salt the
+  * PROBE side and replicate each reference row across the salt domain
+  * (reference rows per key are dimension-sized by contract).
   */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],
@@ -454,6 +456,52 @@ case class AsOfJoinExec(
   */
 object AsOfJoin {
   val FunctionName = "asof_match"
+
+  /** The skew escape hatch the exec's scaladoc promises, as tested code:
+    * salt the PROBE side, replicate each reference row across the salt
+    * domain, and as-of join on (keys…, salt). AQE's skew-join split only
+    * rewrites Spark's own SMJ/SHJ nodes, so a pathologically hot key
+    * funnels all its probe rows into one task's sort; salting multiplies
+    * that key's reduce-side parallelism by `salts`.
+    *
+    * Soundness: every probe row carries exactly ONE salt and every
+    * reference row is present in EVERY salt bucket, so the per-(key, salt)
+    * as-of result equals the per-key result — and because an as-of join
+    * emits at most one row per probe row, replication can never inflate
+    * output multiplicity (unlike a salted equi-join, where
+    * [[graft.operators.SkewJoin]] must restrict join types). Cost: the
+    * reference side is replicated `salts`× — per contract reference rows
+    * per key are dimension-sized, so this is the cheap side.
+    *
+    * `saltOf` must key off a row-level probe column (an id, a timestamp),
+    * NEVER the join key itself (that re-creates the hot partition), and be
+    * deterministic ([[graft.operators.SkewJoin]]'s contract). The same
+    * 64-bit-id discipline applies: pmod on the long BEFORE any int cast,
+    * and a NULL salt source coalesces to bucket 0 instead of silently
+    * dropping (inner) or null-extending (left) the row.
+    *
+    * `keys` maps probe-side → reference-side column names; `matchExpr` is
+    * the marker text (e.g. `"asof_match(ts, rts, 'nearest', 60)"`) so the
+    * full direction/tolerance family rides through unchanged.
+    */
+  def salted(probe: DataFrame, reference: DataFrame,
+      keys: Seq[(String, String)], matchExpr: String,
+      saltOf: Column, salts: Int, joinType: String = "left"): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(keys.nonEmpty, "salted as-of needs at least one equi-key")
+    require(Set("left", "left_outer", "inner").contains(joinType),
+      s"as-of joins support left/inner, got $joinType")
+    ensureRegistered(probe.sparkSession)
+    val saltP = "__asof_salt_p"
+    val saltR = "__asof_salt_r"
+    val p = probe.withColumn(saltP,
+      coalesce(pmod(saltOf.cast("long"), lit(salts.toLong)), lit(0L)).cast("int"))
+    val r = reference.withColumn(saltR,
+      explode(expr(s"sequence(0, ${salts - 1})")))
+    val cond = (keys.map { case (pk, rk) => p(pk) === r(rk) } :+
+      (p(saltP) === r(saltR)) :+ expr(matchExpr)).reduce(_ && _)
+    p.join(r, cond, joinType).drop(saltP, saltR)
+  }
 
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -436,6 +436,48 @@ class AsOfJoinSpec extends SparkSuite {
     assert(results.head.nonEmpty)
   }
 
+  test("salted as-of ≡ unsalted across directions and join types; salt reaches the exchange") {
+    // the skew escape hatch: per-(key, salt) as-of equals per-key as-of
+    // because each probe row has ONE salt and reference rows are in EVERY
+    // salt bucket — and as-of emits ≤ 1 row per probe row, so replication
+    // cannot inflate output
+    val ev = graft.Tables(spark, sf001, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("value")).as("p_value"))
+    for {
+      marker <- Seq("asof_match(ts, p_ts)",
+        "asof_match(ts, p_ts, 'nearest', INTERVAL 90 MINUTE)")
+      jt <- Seq("left", "inner")
+    } {
+      val plain = clicks.join(purchases,
+        col("user_id") === col("p_user") && expr(marker), jt)
+      val salted = AsOfJoin.salted(clicks, purchases,
+        Seq("user_id" -> "p_user"), marker, col("event_id"), salts = 7, jt)
+      assert(salted.columns.toSeq == plain.columns.toSeq)
+      assert(salted.collect().map(_.toString).sorted.toSeq ==
+        plain.collect().map(_.toString).sorted.toSeq,
+        s"salted/$jt/$marker diverged from unsalted")
+      val p = salted.queryExecution.executedPlan.toString
+      assert(p.contains("AsOfJoin"), p)
+      assert(p.contains("__asof_salt"),
+        "the salt must reach the hash exchange (that IS the escape):\n" + p)
+    }
+  }
+
+  test("salted as-of: null salt source coalesces to bucket 0, row is kept") {
+    val l = Seq((Some(1L), Some(10L), Option.empty[Long]),
+      (Some(1L), Some(15L), Some(99L))).toDF("k", "ts", "salt_src")
+    val r = Seq((1L, 5L, "x")).toDF("rk", "rts", "v")
+    val got = AsOfJoin.salted(l, r, Seq("k" -> "rk"), "asof_match(ts, rts)",
+        col("salt_src"), salts = 4, "inner")
+      .select(col("ts"), col("v")).collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(got == Set((10L, "x"), (15L, "x")))
+  }
+
   test("ensureRegistered is idempotent") {
     AsOfJoin.ensureRegistered(spark)
     AsOfJoin.ensureRegistered(spark)
