@@ -758,4 +758,165 @@ class StreamingSpec extends SparkSuite {
       .collect().map(_.toString).toSet
     assert(got == batchWant, "streamed as-of enrichment drifted from the batch join")
   }
+
+  test("event-time temporal join (changing reference) equals the batch as-of, exactly once") {
+    // the case the foreachBatch lane CANNOT cover: the reference side is
+    // itself a stream of changes. TemporalJoin buffers probes until the
+    // watermark proves their match final; emitted rows must equal the batch
+    // native as-of join for every watermark-closed probe, each exactly once
+    graft.plans.AsOfJoin.ensureRegistered(spark)
+    val schema = spark.read.parquet(landing).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "4").parquet(landing) // many micro-batches
+    val q = TemporalJoin.temporalJoin(stream, "ts", "2 days")
+      .writeStream
+      .format("memory").queryName("temporal").outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt_temporal")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("temporal").collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))
+    }
+    // exactly-once per probe row
+    assert(got.map(_._1).distinct.length == got.length,
+      "a probe row was emitted twice")
+    val gotMap = got.toMap
+    // batch comparator: the native as-of exec over the same data
+    val ev = Tables(spark, sf001, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("value")).as("p_value"))
+    val batch = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .join(purchases,
+        col("user_id") === col("p_user") && expr("asof_match(ts, p_ts)"), "left")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), unix_micros(col("p_ts")).as("ref_ts_us"), col("p_value"))
+      .collect().map { r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))
+      }
+    val batchMap = batch.toMap
+    // every emitted row matches the batch as-of exactly
+    gotMap.foreach { case (id, row) =>
+      assert(batchMap(id) == row, s"event $id: streaming $row vs batch ${batchMap(id)}")
+    }
+    // completeness: every probe the final watermark closed was emitted
+    val maxTsUs = spark.read.parquet(landing)
+      .agg(unix_micros(max(col("ts"))).as("m")).collect().head.getLong(0)
+    val wmUs = ((maxTsUs / 1000L) - 2L * 24 * 3600 * 1000L) * 1000L
+    val mustEmit = batch.filter(_._2._2 < wmUs).map(_._1).toSet
+    assert(mustEmit.nonEmpty, "fixture too small: no watermark-closed probes")
+    assert(mustEmit.subsetOf(gotMap.keySet),
+      s"${mustEmit.diff(gotMap.keySet).size} watermark-closed probes not emitted")
+  }
+
+  test("temporal join: a reference change arriving AFTER the probe still matches it") {
+    // the property the foreachBatch lane structurally cannot have: the
+    // probe's batch ran before the matching reference version even arrived.
+    // TemporalJoin buffers the probe until the watermark proves no more
+    // admissible changes exist, so cross-batch disorder is invisible.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val t0 = 1700000000000L
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000L)
+    val in = MemoryStream[(String, Long, java.sql.Timestamp, Long, Double)]
+    val df = in.toDF.toDF("event_type", "user_id", "ts", "event_id", "value")
+    val q = TemporalJoin.temporalJoin(df, "ts", "120 seconds")
+      .writeStream
+      .format("memory").queryName("temporal_ooo").outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt_temporal_ooo")
+      .start()
+    def drain(rows: (String, Long, java.sql.Timestamp, Long, Double)*): Unit = {
+      in.addData(rows); q.processAllAvailable()
+    }
+    drain(("click", 1L, ts(100), 1L, 1.0))            // probe first
+    drain(("purchase", 1L, ts(50), 10L, 7.0))          // its match arrives LATER
+    drain(("purchase", 1L, ts(80), 11L, 9.0),          // even later, even closer
+      ("click", 1L, ts(300), 2L, 2.0))
+    drain(("click", 1L, ts(600), 3L, 3.0))             // watermark pushes past 100 and 300
+    q.stop()
+    val got = spark.table("temporal_ooo").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    val usOf = (s: Long) => (t0 + s * 1000L) * 1000L
+    assert(got == Map(
+      1L -> ((usOf(100), Some(usOf(80)), Some(9.0))),  // latest version ≤ 100 is 80
+      2L -> ((usOf(300), Some(usOf(80)), Some(9.0)))), // click 3 stays pending
+      s"got $got")
+  }
+
+  test("temporal join state survives a checkpointed restart, exactly once across runs") {
+    // probes buffered (pending) when the first query stops must be emitted
+    // by the RESTARTED query once the watermark closes them — version chains
+    // and pending probes live in the state store, not the process
+    val land = s"$work/landing_tj"
+    val outDir = s"$work/tj_out"
+    val ckpt = s"$work/ckpt_tj_restart"
+    val ev0 = Tables(spark, sf001, "events")
+    // time-ordered waves: wave 1 = the first ~60% of event time, so the
+    // probes inside its trailing lateness window are provably pending when
+    // the first query stops, and provably closed by wave 2's watermark
+    val cutUs = ev0.selectExpr("percentile_approx(unix_micros(ts), 0.6d)")
+      .first().getLong(0)
+    def stage(pred: org.apache.spark.sql.Column): Unit =
+      ev0.filter(pred).write.mode("append").parquet(land)
+    def run(): Unit = {
+      val schema = spark.read.parquet(landing).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4").parquet(land)
+      val q = TemporalJoin.temporalJoin(stream, "ts", "2 days").toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stage(unix_micros(col("ts")) <= cutUs); run()
+    val afterRun1 = spark.read.parquet(outDir).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    stage(unix_micros(col("ts")) > cutUs); run()
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))
+    // exactly-once ACROSS runs: no probe re-emitted after restart
+    assert(rows.map(_._1).distinct.length == rows.length,
+      "a probe row was emitted twice across the restart")
+    val gotMap = rows.toMap
+    // run 2 must have closed WAVE-1 probes run 1 left pending — the rows
+    // proving pending state crossed the restart (they were ingested before
+    // the stop and could only be emitted from recovered state)
+    val wave1Probes = ev0.filter(col("event_type") === "click" &&
+        unix_micros(col("ts")) <= cutUs)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(((gotMap.keySet -- afterRun1) & wave1Probes).nonEmpty,
+      "no wave-1 probe was emitted after the restart — pending state did not survive")
+    // every emitted row equals the batch native as-of over the FULL data
+    graft.plans.AsOfJoin.ensureRegistered(spark)
+    val ev = Tables(spark, sf001, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("value")).as("p_value"))
+    val batchMap = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .join(purchases,
+        col("user_id") === col("p_user") && expr("asof_match(ts, p_ts)"), "left")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), unix_micros(col("p_ts")).as("ref_ts_us"), col("p_value"))
+      .collect().map { r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))
+      }.toMap
+    gotMap.foreach { case (id, row) =>
+      assert(batchMap(id) == row, s"event $id: streaming $row vs batch ${batchMap(id)}")
+    }
+  }
 }
