@@ -87,5 +87,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           graft.plans.AsOfMatch.fromArgs(exprs)))
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // global row_number()/ntile() windows over unbounded input rewrite to
+    // the distributed two-pass rank instead of a single-partition Window —
+    // see graft.plans.GlobalRankRule
+    ext.injectOptimizerRule(_ => graft.plans.GlobalRankRule)
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
   }
 }

@@ -1,0 +1,336 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Attribute, AttributeSet, DenseRank, GenericInternalRow, JoinedRow,
+  Literal, NamedExpression, NTile, PercentRank, Rank, RowNumber, RowOrdering,
+  SortOrder, UnsafeProjection, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.IntegerType
+
+/** Which rank function a [[GlobalRankNode]] column computes.
+  *
+  * Two families:
+  *  - POSITIONAL (`row_number`, `ntile`): the value is a pure function of
+  *    the row's global ordinal (and the total count).
+  *  - TIE-AWARE (`rank`, `dense_rank`, `percent_rank`): the value depends
+  *    on order-key equality with PEERS, which a range partitioning can
+  *    split across partition boundaries — the exec's stats job collects
+  *    each partition's boundary keys and tie-run lengths so the driver can
+  *    stitch cross-partition tie CHAINS (a run spanning any number of
+  *    whole partitions) into exact global ranks.
+  * Aggregate window functions and `cume_dist` (whose value needs the END
+  * of the tie run — a FORWARD chain) are not rewritten; they stay with
+  * the [[PlanChecks]] lint.
+  */
+sealed trait GlobalRankFunc
+object GlobalRankFunc {
+  case object RowNum extends GlobalRankFunc
+  case class Tile(n: Int) extends GlobalRankFunc
+  case object Rnk extends GlobalRankFunc
+  case object DenseRnk extends GlobalRankFunc
+  case object PctRank extends GlobalRankFunc
+}
+
+/** OPTIMIZER-DRIVEN distributed global ranking: the auto-rewrite face of
+  * [[graft.operators.Ranking]].
+  *
+  * `row_number() OVER (ORDER BY …)` / `ntile(k) OVER (ORDER BY …)` with no
+  * PARTITION BY plans a SINGLE-PARTITION Window — every row of the corpus
+  * funnels through one task, the hard scale cliff [[PlanChecks]] lints
+  * against and `Ranking.globalRank/ntile` exist to avoid. But both of
+  * those are opt-in: a raw-SQL user writing the natural global window
+  * still falls off the cliff. [[GlobalRankRule]] closes that gap the way
+  * [[RangeJoinBinningRule]] did for keyless range joins — the cliff shape
+  * is rewritten in the optimizer, so the SQL text stays the standard SQL
+  * everybody writes.
+  *
+  * The rewrite targets exactly the lint's definition of the cliff: empty
+  * partition spec AND an input not provably bounded (rank-the-aggregate
+  * shapes keep their stock Window — tiny inputs gain nothing and existing
+  * plans stay byte-stable). Every window expression in the node must be a
+  * supported rank function (`row_number`/`ntile(lit)`/`rank`/`dense_rank`/
+  * `percent_rank`); one unsupported sibling vetoes the whole node (a
+  * half-rewrite would need two global orderings).
+  *
+  * Physical shape ([[GlobalRankExec]]): declares
+  * `OrderedDistribution(orderSpec)` + per-partition sort — exactly a
+  * global SORT's exchange envelope (range-partition then sort, every
+  * partition order-contiguous), so EnsureRequirements/AQE own the
+  * exchange. The merge is then embarrassingly parallel: one tiny stats
+  * job over the SAME materialized shuffle (the exchange's dependency is
+  * created once, so the sampled range bounds CANNOT drift between the
+  * stats job and the output job — the rdd.id-seeded drift class the 10×
+  * gate caught in round 7) yields per-partition offsets — plus, for the
+  * tie-aware functions, each partition's boundary keys and tie-run
+  * lengths, which the driver stitches into cross-partition tie CHAINS —
+  * and each partition then streams its ranks with O(1) state. No
+  * single-task stage anywhere; driver traffic is O(#partitions) longs
+  * plus two boundary keys per partition.
+  *
+  * Semantics parity (spec-pinned): ordinals are identical to the stock
+  * single-partition Window on any TOTAL order; on ties `row_number`
+  * emits some valid permutation within the tie group (the stock Window's
+  * own order is partition-arrival-dependent) while `rank`/`dense_rank`/
+  * `percent_rank` are tie-EXACT (peers share one value, so they are
+  * deterministic even on non-total orders, matching the stock Window
+  * bit-for-bit). `ntile` follows the SQL-standard remainder rule — first
+  * `n % k` tiles get one extra row — bit-identical to Spark's `NTile`
+  * and to DuckDB's (c8b's cross-engine oracle). Output types match
+  * Spark's own functions (INT; DOUBLE for percent_rank).
+  */
+case class GlobalRankNode(
+    child: LogicalPlan,
+    orderSpec: Seq[SortOrder],
+    ranks: Seq[(Attribute, GlobalRankFunc)])
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output ++ ranks.map(_._1)
+  override def producedAttributes: AttributeSet = AttributeSet(ranks.map(_._1))
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+/** Rewrites the cliff-shaped Window ([[PlanChecks.unboundedGlobalWindows]]'
+  * exact definition) into [[GlobalRankNode]] when every window expression
+  * is a supported rank function. Runs in the user batch, after
+  * pruning/pushdown.
+  */
+object GlobalRankRule extends Rule[LogicalPlan] {
+
+  private def funcOf(ne: NamedExpression): Option[(Alias, GlobalRankFunc)] =
+    ne match {
+      case a @ Alias(WindowExpression(RowNumber(), _), _) =>
+        Some((a, GlobalRankFunc.RowNum))
+      case a @ Alias(WindowExpression(NTile(Literal(n: Int, IntegerType)), _), _)
+          if n > 0 =>
+        Some((a, GlobalRankFunc.Tile(n)))
+      case a @ Alias(WindowExpression(_: Rank, _), _) =>
+        Some((a, GlobalRankFunc.Rnk))
+      case a @ Alias(WindowExpression(_: DenseRank, _), _) =>
+        Some((a, GlobalRankFunc.DenseRnk))
+      case a @ Alias(WindowExpression(_: PercentRank, _), _) =>
+        Some((a, GlobalRankFunc.PctRank))
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case w: Window
+        if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+          w.windowExpressions.nonEmpty &&
+          w.windowExpressions.forall(funcOf(_).isDefined) &&
+          !PlanChecks.bounded(w.child) =>
+      GlobalRankNode(w.child, w.orderSpec,
+        w.windowExpressions.map { ne =>
+          val (a, f) = funcOf(ne).get
+          (a.toAttribute, f) // SAME exprIds — upstream references stay valid
+        })
+  }
+}
+
+/** Plans [[GlobalRankNode]] → [[GlobalRankExec]]. */
+object GlobalRankStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GlobalRankNode(child, order, ranks) =>
+      GlobalRankExec(order, ranks, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class GlobalRankExec(
+    orderSpec: Seq[SortOrder],
+    ranks: Seq[(Attribute, GlobalRankFunc)],
+    child: SparkPlan)
+    extends UnaryExecNode {
+
+  override lazy val metrics: Map[String, SQLMetric] =
+    Map("numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def output: Seq[Attribute] = child.output ++ ranks.map(_._1)
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(orderSpec) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(orderSpec)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = orderSpec
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    import GlobalRankExec.{PartCtx, PartStats}
+    val numOutputRows = longMetric("numOutputRows")
+    val childRDD = child.execute()
+    val funcs = ranks.map(_._2).toArray
+    val childOut = child.output
+    val rankAttrs = ranks.map(_._1)
+    val outAttrs = output
+    val keyExprs = orderSpec.map(_.child)
+    val keyTypes = keyExprs.map(_.dataType)
+    // tie-aware functions need order-key equality across partition
+    // boundaries; positional ones only need counts
+    val needKeys = funcs.exists {
+      case GlobalRankFunc.RowNum | GlobalRankFunc.Tile(_) => false
+      case _ => true
+    }
+    // Stats job over the SAME RDD object the output job maps: the range
+    // exchange materializes its shuffle dependency exactly once, so both
+    // jobs read identical partitions in identical order (the second job
+    // reuses the shuffle files; only the cheap reduce-side read repeats).
+    val stats: Array[PartStats] = childRDD.mapPartitions({ it =>
+      if (!needKeys) {
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1 }
+        Iterator.single(PartStats(c, null, null, 0L, 0L))
+      } else {
+        val keyProj = UnsafeProjection.create(keyExprs, childOut)
+        val ord = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+        var n = 0L; var distinct = 0L; var runLen = 0L
+        var firstKey: InternalRow = null; var prevKey: InternalRow = null
+        while (it.hasNext) {
+          // copy only on run change (the projection reuses its buffer):
+          // one allocation per distinct key, not per row. prevKey is then
+          // SOME row of the trailing run — interchangeable for equality
+          val k = keyProj(it.next())
+          if (n == 0L) {
+            firstKey = k.copy(); prevKey = firstKey; distinct = 1L; runLen = 1L
+          } else if (ord.compare(k, prevKey) == 0) runLen += 1L
+          else { prevKey = k.copy(); distinct += 1L; runLen = 1L }
+          n += 1L
+        }
+        Iterator.single(PartStats(n, firstKey, prevKey, runLen, distinct))
+      }
+    }, preservesPartitioning = true).collect()
+    val total = stats.map(_.n).sum
+    // Driver chain-stitch (O(#partitions), boundary keys only): a tie run
+    // can span any number of whole partitions; walking left to right with
+    // (runKey, runStart, denseAcc) carries resolves every leading run to
+    // the GLOBAL ordinal where its chain began, and every partition to the
+    // count of distinct keys strictly before its first NEW key.
+    val ctxs: Array[PartCtx] = locally {
+      val out = Array.ofDim[PartCtx](stats.length)
+      // driver-local ordering; NOT referenced inside the executor closure
+      // below (BaseOrdering is not serializable)
+      val dOrd =
+        if (needKeys) RowOrdering.createNaturalAscendingOrdering(keyTypes) else null
+      var off = 0L
+      var runKey: InternalRow = null
+      var runStart = 0L
+      var denseAcc = 0L
+      var i = 0
+      while (i < stats.length) {
+        val s = stats(i)
+        if (s.n == 0L) out(i) = PartCtx(off, off, 0L)
+        else if (!needKeys) { out(i) = PartCtx(off, off, 0L); off += s.n }
+        else {
+          val chained = runKey != null && dOrd.compare(runKey, s.firstKey) == 0
+          out(i) = PartCtx(off,
+            if (chained) runStart else off,
+            denseAcc - (if (chained) 1L else 0L))
+          if (!(chained && s.trailLen == s.n))
+            runStart = off + s.n - s.trailLen
+          runKey = s.lastKey
+          denseAcc += s.distinct - (if (chained) 1L else 0L)
+          off += s.n
+        }
+        i += 1
+      }
+      out
+    }
+    childRDD.mapPartitionsWithIndex { (pid, it) =>
+      val proj = UnsafeProjection.create(outAttrs, childOut ++ rankAttrs)
+      val joined = new JoinedRow
+      val vals = new GenericInternalRow(funcs.length)
+      val ctx = ctxs(pid)
+      val keyProj = if (needKeys) UnsafeProjection.create(keyExprs, childOut) else null
+      val ord = if (needKeys) RowOrdering.createNaturalAscendingOrdering(keyTypes) else null
+      var i = 0L // partition-local 0-based ordinal
+      var prevKey: InternalRow = null
+      var localRunStart = 0L
+      var localDistinct = 0L
+      it.map { row =>
+        if (needKeys) {
+          // copy only on run change, as in the stats pass
+          val k = keyProj(row)
+          if (i == 0L || ord.compare(k, prevKey) != 0) {
+            localDistinct += 1L; localRunStart = i; prevKey = k.copy()
+          }
+        }
+        val gIdx = ctx.offset + i
+        // the leading run may CONTINUE a chain from earlier partitions:
+        // its global start is ctx.leadStart (== ctx.offset when unchained)
+        lazy val rankVal: Long =
+          (if (localDistinct == 1L) ctx.leadStart
+           else ctx.offset + localRunStart) + 1L
+        var j = 0
+        while (j < funcs.length) {
+          val v: Any = funcs(j) match {
+            case GlobalRankFunc.RowNum => (gIdx + 1L).toInt
+            case GlobalRankFunc.Tile(n) => GlobalRankExec.tileOf(gIdx, total, n)
+            case GlobalRankFunc.Rnk => rankVal.toInt
+            case GlobalRankFunc.DenseRnk => (ctx.denseStart + localDistinct).toInt
+            case GlobalRankFunc.PctRank =>
+              if (total <= 1L) 0.0 else (rankVal - 1L).toDouble / (total - 1L)
+          }
+          vals.update(j, v)
+          j += 1
+        }
+        i += 1L
+        numOutputRows += 1
+        proj(joined(row, vals))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+object GlobalRankExec {
+  /** Per-partition boundary stats from the first pass: row count, the
+    * first/last order keys (UnsafeRow copies — serializable), the trailing
+    * tie-run length (rows equal to `lastKey` at the tail), and the
+    * distinct-key count.
+    */
+  case class PartStats(
+      n: Long,
+      firstKey: InternalRow,
+      lastKey: InternalRow,
+      trailLen: Long,
+      distinct: Long)
+
+  /** Driver-stitched per-partition context: the partition's global row
+    * offset, the global ordinal where its LEADING tie run's chain began,
+    * and the distinct-key base for dense_rank (chain-merged keys counted
+    * once).
+    */
+  case class PartCtx(offset: Long, leadStart: Long, denseStart: Long)
+
+  /** SQL-standard NTILE over the 0-based global ordinal: the first
+    * `total % n` tiles carry `total/n + 1` rows, the rest `total/n` —
+    * bit-identical to Spark's `NTile` and `Ranking.ntile`.
+    */
+  def tileOf(idx: Long, total: Long, n: Int): Int = {
+    val bucketSize = total / n
+    val rem = total % n
+    val fat = bucketSize + 1
+    val cut = rem * fat
+    (if (idx < cut) idx / fat else rem + (idx - cut) / bucketSize).toInt + 1
+  }
+}
+
+/** Session-scoped deployment (the [[AsOfJoin.ensureRegistered]] idiom;
+  * idempotent), or cluster-wide via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object GlobalRank {
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.contains(GlobalRankRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ GlobalRankRule
+    if (!exp.extraStrategies.contains(GlobalRankStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ GlobalRankStrategy
+  }
+}

@@ -34,7 +34,7 @@ object PlanChecks {
     * bound — `dropDuplicates` lowers to it), or a Limit. A join of bounded
     * inputs is bounded (product of domains); a bare scan is not.
     */
-  private def bounded(p: LogicalPlan): Boolean = p match {
+  private[plans] def bounded(p: LogicalPlan): Boolean = p match {
     case _: Aggregate | _: Deduplicate | _: GlobalLimit | _: LocalLimit => true
     case _ if p.children.isEmpty => false
     case _ => p.children.forall(bounded)

@@ -1313,6 +1313,35 @@ object CoreQueries {
       .orderBy("bin")
   }
 
+  /** C8b: the SAME curriculum-bin aggregate as c8, but the ranking is the
+    * RAW SQL every user writes — `ntile(10) OVER (ORDER BY n_chars,
+    * doc_id)` with no PARTITION BY — scaled by the optimizer instead of by
+    * API discipline: [[graft.plans.GlobalRankRule]] rewrites the
+    * single-partition Window into the distributed two-pass rank
+    * ([[graft.plans.GlobalRankExec]]: range exchange + per-partition
+    * offsets), so the cliff c8 avoids by calling
+    * [[graft.operators.Ranking.ntile]] explicitly is now unreachable from
+    * SQL too. Oracle: DuckDB's native window ntile — two engines, two
+    * ntile implementations (one single-node, one distributed), one hash.
+    * PlanSpec pins that the plan carries GlobalRank and NO Window.
+    */
+  def c8bCurriculumBinsSql(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GlobalRank.ensureRegistered(s)
+    t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("lang"), col("source"))
+      .createOrReplaceTempView("c8b_documents")
+    s.sql(
+      """SELECT bin, COUNT(*) AS n_docs,
+                MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                SUM(n_chars) AS sum_chars,
+                COUNT(DISTINCT lang) AS n_langs,
+                COUNT(DISTINCT source) AS n_sources
+         FROM (SELECT doc_id, n_chars, lang, source,
+                      ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+               FROM c8b_documents)
+         GROUP BY bin ORDER BY bin""")
+  }
+
   /** A26 — low-cardinality skew join, salted: enrich every event with its
     * event_type's corpus-wide mean and deviation. The join key has ~10
     * distinct values over the whole fact table — the one skew shape AQE's
@@ -1658,6 +1687,7 @@ object CoreQueries {
     "c5_sequence_packing" -> (c5SequencePacking _),
     "c6_temperature_mix" -> (c6TemperatureMix _),
     "c8_curriculum_bins" -> ((s: SparkSession, d: String) => c8CurriculumBins(s, d)),
+    "c8b_curriculum_bins_sql" -> (c8bCurriculumBinsSql _),
     "a26_salted_skew_join" -> ((s: SparkSession, d: String) => a26SaltedSkewJoin(s, d)),
     "c9_fixed_size_sample" -> ((s: SparkSession, d: String) => c9FixedSizeSample(s, d)),
     "c10_weighted_sample" -> ((s: SparkSession, d: String) => c10WeightedSample(s, d)),
@@ -1897,6 +1927,21 @@ object CoreQueries {
     "c8_curriculum_bins" ->
       // DuckDB's NATIVE window ntile — the Spark side must reproduce its
       // semantics exactly from the distributed two-phase rank.
+      """WITH ranked AS (
+           SELECT doc_id, n_chars, lang, source,
+                  ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+           FROM documents)
+         SELECT bin, COUNT(*) AS n_docs,
+                MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                COUNT(DISTINCT lang) AS n_langs,
+                COUNT(DISTINCT source) AS n_sources
+         FROM ranked GROUP BY bin ORDER BY bin""",
+    // c8b: same declared result as c8 — the Spark side derives it from the
+    // RAW-SQL global ntile via the GlobalRankRule rewrite, so the oracle is
+    // shared: DuckDB's native single-node ntile adjudicates the distributed
+    // two-pass rank's remainder semantics.
+    "c8b_curriculum_bins_sql" ->
       """WITH ranked AS (
            SELECT doc_id, n_chars, lang, source,
                   ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin

@@ -8,7 +8,7 @@ object OneBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.tune(spark)
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args.foreach { q =>
       (1 to 4).foreach { i =>
         val t0 = System.nanoTime()

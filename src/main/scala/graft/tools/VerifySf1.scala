@@ -91,7 +91,12 @@ object VerifySf1 {
         }),
       ("c8_curriculum_bins",
         () => CoreQueries.c8CurriculumBins(spark, work),
+        // dropDuplicates on the unique key bounds the input WITHOUT changing
+        // a row, so GlobalRankRule (registered session-wide once c8b runs)
+        // does NOT rewrite this twin — it must stay the stock
+        // single-partition Window to be an independent formulation
         () => docs.select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
+          .dropDuplicates("doc_id")
           .withColumn("bin",
             ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id"))))
           .groupBy(col("bin"))
@@ -101,6 +106,13 @@ object VerifySf1 {
             sum(col("n_chars")).as("sum_chars"),
             countDistinct(col("lang")).as("n_langs"),
             countDistinct(col("source")).as("n_sources"))),
+      // c8b: the optimizer-rewritten RAW-SQL ntile (GlobalRankExec) ↔ the
+      // explicit Ranking.ntile composition — two distributed rank
+      // implementations, compared at the scale point where the round-7
+      // rank-bound drift class actually bites
+      ("c8b_curriculum_bins_sql",
+        () => CoreQueries.c8bCurriculumBinsSql(spark, work),
+        () => CoreQueries.c8CurriculumBins(spark, work)),
       ("x9b_clusters_altstar",
         () => DedupQueries.x9bDedupClustersAltStar(spark, work),
         () => DedupQueries.x9DedupClusters(spark, work)),

@@ -1,0 +1,201 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The optimizer-driven distributed global rank: rewrite scope (fires
+  * exactly on the lint's cliff shape), semantic parity with the stock
+  * single-partition Window, SQL-standard ntile remainder rule, exprId
+  * preservation, plan pins, and the raw-SQL surface.
+  */
+class GlobalRankSpec extends SparkSuite {
+  import spark.implicits._
+
+  GlobalRank.ensureRegistered(spark)
+
+  // in-memory relations are leaves, so PlanChecks.bounded is false and the
+  // rule treats them as corpus-scale input — exactly what the tests need
+  private def corpus(n: Int, seed: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map(i => (i.toLong, rnd.nextInt(50).toLong, rnd.nextDouble()))
+      .toDF("id", "score", "payload")
+  }
+
+  test("row_number over a total order matches a driver-side sort exactly") {
+    val df = corpus(999, 1)
+    val ranked = df.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))))
+    val p = ranked.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRank"), p)
+    assert(!p.contains("Window"), "the single-partition Window must be gone:\n" + p)
+    assert(p.contains("rangepartitioning"),
+      "the exec must ride a range exchange (a global sort's envelope):\n" + p)
+    val got = ranked.select(col("id"), col("rn")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = df.select(col("id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    assert(got == want)
+  }
+
+  test("ntile matches Spark's stock NTile bit-for-bit (bounded twin plans the stock Window)") {
+    for (k <- Seq(1, 3, 7, 10, 64, 2000)) {
+      val df = corpus(1003, k)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
+      val viaExec = df.withColumn("bin", ntile(k).over(w))
+      assert(viaExec.queryExecution.executedPlan.toString.contains("GlobalRank"))
+      // dropDuplicates on the unique key bounds the input (Deduplicate →
+      // Aggregate, the lint's rank-the-aggregate shape) without changing a
+      // single row, so the SAME computation runs through Spark's own
+      // single-partition Window
+      val viaStock = df.dropDuplicates("id").withColumn("bin", ntile(k).over(w))
+      val sp = viaStock.queryExecution.executedPlan.toString
+      assert(sp.contains("Window") && !sp.contains("GlobalRank"),
+        "bounded twin must keep the stock plan:\n" + sp)
+      val got = viaExec.select("id", "bin").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = viaStock.select("id", "bin").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == want, s"ntile($k) diverged from the stock Window")
+    }
+  }
+
+  test("both functions in one window node; downstream references resolve (exprIds kept)") {
+    val df = corpus(500, 5)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
+    val both = df.withColumn("rn", row_number().over(w))
+      .withColumn("bin", ntile(4).over(w))
+      .filter(col("rn") <= 10) // reference ABOVE the rewritten node
+      .orderBy(col("rn"))
+    val p = both.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    val rows = both.select(col("rn"), col("bin")).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10).toSeq)
+    assert(rows.map(_.getInt(1)).forall(_ == 1)) // 500/4 = 125 ≥ 10 → all tile 1
+  }
+
+  test("raw SQL global ranking rewrites too") {
+    corpus(400, 9).createOrReplaceTempView("gr_sql_corpus")
+    val df = spark.sql(
+      """SELECT id, row_number() OVER (ORDER BY score, id) AS rn,
+                ntile(5) OVER (ORDER BY score, id) AS bin
+         FROM gr_sql_corpus""")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    val got = df.orderBy("rn").select("rn").collect().map(_.getInt(0)).toSeq
+    assert(got == (1 to 400).toSeq)
+  }
+
+  test("ties: ranks are a permutation of 1..n, monotone in the order key") {
+    val df = corpus(600, 13) // score has heavy ties (50 distinct over 600)
+    val ranked = df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("score"))))
+      .select(col("score"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(ranked.map(_._2).sorted.toSeq == (1 to 600).toSeq,
+      "ranks must be a permutation of 1..n")
+    assert(ranked.sortBy(_._2).map(_._1).toSeq ==
+      ranked.map(_._1).sorted.toSeq,
+      "rank order must follow the (non-total) order key")
+  }
+
+  test("rule scope: partitioned, bounded, unsupported, and mixed windows keep the stock plan") {
+    val df = corpus(300, 21)
+    val wPart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("score")).orderBy(col("id"))
+    val wGlob = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
+    def planOf(d: DataFrame): String = d.queryExecution.executedPlan.toString
+    // partitioned → untouched
+    assert(!planOf(df.withColumn("rn", row_number().over(wPart))).contains("GlobalRank"))
+    // bounded input (rank-the-aggregate) → untouched
+    val agg = df.groupBy("score").count()
+    assert(!planOf(agg.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("count"), col("score")))))
+      .contains("GlobalRank"))
+    // unsupported functions → untouched (the lint still owns them):
+    // cume_dist needs the END of the tie run (a forward chain), aggregate
+    // windows need frames
+    assert(!planOf(df.withColumn("r", cume_dist().over(wGlob))).contains("GlobalRank"))
+    assert(!planOf(df.withColumn("s", sum(col("score")).over(wGlob))).contains("GlobalRank"))
+    // one unsupported sibling vetoes the whole node
+    val mixed = df.withColumn("rn", row_number().over(wGlob))
+      .withColumn("r", cume_dist().over(wGlob))
+    assert(!planOf(mixed).contains("GlobalRank"))
+  }
+
+  test("rank/dense_rank/percent_rank are tie-exact vs the stock Window, chains included") {
+    // heavy ties (few distinct scores over many rows) force tie runs to
+    // span range-partition boundaries; nulls ride along as one peer group
+    for (seed <- Seq(3L, 17L, 29L)) {
+      val rnd = new scala.util.Random(seed)
+      val df = (1 to 1200).map { i =>
+        val s: Option[Long] = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(6).toLong)
+        (i.toLong, s)
+      }.toDF("id", "score")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+      val viaExec = df
+        .withColumn("r", rank().over(w))
+        .withColumn("d", dense_rank().over(w))
+        .withColumn("p", percent_rank().over(w))
+      assert(viaExec.queryExecution.executedPlan.toString.contains("GlobalRank"))
+      val viaStock = df.dropDuplicates("id")
+        .withColumn("r", rank().over(w))
+        .withColumn("d", dense_rank().over(w))
+        .withColumn("p", percent_rank().over(w))
+      assert(!viaStock.queryExecution.executedPlan.toString.contains("GlobalRank"))
+      // tie-aware values are deterministic even on this NON-total order —
+      // peers share one value — so the per-id compare is exact
+      def m(d: DataFrame) = d.select(col("id"), col("r"), col("d"), col("p"))
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+      assert(m(viaExec) == m(viaStock), s"seed $seed: tie-aware ranks diverged")
+    }
+  }
+
+  test("rank chain spanning whole partitions: one giant tie group") {
+    // 2000 rows, ONE key → the tie run spans every range partition; rank
+    // and dense_rank must be 1 everywhere, percent_rank 0.0
+    val df = (1 to 2000).map(i => (i.toLong, 7L)).toDF("id", "score")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+    val got = df.withColumn("r", rank().over(w))
+      .withColumn("d", dense_rank().over(w))
+      .withColumn("p", percent_rank().over(w))
+    assert(got.queryExecution.executedPlan.toString.contains("GlobalRank"))
+    val rows = got.select("r", "d", "p").distinct().collect()
+    assert(rows.length == 1 && rows.head.getInt(0) == 1 &&
+      rows.head.getInt(1) == 1 && rows.head.getDouble(2) == 0.0)
+    // single-row corpus: percent_rank is 0.0 by the total<=1 rule
+    val one = Seq((1L, 5L)).toDF("id", "score")
+      .withColumn("p", percent_rank().over(w))
+    assert(one.collect().head.getAs[Double]("p") == 0.0)
+  }
+
+  test("tileOf implements the SQL-standard remainder rule for all shapes") {
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 200) {
+      val total = rnd.nextInt(5000).toLong
+      val n = 1 + rnd.nextInt(100)
+      val sizes = Array.tabulate(n)(i =>
+        total / n + (if (i < total % n) 1L else 0L))
+      var idx = 0L
+      sizes.zipWithIndex.foreach { case (sz, tile) =>
+        var j = 0L
+        while (j < sz) {
+          assert(GlobalRankExec.tileOf(idx, total, n) == tile + 1,
+            s"total=$total n=$n idx=$idx")
+          idx += 1; j += 1
+        }
+      }
+      assert(idx == total)
+    }
+  }
+
+  test("ensureRegistered is idempotent") {
+    GlobalRank.ensureRegistered(spark)
+    GlobalRank.ensureRegistered(spark)
+    assert(spark.experimental.extraOptimizations.count(_ == GlobalRankRule) == 1)
+    assert(spark.experimental.extraStrategies.count(_ == GlobalRankStrategy) == 1)
+  }
+}

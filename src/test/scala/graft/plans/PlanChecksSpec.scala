@@ -12,8 +12,18 @@ class PlanChecksSpec extends SparkSuite {
     // the cliff: corpus-wide row_number with no partition spec
     val bad = docs.withColumn("rn",
       row_number().over(Window.orderBy(col("n_chars"), col("doc_id"))))
-    assert(PlanChecks.unboundedGlobalWindows(bad).nonEmpty,
+    // lint logic is tested on the ANALYZED plan: in a session with
+    // GlobalRankRule registered (the shared test session, once any suite
+    // ran ensureRegistered) the optimizer rewrites this exact cliff away
+    // before the optimized plan exists — which is the division of labor:
+    // the rule FIXES the positional-rank cliff, the lint still CATCHES
+    // whatever the rule cannot rewrite
+    assert(PlanChecks.unboundedGlobalWindows(bad.queryExecution.analyzed).nonEmpty,
       "lint missed the one-task global window")
+    GlobalRank.ensureRegistered(spark)
+    assert(PlanChecks.unboundedGlobalWindows(bad).isEmpty &&
+      bad.queryExecution.optimizedPlan.toString.contains("GlobalRank"),
+      "with the rule registered the cliff must be rewritten, not just flagged")
     // sanctioned: the window input is bounded by the lang-key aggregate
     val good = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(Window.orderBy(col("n").desc, col("lang"))))

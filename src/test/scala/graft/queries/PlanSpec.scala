@@ -89,6 +89,22 @@ class PlanSpec extends SparkSuite {
       "the rank stage must not leave whole-stage codegen:\n" + p)
   }
 
+  test("c8b: the RAW-SQL global ntile rewrites to GlobalRankExec, no Window anywhere") {
+    val df = CoreQueries.c8bCurriculumBinsSql(spark, sf001)
+    val p = simplePlan(df)
+    assert(p.contains("GlobalRank"),
+      "the optimizer must rewrite the global window into the distributed rank:\n" + p)
+    assert(!p.contains("Window"),
+      "no single-partition Window may survive the rewrite:\n" + p)
+    assert(p.contains("rangepartitioning"),
+      "the rank must ride a range exchange (a global sort's envelope):\n" + p)
+    // and the two lanes agree: optimizer-rewritten SQL ≡ the explicit
+    // Ranking.ntile composition
+    val viaApi = CoreQueries.c8CurriculumBins(spark, sf001).collect().map(_.toString).toSeq
+    val viaSql = df.collect().map(_.toString).toSeq
+    assert(viaApi == viaSql, "c8 and c8b diverged")
+  }
+
   test("x6: ANN top-k plans as a partial object aggregate, not a window sort") {
     val p = plan(graft.similarity.SimilarityQueries.x6AnnBruteForce(spark, sf001, 10))
     assert(p.contains("ObjectHashAggregate"), "TopKAggregator should plan as ObjectHashAggregate")

@@ -114,7 +114,10 @@ class QueriesSpec extends SparkSuite {
       val dist = graft.operators.Ranking.ntile(docs, k, Seq(col("n_chars"), col("doc_id")))
         .select(col("doc_id"), col("bin")).collect()
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
-      val window = docs.withColumn("bin",
+      // dropDuplicates on the unique key bounds the input without changing
+      // a row, so GlobalRankRule (registered session-wide by other suites)
+      // cannot rewrite this comparator — it must stay Spark's own Window
+      val window = docs.dropDuplicates("doc_id").withColumn("bin",
           ntile(k).over(Window.orderBy(col("n_chars"), col("doc_id"))))
         .select(col("doc_id"), col("bin")).collect()
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
