@@ -63,8 +63,8 @@ object GlobalRankFunc {
   * `OrderedDistribution(orderSpec)` + per-partition sort — exactly a
   * global SORT's exchange envelope (range-partition then sort, every
   * partition order-contiguous), so EnsureRequirements/AQE own the
-  * exchange. The merge is then embarrassingly parallel: one tiny stats
-  * job over the SAME materialized shuffle (the exchange's dependency is
+  * exchange. The merge is then embarrassingly parallel: one stats job
+  * over the SAME materialized shuffle (the exchange's dependency is
   * created once, so the sampled range bounds CANNOT drift between the
   * stats job and the output job — the rdd.id-seeded drift class the 10×
   * gate caught in round 7) yields per-partition offsets — plus, for the
@@ -72,7 +72,10 @@ object GlobalRankFunc {
   * lengths, which the driver stitches into cross-partition tie CHAINS —
   * and each partition then streams its ranks with O(1) state. No
   * single-task stage anywhere; driver traffic is O(#partitions) longs
-  * plus two boundary keys per partition.
+  * plus two boundary keys per partition. The stats pass re-reads the
+  * shuffle and re-runs the partition sort (zipWithIndex's two-job shape;
+  * see the doExecute comment for why that beats materializing the
+  * sorted corpus) — still a constant factor, never a cliff.
   *
   * Semantics parity (spec-pinned): ordinals are identical to the stock
   * single-partition Window on any TOTAL order; on ties `row_number`
@@ -104,6 +107,15 @@ case class GlobalRankNode(
   */
 object GlobalRankRule extends Rule[LogicalPlan] {
 
+  /** Runtime kill-switch: registration (`ensureRegistered` / extensions)
+    * is session-wide and permanent, so comparators that must measure
+    * Spark's STOCK single-partition Window — twin gates, independence
+    * checks — can disable the rewrite for one evaluation via
+    * `spark.conf.set(EnabledKey, "false")` / try-finally, instead of the
+    * per-site bounded-input idiom.
+    */
+  val EnabledKey = "spark.graft.globalRank.enabled"
+
   private def funcOf(ne: NamedExpression): Option[(Alias, GlobalRankFunc)] =
     ne match {
       case a @ Alias(WindowExpression(RowNumber(), _), _) =>
@@ -122,7 +134,8 @@ object GlobalRankRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case w: Window
-        if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+        if conf.getConfString(EnabledKey, "true") != "false" &&
+          w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(funcOf(_).isDefined) &&
           !PlanChecks.bounded(w.child) =>
@@ -177,8 +190,16 @@ case class GlobalRankExec(
     }
     // Stats job over the SAME RDD object the output job maps: the range
     // exchange materializes its shuffle dependency exactly once, so both
-    // jobs read identical partitions in identical order (the second job
-    // reuses the shuffle files; only the cheap reduce-side read repeats).
+    // jobs read identical partitions in identical order — the correctness
+    // property (range bounds cannot drift between jobs). Cost honesty: the
+    // shuffle WRITE happens once, but the reduce-side read AND the
+    // per-partition SortExec above it run in BOTH jobs (RDDs are not
+    // cached). That is the deliberate trade: persisting the sorted corpus
+    // to make the stats pass free would materialize the entire input a
+    // second time (storage ≥ the re-sort's CPU at corpus scale, plus
+    // eviction pressure), and the tie-aware stats genuinely need the
+    // sorted order for boundary keys/run lengths. Same shape as Spark's
+    // own RDD.zipWithIndex (count job + output job over one lineage).
     val stats: Array[PartStats] = childRDD.mapPartitions({ it =>
       if (!needKeys) {
         var c = 0L

@@ -102,10 +102,16 @@ object TemporalJoin {
     var versions = st0.versions
     var pending = st0.pending
     if (!st.hasTimedOut) {
+      // gather the batch's changes and merge them into the chain in ONE
+      // sorted pass — O(chain + batch log batch), no per-row list rebuild
+      // (a naive per-insert walk is quadratic AND stack-deep on the long
+      // chains a backfill builds while the watermark still lags)
+      val changes = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
       it.foreach { case (_, side, ts, evId, v, _) =>
-        if (side == 0) versions = insertVersion(versions, ts, v)
+        if (side == 0) changes += ((ts, v))
         else pending ::= ((ts, evId, v))
       }
+      if (changes.nonEmpty) versions = mergeVersions(versions, changes)
     }
     val wmUs = st.getCurrentWatermarkMs * 1000L
     // a probe is final strictly below the watermark: rows AT the watermark
@@ -132,19 +138,31 @@ object TemporalJoin {
     out.iterator
   }
 
-  /** Insert keeping ascending ts; equal-ts versions keep the max value (the
-    * a13 `asofPurchases` tie rule). The chain is lateness-bounded by
-    * [[compact]], so the linear insert is over a short list by contract.
+  /** Merge a batch of changes into the ascending chain in one iterative
+    * pass; equal-ts versions keep the max value (the a13 `asofPurchases`
+    * tie rule). Iterative and single-pass on purpose: during a backfill
+    * the watermark lags event time, [[compact]] cannot trim, and a hot
+    * key's chain can hold every change in the lag window — per-row
+    * recursive inserts would be quadratic and stack-overflow-deep.
     */
-  private def insertVersion(
-      vs: List[(Long, Double)], ts: Long, v: Double): List[(Long, Double)] =
-    vs match {
-      case Nil => (ts, v) :: Nil
-      case (hts, hv) :: t =>
-        if (ts < hts) (ts, v) :: vs
-        else if (ts == hts) (hts, math.max(hv, v)) :: t
-        else (hts, hv) :: insertVersion(t, ts, v)
+  private def mergeVersions(
+      vs: List[(Long, Double)],
+      batch: scala.collection.mutable.ArrayBuffer[(Long, Double)]): List[(Long, Double)] = {
+    val sorted = batch.sortInPlace()(Ordering.by[(Long, Double), Long](_._1))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    var rest = vs
+    var i = 0
+    def pushOrFold(e: (Long, Double)): Unit =
+      if (out.nonEmpty && out.last._1 == e._1)
+        out(out.length - 1) = (e._1, math.max(out.last._2, e._2))
+      else out += e
+    while (i < sorted.length || rest.nonEmpty) {
+      if (rest.isEmpty || (i < sorted.length && sorted(i)._1 <= rest.head._1)) {
+        pushOrFold(sorted(i)); i += 1
+      } else { pushOrFold(rest.head); rest = rest.tail }
     }
+    out.toList
+  }
 
   /** Keep the newest version strictly below the watermark (boundary rows are
     * still admissible, so `<` is the safe cut) plus everything at-or-above:

@@ -192,6 +192,20 @@ class GlobalRankSpec extends SparkSuite {
     }
   }
 
+  test("conf kill-switch: comparators can demand the stock Window for one evaluation") {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
+    spark.conf.set(GlobalRankRule.EnabledKey, "false")
+    try {
+      val p = corpus(200, 41).withColumn("rn", row_number().over(w))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Window") && !p.contains("GlobalRank"),
+        "disabled rule must leave the stock plan:\n" + p)
+    } finally spark.conf.unset(GlobalRankRule.EnabledKey)
+    assert(corpus(200, 41).withColumn("rn", row_number().over(w))
+      .queryExecution.executedPlan.toString.contains("GlobalRank"),
+      "unset must restore the rewrite")
+  }
+
   test("ensureRegistered is idempotent") {
     GlobalRank.ensureRegistered(spark)
     GlobalRank.ensureRegistered(spark)
