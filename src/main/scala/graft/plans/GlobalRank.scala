@@ -4,9 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, AttributeSet, DenseRank, GenericInternalRow, JoinedRow,
-  Literal, NamedExpression, NTile, PercentRank, Rank, RowNumber, RowOrdering,
-  SortOrder, UnsafeProjection, WindowExpression}
+  Alias, Attribute, AttributeSet, DenseRank, Expression, GenericInternalRow,
+  JoinedRow, Lag, Lead, Literal, NamedExpression, NTile, PercentRank, Rank,
+  RowNumber, RowOrdering, SortOrder, UnsafeProjection, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -36,6 +36,19 @@ object GlobalRankFunc {
   case object Rnk extends GlobalRankFunc
   case object DenseRnk extends GlobalRankFunc
   case object PctRank extends GlobalRankFunc
+  /** Global time-series shift (`lag`/`lead` with a literal offset and
+    * literal default, ignoreNulls=false): the SHIFT family. `inputIdx`
+    * points into the node's `shiftInputs` field — the shifted expressions
+    * live THERE, as first-class plan expressions, so attribute rewrites
+    * and reference tracking see them (an Expression buried inside this
+    * ADT would be invisible to `QueryPlan.expressions`). Lag reads `k`
+    * rows back, lead `k` rows ahead; boundary values flow through the
+    * stats job (each partition ships its first/last `k` input values) and
+    * the driver stitches the cross-partition neighbor windows —
+    * O(#partitions × k) traffic, which is why the rule bounds `k`.
+    */
+  case class Shift(inputIdx: Int, k: Int, default: Any, isLag: Boolean)
+      extends GlobalRankFunc
 }
 
 /** OPTIMIZER-DRIVEN distributed global ranking: the auto-rewrite face of
@@ -91,7 +104,8 @@ object GlobalRankFunc {
 case class GlobalRankNode(
     child: LogicalPlan,
     orderSpec: Seq[SortOrder],
-    ranks: Seq[(Attribute, GlobalRankFunc)])
+    ranks: Seq[(Attribute, GlobalRankFunc)],
+    shiftInputs: Seq[Expression] = Nil)
     extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ ranks.map(_._1)
   override def producedAttributes: AttributeSet = AttributeSet(ranks.map(_._1))
@@ -116,21 +130,41 @@ object GlobalRankRule extends Rule[LogicalPlan] {
     */
   val EnabledKey = "spark.graft.globalRank.enabled"
 
-  private def funcOf(ne: NamedExpression): Option[(Alias, GlobalRankFunc)] =
+  // intermediate: Left = positional/tie-aware func, Right = shift waiting
+  // for its input-expression slot in the node's shiftInputs field
+  private def funcOf(
+      ne: NamedExpression): Option[(Alias, Either[GlobalRankFunc, (Expression, Int, Any, Boolean)])] =
     ne match {
       case a @ Alias(WindowExpression(RowNumber(), _), _) =>
-        Some((a, GlobalRankFunc.RowNum))
+        Some((a, Left(GlobalRankFunc.RowNum)))
       case a @ Alias(WindowExpression(NTile(Literal(n: Int, IntegerType)), _), _)
           if n > 0 =>
-        Some((a, GlobalRankFunc.Tile(n)))
+        Some((a, Left(GlobalRankFunc.Tile(n))))
       case a @ Alias(WindowExpression(_: Rank, _), _) =>
-        Some((a, GlobalRankFunc.Rnk))
+        Some((a, Left(GlobalRankFunc.Rnk)))
       case a @ Alias(WindowExpression(_: DenseRank, _), _) =>
-        Some((a, GlobalRankFunc.DenseRnk))
+        Some((a, Left(GlobalRankFunc.DenseRnk)))
       case a @ Alias(WindowExpression(_: PercentRank, _), _) =>
-        Some((a, GlobalRankFunc.PctRank))
+        Some((a, Left(GlobalRankFunc.PctRank)))
+      // shift family: literal offset (bounded — boundary values travel
+      // through the driver at O(#partitions × k)), literal default,
+      // ignoreNulls=false only (ignoreNulls needs unbounded lookback)
+      case a @ Alias(WindowExpression(
+          Lag(in, Literal(k: Int, IntegerType), d: Literal, false), _), _)
+          if k >= 0 && k <= MaxShift =>
+        Some((a, Right((in, k, d.value, true))))
+      case a @ Alias(WindowExpression(
+          Lead(in, Literal(k: Int, IntegerType), d: Literal, false), _), _)
+          if k >= 0 && k <= MaxShift =>
+        Some((a, Right((in, k, d.value, false))))
       case _ => None
     }
+
+  /** Shift offsets above this stay on the stock plan: each partition ships
+    * `k` boundary values through the driver, so the bound keeps that
+    * traffic at O(#partitions × 1024) worst case.
+    */
+  val MaxShift = 1024
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case w: Window
@@ -139,19 +173,28 @@ object GlobalRankRule extends Rule[LogicalPlan] {
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(funcOf(_).isDefined) &&
           !PlanChecks.bounded(w.child) =>
-      GlobalRankNode(w.child, w.orderSpec,
-        w.windowExpressions.map { ne =>
-          val (a, f) = funcOf(ne).get
-          (a.toAttribute, f) // SAME exprIds — upstream references stay valid
-        })
+      val inputs = scala.collection.mutable.ArrayBuffer.empty[Expression]
+      val ranks = w.windowExpressions.map { ne =>
+        funcOf(ne).get match {
+          // SAME exprIds — upstream references stay valid
+          case (a, Left(f)) => (a.toAttribute, f)
+          case (a, Right((in, k, d, isLag))) =>
+            val idx = inputs.indexWhere(_.semanticEquals(in)) match {
+              case -1 => inputs += in; inputs.length - 1
+              case i => i
+            }
+            (a.toAttribute, GlobalRankFunc.Shift(idx, k, d, isLag))
+        }
+      }
+      GlobalRankNode(w.child, w.orderSpec, ranks, inputs.toSeq)
   }
 }
 
 /** Plans [[GlobalRankNode]] → [[GlobalRankExec]]. */
 object GlobalRankStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GlobalRankNode(child, order, ranks) =>
-      GlobalRankExec(order, ranks, planLater(child)) :: Nil
+    case GlobalRankNode(child, order, ranks, shiftInputs) =>
+      GlobalRankExec(order, ranks, planLater(child), shiftInputs) :: Nil
     case _ => Nil
   }
 }
@@ -159,7 +202,8 @@ object GlobalRankStrategy extends SparkStrategy {
 case class GlobalRankExec(
     orderSpec: Seq[SortOrder],
     ranks: Seq[(Attribute, GlobalRankFunc)],
-    child: SparkPlan)
+    child: SparkPlan,
+    shiftInputs: Seq[Expression] = Nil)
     extends UnaryExecNode {
 
   override lazy val metrics: Map[String, SQLMetric] =
@@ -183,11 +227,23 @@ case class GlobalRankExec(
     val keyExprs = orderSpec.map(_.child)
     val keyTypes = keyExprs.map(_.dataType)
     // tie-aware functions need order-key equality across partition
-    // boundaries; positional ones only need counts
+    // boundaries; positional ones only need counts; shifts need boundary
+    // VALUES of their input expressions
     val needKeys = funcs.exists {
-      case GlobalRankFunc.RowNum | GlobalRankFunc.Tile(_) => false
+      case GlobalRankFunc.RowNum | GlobalRankFunc.Tile(_) |
+        GlobalRankFunc.Shift(_, _, _, _) => false
       case _ => true
     }
+    val shiftFns = funcs.collect { case s: GlobalRankFunc.Shift => s }
+    val hasShift = shiftFns.nonEmpty
+    val maxK = if (hasShift) shiftFns.map(_.k).max else 0
+    val maxLead = {
+      val ls = shiftFns.filter(!_.isLag)
+      if (ls.nonEmpty) ls.map(_.k).max else 0
+    }
+    val nInputs = shiftInputs.length
+    val shiftIn = shiftInputs
+    val shiftTypes = shiftInputs.map(_.dataType).toArray
     // Stats job over the SAME RDD object the output job maps: the range
     // exchange materializes its shuffle dependency exactly once, so both
     // jobs read identical partitions in identical order — the correctness
@@ -201,28 +257,47 @@ case class GlobalRankExec(
     // sorted order for boundary keys/run lengths. Same shape as Spark's
     // own RDD.zipWithIndex (count job + output job over one lineage).
     val stats: Array[PartStats] = childRDD.mapPartitions({ it =>
-      if (!needKeys) {
-        var c = 0L
-        while (it.hasNext) { it.next(); c += 1 }
-        Iterator.single(PartStats(c, null, null, 0L, 0L))
-      } else {
-        val keyProj = UnsafeProjection.create(keyExprs, childOut)
-        val ord = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-        var n = 0L; var distinct = 0L; var runLen = 0L
-        var firstKey: InternalRow = null; var prevKey: InternalRow = null
-        while (it.hasNext) {
+      val keyProj = if (needKeys) UnsafeProjection.create(keyExprs, childOut) else null
+      val ord = if (needKeys) RowOrdering.createNaturalAscendingOrdering(keyTypes) else null
+      val collectVals = hasShift && maxK > 0
+      val inProjs = if (collectVals)
+        shiftIn.map(e => UnsafeProjection.create(Seq(e), childOut)).toArray else null
+      val firsts = if (collectVals)
+        Array.fill(nInputs)(scala.collection.mutable.ArrayBuffer.empty[InternalRow]) else null
+      val lastRing = if (collectVals)
+        Array.fill(nInputs)(new Array[InternalRow](maxK)) else null
+      var n = 0L; var distinct = 0L; var runLen = 0L
+      var firstKey: InternalRow = null; var prevKey: InternalRow = null
+      while (it.hasNext) {
+        val row = it.next()
+        if (needKeys) {
           // copy only on run change (the projection reuses its buffer):
           // one allocation per distinct key, not per row. prevKey is then
           // SOME row of the trailing run — interchangeable for equality
-          val k = keyProj(it.next())
+          val k = keyProj(row)
           if (n == 0L) {
             firstKey = k.copy(); prevKey = firstKey; distinct = 1L; runLen = 1L
           } else if (ord.compare(k, prevKey) == 0) runLen += 1L
           else { prevKey = k.copy(); distinct += 1L; runLen = 1L }
-          n += 1L
         }
-        Iterator.single(PartStats(n, firstKey, prevKey, runLen, distinct))
+        if (collectVals) {
+          var x = 0
+          while (x < nInputs) {
+            val v = inProjs(x)(row).copy()
+            if (firsts(x).length < maxK) firsts(x) += v
+            lastRing(x)((n % maxK).toInt) = v
+            x += 1
+          }
+        }
+        n += 1L
       }
+      val firstArrs = if (collectVals) firsts.map(_.toArray) else null
+      val lastArrs = if (collectVals) {
+        val cnt = math.min(n, maxK.toLong).toInt
+        Array.tabulate(nInputs)(x =>
+          Array.tabulate(cnt)(j => lastRing(x)(((n - cnt + j) % maxK).toInt)))
+      } else null
+      Iterator.single(PartStats(n, firstKey, prevKey, runLen, distinct, firstArrs, lastArrs))
     }, preservesPartitioning = true).collect()
     val total = stats.map(_.n).sum
     // Driver chain-stitch (O(#partitions), boundary keys only): a tie run
@@ -260,23 +335,96 @@ case class GlobalRankExec(
       }
       out
     }
+    // Shift boundary stitching: for each partition, the maxK input values
+    // immediately BEFORE it (ascending, possibly spanning several short
+    // partitions) and immediately AFTER it — O(#partitions × maxK) driver
+    // memory, bounded by the rule's MaxShift guard.
+    val prevVals: Array[Array[Array[InternalRow]]] =
+      if (hasShift && maxK > 0) locally {
+        val out = Array.ofDim[Array[Array[InternalRow]]](stats.length)
+        val ring = Array.fill(nInputs)(Vector.empty[InternalRow])
+        var p = 0
+        while (p < stats.length) {
+          out(p) = Array.tabulate(nInputs)(x => ring(x).toArray)
+          var x = 0
+          while (x < nInputs) {
+            ring(x) = (ring(x) ++ stats(p).lastVals(x)).takeRight(maxK); x += 1
+          }
+          p += 1
+        }
+        out
+      } else null
+    val nextVals: Array[Array[Array[InternalRow]]] =
+      if (hasShift && maxK > 0) locally {
+        val out = Array.ofDim[Array[Array[InternalRow]]](stats.length)
+        val ring = Array.fill(nInputs)(Vector.empty[InternalRow])
+        var p = stats.length - 1
+        while (p >= 0) {
+          out(p) = Array.tabulate(nInputs)(x => ring(x).toArray)
+          var x = 0
+          while (x < nInputs) {
+            ring(x) = (stats(p).firstVals(x).toVector ++ ring(x)).take(maxK); x += 1
+          }
+          p -= 1
+        }
+        out
+      } else null
+    val partNs = stats.map(_.n)
     childRDD.mapPartitionsWithIndex { (pid, it) =>
       val proj = UnsafeProjection.create(outAttrs, childOut ++ rankAttrs)
       val joined = new JoinedRow
       val vals = new GenericInternalRow(funcs.length)
       val ctx = ctxs(pid)
+      val n = partNs(pid)
       val keyProj = if (needKeys) UnsafeProjection.create(keyExprs, childOut) else null
       val ord = if (needKeys) RowOrdering.createNaturalAscendingOrdering(keyTypes) else null
+      val inProjs = if (hasShift)
+        shiftIn.map(e => UnsafeProjection.create(Seq(e), childOut)).toArray else null
+      // value ring per input: positions [i - maxK, i] stay resolvable
+      val ringSize = maxK + 1
+      val valRing = if (hasShift)
+        Array.fill(nInputs)(new Array[InternalRow](ringSize)) else null
+      val pPrev = if (prevVals != null) prevVals(pid) else null
+      val pNext = if (nextVals != null) nextVals(pid) else null
       var i = 0L // partition-local 0-based ordinal
       var prevKey: InternalRow = null
       var localRunStart = 0L
       var localDistinct = 0L
-      it.map { row =>
+
+      // the input value at local position q, viewed from arrival `cur`:
+      // ring for the in-window past, driver-stitched neighbors outside the
+      // partition, null (→ default) beyond the corpus
+      def valueAt(x: Int, q: Long, cur: Long): InternalRow =
+        if (q >= 0 && q < n) {
+          // q ∈ [cur - maxK, cur] by construction of every caller
+          valRing(x)((q % ringSize).toInt)
+        } else if (q < 0) {
+          val arr = pPrev(x); val idx = arr.length + q
+          if (idx >= 0) arr(idx.toInt) else null
+        } else {
+          val arr = pNext(x); val idx = (q - n).toInt
+          if (idx < arr.length) arr(idx) else null
+        }
+      def shiftValue(f: GlobalRankFunc.Shift, q: Long, cur: Long): Any = {
+        val r = valueAt(f.inputIdx, q, cur)
+        if (r == null) f.default
+        else if (r.isNullAt(0)) null
+        else r.get(0, shiftTypes(f.inputIdx))
+      }
+
+      // arrival-time values: everything except lead slots (filled at pop)
+      def arrivalVals(row: InternalRow): Array[Any] = {
         if (needKeys) {
           // copy only on run change, as in the stats pass
           val k = keyProj(row)
           if (i == 0L || ord.compare(k, prevKey) != 0) {
             localDistinct += 1L; localRunStart = i; prevKey = k.copy()
+          }
+        }
+        if (hasShift) {
+          var x = 0
+          while (x < nInputs) {
+            valRing(x)((i % ringSize).toInt) = inProjs(x)(row).copy(); x += 1
           }
         }
         val gIdx = ctx.offset + i
@@ -285,22 +433,81 @@ case class GlobalRankExec(
         lazy val rankVal: Long =
           (if (localDistinct == 1L) ctx.leadStart
            else ctx.offset + localRunStart) + 1L
+        val out = new Array[Any](funcs.length)
         var j = 0
         while (j < funcs.length) {
-          val v: Any = funcs(j) match {
-            case GlobalRankFunc.RowNum => (gIdx + 1L).toInt
-            case GlobalRankFunc.Tile(n) => GlobalRankExec.tileOf(gIdx, total, n)
-            case GlobalRankFunc.Rnk => rankVal.toInt
-            case GlobalRankFunc.DenseRnk => (ctx.denseStart + localDistinct).toInt
+          funcs(j) match {
+            case GlobalRankFunc.RowNum => out(j) = (gIdx + 1L).toInt
+            case GlobalRankFunc.Tile(nt) => out(j) = GlobalRankExec.tileOf(gIdx, total, nt)
+            case GlobalRankFunc.Rnk => out(j) = rankVal.toInt
+            case GlobalRankFunc.DenseRnk => out(j) = (ctx.denseStart + localDistinct).toInt
             case GlobalRankFunc.PctRank =>
-              if (total <= 1L) 0.0 else (rankVal - 1L).toDouble / (total - 1L)
+              out(j) = if (total <= 1L) 0.0 else (rankVal - 1L).toDouble / (total - 1L)
+            case f @ GlobalRankFunc.Shift(_, k, _, true) =>
+              out(j) = shiftValue(f, i - k, i)
+            case GlobalRankFunc.Shift(_, _, _, false) => () // lead: at pop
           }
-          vals.update(j, v)
           j += 1
         }
         i += 1L
+        out
+      }
+
+      def emit(row: InternalRow, arr: Array[Any]): InternalRow = {
+        var j = 0
+        while (j < funcs.length) { vals.update(j, arr(j)); j += 1 }
         numOutputRows += 1
         proj(joined(row, vals))
+      }
+
+      if (maxLead == 0) {
+        // immediate path: no emission delay, no child-row copies
+        it.map(row => emit(row, arrivalVals(row)))
+      } else {
+        // delay-line path: a row emits once `maxLead` later rows have
+        // arrived (its lead values are then in the ring) or at drain,
+        // where positions past the partition resolve from the driver's
+        // neighbor values. O(maxLead) buffered row copies.
+        new Iterator[InternalRow] {
+          private val queue =
+            new java.util.ArrayDeque[(InternalRow, Array[Any], Long)]()
+          private var out: InternalRow = null
+          private def fillLead(arr: Array[Any], j: Long, cur: Long): Unit = {
+            var s = 0
+            while (s < funcs.length) {
+              funcs(s) match {
+                case f @ GlobalRankFunc.Shift(_, k, _, false) =>
+                  arr(s) = shiftValue(f, j + k, cur)
+                case _ => ()
+              }
+              s += 1
+            }
+          }
+          private def advance(): Unit =
+            while (out == null && (it.hasNext || !queue.isEmpty)) {
+              if (it.hasNext) {
+                val row = it.next()
+                val localIdx = i // arrivalVals advances i
+                val arr = arrivalVals(row)
+                queue.addLast((row.copy(), arr, localIdx))
+                if (queue.size > maxLead) {
+                  val (r, a, j) = queue.removeFirst()
+                  fillLead(a, j, localIdx)
+                  out = emit(r, a)
+                }
+              } else {
+                val (r, a, j) = queue.removeFirst()
+                fillLead(a, j, n - 1L)
+                out = emit(r, a)
+              }
+            }
+          override def hasNext: Boolean = { advance(); out != null }
+          override def next(): InternalRow = {
+            advance()
+            if (out == null) throw new NoSuchElementException("empty iterator")
+            val r = out; out = null; r
+          }
+        }
       }
     }
   }
@@ -312,15 +519,18 @@ case class GlobalRankExec(
 object GlobalRankExec {
   /** Per-partition boundary stats from the first pass: row count, the
     * first/last order keys (UnsafeRow copies — serializable), the trailing
-    * tie-run length (rows equal to `lastKey` at the tail), and the
-    * distinct-key count.
+    * tie-run length (rows equal to `lastKey` at the tail), the distinct-key
+    * count, and — when shift functions are present — each shift input's
+    * first/last `maxK` values (outer index = shift-input slot).
     */
   case class PartStats(
       n: Long,
       firstKey: InternalRow,
       lastKey: InternalRow,
       trailLen: Long,
-      distinct: Long)
+      distinct: Long,
+      firstVals: Array[Array[InternalRow]] = null,
+      lastVals: Array[Array[InternalRow]] = null)
 
   /** Driver-stitched per-partition context: the partition's global row
     * offset, the global ordinal where its LEADING tie run's chain began,

@@ -192,6 +192,47 @@ class GlobalRankSpec extends SparkSuite {
     }
   }
 
+  test("lag/lead over a global order match the stock Window, cross-partition spans included") {
+    // k=300 exceeds a partition's ~250 rows (1000 rows / 4 shuffle
+    // partitions), so boundary values must span MULTIPLE partitions
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 1000).map { i =>
+      val s: Option[Double] = if (rnd.nextInt(10) == 0) None else Some(rnd.nextDouble())
+      (i.toLong, rnd.nextInt(500).toLong, s)
+    }.toDF("id", "score", "payload")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
+    def shifted(d: DataFrame) = d
+      .withColumn("lag1", lag(col("payload"), 1).over(w))
+      .withColumn("lag3d", lag(col("score") * 2, 3, -1L).over(w))
+      .withColumn("lag300", lag(col("payload"), 300).over(w))
+      .withColumn("lead2", lead(col("payload"), 2).over(w))
+      .withColumn("lead400", lead(col("id"), 400, 0L).over(w))
+      .withColumn("rn", row_number().over(w)) // mixed node: shifts + rank
+    val viaExec = shifted(df)
+    val p = viaExec.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    val viaStock = shifted(df.dropDuplicates("id"))
+    assert(!viaStock.queryExecution.executedPlan.toString.contains("GlobalRank"))
+    def m(d: DataFrame) = d.select("id", "lag1", "lag3d", "lag300", "lead2", "lead400", "rn")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(m(viaExec) == m(viaStock), "global shifts diverged from the stock Window")
+  }
+
+  test("shift scope: ignoreNulls and over-bound offsets keep the stock plan") {
+    val df = corpus(300, 47)
+    val wGlob = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
+    def planOf(d: DataFrame): String = d.queryExecution.executedPlan.toString
+    // ignoreNulls=true needs unbounded lookback → untouched
+    df.createOrReplaceTempView("gr_shift_scope")
+    val ignoreNullsLag = spark.sql(
+      """SELECT id, lag(payload, 1) IGNORE NULLS OVER (ORDER BY score, id) AS x
+         FROM gr_shift_scope""")
+    assert(!planOf(ignoreNullsLag).contains("GlobalRank"))
+    // k beyond MaxShift (driver-traffic bound) → untouched
+    assert(!planOf(df.withColumn("x",
+      lag(col("payload"), GlobalRankRule.MaxShift + 1).over(wGlob))).contains("GlobalRank"))
+  }
+
   test("conf kill-switch: comparators can demand the stock Window for one evaluation") {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
     spark.conf.set(GlobalRankRule.EnabledKey, "false")
