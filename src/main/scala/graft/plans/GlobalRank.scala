@@ -148,15 +148,22 @@ object GlobalRankRule extends Rule[LogicalPlan] {
         Some((a, Left(GlobalRankFunc.PctRank)))
       // shift family: literal offset (bounded — boundary values travel
       // through the driver at O(#partitions × k)), literal default,
-      // ignoreNulls=false only (ignoreNulls needs unbounded lookback)
+      // ignoreNulls=false only (ignoreNulls needs unbounded lookback),
+      // DETERMINISTIC input only (the stats job and the output job each
+      // evaluate it; a non-deterministic input would make boundary values
+      // disagree with the rows' own evaluations)
       case a @ Alias(WindowExpression(
           Lag(in, Literal(k: Int, IntegerType), d: Literal, false), _), _)
-          if k >= 0 && k <= MaxShift =>
+          if k >= 0 && k <= MaxShift && in.deterministic =>
         Some((a, Right((in, k, d.value, true))))
       case a @ Alias(WindowExpression(
           Lead(in, Literal(k: Int, IntegerType), d: Literal, false), _), _)
-          if k >= 0 && k <= MaxShift =>
-        Some((a, Right((in, k, d.value, false))))
+          if k >= 0 && k <= MaxShift && in.deterministic =>
+        // k == 0 normalizes to the lag side: a zero shift is the current
+        // row's value, which the arrival path computes (a lead slot is
+        // only filled at pop, and a lead-0-only node never enters the
+        // delay-line path at all)
+        Some((a, Right((in, k, d.value, k == 0))))
       case _ => None
     }
 
@@ -370,6 +377,14 @@ case class GlobalRankExec(
         out
       } else null
     val partNs = stats.map(_.n)
+    // ship the boundary-value tables via broadcast: a plain closure capture
+    // would make EVERY task deserialize EVERY partition's values from its
+    // task binary; the broadcast is fetched once per executor and each
+    // task reads only its own pid slice
+    val prevValsBc =
+      if (prevVals != null) sparkContext.broadcast(prevVals) else null
+    val nextValsBc =
+      if (nextVals != null) sparkContext.broadcast(nextVals) else null
     childRDD.mapPartitionsWithIndex { (pid, it) =>
       val proj = UnsafeProjection.create(outAttrs, childOut ++ rankAttrs)
       val joined = new JoinedRow
@@ -384,8 +399,8 @@ case class GlobalRankExec(
       val ringSize = maxK + 1
       val valRing = if (hasShift)
         Array.fill(nInputs)(new Array[InternalRow](ringSize)) else null
-      val pPrev = if (prevVals != null) prevVals(pid) else null
-      val pNext = if (nextVals != null) nextVals(pid) else null
+      val pPrev = if (prevValsBc != null) prevValsBc.value(pid) else null
+      val pNext = if (nextValsBc != null) nextValsBc.value(pid) else null
       var i = 0L // partition-local 0-based ordinal
       var prevKey: InternalRow = null
       var localRunStart = 0L
@@ -412,8 +427,12 @@ case class GlobalRankExec(
         else r.get(0, shiftTypes(f.inputIdx))
       }
 
-      // arrival-time values: everything except lead slots (filled at pop)
-      def arrivalVals(row: InternalRow): Array[Any] = {
+      // arrival-time values: everything except lead slots (filled at pop).
+      // Writes into a caller-provided array so the immediate path can
+      // reuse ONE scratch array (no per-row allocation on the rank-only
+      // hot path); the delay-line path passes a fresh array per row
+      // because the values outlive the arrival.
+      def arrivalValsInto(row: InternalRow, out: Array[Any]): Unit = {
         if (needKeys) {
           // copy only on run change, as in the stats pass
           val k = keyProj(row)
@@ -433,7 +452,6 @@ case class GlobalRankExec(
         lazy val rankVal: Long =
           (if (localDistinct == 1L) ctx.leadStart
            else ctx.offset + localRunStart) + 1L
-        val out = new Array[Any](funcs.length)
         var j = 0
         while (j < funcs.length) {
           funcs(j) match {
@@ -450,7 +468,6 @@ case class GlobalRankExec(
           j += 1
         }
         i += 1L
-        out
       }
 
       def emit(row: InternalRow, arr: Array[Any]): InternalRow = {
@@ -461,8 +478,11 @@ case class GlobalRankExec(
       }
 
       if (maxLead == 0) {
-        // immediate path: no emission delay, no child-row copies
-        it.map(row => emit(row, arrivalVals(row)))
+        // immediate path: no emission delay, no child-row copies, ONE
+        // reused scratch array (lead-0 normalized to the lag side by the
+        // rule, so every slot fills at arrival)
+        val scratch = new Array[Any](funcs.length)
+        it.map { row => arrivalValsInto(row, scratch); emit(row, scratch) }
       } else {
         // delay-line path: a row emits once `maxLead` later rows have
         // arrived (its lead values are then in the ring) or at drain,
@@ -487,8 +507,9 @@ case class GlobalRankExec(
             while (out == null && (it.hasNext || !queue.isEmpty)) {
               if (it.hasNext) {
                 val row = it.next()
-                val localIdx = i // arrivalVals advances i
-                val arr = arrivalVals(row)
+                val localIdx = i // arrivalValsInto advances i
+                val arr = new Array[Any](funcs.length)
+                arrivalValsInto(row, arr)
                 queue.addLast((row.copy(), arr, localIdx))
                 if (queue.size > maxLead) {
                   val (r, a, j) = queue.removeFirst()

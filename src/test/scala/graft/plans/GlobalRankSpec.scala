@@ -233,6 +233,43 @@ class GlobalRankSpec extends SparkSuite {
       lag(col("payload"), GlobalRankRule.MaxShift + 1).over(wGlob))).contains("GlobalRank"))
   }
 
+  test("lead(x, 0) is the current row's value — normalized to the arrival path") {
+    // a lead-0-only node never enters the delay-line path, so its slot
+    // must fill at arrival (the bug class: a lead slot left null because
+    // only fillLead writes it)
+    val df = corpus(100, 53)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
+    val d = df.withColumn("l0", lead(col("payload"), 0).over(w))
+    assert(d.queryExecution.executedPlan.toString.contains("GlobalRank"))
+    d.select(col("payload"), col("l0")).collect().foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "lead-0 must be the row's own value")
+    }
+  }
+
+  test("rand-seeded shift inputs lag consistently across partition boundaries") {
+    // ExtractWindowExpressions materializes complex window arguments into
+    // a child projection BELOW the exchange, so both of the exec's jobs
+    // read ONE evaluation (the rule's in.deterministic guard covers any
+    // path where a raw non-deterministic expr could still reach it). The
+    // observable law: every lagged value equals the previous row's own
+    // value, including across partition boundaries — a divergent second
+    // evaluation of the boundary values would break exactly these pairs
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
+    val d = corpus(500, 59).withColumn("x", rand(7))
+      .withColumn("lx", lag(col("x"), 1).over(w))
+    assert(d.queryExecution.executedPlan.toString.contains("GlobalRank"))
+    val rows = d.select(col("score"), col("id"), col("x"), col("lx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), Option(r.get(3))))
+      .sortBy(t => (t._1, t._2))
+    rows.sliding(2).foreach {
+      case Array(prev, cur) =>
+        assert(cur._4.contains(prev._3),
+          s"lag at ${(cur._1, cur._2)} != previous row's own value")
+      case _ => ()
+    }
+    assert(rows.head._4.isEmpty)
+  }
+
   test("conf kill-switch: comparators can demand the stock Window for one evaluation") {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
     spark.conf.set(GlobalRankRule.EnabledKey, "false")
