@@ -284,6 +284,25 @@ class GlobalRankSpec extends SparkSuite {
       "unset must restore the rewrite")
   }
 
+  test("AQE finalizes the rank plan; both jobs read the same runtime partitions") {
+    // the exec's two jobs share ONE child RDD, so whatever partitioning
+    // AQE settles on (including coalesced shuffle reads) is identical in
+    // the stats job and the output job — pinned by exact rank correctness
+    // under an executed adaptive plan
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
+    val df = corpus(5000, 61).withColumn("rn", row_number().over(w))
+    val got = df.collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("rn")).toMap
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(300))
+    assert(p.contains("GlobalRank"), p)
+    val want = corpus(5000, 61).select(col("id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    assert(got == want)
+  }
+
   test("ensureRegistered is idempotent") {
     GlobalRank.ensureRegistered(spark)
     GlobalRank.ensureRegistered(spark)
