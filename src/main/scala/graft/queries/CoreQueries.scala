@@ -771,6 +771,37 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** A13e: the BATCH CONTRACT of [[graft.streaming.TemporalJoin]], declared
+    * as an oracle-checked query (the x18 pattern — a streaming operator's
+    * emitted result restated as pure batch SQL so DuckDB adjudicates the
+    * contract, not just ScalaTest): every click the final watermark closed
+    * (click ts strictly below `max(ts) - 2 days`, the operator's lateness)
+    * enriched with the purchase version in effect at click time. This is
+    * exactly the row set the streaming operator must emit over a full
+    * drain — StreamingSpec's sandwich proves the streaming side equals
+    * this statement; this query hash-verifies the statement itself against
+    * an independent engine. Plan: one broadcast of the 1-row watermark,
+    * then the native as-of exec.
+    */
+  def a13eTemporalJoinClosed(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.AsOfJoin.ensureRegistered(s)
+    val ev = t(s, dir, "events")
+    val wm = ev.agg((max(col("ts")) - expr("INTERVAL 2 DAYS")).as("wm"))
+    val purchases = asofPurchases(ev)
+    val clicks = asofClicks(ev)
+    clicks
+      .join(broadcast(wm))
+      .filter(col("ts") < col("wm"))
+      .drop("wm")
+      .join(purchases,
+        col("user_id") === col("p_user") && expr("asof_match(ts, p_ts)"),
+        "left")
+      .select(col("event_id"), ntz(col("ts")).as("timestamp_utc"), col("user_id"),
+        col("value"), ntz(col("p_ts")).as("version_ts"),
+        col("p_value").as("version_value"))
+      .orderBy("event_id")
+  }
+
   /** E14: SCD Type-2 dimension history — every purchase opens a version
     * row with a validity interval, `valid_to` NULL marking the current
     * version ([[graft.etl.Scd2]]; the history-preserving sibling of e3's
@@ -1671,6 +1702,7 @@ object CoreQueries {
     "a13b_asof_join_native" -> (a13bAsofJoinNative _),
     "a13c_asof_forward_tol" -> (a13cAsofJoinForwardTol _),
     "a13d_asof_nearest" -> (a13dAsofNearest _),
+    "a13e_temporal_join_closed" -> (a13eTemporalJoinClosed _),
     "e14_scd2_history" -> (e14Scd2History _),
     "a14_correlated_subquery" -> (a14CorrelatedSubquery _),
     "a10b_cube" -> (a10bCube _),
@@ -2320,6 +2352,24 @@ object CoreQueries {
          SELECT event_id, cts AS timestamp_utc, user_id, value,
                 pts AS nearest_purchase_ts, p_value AS nearest_purchase_value
          FROM ranked WHERE rn = 1 ORDER BY event_id""",
+    // a13e: the temporal join's batch contract — DuckDB's native ASOF with
+    // the same watermark cut (strictly below max(ts) - 2 days), so the
+    // streaming operator's declared row set is cross-engine adjudicated
+    "a13e_temporal_join_closed" ->
+      """WITH purchases AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, MAX(value) AS p_value
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+         clicks AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS cts, value
+           FROM events WHERE event_type = 'click'),
+         wm AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 2 DAY AS w FROM events),
+         closed AS (SELECT c.* FROM clicks c, wm WHERE c.cts < wm.w)
+         SELECT c.event_id, c.cts AS timestamp_utc, c.user_id, c.value,
+                p.pts AS version_ts, p.p_value AS version_value
+         FROM closed c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND p.pts <= c.cts
+         ORDER BY c.event_id""",
     "e14_scd2_history" ->
       """WITH ch AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
