@@ -416,8 +416,12 @@ object DedupQueries {
     * a correctness proof no single blocking can fake.
     */
   def simhashPairsBlocked(fp: DataFrame, k: Int, nBlocks: Int): DataFrame = {
-    require(64 % nBlocks == 0 && nBlocks > k,
-      s"pigeonhole blocking needs nBlocks | 64 and nBlocks > k, got nBlocks=$nBlocks k=$k")
+    // nBlocks >= 2 keeps the block width w <= 32: nBlocks=1 would make
+    // perHalf=0 (division by zero in the shift math) and w=64 would
+    // overflow 1L << w back to 1
+    require(64 % nBlocks == 0 && nBlocks >= 2 && nBlocks > k,
+      s"pigeonhole blocking needs nBlocks | 64, nBlocks >= 2 and nBlocks > k, " +
+        s"got nBlocks=$nBlocks k=$k")
     val w = 64 / nBlocks
     val perHalf = 32 / w // blocks per 32-bit half (hi/lo are non-negative)
     val parts = (0 until nBlocks).map { b =>

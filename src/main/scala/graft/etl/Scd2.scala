@@ -29,7 +29,7 @@ object Scd2 {
     */
   def build(changes: DataFrame, keyCol: String, tsCol: String,
       valueCols: Seq[String]): DataFrame = {
-    requireNoReserved(keyCol, valueCols)
+    requireNoReserved(keyCol, tsCol, valueCols)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
     changes
       .withColumn("version", row_number().over(w))
@@ -49,7 +49,7 @@ object Scd2 {
     */
   def fold(history: DataFrame, batch: DataFrame, keyCol: String,
       tsCol: String, valueCols: Seq[String]): DataFrame = {
-    requireNoReserved(keyCol, valueCols)
+    requireNoReserved(keyCol, tsCol, valueCols)
     // the touched-key set is batch-bounded — broadcast it so BOTH the
     // pass-through (anti) and selection (semi) lanes stream the history
     // map-only instead of hash-exchanging the corpus on the key.
@@ -78,11 +78,16 @@ object Scd2 {
     * column named like a generated one would be overwritten with the
     * window ordinal and the user's data lost — fail fast instead.
     */
-  private def requireNoReserved(keyCol: String, valueCols: Seq[String]): Unit = {
+  private def requireNoReserved(
+      keyCol: String, tsCol: String, valueCols: Seq[String]): Unit = {
     val reserved = Set("version", "valid_from", "valid_to", "is_current")
-    val clash = (valueCols :+ keyCol).filter(reserved.contains)
+    // the ts column is renamed TO valid_from, so that one name is fine for
+    // it — but "version"/"valid_to"/"is_current" would be clobbered by
+    // withColumn before the window/rename ever read the timestamps
+    val clash = (valueCols :+ keyCol).filter(reserved.contains) ++
+      Seq(tsCol).filter(reserved - "valid_from")
     require(clash.isEmpty,
-      s"Scd2: column name(s) ${clash.mkString(", ")} collide with generated " +
+      s"Scd2: column name(s) ${clash.distinct.mkString(", ")} collide with generated " +
         "history columns (version, valid_from, valid_to, is_current) — rename upstream")
   }
 }

@@ -87,6 +87,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           graft.plans.AsOfMatch.fromArgs(exprs)))
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // match-then-filter escape hatch for LEFT as-ofs — see
+    // graft.plans.PushdownBarrier / AsOfJoin.postFilter
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier(
+        graft.plans.AsOfJoin.BarrierFunctionName),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.plans.PushdownBarrier].getName,
+          graft.plans.AsOfJoin.BarrierFunctionName),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.plans.PushdownBarrier(exprs.head)))
     // global row_number()/ntile() windows over unbounded input rewrite to
     // the distributed two-pass rank instead of a single-partition Window —
     // see graft.plans.GlobalRankRule

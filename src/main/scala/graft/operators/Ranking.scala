@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{BooleanType, DateType, IntegerType, LongType, NumericType, TimestampType}
 
 /** Distributed total-order ranking.
   *
@@ -60,6 +60,17 @@ object Ranking {
     * partitions at the target scale).
     */
   def globalRank(df: DataFrame, order: Seq[Column], buckets: Int = 32): DataFrame = {
+    // Fail fast on a head key that is not MEANINGFULLY double-castable: a
+    // string head casts to all-null, approxQuantile returns empty bounds,
+    // and every row would silently collapse into bucket 0 — a single-task
+    // keyed window, exactly the cliff this operator exists to avoid.
+    val headType = df.select(order.head).schema.head.dataType
+    require(headType match {
+      case _: NumericType | _: TimestampType | _: DateType | _: BooleanType => true
+      case _ => false
+    }, s"globalRank order head must be numeric/timestamp/date/boolean " +
+      s"(double-castable for quantile bucketing), got $headType — " +
+      "use GlobalRankExec (SQL window rewrite) for arbitrary orderable keys")
     // one deterministic pass: (buckets-1) approximate quantile cuts of the
     // head key, collected once and fixed as literals for EVERY downstream
     // evaluation (offsets job and final job must agree on the bucketing)

@@ -59,6 +59,27 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   * side's (key, ts) sort, which is NOT total — callers wanting bit-stable
   * output pre-aggregate the right side to one row per (key, ts), exactly
   * as a13 does (and as its DuckDB ASOF JOIN oracle requires).
+  *
+  * PREDICATE SEMANTICS (the doctrine, spec-pinned in AsOfJoinSpec):
+  *  - Single-side predicates — written in the ON clause, or reference-side
+  *    post-join filters that Catalyst's EliminateOuterJoin + pushdown fold
+  *    into the (by then inner) join before [[AsOfJoinRule]] fires —
+  *    PRE-FILTER their side's rows before matching: "the latest purchase
+  *    WITH the flag", DuckDB's ASOF-ON reading. This is a real semantic
+  *    choice, not an accident of rule ordering: for an as-of join
+  *    (unlike a standard join) pre-filtering the reference changes WHICH
+  *    row is latest, and the rule cannot distinguish a user-written
+  *    `reference.filter(...)` from a Catalyst-pushed one.
+  *  - Cross-side non-key predicates can never pre-filter one side; on an
+  *    INNER as-of they are restored as post-match filters (the inverse of
+  *    the pushdown that folded them in), on a LEFT as-of they are an
+  *    ERROR — the two readings genuinely diverge and neither is clearly
+  *    what was written.
+  *  - Callers who want MATCH-THEN-FILTER on a LEFT as-of with a
+  *    null-intolerant reference-side predicate (the one shape where
+  *    Catalyst's outer-join elimination would silently flip the reading)
+  *    wrap the filter in [[AsOfJoin.postFilter]] — a [[PushdownBarrier]]
+  *    that keeps the filter above the join.
   */
 case class AsOfMatch(
     left: Expression,
@@ -213,15 +234,20 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         fail("tolerance and 'nearest' require TIMESTAMP or BIGINT " +
           s"(epoch-micros) ts, got ${lts.dataType.simpleString}")
       // split the remaining conjuncts into cross-side equi keys and a
-      // residual. The residual matters for INNER joins: the optimizer's
-      // PushPredicateThroughJoin merges post-join filters into an inner
-      // join's condition BEFORE this rule runs, so a user following the
-      // documented guidance ("apply extra predicates as filters outside
-      // the join") still presents a residual here — restore it as a
-      // Filter ABOVE the as-of node (the exact inverse of the pushdown,
-      // so the user's written semantics are preserved: match first,
-      // filter the matched pairs after). For LEFT joins no such pushdown
-      // happens, so a residual is user-written ambiguity — fail.
+      // residual. By this point Catalyst has already pushed SINGLE-side
+      // conjuncts (and, via EliminateOuterJoin, null-intolerant
+      // reference-side post-filters of a LEFT as-of) into the children —
+      // those therefore PRE-FILTER the version chain, the documented
+      // doctrine (see the operator scaladoc; AsOfJoin.postFilter is the
+      // match-then-filter escape). What remains is CROSS-side: the
+      // residual matters for INNER joins, where PushPredicateThroughJoin
+      // merges cross-side post-join filters into the condition BEFORE
+      // this rule runs — restore it as a Filter ABOVE the as-of node
+      // (the exact inverse of the pushdown: match first, filter the
+      // matched pairs after; for a cross-side predicate the two readings
+      // coincide only post-match, so this is the only sound one). For
+      // LEFT joins no such pushdown happens, so a cross-side residual is
+      // user-written ambiguity — fail.
       import org.apache.spark.sql.catalyst.expressions.EqualTo
       val (equi, residual) = rest.partition {
         case EqualTo(l, r) =>
@@ -450,12 +476,57 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** A pushdown BARRIER: evaluates exactly `child` (same value, same
+  * nullability, pass-through codegen) but DECLARES itself non-deterministic,
+  * which makes Catalyst leave any predicate containing it where the user
+  * wrote it: PushPredicateThroughJoin/PushDownPredicates skip
+  * non-deterministic conjuncts, and EliminateOuterJoin's `canFilterOutNull`
+  * bails before using it to flip a LEFT join to INNER. The one legitimate
+  * use is [[AsOfJoin.postFilter]]: a filter over an as-of join's OUTPUT
+  * must stay a post-match filter, because pre-filtering the reference
+  * changes which row is "latest" — semantics, not just cost. (For stock
+  * joins the two readings coincide, which is exactly why Catalyst feels
+  * free to push; the barrier opts one predicate out.)
+  */
+case class PushdownBarrier(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  // the whole point: never foldable, never pushable, never reorderable
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "pushdown_barrier"
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    child.genCode(ctx)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session-scoped deployment of the as-of operator (the
   * [[graft.functions.BloomExpressions]] / extraOptimizations idiom — no
   * `spark.sql.extensions` restart required; idempotent).
   */
 object AsOfJoin {
   val FunctionName = "asof_match"
+
+  val BarrierFunctionName = "graft_post_barrier"
+
+  /** MATCH-THEN-FILTER over an as-of join's output: `joined.where(cond)`
+    * with `cond` wrapped in a [[PushdownBarrier]], so a null-intolerant
+    * reference-side predicate on a LEFT as-of keeps the written reading
+    * ("latest purchase, then keep the flagged ones") instead of being
+    * folded by EliminateOuterJoin + pushdown into a pre-filtered version
+    * chain ("latest FLAGGED purchase") — the predicate-semantics doctrine
+    * documented on [[AsOfMatch]], spec-pinned in AsOfJoinSpec.
+    */
+  def postFilter(joined: DataFrame, cond: Column): DataFrame = {
+    ensureRegistered(joined.sparkSession)
+    joined.where(org.apache.spark.sql.functions.call_function(
+      BarrierFunctionName, cond))
+  }
 
   /** The skew escape hatch the exec's scaladoc promises, as tested code:
     * salt the PROBE side, replicate each reference row across the salt
@@ -506,6 +577,8 @@ object AsOfJoin {
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FunctionName, AsOfMatch.fromArgs, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BarrierFunctionName, exprs => PushdownBarrier(exprs.head), "scala_udf")
     val exp = spark.experimental
     if (!exp.extraOptimizations.contains(AsOfJoinRule))
       exp.extraOptimizations = exp.extraOptimizations :+ AsOfJoinRule

@@ -4,30 +4,46 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, AttributeSet, DenseRank, Expression, GenericInternalRow,
-  JoinedRow, Lag, Lead, Literal, NamedExpression, NTile, PercentRank, Rank,
-  RowNumber, RowOrdering, SortOrder, UnsafeProjection, WindowExpression}
+  Alias, Attribute, AttributeSet, Cast, CumeDist, CurrentRow, DenseRank,
+  Expression, GenericInternalRow, JoinedRow, Lag, Lead, Literal,
+  NamedExpression, NTile, PercentRank, Rank, RangeFrame, RowFrame,
+  RowNumber, RowOrdering, SortOrder, SpecifiedWindowFrame,
+  UnboundedPreceding, UnsafeProjection, WindowExpression,
+  WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, Decimal,
+  DoubleType, FloatType, IntegerType, LongType, ShortType}
 
-/** Which rank function a [[GlobalRankNode]] column computes.
+/** Which window function a [[GlobalRankNode]] column computes.
   *
-  * Two families:
+  * Four families:
   *  - POSITIONAL (`row_number`, `ntile`): the value is a pure function of
   *    the row's global ordinal (and the total count).
-  *  - TIE-AWARE (`rank`, `dense_rank`, `percent_rank`): the value depends
-  *    on order-key equality with PEERS, which a range partitioning can
-  *    split across partition boundaries — the exec's stats job collects
-  *    each partition's boundary keys and tie-run lengths so the driver can
-  *    stitch cross-partition tie CHAINS (a run spanning any number of
-  *    whole partitions) into exact global ranks.
-  * Aggregate window functions and `cume_dist` (whose value needs the END
-  * of the tie run — a FORWARD chain) are not rewritten; they stay with
-  * the [[PlanChecks]] lint.
+  *  - TIE-AWARE BACKWARD (`rank`, `dense_rank`, `percent_rank`): the value
+  *    depends on order-key equality with PEERS BEFORE the row, which a
+  *    range partitioning can split across partition boundaries — the
+  *    exec's stats job collects each partition's boundary keys and
+  *    tie-run lengths so the driver can stitch cross-partition tie CHAINS
+  *    (a run spanning any number of whole partitions) into exact ranks.
+  *  - TIE-AWARE FORWARD (`cume_dist`, RANGE-frame prefix aggregates): the
+  *    value needs the END of the row's tie run — rows buffer until their
+  *    run closes (O(run length), never O(partition) unless the order key
+  *    is one giant tie — still strictly better than the stock Window's
+  *    O(corpus) single task), and the trailing run's end/aggregate is
+  *    stitched FORWARD through the driver (each partition's leading-run
+  *    length + leading-run aggregate partials).
+  *  - PREFIX AGGREGATES (`sum/min/max/count/avg OVER (ORDER BY …)`): the
+  *    running total. ROWS UNBOUNDED PRECEDING..CURRENT ROW emits per-row
+  *    at arrival; the SQL-DEFAULT RANGE frame is peer-inclusive, so it is
+  *    forward tie-aware (above). Per-partition aggregate partials flow
+  *    through the stats job; each partition starts from the merged carry
+  *    of everything before it.
   */
 sealed trait GlobalRankFunc
 object GlobalRankFunc {
@@ -36,6 +52,35 @@ object GlobalRankFunc {
   case object Rnk extends GlobalRankFunc
   case object DenseRnk extends GlobalRankFunc
   case object PctRank extends GlobalRankFunc
+  /** `cume_dist()`: (global ordinal of the row's tie-run END) / total. */
+  case object Cume extends GlobalRankFunc
+  /** A running aggregate over the global order. `inputIdx` points into the
+    * node's `shiftInputs` (the shared plan-visible input slot list — see
+    * [[Shift]] for why inputs live there); the RULE pre-casts the input to
+    * the accumulation type, so the exec reads one primitive per row.
+    * `perRow` = ROWS frame (emit at arrival); false = RANGE frame (emit at
+    * tie-run close, peers share the run-end value — the SQL default).
+    */
+  case class PrefixAgg(inputIdx: Int, kind: AggKind, perRow: Boolean)
+      extends GlobalRankFunc
+
+  /** The aggregate arithmetic a [[PrefixAgg]] runs. All kinds here are
+    * COMMUTATIVE+ASSOCIATIVE merges (sum/count/min/max/avg-pair), which is
+    * what lets per-partition partials merge in any grouping on the driver.
+    * Result types mirror Spark's own (GlobalRankSpec pins bit-equality):
+    * sum(int family)=LONG, sum(float/double)=DOUBLE,
+    * sum(decimal(p,s))=decimal(p+10,s) with null-on-overflow,
+    * count=LONG (never null), min/max=input type, avg(non-decimal)=DOUBLE.
+    */
+  sealed trait AggKind
+  object AggKind {
+    case object SumLong extends AggKind
+    case object SumDouble extends AggKind
+    case class SumDecimal(precision: Int, scale: Int) extends AggKind
+    case object Cnt extends AggKind
+    case class MinMax(isMin: Boolean) extends AggKind
+    case object AvgDouble extends AggKind
+  }
   /** Global time-series shift (`lag`/`lead` with a literal offset and
     * literal default, ignoreNulls=false): the SHIFT family. `inputIdx`
     * points into the node's `shiftInputs` field — the shifted expressions
@@ -68,8 +113,12 @@ object GlobalRankFunc {
   * partition spec AND an input not provably bounded (rank-the-aggregate
   * shapes keep their stock Window — tiny inputs gain nothing and existing
   * plans stay byte-stable). Every window expression in the node must be a
-  * supported rank function (`row_number`/`ntile(lit)`/`rank`/`dense_rank`/
-  * `percent_rank`); one unsupported sibling vetoes the whole node (a
+  * supported function — the rank family (`row_number`/`ntile(lit)`/`rank`/
+  * `dense_rank`/`percent_rank`/`cume_dist`), bounded-literal `lag`/`lead`,
+  * or a running aggregate (`sum`/`min`/`max`/`count`/`avg` over
+  * `[ROWS|RANGE] UNBOUNDED PRECEDING..CURRENT ROW` — RANGE being the SQL
+  * default frame, so the plain `SUM(x) OVER (ORDER BY ts)` running total
+  * rides this path); one unsupported sibling vetoes the whole node (a
   * half-rewrite would need two global orderings).
   *
   * Physical shape ([[GlobalRankExec]]): declares
@@ -83,12 +132,17 @@ object GlobalRankFunc {
   * gate caught in round 7) yields per-partition offsets — plus, for the
   * tie-aware functions, each partition's boundary keys and tie-run
   * lengths, which the driver stitches into cross-partition tie CHAINS —
-  * and each partition then streams its ranks with O(1) state. No
-  * single-task stage anywhere; driver traffic is O(#partitions) longs
-  * plus two boundary keys per partition. The stats pass re-reads the
-  * shuffle and re-runs the partition sort (zipWithIndex's two-job shape;
-  * see the doExecute comment for why that beats materializing the
-  * sorted corpus) — still a constant factor, never a cliff.
+  * and each partition then streams its ranks with O(1) state — except the
+  * FORWARD tie-aware functions (`cume_dist`, RANGE-frame running
+  * aggregates), whose rows buffer until their tie run closes: O(tie
+  * multiplicity) state, the irreducible cost of peer-inclusive semantics,
+  * still never O(partition) on any realistic order key. No single-task
+  * stage anywhere; driver traffic is O(#partitions) longs plus two
+  * boundary keys and #agg-slot partials per partition. The stats pass
+  * re-reads the shuffle and re-runs the partition sort (zipWithIndex's
+  * two-job shape; see the doExecute comment for why that beats
+  * materializing the sorted corpus) — still a constant factor, never a
+  * cliff.
   *
   * Semantics parity (spec-pinned): ordinals are identical to the stock
   * single-partition Window on any TOTAL order; on ties `row_number`
@@ -130,22 +184,28 @@ object GlobalRankRule extends Rule[LogicalPlan] {
     */
   val EnabledKey = "spark.graft.globalRank.enabled"
 
-  // intermediate: Left = positional/tie-aware func, Right = shift waiting
+  // intermediate: Plain = no input expression, WithInput = func waiting
   // for its input-expression slot in the node's shiftInputs field
-  private def funcOf(
-      ne: NamedExpression): Option[(Alias, Either[GlobalRankFunc, (Expression, Int, Any, Boolean)])] =
+  private sealed trait Conv
+  private case class Plain(f: GlobalRankFunc) extends Conv
+  private case class WithInput(in: Expression, mk: Int => GlobalRankFunc)
+      extends Conv
+
+  private def funcOf(ne: NamedExpression): Option[(Alias, Conv)] =
     ne match {
       case a @ Alias(WindowExpression(RowNumber(), _), _) =>
-        Some((a, Left(GlobalRankFunc.RowNum)))
+        Some((a, Plain(GlobalRankFunc.RowNum)))
       case a @ Alias(WindowExpression(NTile(Literal(n: Int, IntegerType)), _), _)
           if n > 0 =>
-        Some((a, Left(GlobalRankFunc.Tile(n))))
+        Some((a, Plain(GlobalRankFunc.Tile(n))))
       case a @ Alias(WindowExpression(_: Rank, _), _) =>
-        Some((a, Left(GlobalRankFunc.Rnk)))
+        Some((a, Plain(GlobalRankFunc.Rnk)))
       case a @ Alias(WindowExpression(_: DenseRank, _), _) =>
-        Some((a, Left(GlobalRankFunc.DenseRnk)))
+        Some((a, Plain(GlobalRankFunc.DenseRnk)))
       case a @ Alias(WindowExpression(_: PercentRank, _), _) =>
-        Some((a, Left(GlobalRankFunc.PctRank)))
+        Some((a, Plain(GlobalRankFunc.PctRank)))
+      case a @ Alias(WindowExpression(_: CumeDist, _), _) =>
+        Some((a, Plain(GlobalRankFunc.Cume)))
       // shift family: literal offset (bounded — boundary values travel
       // through the driver at O(#partitions × k)), literal default,
       // ignoreNulls=false only (ignoreNulls needs unbounded lookback),
@@ -155,7 +215,8 @@ object GlobalRankRule extends Rule[LogicalPlan] {
       case a @ Alias(WindowExpression(
           Lag(in, Literal(k: Int, IntegerType), d: Literal, false), _), _)
           if k >= 0 && k <= MaxShift && in.deterministic =>
-        Some((a, Right((in, k, d.value, true))))
+        Some((a, WithInput(in,
+          i => GlobalRankFunc.Shift(i, k, d.value, isLag = true))))
       case a @ Alias(WindowExpression(
           Lead(in, Literal(k: Int, IntegerType), d: Literal, false), _), _)
           if k >= 0 && k <= MaxShift && in.deterministic =>
@@ -163,7 +224,57 @@ object GlobalRankRule extends Rule[LogicalPlan] {
         // row's value, which the arrival path computes (a lead slot is
         // only filled at pop, and a lead-0-only node never enters the
         // delay-line path at all)
-        Some((a, Right((in, k, d.value, k == 0))))
+        Some((a, WithInput(in,
+          i => GlobalRankFunc.Shift(i, k, d.value, isLag = k == 0))))
+      // prefix aggregates: sum/min/max/count/avg over exactly the two
+      // running-total frames ([ROWS|RANGE] UNBOUNDED PRECEDING..CURRENT
+      // ROW — RANGE is the SQL default when only ORDER BY is written).
+      // No DISTINCT, no FILTER clause, deterministic input (evaluated by
+      // both jobs, as for shifts). The input is pre-cast to the
+      // accumulation type HERE so the exec reads one primitive per row
+      // and the result type is Spark's own (the alias keeps it).
+      case a @ Alias(WindowExpression(
+          AggregateExpression(af, _, false, None, _),
+          WindowSpecDefinition(_, _,
+            SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))), _) =>
+        val perRow = ft == RowFrame
+        import GlobalRankFunc.{AggKind, PrefixAgg}
+        val conv: Option[WithInput] = af match {
+          case Sum(e, _) if e.deterministic => e.dataType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              Some(WithInput(Cast(e, LongType),
+                i => PrefixAgg(i, AggKind.SumLong, perRow)))
+            case FloatType | DoubleType =>
+              Some(WithInput(Cast(e, DoubleType),
+                i => PrefixAgg(i, AggKind.SumDouble, perRow)))
+            case _: DecimalType =>
+              // af.dataType is Spark's sum result type decimal(p+10, s);
+              // casting each input to it is exact and makes the partial
+              // arithmetic carry the result's precision from the start
+              val rt = af.dataType.asInstanceOf[DecimalType]
+              Some(WithInput(Cast(e, rt),
+                i => PrefixAgg(i, AggKind.SumDecimal(rt.precision, rt.scale), perRow)))
+            case _ => None
+          }
+          case Average(e, _) if e.deterministic => e.dataType match {
+            // decimal avg has its own precision arithmetic — stock plan
+            case ByteType | ShortType | IntegerType | LongType |
+              FloatType | DoubleType =>
+              Some(WithInput(Cast(e, DoubleType),
+                i => PrefixAgg(i, AggKind.AvgDouble, perRow)))
+            case _ => None
+          }
+          case Min(e) if e.deterministic && RowOrdering.isOrderable(e.dataType) =>
+            Some(WithInput(e, i => PrefixAgg(i, AggKind.MinMax(isMin = true), perRow)))
+          case Max(e) if e.deterministic && RowOrdering.isOrderable(e.dataType) =>
+            Some(WithInput(e, i => PrefixAgg(i, AggKind.MinMax(isMin = false), perRow)))
+          case Count(Seq(e)) if e.deterministic =>
+            // count(*) analyzes to Count(1): a non-null literal counts
+            // every row, exactly SQL's count(*)
+            Some(WithInput(e, i => PrefixAgg(i, AggKind.Cnt, perRow)))
+          case _ => None
+        }
+        conv.map((a, _))
       case _ => None
     }
 
@@ -184,13 +295,13 @@ object GlobalRankRule extends Rule[LogicalPlan] {
       val ranks = w.windowExpressions.map { ne =>
         funcOf(ne).get match {
           // SAME exprIds — upstream references stay valid
-          case (a, Left(f)) => (a.toAttribute, f)
-          case (a, Right((in, k, d, isLag))) =>
+          case (a, Plain(f)) => (a.toAttribute, f)
+          case (a, WithInput(in, mk)) =>
             val idx = inputs.indexWhere(_.semanticEquals(in)) match {
               case -1 => inputs += in; inputs.length - 1
               case i => i
             }
-            (a.toAttribute, GlobalRankFunc.Shift(idx, k, d, isLag))
+            (a.toAttribute, mk(idx))
         }
       }
       GlobalRankNode(w.child, w.orderSpec, ranks, inputs.toSeq)
@@ -224,7 +335,7 @@ case class GlobalRankExec(
   override def outputOrdering: Seq[SortOrder] = orderSpec
 
   override protected def doExecute(): RDD[InternalRow] = {
-    import GlobalRankExec.{PartCtx, PartStats}
+    import GlobalRankExec.{Acc, PartCtx, PartStats, Unfilled}
     val numOutputRows = longMetric("numOutputRows")
     val childRDD = child.execute()
     val funcs = ranks.map(_._2).toArray
@@ -235,11 +346,14 @@ case class GlobalRankExec(
     val keyTypes = keyExprs.map(_.dataType)
     // tie-aware functions need order-key equality across partition
     // boundaries; positional ones only need counts; shifts need boundary
-    // VALUES of their input expressions
+    // VALUES of their input expressions; aggregates need per-partition
+    // partials (and RANGE frames + cume_dist, being FORWARD tie-aware,
+    // additionally need each partition's leading-run length/partials)
     val needKeys = funcs.exists {
       case GlobalRankFunc.RowNum | GlobalRankFunc.Tile(_) |
         GlobalRankFunc.Shift(_, _, _, _) => false
-      case _ => true
+      case GlobalRankFunc.PrefixAgg(_, _, perRow) => !perRow
+      case _ => true // Rnk, DenseRnk, PctRank, Cume
     }
     val shiftFns = funcs.collect { case s: GlobalRankFunc.Shift => s }
     val hasShift = shiftFns.nonEmpty
@@ -248,6 +362,19 @@ case class GlobalRankExec(
       val ls = shiftFns.filter(!_.isLag)
       if (ls.nonEmpty) ls.map(_.k).max else 0
     }
+    // aggregate slots (PrefixAgg indices into funcs); run-close slots are
+    // the FORWARD tie-aware ones: cume_dist + RANGE-frame aggregates —
+    // their value is only known when the row's tie run ends
+    val aggSlots: Array[Int] = funcs.indices.filter(
+      funcs(_).isInstanceOf[GlobalRankFunc.PrefixAgg]).toArray
+    val hasAgg = aggSlots.nonEmpty
+    val runSlots: Array[Int] = funcs.indices.filter(j => funcs(j) match {
+      case GlobalRankFunc.Cume => true
+      case GlobalRankFunc.PrefixAgg(_, _, perRow) => !perRow
+      case _ => false
+    }).toArray
+    val needRunClose = runSlots.nonEmpty
+    val firstRunSlot = if (needRunClose) runSlots(0) else -1
     val nInputs = shiftInputs.length
     val shiftIn = shiftInputs
     val shiftTypes = shiftInputs.map(_.dataType).toArray
@@ -267,13 +394,19 @@ case class GlobalRankExec(
       val keyProj = if (needKeys) UnsafeProjection.create(keyExprs, childOut) else null
       val ord = if (needKeys) RowOrdering.createNaturalAscendingOrdering(keyTypes) else null
       val collectVals = hasShift && maxK > 0
-      val inProjs = if (collectVals)
+      val inProjs = if (collectVals || hasAgg)
         shiftIn.map(e => UnsafeProjection.create(Seq(e), childOut)).toArray else null
       val firsts = if (collectVals)
         Array.fill(nInputs)(scala.collection.mutable.ArrayBuffer.empty[InternalRow]) else null
       val lastRing = if (collectVals)
         Array.fill(nInputs)(new Array[InternalRow](maxK)) else null
-      var n = 0L; var distinct = 0L; var runLen = 0L
+      val accs = if (hasAgg)
+        GlobalRankExec.mkAccs(funcs, aggSlots, shiftTypes) else null
+      // leading-run partials: what the trailing run of an EARLIER partition
+      // absorbs when its tie chain continues into this one
+      val headAccs = if (hasAgg && needRunClose)
+        GlobalRankExec.mkAccs(funcs, aggSlots, shiftTypes) else null
+      var n = 0L; var distinct = 0L; var runLen = 0L; var headLen = 0L
       var firstKey: InternalRow = null; var prevKey: InternalRow = null
       while (it.hasNext) {
         val row = it.next()
@@ -285,7 +418,10 @@ case class GlobalRankExec(
           if (n == 0L) {
             firstKey = k.copy(); prevKey = firstKey; distinct = 1L; runLen = 1L
           } else if (ord.compare(k, prevKey) == 0) runLen += 1L
-          else { prevKey = k.copy(); distinct += 1L; runLen = 1L }
+          else {
+            if (distinct == 1L) headLen = n // the leading run just ended
+            prevKey = k.copy(); distinct += 1L; runLen = 1L
+          }
         }
         if (collectVals) {
           var x = 0
@@ -296,15 +432,34 @@ case class GlobalRankExec(
             x += 1
           }
         }
+        if (hasAgg) {
+          var t = 0
+          while (t < aggSlots.length) {
+            val j = aggSlots(t)
+            val x = funcs(j).asInstanceOf[GlobalRankFunc.PrefixAgg].inputIdx
+            val v = inProjs(x)(row)
+            accs(j).add(v)
+            if (headAccs != null && distinct <= 1L) headAccs(j).add(v)
+            t += 1
+          }
+        }
         n += 1L
       }
+      if (needKeys && distinct == 1L) headLen = n // whole partition one run
       val firstArrs = if (collectVals) firsts.map(_.toArray) else null
       val lastArrs = if (collectVals) {
         val cnt = math.min(n, maxK.toLong).toInt
         Array.tabulate(nInputs)(x =>
           Array.tabulate(cnt)(j => lastRing(x)(((n - cnt + j) % maxK).toInt)))
       } else null
-      Iterator.single(PartStats(n, firstKey, prevKey, runLen, distinct, firstArrs, lastArrs))
+      val aggTotals = if (hasAgg)
+        Array.tabulate[Any](funcs.length)(j =>
+          if (accs(j) != null) accs(j).partial else null) else null
+      val headAggTotals = if (headAccs != null)
+        Array.tabulate[Any](funcs.length)(j =>
+          if (headAccs(j) != null) headAccs(j).partial else null) else null
+      Iterator.single(PartStats(n, firstKey, prevKey, runLen, distinct,
+        firstArrs, lastArrs, headLen, aggTotals, headAggTotals))
     }, preservesPartitioning = true).collect()
     val total = stats.map(_.n).sum
     // Driver chain-stitch (O(#partitions), boundary keys only): a tie run
@@ -376,6 +531,67 @@ case class GlobalRankExec(
         }
         out
       } else null
+    // Aggregate CARRIES: for each partition, the merged partials of every
+    // partition strictly before it (commutative merges, so a single
+    // left-to-right fold is exact). O(#partitions × #agg slots) driver
+    // memory, like the rank offsets.
+    val carries: Array[Array[Any]] = if (hasAgg) locally {
+      val out = Array.ofDim[Array[Any]](stats.length)
+      val accs = GlobalRankExec.mkAccs(funcs, aggSlots, shiftTypes)
+      var p = 0
+      while (p < stats.length) {
+        out(p) = Array.tabulate[Any](funcs.length)(j =>
+          if (accs(j) != null) accs(j).partial else null)
+        if (stats(p).aggTotals != null) {
+          var t = 0
+          while (t < aggSlots.length) {
+            val j = aggSlots(t); accs(j).merge(stats(p).aggTotals(j)); t += 1
+          }
+        }
+        p += 1
+      }
+      out
+    } else null
+    // FORWARD chain stitch (cume_dist + RANGE aggregates): for each
+    // partition, how far the run containing its LAST row extends into the
+    // following partitions (row count), and that continuation's aggregate
+    // partials. Right-to-left walk over non-empty partitions: the
+    // continuation into the next non-empty partition q is q's leading run,
+    // plus — when q is ONE whole run — q's own continuation.
+    val tailExtra: Array[Long] =
+      if (needRunClose) new Array[Long](stats.length) else null
+    val chainAggs: Array[Array[Any]] =
+      if (needRunClose && hasAgg) Array.ofDim[Array[Any]](stats.length) else null
+    if (needRunClose) locally {
+      val dOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      var next = -1 // nearest non-empty partition to the right
+      var p = stats.length - 1
+      while (p >= 0) {
+        val s = stats(p)
+        if (s.n > 0L) {
+          if (next >= 0 && dOrd.compare(s.lastKey, stats(next).firstKey) == 0) {
+            val q = stats(next)
+            val wholeQ = q.headLen == q.n
+            tailExtra(p) = q.headLen + (if (wholeQ) tailExtra(next) else 0L)
+            if (chainAggs != null) {
+              chainAggs(p) = Array.tabulate[Any](funcs.length) { j =>
+                funcs(j) match {
+                  case f: GlobalRankFunc.PrefixAgg =>
+                    val acc = GlobalRankExec.mkAcc(f.kind, shiftTypes(f.inputIdx))
+                    acc.merge(q.headAggs(j))
+                    if (wholeQ && chainAggs(next) != null)
+                      acc.merge(chainAggs(next)(j))
+                    acc.partial
+                  case _ => null
+                }
+              }
+            }
+          }
+          next = p
+        }
+        p -= 1
+      }
+    }
     val partNs = stats.map(_.n)
     // ship the boundary-value tables via broadcast: a plain closure capture
     // would make EVERY task deserialize EVERY partition's values from its
@@ -393,7 +609,7 @@ case class GlobalRankExec(
       val n = partNs(pid)
       val keyProj = if (needKeys) UnsafeProjection.create(keyExprs, childOut) else null
       val ord = if (needKeys) RowOrdering.createNaturalAscendingOrdering(keyTypes) else null
-      val inProjs = if (hasShift)
+      val inProjs = if (hasShift || hasAgg)
         shiftIn.map(e => UnsafeProjection.create(Seq(e), childOut)).toArray else null
       // value ring per input: positions [i - maxK, i] stay resolvable
       val ringSize = maxK + 1
@@ -401,6 +617,15 @@ case class GlobalRankExec(
         Array.fill(nInputs)(new Array[InternalRow](ringSize)) else null
       val pPrev = if (prevValsBc != null) prevValsBc.value(pid) else null
       val pNext = if (nextValsBc != null) nextValsBc.value(pid) else null
+      // running accumulators, seeded with everything before this partition
+      val accs: Array[Acc] = if (hasAgg) {
+        val a = GlobalRankExec.mkAccs(funcs, aggSlots, shiftTypes)
+        var t = 0
+        while (t < aggSlots.length) {
+          val j = aggSlots(t); a(j).merge(carries(pid)(j)); t += 1
+        }
+        a
+      } else null
       var i = 0L // partition-local 0-based ordinal
       var prevKey: InternalRow = null
       var localRunStart = 0L
@@ -411,7 +636,9 @@ case class GlobalRankExec(
       // partition, null (→ default) beyond the corpus
       def valueAt(x: Int, q: Long, cur: Long): InternalRow =
         if (q >= 0 && q < n) {
-          // q ∈ [cur - maxK, cur] by construction of every caller
+          // q ∈ [cur - maxK, cur] by construction of every caller (lead
+          // slots resolve EAGERLY at arrival cur == q, so a row held past
+          // maxK arrivals by a long tie run never reads a stale ring slot)
           valRing(x)((q % ringSize).toInt)
         } else if (q < 0) {
           val arr = pPrev(x); val idx = arr.length + q
@@ -427,16 +654,22 @@ case class GlobalRankExec(
         else r.get(0, shiftTypes(f.inputIdx))
       }
 
-      // arrival-time values: everything except lead slots (filled at pop).
-      // Writes into a caller-provided array so the immediate path can
-      // reuse ONE scratch array (no per-row allocation on the rank-only
-      // hot path); the delay-line path passes a fresh array per row
-      // because the values outlive the arrival.
-      def arrivalValsInto(row: InternalRow, out: Array[Any]): Unit = {
+      // arrival-time values: everything except the FORWARD slots — lead
+      // (eager-filled by the arrival k rows later) and run-close slots
+      // (filled when the tie run ends), both marked Unfilled. Writes into
+      // a caller-provided array so the immediate path can reuse ONE
+      // scratch array (no per-row allocation on the rank-only hot path);
+      // the delay-line path passes a fresh array per row because the
+      // values outlive the arrival. `onRunClose` (nullable) fires BEFORE
+      // the new row reaches the accumulators, with the local index where
+      // the new run begins — i.e. the closing run's exclusive end.
+      def arrivalValsInto(row: InternalRow, out: Array[Any],
+          onRunClose: Long => Unit): Unit = {
         if (needKeys) {
           // copy only on run change, as in the stats pass
           val k = keyProj(row)
           if (i == 0L || ord.compare(k, prevKey) != 0) {
+            if (i > 0L && onRunClose != null) onRunClose(i)
             localDistinct += 1L; localRunStart = i; prevKey = k.copy()
           }
         }
@@ -444,6 +677,15 @@ case class GlobalRankExec(
           var x = 0
           while (x < nInputs) {
             valRing(x)((i % ringSize).toInt) = inProjs(x)(row).copy(); x += 1
+          }
+        }
+        if (hasAgg) {
+          var t = 0
+          while (t < aggSlots.length) {
+            val j = aggSlots(t)
+            accs(j).add(inProjs(
+              funcs(j).asInstanceOf[GlobalRankFunc.PrefixAgg].inputIdx)(row))
+            t += 1
           }
         }
         val gIdx = ctx.offset + i
@@ -463,7 +705,12 @@ case class GlobalRankExec(
               out(j) = if (total <= 1L) 0.0 else (rankVal - 1L).toDouble / (total - 1L)
             case f @ GlobalRankFunc.Shift(_, k, _, true) =>
               out(j) = shiftValue(f, i - k, i)
-            case GlobalRankFunc.Shift(_, _, _, false) => () // lead: at pop
+            case GlobalRankFunc.Shift(_, _, _, false) => out(j) = Unfilled
+            case GlobalRankFunc.Cume => out(j) = Unfilled
+            case GlobalRankFunc.PrefixAgg(_, _, true) =>
+              // ROWS frame: the running value THROUGH this row
+              out(j) = accs(j).value
+            case GlobalRankFunc.PrefixAgg(_, _, false) => out(j) = Unfilled
           }
           j += 1
         }
@@ -477,50 +724,131 @@ case class GlobalRankExec(
         proj(joined(row, vals))
       }
 
-      if (maxLead == 0) {
+      if (maxLead == 0 && !needRunClose) {
         // immediate path: no emission delay, no child-row copies, ONE
         // reused scratch array (lead-0 normalized to the lag side by the
         // rule, so every slot fills at arrival)
         val scratch = new Array[Any](funcs.length)
-        it.map { row => arrivalValsInto(row, scratch); emit(row, scratch) }
+        it.map { row => arrivalValsInto(row, scratch, null); emit(row, scratch) }
       } else {
-        // delay-line path: a row emits once `maxLead` later rows have
-        // arrived (its lead values are then in the ring) or at drain,
-        // where positions past the partition resolve from the driver's
-        // neighbor values. O(maxLead) buffered row copies.
+        // delay-line path: a row emits once its FORWARD slots resolve —
+        // lead slots when `maxLead` later rows have arrived (eager fill),
+        // run-close slots when its tie run ends. Buffered copies:
+        // O(max(maxLead, current run length)) — a run-close buffer is
+        // bounded by the order key's tie multiplicity, which is the
+        // fundamental cost of peer-inclusive semantics (the stock Window
+        // buffers the ENTIRE corpus in one task for the same query).
         new Iterator[InternalRow] {
+          // (row copy, slot values, local ordinal); scala ArrayDeque for
+          // O(1) indexed access — eager lead fill addresses rows by ordinal
           private val queue =
-            new java.util.ArrayDeque[(InternalRow, Array[Any], Long)]()
+            scala.collection.mutable.ArrayDeque.empty[(InternalRow, Array[Any], Long)]
           private var out: InternalRow = null
-          private def fillLead(arr: Array[Any], j: Long, cur: Long): Unit = {
-            var s = 0
-            while (s < funcs.length) {
-              funcs(s) match {
-                case f @ GlobalRankFunc.Shift(_, k, _, false) =>
-                  arr(s) = shiftValue(f, j + k, cur)
-                case _ => ()
+          private var drained = false
+
+          // lead slots with k > 0 (k == 0 is rule-normalized to lag)
+          private val leadSlots: Array[(Int, GlobalRankFunc.Shift)] =
+            funcs.zipWithIndex.collect {
+              case (f @ GlobalRankFunc.Shift(_, k, _, false), j) if k > 0 => (j, f)
+            }
+
+          // fill the still-unfilled run slots — exactly the rows of the
+          // run closing at global ordinal `endOrdinal` (exclusive end), a
+          // contiguous tail of the queue; each row fills once (amortized
+          // O(1)). The RANGE-agg value is the accumulator AT run close
+          // (peers included, the new row not yet accumulated).
+          private def fillRunSlots(endOrdinal: Long): Unit = {
+            if (queue.isEmpty) return
+            val runVals = new Array[Any](runSlots.length)
+            var t = 0
+            while (t < runSlots.length) {
+              val j = runSlots(t)
+              runVals(t) = funcs(j) match {
+                case GlobalRankFunc.Cume => endOrdinal.toDouble / total
+                case _ => accs(j).value
               }
-              s += 1
+              t += 1
+            }
+            var qi = queue.length - 1
+            var go = true
+            while (qi >= 0 && go) {
+              val arr = queue(qi)._2
+              if (arr(firstRunSlot).asInstanceOf[AnyRef] eq Unfilled) {
+                var u = 0
+                while (u < runSlots.length) { arr(runSlots(u)) = runVals(u); u += 1 }
+              } else go = false
+              qi -= 1
             }
           }
+
+          private val onRunClose: Long => Unit =
+            if (!needRunClose) null
+            else (closeIdx: Long) => fillRunSlots(ctx.offset + closeIdx)
+
+          private def drainFill(): Unit = {
+            if (needRunClose && queue.nonEmpty) {
+              // the trailing run's chain may continue into later
+              // partitions: absorb the driver-stitched continuation
+              // partials, then close it at its global chain end
+              if (hasAgg && chainAggs != null && chainAggs(pid) != null) {
+                var t = 0
+                while (t < aggSlots.length) {
+                  val j = aggSlots(t); accs(j).merge(chainAggs(pid)(j)); t += 1
+                }
+              }
+              fillRunSlots(ctx.offset + n + (if (tailExtra != null) tailExtra(pid) else 0L))
+            }
+            if (maxLead > 0) {
+              // lead positions past the partition end resolve from the
+              // driver-stitched neighbor values (or the default)
+              var qi = 0
+              while (qi < queue.length) {
+                val e = queue(qi)
+                var t = 0
+                while (t < leadSlots.length) {
+                  val (s, f) = leadSlots(t)
+                  if (e._2(s).asInstanceOf[AnyRef] eq Unfilled)
+                    e._2(s) = shiftValue(f, e._3 + f.k, n - 1L)
+                  t += 1
+                }
+                qi += 1
+              }
+            }
+            drained = true
+          }
+
+          private def headPoppable: Boolean = queue.nonEmpty && (drained || {
+            val h = queue.head
+            (maxLead == 0 || h._3 + maxLead < i) &&
+              (!needRunClose || !(h._2(firstRunSlot).asInstanceOf[AnyRef] eq Unfilled))
+          })
+
           private def advance(): Unit =
-            while (out == null && (it.hasNext || !queue.isEmpty)) {
-              if (it.hasNext) {
+            while (out == null && (queue.nonEmpty || it.hasNext)) {
+              if (headPoppable) {
+                val (r, a, _) = queue.removeHead()
+                out = emit(r, a)
+              } else if (it.hasNext) {
                 val row = it.next()
                 val localIdx = i // arrivalValsInto advances i
                 val arr = new Array[Any](funcs.length)
-                arrivalValsInto(row, arr)
-                queue.addLast((row.copy(), arr, localIdx))
-                if (queue.size > maxLead) {
-                  val (r, a, j) = queue.removeFirst()
-                  fillLead(a, j, localIdx)
-                  out = emit(r, a)
+                arrivalValsInto(row, arr, onRunClose)
+                queue.append((row.copy(), arr, localIdx))
+                // EAGER lead fill: this arrival's value (ring position
+                // localIdx) is exactly slot s of the row k back — filling
+                // now, not at pop, keeps the ring window invariant even
+                // when run-close buffering holds rows past maxK arrivals
+                var t = 0
+                while (t < leadSlots.length) {
+                  val (s, f) = leadSlots(t)
+                  val target = localIdx - f.k
+                  if (target >= 0 && target >= queue.head._3) {
+                    queue((target - queue.head._3).toInt)._2(s) =
+                      shiftValue(f, localIdx, localIdx)
+                  }
+                  t += 1
                 }
-              } else {
-                val (r, a, j) = queue.removeFirst()
-                fillLead(a, j, n - 1L)
-                out = emit(r, a)
-              }
+              } else if (!drained) drainFill()
             }
           override def hasNext: Boolean = { advance(); out != null }
           override def next(): InternalRow = {
@@ -538,11 +866,21 @@ case class GlobalRankExec(
 }
 
 object GlobalRankExec {
+  /** Sentinel for a FORWARD-looking slot (lead / cume_dist / RANGE-frame
+    * aggregate) whose value is not resolved yet — compared by `eq`, so a
+    * user value can never collide with it.
+    */
+  private[plans] case object Unfilled
+
   /** Per-partition boundary stats from the first pass: row count, the
     * first/last order keys (UnsafeRow copies — serializable), the trailing
     * tie-run length (rows equal to `lastKey` at the tail), the distinct-key
     * count, and — when shift functions are present — each shift input's
-    * first/last `maxK` values (outer index = shift-input slot).
+    * first/last `maxK` values (outer index = shift-input slot). For the
+    * forward tie-aware functions: the LEADING run's length and (for RANGE
+    * aggregates) its per-slot partials, so an earlier partition's trailing
+    * run can absorb its continuation. Aggregate arrays are funcs-indexed
+    * (null on non-aggregate slots).
     */
   case class PartStats(
       n: Long,
@@ -551,7 +889,136 @@ object GlobalRankExec {
       trailLen: Long,
       distinct: Long,
       firstVals: Array[Array[InternalRow]] = null,
-      lastVals: Array[Array[InternalRow]] = null)
+      lastVals: Array[Array[InternalRow]] = null,
+      headLen: Long = 0L,
+      aggTotals: Array[Any] = null,
+      headAggs: Array[Any] = null)
+
+  /** Mutable running-aggregate state. The contract that makes the
+    * distributed prefix exact: `merge` is commutative+associative over
+    * `partial` snapshots and accepts null (= empty) as identity, so
+    * per-partition totals fold into carries in one driver pass and a
+    * trailing run absorbs its forward chain in any order. `add` takes the
+    * 1-field projected input row (rule-cast to the accumulation type);
+    * `value` is the Catalyst result value, null = SQL NULL.
+    */
+  sealed trait Acc {
+    def add(r: InternalRow): Unit
+    def merge(partial: Any): Unit
+    def partial: Any
+    def value: Any
+  }
+
+  private final class AccSumLong extends Acc {
+    private var has = false; private var s = 0L
+    def add(r: InternalRow): Unit =
+      if (!r.isNullAt(0)) { has = true; s += r.getLong(0) }
+    def merge(p: Any): Unit = p match {
+      case l: java.lang.Long => has = true; s += l.longValue
+      case _ => ()
+    }
+    def partial: Any = if (has) java.lang.Long.valueOf(s) else null
+    def value: Any = if (has) s else null
+  }
+
+  private final class AccSumDouble extends Acc {
+    private var has = false; private var s = 0.0
+    def add(r: InternalRow): Unit =
+      if (!r.isNullAt(0)) { has = true; s += r.getDouble(0) }
+    def merge(p: Any): Unit = p match {
+      case d: java.lang.Double => has = true; s += d.doubleValue
+      case _ => ()
+    }
+    def partial: Any = if (has) java.lang.Double.valueOf(s) else null
+    def value: Any = if (has) s else null
+  }
+
+  private final class AccSumDecimal(precision: Int, scale: Int) extends Acc {
+    private var bd: java.math.BigDecimal = null
+    def add(r: InternalRow): Unit = if (!r.isNullAt(0)) {
+      val d = r.getDecimal(0, precision, scale).toJavaBigDecimal
+      bd = if (bd == null) d else bd.add(d)
+    }
+    def merge(p: Any): Unit = p match {
+      case d: java.math.BigDecimal => bd = if (bd == null) d else bd.add(d)
+      case _ => ()
+    }
+    def partial: Any = bd
+    def value: Any = if (bd == null) null else {
+      val dec = Decimal(bd)
+      // Spark's sum(decimal) result contract: decimal(p+10, s), null on
+      // overflow (the stock plan's non-ANSI behavior)
+      if (dec.changePrecision(precision, scale)) dec else null
+    }
+  }
+
+  private final class AccCnt extends Acc {
+    private var c = 0L
+    def add(r: InternalRow): Unit = if (!r.isNullAt(0)) c += 1L
+    def merge(p: Any): Unit = p match {
+      case l: java.lang.Long => c += l.longValue
+      case _ => ()
+    }
+    def partial: Any = java.lang.Long.valueOf(c)
+    def value: Any = c // count is never null
+  }
+
+  private final class AccMinMax(dt: DataType, isMin: Boolean) extends Acc {
+    private val ord = RowOrdering.createNaturalAscendingOrdering(Seq(dt))
+    private var best: InternalRow = null
+    def add(r: InternalRow): Unit =
+      if (!r.isNullAt(0) && (best == null ||
+        (if (isMin) ord.compare(r, best) < 0 else ord.compare(r, best) > 0)))
+        best = r.copy() // the projection reuses its buffer
+    def merge(p: Any): Unit = p match {
+      case r: InternalRow => add(r)
+      case _ => ()
+    }
+    def partial: Any = best
+    def value: Any = if (best == null) null else best.get(0, dt)
+  }
+
+  private final class AccAvgDouble extends Acc {
+    private var s = 0.0; private var c = 0L
+    def add(r: InternalRow): Unit =
+      if (!r.isNullAt(0)) { s += r.getDouble(0); c += 1L }
+    def merge(p: Any): Unit = p match {
+      case (ps: java.lang.Double, pc: java.lang.Long) =>
+        s += ps.doubleValue; c += pc.longValue
+      case _ => ()
+    }
+    def partial: Any =
+      if (c > 0L) (java.lang.Double.valueOf(s), java.lang.Long.valueOf(c)) else null
+    def value: Any = if (c == 0L) null else s / c
+  }
+
+  def mkAcc(kind: GlobalRankFunc.AggKind, dt: DataType): Acc = {
+    import GlobalRankFunc.AggKind._
+    kind match {
+      case SumLong => new AccSumLong
+      case SumDouble => new AccSumDouble
+      case SumDecimal(p, s) => new AccSumDecimal(p, s)
+      case Cnt => new AccCnt
+      case MinMax(isMin) => new AccMinMax(dt, isMin)
+      case AvgDouble => new AccAvgDouble
+    }
+  }
+
+  /** funcs-indexed accumulator array (null on non-aggregate slots);
+    * `inputTypes` indexes the node's shared input-slot list.
+    */
+  def mkAccs(funcs: Array[GlobalRankFunc], aggSlots: Array[Int],
+      inputTypes: Array[DataType]): Array[Acc] = {
+    val out = new Array[Acc](funcs.length)
+    var t = 0
+    while (t < aggSlots.length) {
+      val j = aggSlots(t)
+      val f = funcs(j).asInstanceOf[GlobalRankFunc.PrefixAgg]
+      out(j) = mkAcc(f.kind, inputTypes(f.inputIdx))
+      t += 1
+    }
+    out
+  }
 
   /** Driver-stitched per-partition context: the partition's global row
     * offset, the global ordinal where its LEADING tie run's chain began,

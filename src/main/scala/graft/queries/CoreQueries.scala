@@ -1373,6 +1373,68 @@ object CoreQueries {
          GROUP BY bin ORDER BY bin""")
   }
 
+  /** E15: the raw-SQL RUNNING TOTAL — `SUM(x) OVER (ORDER BY ts)` — the
+    * single most common financial prefix query, and until round 8 the
+    * most common shape that still planned the single-partition Window.
+    * [[graft.plans.GlobalRankRule]] now rewrites global prefix aggregates:
+    * per-partition partials ride the SAME stats job as the rank offsets,
+    * each partition folds forward from its carry, and the SQL-default
+    * RANGE frame's peer-inclusive value is resolved at tie-run close with
+    * the trailing run's forward chain stitched through the driver.
+    * Ties are REAL here (≈6 orders share each o_orderdate), so peers
+    * sharing one run-end value is exactly what DuckDB must agree with.
+    * Oracle parity discipline: accumulate in DECIMAL (order-independent),
+    * output DOUBLE (§oracle-parity rules).
+    */
+  def e15RunningTotalSql(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GlobalRank.ensureRegistered(s)
+    t(s, dir, "orders").createOrReplaceTempView("e15_orders")
+    s.sql(
+      """SELECT o_orderkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4)))
+                     OVER (ORDER BY o_orderdate) AS DOUBLE) AS run_total,
+                COUNT(*) OVER (ORDER BY o_orderdate) AS n_seen
+         FROM e15_orders ORDER BY o_orderkey""")
+  }
+
+  /** E16: running MIN/MAX/COUNT over an explicit ROWS frame on a TOTAL
+    * order — the per-row prefix lane of the same rewrite (no tie
+    * buffering: every value resolves at arrival, fully streaming). The
+    * ROWS/RANGE pair (e15/e16) pins both frame semantics against DuckDB's
+    * native window engine.
+    */
+  def e16RunningMinmaxSql(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GlobalRank.ensureRegistered(s)
+    t(s, dir, "orders").createOrReplaceTempView("e16_orders")
+    s.sql(
+      """SELECT o_orderkey,
+                CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_min,
+                CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_max,
+                COUNT(*) OVER w AS n_seen
+         FROM e16_orders
+         WINDOW w AS (ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""")
+  }
+
+  /** C8c: raw-SQL `CUME_DIST() OVER (ORDER BY n_chars)` — the FORWARD
+    * tie-aware rank (value = tie-run END / total), c8b's sibling now that
+    * [[graft.plans.GlobalRankExec]] stitches forward chains (each
+    * partition's leading-run length travels right-to-left through the
+    * driver). n_chars is heavily tied, so runs genuinely span range
+    * partitions at every scale point. Oracle: DuckDB's native cume_dist —
+    * the double is an exact integer ratio, so the hash compare is
+    * bit-stable.
+    */
+  def c8cCumeDistSql(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GlobalRank.ensureRegistered(s)
+    t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      .createOrReplaceTempView("c8c_documents")
+    s.sql(
+      """SELECT doc_id, CUME_DIST() OVER (ORDER BY n_chars) AS cd
+         FROM c8c_documents ORDER BY doc_id""")
+  }
+
   /** A26 — low-cardinality skew join, salted: enrich every event with its
     * event_type's corpus-wide mean and deviation. The join key has ~10
     * distinct values over the whole fact table — the one skew shape AQE's
@@ -1720,6 +1782,9 @@ object CoreQueries {
     "c6_temperature_mix" -> (c6TemperatureMix _),
     "c8_curriculum_bins" -> ((s: SparkSession, d: String) => c8CurriculumBins(s, d)),
     "c8b_curriculum_bins_sql" -> (c8bCurriculumBinsSql _),
+    "c8c_cume_dist_sql" -> (c8cCumeDistSql _),
+    "e15_running_total_sql" -> (e15RunningTotalSql _),
+    "e16_running_minmax_sql" -> (e16RunningMinmaxSql _),
     "a26_salted_skew_join" -> ((s: SparkSession, d: String) => a26SaltedSkewJoin(s, d)),
     "c9_fixed_size_sample" -> ((s: SparkSession, d: String) => c9FixedSizeSample(s, d)),
     "c10_weighted_sample" -> ((s: SparkSession, d: String) => c10WeightedSample(s, d)),
@@ -1984,6 +2049,28 @@ object CoreQueries {
                 COUNT(DISTINCT lang) AS n_langs,
                 COUNT(DISTINCT source) AS n_sources
          FROM ranked GROUP BY bin ORDER BY bin""",
+    // c8c/e15/e16: DuckDB's NATIVE window engine adjudicates the
+    // GlobalRankExec rewrite of forward tie-aware ranks and prefix
+    // aggregates — two engines, two implementations (single-node segment
+    // walk vs distributed carry + chain stitch), one hash.
+    "c8c_cume_dist_sql" ->
+      """SELECT doc_id, CUME_DIST() OVER (ORDER BY n_chars) AS cd
+         FROM documents ORDER BY doc_id""",
+    "e15_running_total_sql" ->
+      """SELECT o_orderkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4)))
+                     OVER (ORDER BY o_orderdate) AS DOUBLE) AS run_total,
+                COUNT(*) OVER (ORDER BY o_orderdate) AS n_seen
+         FROM orders ORDER BY o_orderkey""",
+    "e16_running_minmax_sql" ->
+      """SELECT o_orderkey,
+                CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_min,
+                CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_max,
+                COUNT(*) OVER w AS n_seen
+         FROM orders
+         WINDOW w AS (ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
     "a23_rolling_active_users" ->
       // Bounds-checked sketch gate (the a9b scheme): the exact rolling twin
       // is recomputed here via the 7-day cover explode, and approx_7d_ok is

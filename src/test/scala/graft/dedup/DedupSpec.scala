@@ -540,6 +540,11 @@ class DedupSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       DedupQueries.simhashPairsBlocked(fp, 3, nBlocks = 7) // 7 does not divide 64
     }
+    intercept[IllegalArgumentException] {
+      // nBlocks=1 passed the old guard (64%1==0, 1>0) but divides by zero
+      // in the shift math (perHalf=0) — the domain is nBlocks >= 2
+      DedupQueries.simhashPairsBlocked(fp, 0, nBlocks = 1)
+    }
   }
 
   test("x21: estimates are lane-consistent and cover every x2-verified pair") {

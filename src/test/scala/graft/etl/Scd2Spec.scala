@@ -73,6 +73,24 @@ class Scd2Spec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       Scd2.build(ch, "k", "ts", Seq("version")))
     assert(e.getMessage.contains("version"))
+    // the TS column hits the same clobber (withColumn("version"/"valid_to"/
+    // "is_current") would replace it before the window reads it) — fail
+    // fast instead of corrupting history
+    Seq("version", "valid_to", "is_current").foreach { bad =>
+      val chT = Seq((1L, 10L, "a")).toDF("k", bad, "value")
+      val eT = intercept[IllegalArgumentException](
+        Scd2.build(chT, "k", bad, Seq("value")))
+      assert(eT.getMessage.contains(bad))
+      val eF = intercept[IllegalArgumentException](
+        Scd2.fold(Scd2.build(Seq((1L, 10L, "a")).toDF("k", "ts", "value"),
+          "k", "ts", Seq("value")).withColumnRenamed("valid_from", bad),
+          chT, "k", bad, Seq("value")))
+      assert(eF.getMessage.contains(bad))
+    }
+    // a ts column already NAMED valid_from is fine — the rename is a no-op
+    val okCh = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "valid_from", "value")
+    val h = Scd2.build(okCh, "k", "valid_from", Seq("value"))
+    assert(h.count() == 2 && h.filter(col("is_current")).count() == 1)
   }
 
   test("fold: untouched keys stream through without a rebuild") {

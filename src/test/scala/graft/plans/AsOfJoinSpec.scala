@@ -405,6 +405,46 @@ class AsOfJoinSpec extends SparkSuite {
     assert(msg.contains("LEFT as-of"))
   }
 
+  test("doctrine: null-intolerant reference-side post-filter PRE-filters the chain") {
+    // Catalyst's EliminateOuterJoin + pushdown fold a null-intolerant
+    // right-side filter over a LEFT as-of into an inner as-of over a
+    // pre-filtered reference BEFORE the rewrite rule fires — the documented
+    // pre-filter doctrine. Pin it: probe (1, 25)'s overall-latest row is
+    // (20, "b"), but with the chain pre-filtered to v='a' the latest
+    // MATCHING row is (10, "a") — so (1, 25) appears with "a".
+    val got = asofLeft.where(col("v") === "a")
+      .select(col("ts"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((10L, "a"), (15L, "a"), (25L, "a")),
+      s"pre-filter doctrine changed: $got")
+    // sanity: the same filter applied to a pre-filtered reference by HAND
+    // gives the identical result (the doctrine is "as if the user filtered
+    // the reference before joining")
+    val byHand = probe.join(reference.where(col("v") === "a"),
+        col("k") === col("rk") && expr("asof_match(ts, rts)"), "inner")
+      .select(col("ts"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(byHand == got)
+  }
+
+  test("postFilter: the pushdown barrier keeps match-then-filter semantics") {
+    // same filter, opposite doctrine: match the overall-latest row FIRST,
+    // then keep only pairs whose matched v is 'a' — probe (1, 25) matched
+    // "b" and must now DROP instead of re-matching to "a"
+    val got = AsOfJoin.postFilter(asofLeft, col("v") === "a")
+      .select(col("ts"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((10L, "a"), (15L, "a")), s"post-filter broke: $got")
+    // the barrier must have kept the join LEFT OUTER (EliminateOuterJoin
+    // not applied) and the filter ABOVE the exec (no reference pre-filter)
+    val plan = AsOfJoin.postFilter(asofLeft, col("v") === "a")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftOuter"), plan)
+    val filterAt = plan.indexOf("Filter pushdown_barrier")
+    val joinAt = plan.indexOf("AsOfJoin ")
+    assert(filterAt >= 0 && joinAt > filterAt, plan)
+  }
+
   test("a literal asof_match argument is rejected, not silently nondeterministic") {
     val l = Seq((1L, 10L)).toDF("k", "ts")
     val r = Seq((1L, 5L, "x")).toDF("rk", "rts", "v")

@@ -116,13 +116,17 @@ class GlobalRankSpec extends SparkSuite {
       org.apache.spark.sql.expressions.Window.orderBy(col("count"), col("score")))))
       .contains("GlobalRank"))
     // unsupported functions → untouched (the lint still owns them):
-    // cume_dist needs the END of the tie run (a forward chain), aggregate
-    // windows need frames
-    assert(!planOf(df.withColumn("r", cume_dist().over(wGlob))).contains("GlobalRank"))
-    assert(!planOf(df.withColumn("s", sum(col("score")).over(wGlob))).contains("GlobalRank"))
+    // sliding frames aren't prefix aggregates, first/last aren't matched,
+    // decimal avg has its own precision arithmetic
+    val sliding = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score"), col("id")).rowsBetween(-2, 0)
+    assert(!planOf(df.withColumn("s", sum(col("score")).over(sliding))).contains("GlobalRank"))
+    assert(!planOf(df.withColumn("f", first(col("payload")).over(wGlob))).contains("GlobalRank"))
+    assert(!planOf(df.withColumn("a",
+      avg(col("score").cast("decimal(10,2)")).over(wGlob))).contains("GlobalRank"))
     // one unsupported sibling vetoes the whole node
     val mixed = df.withColumn("rn", row_number().over(wGlob))
-      .withColumn("r", cume_dist().over(wGlob))
+      .withColumn("f", first(col("payload")).over(wGlob))
     assert(!planOf(mixed).contains("GlobalRank"))
   }
 
@@ -170,6 +174,188 @@ class GlobalRankSpec extends SparkSuite {
     val one = Seq((1L, 5L)).toDF("id", "score")
       .withColumn("p", percent_rank().over(w))
     assert(one.collect().head.getAs[Double]("p") == 0.0)
+  }
+
+  test("cume_dist is tie-exact vs the stock Window, chains and nulls included") {
+    // heavy ties force runs to span range-partition boundaries — the
+    // FORWARD chain (run END) is the part the driver must stitch
+    for (seed <- Seq(7L, 19L, 37L)) {
+      val rnd = new scala.util.Random(seed)
+      val df = (1 to 1100).map { i =>
+        val s: Option[Long] = if (rnd.nextInt(25) == 0) None else Some(rnd.nextInt(5).toLong)
+        (i.toLong, s)
+      }.toDF("id", "score")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+      val viaExec = df.withColumn("c", cume_dist().over(w))
+      val p = viaExec.queryExecution.executedPlan.toString
+      assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+      val viaStock = df.dropDuplicates("id").withColumn("c", cume_dist().over(w))
+      assert(!viaStock.queryExecution.executedPlan.toString.contains("GlobalRank"))
+      def m(d: DataFrame) = d.select(col("id"), col("c")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(m(viaExec) == m(viaStock), s"seed $seed: cume_dist diverged")
+    }
+    // one giant tie: every row's run end is the corpus end → cume 1.0
+    val giant = (1 to 1500).map(i => (i.toLong, 7L)).toDF("id", "score")
+      .withColumn("c", cume_dist().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("score"))))
+    assert(giant.queryExecution.executedPlan.toString.contains("GlobalRank"))
+    assert(giant.select("c").distinct().collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+  }
+
+  test("running aggregates (RANGE default frame) are tie-exact vs the stock Window") {
+    // sum/min/max/count over long + decimal: exact compares; the RANGE
+    // frame is peer-INCLUSIVE, so tie runs spanning partitions must absorb
+    // their forward chain (each partition's leading-run partials)
+    for (seed <- Seq(11L, 43L)) {
+      val rnd = new scala.util.Random(seed)
+      val df = (1 to 1300).map { i =>
+        val s: Option[Long] = if (rnd.nextInt(30) == 0) None else Some(rnd.nextInt(6).toLong)
+        val v: Option[Long] = if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(1000).toLong - 500L)
+        (i.toLong, s, v)
+      }.toDF("id", "score", "v").withColumn("dv", col("v").cast("decimal(12,2)") / 4)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+      def agged(d: DataFrame) = d
+        .withColumn("s", sum(col("v")).over(w))
+        .withColumn("sd", sum(col("dv")).over(w))
+        .withColumn("mn", min(col("v")).over(w))
+        .withColumn("mx", max(col("v")).over(w))
+        .withColumn("c", count(col("v")).over(w))
+        .withColumn("ca", count(lit(1)).over(w))
+      val viaExec = agged(df)
+      val p = viaExec.queryExecution.executedPlan.toString
+      assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+      val viaStock = agged(df.dropDuplicates("id"))
+      assert(!viaStock.queryExecution.executedPlan.toString.contains("GlobalRank"))
+      def m(d: DataFrame) = d.select("id", "s", "sd", "mn", "mx", "c", "ca")
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(m(viaExec) == m(viaStock), s"seed $seed: RANGE running aggregates diverged")
+    }
+  }
+
+  test("running aggregates (ROWS frame) over a total order match the stock Window") {
+    val rnd = new scala.util.Random(67)
+    val df = (1 to 900).map { i =>
+      val v: Option[Long] = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(100).toLong)
+      (i.toLong, rnd.nextInt(40).toLong, v)
+    }.toDF("id", "score", "v")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    def agged(d: DataFrame) = d
+      .withColumn("s", sum(col("v")).over(w))
+      .withColumn("mn", min(col("v")).over(w))
+      .withColumn("c", count(col("v")).over(w))
+    val viaExec = agged(df)
+    val p = viaExec.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    val viaStock = agged(df.dropDuplicates("id"))
+    def m(d: DataFrame) = d.select("id", "s", "mn", "c")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(m(viaExec) == m(viaStock), "ROWS running aggregates diverged")
+  }
+
+  test("ROWS vs RANGE on ties: RANGE gives every peer the run-end value") {
+    val df = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 5L))
+      .toDF("id", "score", "v")
+    val base = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+    val rows = base.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val d = df.withColumn("range_s", sum(col("v")).over(base))
+      .withColumn("rows_s", sum(col("v")).over(rows))
+      .orderBy("id")
+    assert(d.queryExecution.executedPlan.toString.contains("GlobalRank"))
+    val got = d.select("range_s", "rows_s").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ids 1,2 tie on score=1: RANGE includes BOTH peers for both rows
+    assert(got.toSeq == Seq((30L, 10L), (30L, 30L), (35L, 35L)), got.mkString(","))
+  }
+
+  test("avg and double-sum match the stock Window within fp tolerance") {
+    // partition-partial merge order differs from the stock sequential fold,
+    // so doubles compare with a relative tolerance (exact types are the
+    // oracle-gated lane; see e15/c8c)
+    val rnd = new scala.util.Random(71)
+    val df = (1 to 800).map { i =>
+      (i.toLong, rnd.nextInt(7).toLong, rnd.nextDouble() * 100 - 50)
+    }.toDF("id", "score", "x")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+    def agged(d: DataFrame) = d
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("a", avg(col("x")).over(w))
+      .withColumn("ai", avg(col("id")).over(w))
+    val viaExec = agged(df)
+    assert(viaExec.queryExecution.executedPlan.toString.contains("GlobalRank"))
+    val viaStock = agged(df.dropDuplicates("id"))
+    def m(d: DataFrame) = d.select("id", "s", "a", "ai").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val (ge, gs) = (m(viaExec), m(viaStock))
+    assert(ge.keySet == gs.keySet)
+    def close(x: Double, y: Double) = math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
+    ge.foreach { case (id, (s, a, ai)) =>
+      val (s2, a2, ai2) = gs(id)
+      assert(close(s, s2) && close(a, a2) && close(ai, ai2), s"id=$id: ($s,$a,$ai) vs ($s2,$a2,$ai2)")
+    }
+  }
+
+  test("all-null and empty aggregate inputs: sum NULL, count 0, min/max NULL") {
+    val df = (1 to 200).map(i => (i.toLong, (i % 5).toLong))
+      .toDF("id", "score")
+      .withColumn("v", lit(null).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
+    val d = df.withColumn("s", sum(col("v")).over(w))
+      .withColumn("mn", min(col("v")).over(w))
+      .withColumn("c", count(col("v")).over(w))
+    assert(d.queryExecution.executedPlan.toString.contains("GlobalRank"))
+    val rows = d.select("s", "mn", "c").distinct().collect()
+    assert(rows.length == 1 && rows.head.isNullAt(0) && rows.head.isNullAt(1)
+      && rows.head.getLong(2) == 0L, rows.mkString(","))
+  }
+
+  test("mixed node: ranks + shifts + cume + running aggregates agree with the stock Window") {
+    // every family in ONE window node — the delay-line must resolve lead
+    // slots eagerly even while run-close buffering holds rows
+    val rnd = new scala.util.Random(83)
+    val df = (1 to 1000).map { i =>
+      val v: Option[Long] = if (rnd.nextInt(15) == 0) None else Some(rnd.nextInt(200).toLong)
+      (i.toLong, rnd.nextInt(8).toLong, v)
+    }.toDF("id", "score", "v")
+    // order on (score, id): TOTAL, so even row_number/shifts compare exact;
+    // ties still exist on score alone, so ALSO run a ties window for the
+    // tie-aware functions
+    val wT = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
+    def full(d: DataFrame) = d
+      .withColumn("rn", row_number().over(wT))
+      .withColumn("r", rank().over(wT))
+      .withColumn("cd", cume_dist().over(wT))
+      .withColumn("s", sum(col("v")).over(wT))
+      .withColumn("lg", lag(col("v"), 3).over(wT))
+      .withColumn("ld", lead(col("v"), 5, -1L).over(wT))
+    val viaExec = full(df)
+    val p = viaExec.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    val viaStock = full(df.dropDuplicates("id"))
+    def m(d: DataFrame) = d.select("id", "rn", "r", "cd", "s", "lg", "ld")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(m(viaExec) == m(viaStock), "mixed node diverged")
+  }
+
+  test("raw SQL running total + cume_dist rewrite (the e15/c8c surface)") {
+    corpus(700, 97).createOrReplaceTempView("gr_run_sql")
+    val df = spark.sql(
+      """SELECT id,
+                SUM(score) OVER (ORDER BY score, id) AS run_total,
+                CUME_DIST() OVER (ORDER BY score) AS cd,
+                COUNT(*) OVER (ORDER BY score, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen
+         FROM gr_run_sql""")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    val rows = df.orderBy("seen").collect()
+    assert(rows.length == 700 && rows.map(_.getLong(3)).toSeq == (1L to 700L))
+    // run_total is non-decreasing in the (non-negative score) order
+    val totals = rows.map(_.getLong(1))
+    assert(totals.zip(totals.tail).forall { case (a, b) => a <= b })
+    assert(rows.last.getDouble(2) == 1.0)
   }
 
   test("tileOf implements the SQL-standard remainder rule for all shapes") {

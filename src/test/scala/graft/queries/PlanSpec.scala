@@ -105,6 +105,20 @@ class PlanSpec extends SparkSuite {
     assert(viaApi == viaSql, "c8 and c8b diverged")
   }
 
+  test("c8c/e15/e16: cume_dist + prefix aggregates rewrite to GlobalRankExec, no Window") {
+    for (df <- Seq(CoreQueries.c8cCumeDistSql(spark, sf001),
+        CoreQueries.e15RunningTotalSql(spark, sf001),
+        CoreQueries.e16RunningMinmaxSql(spark, sf001))) {
+      val p = simplePlan(df)
+      assert(p.contains("GlobalRank"),
+        "forward tie-aware / prefix-aggregate windows must rewrite:\n" + p)
+      assert(!p.contains("Window"),
+        "no single-partition Window may survive the rewrite:\n" + p)
+      assert(p.contains("rangepartitioning"),
+        "the prefix must ride a range exchange (a global sort's envelope):\n" + p)
+    }
+  }
+
   test("x6: ANN top-k plans as a partial object aggregate, not a window sort") {
     val p = plan(graft.similarity.SimilarityQueries.x6AnnBruteForce(spark, sf001, 10))
     assert(p.contains("ObjectHashAggregate"), "TopKAggregator should plan as ObjectHashAggregate")
