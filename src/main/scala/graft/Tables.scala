@@ -69,7 +69,11 @@ object Tables {
     * [[refreshViews]] (or re-register) after any mutation of `dir`. This is
     * the same contract Spark's own catalog tables carry (REFRESH TABLE
     * after out-of-band file changes); a plain parquet directory gives the
-    * engine no manifest to detect the swap with.
+    * engine no manifest to detect the swap with. Tables that need
+    * stale-proof concurrent reads live in [[graft.etl.SnapshotLake]]
+    * instead: its reads resolve through the newest manifest, every resolved
+    * frame pins immutable generation dirs, and a commit can never tear or
+    * invalidate an in-flight scan.
     */
   def registerViews(spark: SparkSession, dir: String): Unit =
     all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))

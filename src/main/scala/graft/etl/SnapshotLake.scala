@@ -1,0 +1,402 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SNAPSHOT-ISOLATED partitioned parquet lake: a manifest-pointer commit
+  * protocol over immutable per-partition GENERATION directories.
+  *
+  * [[Upsert.mergePartitionedParquet]] installs touched partitions by
+  * sequential per-directory renames — the writer's crash recovery
+  * converges, but a reader listing the table between rename k and k+1 sees
+  * partition A new / partition B old (torn), and a compacted partition is
+  * transiently ABSENT for one rename window. A plain Hive directory cannot
+  * swap atomically; the standard fix (Iceberg/Delta's core idea) is a
+  * MANIFEST: data files are immutable, a tiny metadata file lists exactly
+  * which files form a snapshot, and publishing a commit is ONE atomic
+  * create — readers resolve through the newest manifest and can never
+  * observe a half-installed state.
+  *
+  * Layout (under the table root):
+  * {{{
+  *   _manifests/manifest-<zero-padded gen>     one per commit; max = current
+  *   data/<partitionCol>=<HEX>/gen=<n>/part-….parquet
+  * }}}
+  *  - Partition dir names carry the value HEX-ENCODED (of its
+  *    `cast(v as string)` UTF-8 bytes, computed by the same Spark
+  *    expression that routes the rows) and are NEVER parsed back — the
+  *    partition column is stored IN the data files, so values round-trip
+  *    with their exact types (the "string shard '0025' re-emerging as int
+  *    25" class of bug is structurally impossible, where the Hive-layout
+  *    merge needs a pinned schema + escape-safety fallback).
+  *  - A `gen=<n>` dir is written ONCE and never modified; a new commit
+  *    writes new gen dirs for the partitions it touches and re-points the
+  *    manifest. Install renames happen BEFORE the publish, so readers
+  *    cannot see them; the manifest create is the single atomic cut.
+  *
+  * Guarantees (SnapshotLakeSpec pins each):
+  *  - SNAPSHOT READS: a reader resolving between a commit's installs and
+  *    its publish sees the wholly-OLD snapshot; after the publish, the
+  *    wholly-NEW one; never a mix. A resolved DataFrame holds concrete
+  *    gen-dir paths, so later commits don't disturb an in-flight scan
+  *    (gen dirs are immutable until [[vacuum]]).
+  *  - CRASH SAFETY: a writer dying after staging/installing but before the
+  *    manifest create leaves the old snapshot fully readable; the next
+  *    writer GCs the unpublished orphan gens (single-writer lease) and
+  *    re-runs to convergence (idempotent LWW).
+  *  - SHARED MECHANISM: [[merge]] (keyed last-write-wins upsert) and
+  *    [[compact]] (small-file maintenance) both commit through the same
+  *    prepare→publish path; [[readAt]] gives time travel over retained
+  *    manifests for free.
+  *
+  * Scale shape (100 TB): a commit's metadata cost is O(#partitions) manifest
+  * lines + one file create — no recursive listing anywhere (the manifest IS
+  * the listing, the same reason table formats beat raw Hive layouts at
+  * scale). Data cost is partition-scoped exactly like the Hive-layout
+  * merge: untouched partitions are not read, not rewritten, and their gen
+  * dirs stay byte-identical. Reader-side partition pruning happens at
+  * manifest resolution ([[read]]'s `partitionValues` overload) before Spark
+  * ever lists a file.
+  *
+  * Single-writer protocol via [[LakeLease]], as for every lake mutator.
+  * Readers take no lock: they race only the atomic manifest create.
+  */
+object SnapshotLake {
+
+  /** One live partition in a snapshot: its dir name (`<col>=<HEX>`, taken
+    * VERBATIM from the staged listing), the generation serving it, and the
+    * value's string form (for manifest-level pruning and humans).
+    */
+  case class Entry(dirName: String, gen: Long, value: String)
+
+  case class Manifest(gen: Long, partitionCol: String, entries: Seq[Entry])
+
+  private val ManifestName = """manifest-(\d{20})""".r
+
+  private def manifestDir(path: String) = new Path(path, "_manifests")
+  private def dataDir(path: String) = new Path(path, "data")
+  private def genDirOf(path: String, e: Entry) =
+    new Path(new Path(dataDir(path), e.dirName), s"gen=${e.gen}")
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The newest published manifest, or None for a fresh/absent table. */
+  def currentManifest(spark: SparkSession, path: String): Option[Manifest] = {
+    val fs = fsOf(spark, path)
+    val dir = manifestDir(path)
+    if (!fs.exists(dir)) return None
+    val names = fs.listStatus(dir).map(_.getPath.getName).collect {
+      case n @ ManifestName(g) => (g.toLong, n)
+    }
+    if (names.isEmpty) None
+    else {
+      val (gen, name) = names.maxBy(_._1)
+      Some(parseManifest(fs, new Path(dir, name), gen))
+    }
+  }
+
+  private def parseManifest(fs: FileSystem, p: Path, gen: Long): Manifest = {
+    val in = fs.open(p)
+    val text = try {
+      scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    } finally in.close()
+    val lines = text.split('\n').filter(_.nonEmpty)
+    val header = lines.head.split('\t')
+    require(header.length == 3 && header(0) == "graft-snapshot-v1",
+      s"unrecognized manifest header in $p: ${lines.head}")
+    val entries = lines.tail.toSeq.map { l =>
+      // value strings may contain tabs — split only the first two fields
+      val a = l.split('\t')
+      Entry(a(0), a(1).toLong, a.drop(2).mkString("\t"))
+    }
+    Manifest(gen, header(1), entries)
+  }
+
+  /** PUBLISH: the one atomic cut. Write to a temp name, then a single
+    * rename to `manifest-<gen>` — on every real filesystem a create-rename
+    * (no overwrite) is atomic, so readers list either the old max or the
+    * new max, never a torn file.
+    */
+  private[etl] def publish(fs: FileSystem, path: String, m: Manifest): Unit = {
+    val dir = manifestDir(path)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, f".tmp-${m.gen}%020d-${System.nanoTime()}")
+    val out = fs.create(tmp, false)
+    try {
+      val sb = new StringBuilder
+      sb.append(s"graft-snapshot-v1\t${m.partitionCol}\t${m.gen}\n")
+      m.entries.sortBy(_.dirName).foreach { e =>
+        sb.append(s"${e.dirName}\t${e.gen}\t${e.value}\n")
+      }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+    Upsert.renameOrThrow(fs, tmp, new Path(dir, f"manifest-${m.gen}%020d"))
+  }
+
+  /** Read the current snapshot. The returned frame binds the manifest's
+    * concrete gen-dir paths, so it is a stable SNAPSHOT: commits that land
+    * after this call do not change (or break) it until a [[vacuum]] drops
+    * the generation dirs it pins.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readManifest(spark, path, currentManifest(spark, path).getOrElse(
+      throw new IllegalStateException(s"$path has no published snapshot")), None)
+
+  /** Read the current snapshot restricted to `partitionValues` (compared on
+    * the value's `cast as string` form): manifest-level pruning — Spark
+    * never even lists the other partitions' files.
+    */
+  def read(spark: SparkSession, path: String, partitionValues: Seq[Any]): DataFrame =
+    readManifest(spark, path, currentManifest(spark, path).getOrElse(
+      throw new IllegalStateException(s"$path has no published snapshot")),
+      Some(partitionValues.map(String.valueOf).toSet))
+
+  /** Time travel: read the snapshot as of manifest `gen` (must still be
+    * retained — see [[vacuum]]).
+    */
+  def readAt(spark: SparkSession, path: String, gen: Long): DataFrame = {
+    val fs = fsOf(spark, path)
+    val p = new Path(manifestDir(path), f"manifest-$gen%020d")
+    require(fs.exists(p), s"snapshot $gen of $path is not retained")
+    readManifest(spark, path, parseManifest(fs, p, gen), None)
+  }
+
+  private def readManifest(spark: SparkSession, path: String, m: Manifest,
+      values: Option[Set[String]]): DataFrame = {
+    val picked = values match {
+      case Some(vs) => m.entries.filter(e => vs.contains(e.value))
+      case None => m.entries
+    }
+    if (picked.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(picked.map(e => genDirOf(path, e).toString): _*)
+  }
+
+  /** Keyed LWW merge into the lake — [[Upsert.mergePartitionedParquet]]'s
+    * semantics (same CONTRACT: `partitionCol` functionally determined by
+    * `keys`; on key collision the update wins, then LWW on `versionCol` +
+    * `tieBreakers`) with a snapshot-isolated commit.
+    */
+  def merge(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      partitionCol: String,
+      tieBreakers: Seq[String] = Nil): Unit = {
+    require(updates.columns.contains(partitionCol),
+      s"updates must carry partition column '$partitionCol'")
+    val deduped = Upsert.lastWriteWins(updates, keys, versionCol, tieBreakers)
+    LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
+      prepareMerge(spark, path, deduped, keys, versionCol, partitionCol,
+        tieBreakers).foreach { case (fs, m) => publish(fs, path, m) }
+    }
+  }
+
+  /** Everything EXCEPT the publish: GC orphans, stage the merged affected
+    * partitions, install their new gen dirs, and return the pending
+    * manifest. Split out so the spec can pin the law directly: after
+    * prepare, a reader sees the wholly-old snapshot; after [[publish]],
+    * the wholly-new one. Callers must hold the lease. None = empty batch.
+    */
+  private[etl] def prepareMerge(
+      spark: SparkSession,
+      path: String,
+      deduped: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      partitionCol: String,
+      tieBreakers: Seq[String]): Option[(FileSystem, Manifest)] = {
+    val fs = fsOf(spark, path)
+    val cur = currentManifest(spark, path)
+    val curGen = cur.map(_.gen).getOrElse(0L)
+    cur.foreach(m => require(m.partitionCol == partitionCol,
+      s"$path is partitioned by ${m.partitionCol}, not $partitionCol"))
+    gcOrphans(fs, path, curGen)
+    val staging = new Path(path, "_staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    // (value-string, hex) computed by SPARK expressions — the same cast +
+    // hex that routes the rows below, so driver and executors can never
+    // disagree on a value's directory. Bounded collect: one row per
+    // affected partition.
+    val castStr = expr(s"cast(`$partitionCol` as string)")
+    val affected = deduped
+      .select(castStr.as("__v"), hex(castStr).as("__h")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    if (affected.isEmpty) return None
+    require(affected.forall(_._1 != null),
+      s"null $partitionCol in update batch: a null partition value has no " +
+        "directory form — filter or default it upstream")
+    val newGen = curGen + 1
+    val affectedDirs = affected.map { case (_, h) => s"$partitionCol=$h" }.toSet
+    val hit = cur.map(_.entries.filter(e => affectedDirs.contains(e.dirName)))
+      .getOrElse(Nil)
+    // Existing rows of ONLY the affected partitions, read through the
+    // manifest's gen dirs. Schema pinned to the updates' (every column —
+    // partitionCol included — is a DATA column in the files).
+    val existing =
+      if (hit.isEmpty) None
+      else Some(spark.read.schema(deduped.schema)
+        .parquet(hit.map(e => genDirOf(path, e).toString): _*))
+    val merged = existing match {
+      case Some(ex) =>
+        Upsert.lastWriteWins(
+          ex.withColumn("__gen", lit(0L))
+            .unionByName(deduped.withColumn("__gen", lit(1L))),
+          keys, "__gen", versionCol +: tieBreakers).drop("__gen")
+      case None => deduped
+    }
+    // ONE write job for every affected partition: route rows by the hex
+    // dir key (a derived column, so partitionCol itself STAYS in the
+    // files), then install each staged dir as the partition's next gen.
+    merged.withColumn("__pdir", hex(castStr))
+      .write.partitionBy("__pdir").parquet(staging.toString)
+    val staged = fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__pdir="))
+    val valueOfHex = affected.map { case (v, h) => h -> v }.toMap
+    val newEntries = staged.map { s =>
+      val hexName = s.getPath.getName.stripPrefix("__pdir=")
+      val dirName = s"$partitionCol=$hexName"
+      val dest = genDirOf(path, Entry(dirName, newGen, ""))
+      fs.mkdirs(dest.getParent)
+      Upsert.renameOrThrow(fs, s.getPath, dest)
+      Entry(dirName, newGen,
+        valueOfHex.getOrElse(hexName, sys.error(
+          s"staged dir $hexName has no affected value — hex routing diverged")))
+    }.toSeq
+    fs.delete(staging, true)
+    val kept = cur.map(_.entries.filterNot(e => affectedDirs.contains(e.dirName)))
+      .getOrElse(Nil)
+    Some((fs, Manifest(newGen, partitionCol, kept ++ newEntries)))
+  }
+
+  /** Unpublished generation dirs (gen > the current manifest) are orphans
+    * of a crashed prepare: no reader can reference them, the lease
+    * guarantees no writer owns them — delete, then the re-run converges.
+    */
+  private def gcOrphans(fs: FileSystem, path: String, curGen: Long): Unit = {
+    val data = dataDir(path)
+    if (!fs.exists(data)) return
+    fs.listStatus(data).filter(_.isDirectory).foreach { part =>
+      fs.listStatus(part.getPath).foreach { g =>
+        g.getPath.getName match {
+          case s if s.startsWith("gen=") && s.stripPrefix("gen=").toLong > curGen =>
+            fs.delete(g.getPath, true)
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  /** Small-file compaction, committed through the same manifest mechanism:
+    * each fragmented partition's current gen is rewritten (coalesced to
+    * `ceil(bytes/targetBytes)` files, floored at `minFilesToCompact`) into
+    * a NEW gen, and one publish re-points them all. Readers never see an
+    * absent or half-compacted partition — the window
+    * [[Upsert.compactPartitionedParquet]] documents simply does not exist
+    * here; a reader pinned to the pre-compact snapshot keeps reading the
+    * old files until [[vacuum]]. Row content is preserved as a multiset.
+    * Returns (dirName, filesBefore, filesAfter) per compacted partition.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      minFilesToCompact: Int = 4): Seq[(String, Int, Int)] =
+    LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
+      val fs = fsOf(spark, path)
+      currentManifest(spark, path) match {
+        case None => Nil
+        case Some(m) =>
+          gcOrphans(fs, path, m.gen)
+          val picked = m.entries.flatMap { e =>
+            val files = fs.listStatus(genDirOf(path, e))
+              .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+            val bytes = files.map(_.getLen).sum
+            val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+            if (files.length > math.max(want, minFilesToCompact))
+              Some((e, files.length, want))
+            else None
+          }
+          if (picked.isEmpty) Nil
+          else {
+            val newGen = m.gen + 1
+            // independent per-partition rewrites → concurrent jobs (the
+            // compactPartitionedParquet pattern); failures propagate before
+            // any publish, so a partial failure publishes nothing
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(8, picked.length))
+            try {
+              implicit val ec: scala.concurrent.ExecutionContext =
+                scala.concurrent.ExecutionContext.fromExecutorService(pool)
+              val jobs = picked.map { case (e, _, want) =>
+                scala.concurrent.Future {
+                  val dest = new Path(new Path(dataDir(path), e.dirName), s"gen=$newGen")
+                  spark.read.parquet(genDirOf(path, e).toString)
+                    .coalesce(want)
+                    .write.parquet(dest.toString)
+                }
+              }
+              scala.concurrent.Await.result(
+                scala.concurrent.Future.sequence(jobs),
+                scala.concurrent.duration.Duration.Inf)
+            } finally pool.shutdown()
+            val bumped = picked.map(_._1.dirName).toSet
+            publish(fs, path, Manifest(newGen, m.partitionCol,
+              m.entries.map(e =>
+                if (bumped.contains(e.dirName)) e.copy(gen = newGen) else e)))
+            picked.map { case (e, before, _) =>
+              val after = fs.listStatus(
+                new Path(new Path(dataDir(path), e.dirName), s"gen=$newGen"))
+                .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+              (e.dirName, before, after)
+            }
+          }
+      }
+    }
+
+  /** Retention: keep the newest `keepManifests` snapshots (and every gen
+    * dir they reference), delete everything older — both the unreferenced
+    * gen dirs and the expired manifest files. Readers pinned to an expired
+    * snapshot lose it (the Delta/Iceberg VACUUM contract); size the
+    * retention to the longest-running reader. Returns the number of gen
+    * dirs removed.
+    */
+  def vacuum(spark: SparkSession, path: String, keepManifests: Int = 1): Int = {
+    require(keepManifests >= 1, s"keepManifests must be >= 1, got $keepManifests")
+    LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
+      val fs = fsOf(spark, path)
+      val dir = manifestDir(path)
+      val manifests =
+        if (!fs.exists(dir)) Array.empty[(Long, String)]
+        else fs.listStatus(dir).map(_.getPath.getName).collect {
+          case n @ ManifestName(g) => (g.toLong, n)
+        }.sortBy(-_._1)
+      if (manifests.isEmpty) 0
+      else {
+        val kept = manifests.take(keepManifests)
+        val referenced: Set[(String, Long)] = kept.flatMap { case (g, n) =>
+          parseManifest(fs, new Path(dir, n), g).entries.map(e => (e.dirName, e.gen))
+        }.toSet
+        var removed = 0
+        val data = dataDir(path)
+        if (fs.exists(data)) fs.listStatus(data).filter(_.isDirectory).foreach { part =>
+          fs.listStatus(part.getPath).foreach { g =>
+            val name = g.getPath.getName
+            if (name.startsWith("gen=") &&
+              !referenced.contains((part.getPath.getName, name.stripPrefix("gen=").toLong))) {
+              fs.delete(g.getPath, true); removed += 1
+            }
+          }
+          if (fs.listStatus(part.getPath).isEmpty) fs.delete(part.getPath, false)
+        }
+        manifests.drop(keepManifests).foreach { case (_, n) =>
+          fs.delete(new Path(dir, n), false)
+        }
+        removed
+      }
+    }
+  }
+}

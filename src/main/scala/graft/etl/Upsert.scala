@@ -131,8 +131,13 @@ object Upsert {
     * different partition would survive the scoped merge.
     *
     * Atomicity is per partition (each directory swap is a rename), not per
-    * batch — same granularity a table format's MERGE commits at file level;
-    * re-running the batch converges regardless (idempotent LWW).
+    * batch — a reader listing the table BETWEEN two installs of one batch
+    * can see partition A new / partition B old. Re-running the batch
+    * converges regardless (idempotent LWW); writers are fully crash-safe.
+    * When concurrent readers need a consistent cut, use [[SnapshotLake]]
+    * (same merge semantics, snapshot-isolated manifest commit); this
+    * Hive-layout merge remains for tables that must stay readable by plain
+    * `spark.read.parquet(path)` with no manifest resolution.
     */
   def mergePartitionedParquet(
       spark: SparkSession,
@@ -301,9 +306,11 @@ object Upsert {
     * the root in that window silently misses the partition's rows. The
     * merge has the same window, but there the partition's content is
     * changing anyway; compaction introduces it for data that is logically
-    * unchanged. Run compaction in a maintenance window, or adopt a
-    * manifest-based table format when concurrent readers must never
-    * observe the gap — a plain parquet directory cannot swap atomically.
+    * unchanged. Run compaction in a maintenance window, or use
+    * [[SnapshotLake]] — the engine's manifest-pointer lake, where commits
+    * publish with ONE atomic manifest create and the gap structurally
+    * cannot exist (a plain Hive parquet directory cannot swap atomically;
+    * a manifest can).
     *
     * Returns (partitionDir, filesBefore, filesAfter) per compacted
     * partition, newest state; empty when nothing crossed the threshold.

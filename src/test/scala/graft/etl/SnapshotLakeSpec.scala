@@ -1,0 +1,164 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The manifest-pointer lake: snapshot isolation (no torn reads between a
+  * commit's installs and its publish), crash recovery before the publish,
+  * LWW-equivalence with the Hive-layout merge, shared compaction commit,
+  * exact-type round-trips, time travel, and vacuum retention.
+  */
+class SnapshotLakeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_snaplake").toString + "/t"
+
+  private def state(df: DataFrame): Map[String, (Long, Double)] =
+    df.collect().map(r => r.getAs[String]("key") ->
+      ((r.getAs[Long]("v"), r.getAs[Double]("price")))).toMap
+
+  private val b1 = Seq(
+    ("k1", "2025-01-01", 1L, 10.0),
+    ("k2", "2025-01-02", 1L, 20.0),
+    ("k3", "2025-01-03", 1L, 30.0)).toDF("key", "dt", "v", "price")
+  private val b2 = Seq(
+    ("k1", "2025-01-01", 2L, 15.0),
+    ("k4", "2025-01-04", 1L, 40.0)).toDF("key", "dt", "v", "price")
+
+  test("merge → read round-trip; LWW semantics equal the Hive-layout merge") {
+    val dir = tmp()
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    SnapshotLake.merge(spark, dir, b2, Seq("key"), "v", "dt")
+    val got = state(SnapshotLake.read(spark, dir))
+    // the Hive-layout merge over the same batches is the semantic twin
+    val hive = Files.createTempDirectory("graft_snaplake_twin").toString + "/t"
+    Upsert.mergePartitionedParquet(spark, hive, b1, Seq("key"), "v", "dt")
+    Upsert.mergePartitionedParquet(spark, hive, b2, Seq("key"), "v", "dt")
+    assert(got == state(spark.read.parquet(hive)), s"diverged from Hive-layout merge: $got")
+    assert(got == Map("k1" -> ((2L, 15.0)), "k2" -> ((1L, 20.0)),
+      "k3" -> ((1L, 30.0)), "k4" -> ((1L, 40.0))))
+    // partition column kept its exact value and type (stored IN the files)
+    assert(SnapshotLake.read(spark, dir).schema("dt").dataType ==
+      org.apache.spark.sql.types.StringType)
+    // replaying b2 converges (idempotent LWW through a fresh gen + manifest)
+    SnapshotLake.merge(spark, dir, b2, Seq("key"), "v", "dt")
+    assert(state(SnapshotLake.read(spark, dir)) == got)
+  }
+
+  test("snapshot isolation: a reader between installs and publish sees wholly-old") {
+    val dir = tmp()
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    val before = state(SnapshotLake.read(spark, dir))
+    // prepare WITHOUT publish = the exact mid-commit window: all affected
+    // partitions' new gen dirs are fully installed on disk
+    val deduped = Upsert.lastWriteWins(b2, Seq("key"), "v", Nil)
+    val pending = SnapshotLake.prepareMerge(
+      spark, dir, deduped, Seq("key"), "v", "dt", Nil).get
+    // a reader resolving NOW sees the wholly-OLD snapshot — no torn state,
+    // no transiently-absent partition, even though dt=2025-01-01's next gen
+    // and the brand-new dt=2025-01-04 are already on disk
+    assert(state(SnapshotLake.read(spark, dir)) == before,
+      "reader observed a half-committed merge")
+    // a frame resolved BEFORE the commit keeps reading the old snapshot
+    val pinned = SnapshotLake.read(spark, dir)
+    SnapshotLake.publish(pending._1, dir, pending._2)
+    assert(state(SnapshotLake.read(spark, dir)) ==
+      Map("k1" -> ((2L, 15.0)), "k2" -> ((1L, 20.0)),
+        "k3" -> ((1L, 30.0)), "k4" -> ((1L, 40.0))),
+      "publish must atomically expose the wholly-new snapshot")
+    assert(state(pinned) == before,
+      "a pre-commit reader's pinned snapshot changed under it")
+  }
+
+  test("crash before publish: old snapshot readable, re-run converges") {
+    val dir = tmp()
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    val before = state(SnapshotLake.read(spark, dir))
+    // simulate the crash: prepare (stage + install) and DROP the manifest
+    val deduped = Upsert.lastWriteWins(b2, Seq("key"), "v", Nil)
+    SnapshotLake.prepareMerge(spark, dir, deduped, Seq("key"), "v", "dt", Nil)
+    assert(state(SnapshotLake.read(spark, dir)) == before,
+      "crashed (unpublished) commit must be invisible")
+    // next writer GCs the orphan gens and commits cleanly
+    SnapshotLake.merge(spark, dir, b2, Seq("key"), "v", "dt")
+    assert(state(SnapshotLake.read(spark, dir)) ==
+      Map("k1" -> ((2L, 15.0)), "k2" -> ((1L, 20.0)),
+        "k3" -> ((1L, 30.0)), "k4" -> ((1L, 40.0))))
+  }
+
+  test("compaction commits through the same manifest; readers never see a gap") {
+    val dir = tmp()
+    // fragment one partition: a spread-out batch writes one file per task
+    // holding the partition's rows (the merge rewrites whole partitions, so
+    // unlike an append sink, fragmentation comes from write parallelism)
+    val wide = (1 to 6).map(i => (s"k$i", "2025-02-01", 1L, i.toDouble))
+      .toDF("key", "dt", "v", "price").repartition(6, col("key"))
+    SnapshotLake.merge(spark, dir, wide, Seq("key"), "v", "dt")
+    val before = state(SnapshotLake.read(spark, dir))
+    val pinned = SnapshotLake.read(spark, dir) // pre-compaction snapshot
+    val genBefore = SnapshotLake.currentManifest(spark, dir).get.gen
+    val done = SnapshotLake.compact(spark, dir, targetBytes = 1L << 30,
+      minFilesToCompact = 2)
+    assert(done.nonEmpty && done.head._2 > done.head._3,
+      s"compaction should shrink file count: $done")
+    // same rows, new generation, one manifest bump
+    assert(state(SnapshotLake.read(spark, dir)) == before)
+    assert(SnapshotLake.currentManifest(spark, dir).get.gen == genBefore + 1)
+    // the pre-compaction reader still resolves its old gen dirs
+    assert(state(pinned) == before,
+      "compaction must not disturb a pinned snapshot")
+    // idempotent: a second pass finds nothing to do
+    assert(SnapshotLake.compact(spark, dir, 1L << 30, 2).isEmpty)
+  }
+
+  test("exact-type partitions: string '0025' never collides with int-ish '25'") {
+    val dir = tmp()
+    val b = Seq(("a", "0025", 1L, 1.0), ("b", "25", 1L, 2.0))
+      .toDF("key", "dt", "v", "price")
+    SnapshotLake.merge(spark, dir, b, Seq("key"), "v", "dt")
+    val got = SnapshotLake.read(spark, dir).select("dt").as[String]
+      .collect().sorted.toSeq
+    assert(got == Seq("0025", "25"),
+      "distinct string partition values must stay distinct")
+    assert(SnapshotLake.currentManifest(spark, dir).get.entries.size == 2)
+    // manifest-level pruning reads only the asked partition
+    val pruned = SnapshotLake.read(spark, dir, Seq("0025"))
+    assert(pruned.select("key").as[String].collect().toSeq == Seq("a"))
+  }
+
+  test("time travel + vacuum retention") {
+    val dir = tmp()
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    val g1 = SnapshotLake.currentManifest(spark, dir).get.gen
+    SnapshotLake.merge(spark, dir, b2, Seq("key"), "v", "dt")
+    // time travel: snapshot g1 still reads the pre-b2 state
+    assert(state(SnapshotLake.readAt(spark, dir, g1)) ==
+      Map("k1" -> ((1L, 10.0)), "k2" -> ((1L, 20.0)), "k3" -> ((1L, 30.0))))
+    // vacuum to 1 manifest: g1's superseded gen dir + manifest are dropped,
+    // the current snapshot is untouched
+    val removed = SnapshotLake.vacuum(spark, dir, keepManifests = 1)
+    assert(removed >= 1, s"expected at least one gen dir removed, got $removed")
+    assert(state(SnapshotLake.read(spark, dir)) ==
+      Map("k1" -> ((2L, 15.0)), "k2" -> ((1L, 20.0)),
+        "k3" -> ((1L, 30.0)), "k4" -> ((1L, 40.0))))
+    intercept[IllegalArgumentException](SnapshotLake.readAt(spark, dir, g1))
+  }
+
+  test("guardrails: null partition value, wrong partition column, empty lake") {
+    val dir = tmp()
+    intercept[IllegalStateException](SnapshotLake.read(spark, dir))
+    val withNull = Seq(("k1", null.asInstanceOf[String], 1L, 1.0))
+      .toDF("key", "dt", "v", "price")
+    intercept[IllegalArgumentException](
+      SnapshotLake.merge(spark, dir, withNull, Seq("key"), "v", "dt"))
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    intercept[IllegalArgumentException](
+      SnapshotLake.merge(spark, dir, b1.withColumnRenamed("dt", "other")
+        .withColumn("dt", col("other")), Seq("key"), "v", "other"))
+  }
+}
