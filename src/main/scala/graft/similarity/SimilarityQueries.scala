@@ -321,6 +321,195 @@ object SimilarityQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** X8c — IVF-PQ: the 100 TB ANN memory path. x8's IVF cells cut the SCAN
+    * (probe nprobe cells); x8b's int8 codes cut per-vector STORAGE 8×; PQ
+    * composes both and goes further — each vector's residual (v − its cell
+    * centroid) is product-quantized into M=16 subspace codes (4 dims each,
+    * 16 centroids per sub-codebook → 4 bits/code, 8 packed bytes/vector =
+    * 64× vs f64, 8× smaller than int8), and queries score candidates by
+    * ADC (asymmetric distance computation): reconstruct nothing, just sum
+    * per-subspace LOOKUPS of `q_s · codebook[code_s]` — the Jégou et al.
+    * product-quantization design, the standard shape for embedding corpora
+    * that cannot hold raw vectors in memory.
+    *
+    * Determinism/oracle discipline: the residual sub-codebooks are the
+    * RESIDUALS OF FIXED CORPUS VECTORS (vec_ids 30..45) — the
+    * [[fixedCodebook]] trick one level down, so DuckDB re-derives byte-equal
+    * codebooks from the parquet alone. Every per-subspace term is a fixed
+    * 4-term IEEE fold; cross-subspace sums go through DECIMAL(30,8) casts
+    * (order-independent, the e7/x13 discipline); code assignment breaks
+    * distance ties toward the lowest codebook index on both engines. The
+    * approximate squared norm ‖cv‖²+2·cv·r̂+‖r̂‖² can round microscopically
+    * negative near zero — both sides clamp with greatest(·, 0) and drop
+    * null cosines (the x8b zero-code guard, one level up).
+    *
+    * Scale shape: encoding is ONE map-only projection per vector (the
+    * 16×64-double codebook rides the plan as a literal — at production
+    * scale, a broadcast), the probe join is x8's cell equi-join, and
+    * scoring reads ONLY codes — the raw vector column is never touched
+    * after encoding. SimilaritySpec pins recall@10 vs exact x6 for the
+    * ADC ranking and for the production shortlist+exact-rescore
+    * composition.
+    */
+  def x8cAnnIvfPq(s: SparkSession, dir: String, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val e = vecs(s, dir)
+    x8cAnnIvfPqFrom(e, fixedCodebook(e), (30L until 46L).toSeq, k, nprobe)
+  }
+
+  /** Per-subspace Lloyd k-means over the RESIDUAL slices — the production
+    * PQ codebook ([[learnCodebook]] one level down: 16 independent 4-dim
+    * clusterings, each seeded with the fixed stand-in's slices). Returns
+    * the assembled 16×64 codebook rows (row j, dims [4s+1, 4s+4] = subspace
+    * s's centroid j) — the exact shape [[x8cAnnIvfPqCoded]] consumes, so
+    * the fixed and learned codebooks are interchangeable. Each iteration is
+    * one corpus-slice scan (assignment by 4-term L2 against a broadcast
+    * 256-row codebook, ties → lowest j) plus a decimal-exact per-dimension
+    * mean; at 100 TB one trains on a bounded sample, exactly as for the
+    * cell codebook. A cluster that loses every member keeps its previous
+    * centroid (k never shrinks — the assembled rows must stay complete).
+    */
+  def learnPqCodebook(e: DataFrame, cent: DataFrame, maxIter: Int = 6): Seq[Seq[Double]] = {
+    val centAs = broadcast(cent.select(col("c_id").as("cell"), col("cv")))
+    val slices = assignCells(e, cent).join(centAs, "cell")
+      .withColumn("r", expr("zip_with(v, cv, (a, b) -> a - b)"))
+      .select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 15), s -> slice(r, s*4+1, 4))")))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "x")
+      .localCheckpoint()
+    var cb = slices.filter(col("vec_id") >= 30 && col("vec_id") < 46)
+      .select(col("s"), (col("vec_id") - 30).cast("int").as("j"), col("x").as("cx"))
+      .localCheckpoint()
+    val d4 = expr(
+      """aggregate(sequence(1, 4), CAST(0.0 AS DOUBLE), (a, i) ->
+           a + (element_at(x, i) - element_at(cx, i))
+             * (element_at(x, i) - element_at(cx, i)))""")
+    var it = 0
+    while (it < maxIter) {
+      val assignedS = slices.join(broadcast(cb), Seq("s"))
+        .withColumn("d", d4)
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min_by(struct(col("j"), col("x")), struct(col("d"), col("j"))).as("m"))
+        .select(col("s"), col("m.j").as("j"), col("m.x").as("x"))
+      val updated = assignedS.select(col("s"), col("j"), posexplode(col("x")))
+        .groupBy(col("s"), col("j"), col("pos"))
+        .agg((sum(col("col").cast("decimal(30,8)")).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy(col("s"), col("j"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("s"), col("j"), expr("transform(pc, p -> p.c)").as("cx"))
+      // empty clusters keep their previous centroid
+      cb = updated.unionByName(
+          cb.join(updated.select(col("s"), col("j")), Seq("s", "j"), "left_anti"))
+        .localCheckpoint()
+      it += 1
+    }
+    val m = cb.collect().map(r =>
+      (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    (0 until 16).map(j => (0 until 16).flatMap(s =>
+      m((s, j))).toSeq)
+  }
+
+  /** X8c over the learned PQ codebook — the production variant (the
+    * [[x8AnnIvfLearned]] sibling; the declared gate query stays on the
+    * fixed stand-in for oracle parity).
+    */
+  def x8cAnnIvfPqLearned(s: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    val e = vecs(s, dir)
+    val cent = fixedCodebook(e)
+    x8cAnnIvfPqCoded(e, cent, learnPqCodebook(e, cent), k, nprobe)
+  }
+
+  /** X8c with the FIXED stand-in sub-codebook (the residuals of corpus
+    * vectors `cbIds`) — the oracle-parity face; see [[x8cAnnIvfPqCoded]]
+    * for the engine.
+    */
+  def x8cAnnIvfPqFrom(e: DataFrame, cent: DataFrame, cbIds: Seq[Long],
+      k: Int, nprobe: Int): DataFrame = {
+    require(cbIds.length == 16, s"PQ sub-codebook needs 16 sample rows, got ${cbIds.length}")
+    val assigned = assignCells(e, cent)
+    val centAs = broadcast(cent.select(col("c_id").as("cell"), col("cv")))
+    val withRes = assigned.join(centAs, "cell")
+      .withColumn("r", expr("zip_with(v, cv, (a, b) -> a - b)"))
+    // bounded collect: 16 residual vectors (16 × 64 doubles) become the
+    // literal codebook — encoding then needs NO join at all
+    val cbRows: Seq[Seq[Double]] = withRes
+      .filter(col("vec_id").isin(cbIds: _*))
+      .select(col("vec_id"), col("r")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toSeq).toSeq
+    require(cbRows.length == 16,
+      s"corpus lacks PQ codebook sample vec_ids ${cbIds.mkString(",")}")
+    x8cAnnIvfPqCoded(e, cent, cbRows, k, nprobe)
+  }
+
+  /** X8c engine over an arbitrary assembled 16×64 codebook. */
+  def x8cAnnIvfPqCoded(e: DataFrame, cent: DataFrame, cbRows: Seq[Seq[Double]],
+      k: Int, nprobe: Int): DataFrame = {
+    require(cbRows.length == 16 && cbRows.forall(_.length == 64),
+      "assembled PQ codebook must be 16 rows x 64 dims")
+    val assigned = assignCells(e, cent)
+    val centAs = broadcast(cent.select(col("c_id").as("cell"), col("cv")))
+    val withRes = assigned.join(centAs, "cell")
+      .withColumn("r", expr("zip_with(v, cv, (a, b) -> a - b)"))
+    // per-subspace code: argmin_j of the 4-term residual L2, ties -> lowest
+    // j (array_min's struct ordering = (d asc, j asc), exactly the oracle's
+    // ORDER BY dist, j)
+    val dist4 =
+      """aggregate(sequence(1, 4), CAST(0.0 AS DOUBLE), (a, i) ->
+           a + (element_at(r, s*4+i) - element_at(element_at(__cb, j+1), s*4+i))
+             * (element_at(r, s*4+i) - element_at(element_at(__cb, j+1), s*4+i)))"""
+    val codesSql =
+      s"""transform(sequence(0, 15), s ->
+            array_min(transform(sequence(0, 15), j ->
+              named_struct('d', $dist4, 'j', j))).j)"""
+    val coded = withRes.withColumn("__cb", typedLit(cbRows))
+      .withColumn("codes", expr(codesSql))
+      .select(col("vec_id"), col("cell"), col("codes"))
+    // queries probe their nprobe nearest cells (x8's probe shape) and carry
+    // their exact norm for the ADC denominator
+    val probes = withCosine(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+          .crossJoin(broadcast(cent)), "qv", "cv")
+      .groupBy(col("q_id"))
+      .agg(TopKAggregator.topK(nprobe)(col("c_id"), col("cosine")).as("pc"),
+        first(col("qv")).as("qv"))
+      .select(col("q_id"), col("qv"), explode(col("pc")).as("p"))
+      .select(col("q_id"), col("qv"), col("p.id").as("cell"))
+      .withColumn("qn", expr(
+        """sqrt(aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
+             (acc, i) -> acc + element_at(qv, i) * element_at(qv, i)))"""))
+    // ADC scoring from the codes alone: dot(q,x) ~ q·cv + Σ_s q_s·r̂_s and
+    // ‖x‖² ~ ‖cv‖² + Σ_s (2·cv_s·r̂_s + ‖r̂_s‖²), each subspace term one
+    // fixed 4-term fold through the shared codebook literal, cross-subspace
+    // sums decimal-exact
+    val rT = "element_at(element_at(__cb, element_at(codes, s+1) + 1), s*4+i)"
+    def fold4(term: String): String =
+      s"aggregate(sequence(1, 4), CAST(0.0 AS DOUBLE), (a, i) -> a + ($term))"
+    def decSum(inner: String): String =
+      s"""aggregate(sequence(0, 15), CAST(0 AS DECIMAL(38,8)),
+            (acc, s) -> CAST(acc + CAST(($inner) AS DECIMAL(30,8)) AS DECIMAL(38,8)))"""
+    def dot64(a: String, b: String): String =
+      s"""aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
+            (acc, i) -> acc + element_at($a, i) * element_at($b, i))"""
+    val dS = fold4(s"element_at(qv, s*4+i) * $rT")
+    val nS = s"(CAST(2.0 AS DOUBLE) * (${fold4(s"element_at(cv, s*4+i) * $rT")}) + (${fold4(s"$rT * $rT")}))"
+    val adc = s"""CAST(CAST((${dot64("qv", "cv")}) AS DECIMAL(30,8)) + ${decSum(dS)} AS DOUBLE)"""
+    val norm2 = s"""CAST(CAST((${dot64("cv", "cv")}) AS DECIMAL(30,8)) + ${decSum(nS)} AS DOUBLE)"""
+    val scored = coded
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(centAs, Seq("cell"))
+      .withColumn("__cb", typedLit(cbRows))
+      .withColumn("cosine", expr(
+        s"""($adc) / nullif(qn * sqrt(greatest(($norm2), CAST(0.0 AS DOUBLE))),
+              CAST(0.0 AS DOUBLE))"""))
+      .filter(col("cosine").isNotNull)
+    topKPerQuery(scored, k, col("q_id"))
+      .select(col("q_id"), col("neighbor_id"), col("cosine").as("qcos"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** X13 — embedding outlier detection: top-5 vectors per label by squared
     * euclidean distance to their label's centroid — the corpus-QC pass that
     * flags mislabeled/garbage embeddings before training. Exactness
@@ -400,6 +589,7 @@ object SimilarityQueries {
     "x7_ann_lsh" -> (x7AnnLshBucketed(_, _, 5)),
     "x8_ann_ivf" -> (x8AnnIvf(_, _, 5, 2)),
     "x8b_ann_sq8" -> (x8bAnnSq8(_, _, 10)),
+    "x8c_ann_ivfpq" -> (x8cAnnIvfPq(_, _, 10, 2)),
     "x13_embedding_outliers" -> (x13EmbeddingOutliers(_, _, 5)))
 
   /** DuckDB cosine with the same left-to-right double accumulation. */
@@ -532,6 +722,83 @@ object SimilarityQueries {
            FROM scored)
          SELECT q_id, neighbor_id, cosine, rnk FROM ranked
          WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "x8c_ann_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id >= 10 AND vec_id < 26),
+         asg AS (
+           SELECT vec_id, c_id AS cell, v FROM (
+             SELECT e.vec_id, c.c_id, e.v,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${duckCosine("e.v", "c.cv")} DESC, c.c_id) AS rn
+             FROM e CROSS JOIN cent c)
+           WHERE rn = 1),
+         res AS (
+           SELECT a.vec_id, a.cell,
+                  list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS r
+           FROM asg a JOIN cent c ON a.cell = c.c_id),
+         cb AS (SELECT vec_id - 30 AS j, r AS cr FROM res
+                WHERE vec_id >= 30 AND vec_id < 46),
+         codes AS (
+           SELECT vec_id, cell, s, j AS code FROM (
+             SELECT r.vec_id, r.cell, t.s, c.j,
+                    row_number() OVER (PARTITION BY r.vec_id, t.s ORDER BY
+                      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(range(1, 5), i ->
+                          (r.r[t.s*4+i] - c.cr[t.s*4+i]) * (r.r[t.s*4+i] - c.cr[t.s*4+i]))),
+                        (a, b) -> a + b), c.j) AS rn
+             FROM res r CROSS JOIN (SELECT unnest(range(0, 16)) AS s) t CROSS JOIN cb c)
+           WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv,
+                      sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(range(1, 65), i -> v[i] * v[i])),
+                        (a, b) -> a + b)) AS qn
+               FROM e WHERE vec_id < 10),
+         probes AS (
+           SELECT q_id, qv, qn, c_id AS cell FROM (
+             SELECT q.q_id, q.qv, q.qn, c.c_id,
+                    row_number() OVER (PARTITION BY q.q_id
+                      ORDER BY ${duckCosine("q.qv", "c.cv")} DESC, c.c_id) AS rn
+             FROM q CROSS JOIN cent c)
+           WHERE rn <= 2),
+         terms AS (
+           SELECT p.q_id, k.vec_id, k.s,
+                  CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(1, 5), i -> p.qv[k.s*4+i] * cb.cr[k.s*4+i])),
+                    (a, b) -> a + b) AS DECIMAL(30,8)) AS d_s,
+                  CAST(CAST(2.0 AS DOUBLE) *
+                    (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, 5), i -> ct.cv[k.s*4+i] * cb.cr[k.s*4+i])),
+                       (a, b) -> a + b))
+                    + (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, 5), i -> cb.cr[k.s*4+i] * cb.cr[k.s*4+i])),
+                       (a, b) -> a + b)) AS DECIMAL(30,8)) AS n_s
+           FROM codes k
+           JOIN probes p ON k.cell = p.cell AND k.vec_id <> p.q_id
+           JOIN cb ON cb.j = k.code
+           JOIN cent ct ON ct.c_id = k.cell),
+         sums AS (
+           SELECT q_id, vec_id, SUM(d_s) AS dsum, SUM(n_s) AS nsum
+           FROM terms GROUP BY q_id, vec_id),
+         scored AS (
+           SELECT s.q_id, s.vec_id AS neighbor_id,
+                  CAST(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(1, 65), i -> p.qv[i] * ct.cv[i])),
+                      (a, b) -> a + b) AS DECIMAL(30,8)) + s.dsum AS DOUBLE)
+                  / nullif(p.qn * sqrt(greatest(
+                      CAST(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(range(1, 65), i -> ct.cv[i] * ct.cv[i])),
+                        (a, b) -> a + b) AS DECIMAL(30,8)) + s.nsum AS DOUBLE),
+                      CAST(0.0 AS DOUBLE))), CAST(0.0 AS DOUBLE)) AS qcos
+           FROM sums s
+           JOIN asg a ON a.vec_id = s.vec_id
+           JOIN cent ct ON ct.c_id = a.cell
+           JOIN probes p ON p.q_id = s.q_id AND p.cell = a.cell),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY qcos DESC, neighbor_id) AS rnk
+           FROM scored WHERE qcos IS NOT NULL)
+         SELECT q_id, neighbor_id, qcos, rnk FROM ranked
+         WHERE rnk <= 10 ORDER BY q_id, rnk""",
     "x13_embedding_outliers" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          dims AS (SELECT vec_id, label, i AS pos, v[i] AS x

@@ -125,6 +125,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), "brute-force top-k must not fall back to a window sort")
   }
 
+  test("x8c: IVF-PQ encodes map-only (literal codebook) and probes by broadcast") {
+    val p = plan(graft.similarity.SimilarityQueries.x8cAnnIvfPq(spark, sf001, 10, 2))
+    // every join is against a bounded side (cells, probes, codebook) — the
+    // corpus is never exchanged pairwise
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "IVF-PQ must never shuffle or pair the corpus:\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("x12: the eval-set side of the contamination join broadcasts") {
     val p = plan(graft.dedup.DedupQueries.x12Contamination(spark, sf001))
     assert(p.contains("BroadcastHashJoin"),
