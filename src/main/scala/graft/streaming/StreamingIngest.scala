@@ -509,6 +509,67 @@ object StreamingIngest {
       graft.queries.CoreQueries.e12StateOf,
       (cur, b) => graft.queries.CoreQueries.e12FoldStates(cur, b))
 
+  /** One micro-batch folded into a persisted SCD2 dimension-history MV —
+    * dimension history joins vocab (t19) and candles (e12) as the THIRD
+    * lane of the shared exactly-once fold. The batch pre-aggregates to one
+    * change per (key, ts) (lexicographic MAX of the value struct — an
+    * associative, grouping-independent tie policy, e14's max-value rule
+    * generalized), builds a history FRAGMENT ([[graft.etl.Scd2.build]]),
+    * and folds it into the stored history with [[graft.etl.Scd2.fold]]:
+    * touched keys rebuilt, untouched keys streamed through an anti-join —
+    * per-tick cost proportional to the touched keys' version counts, never
+    * a history rescan. The fold is NOT replay-safe on its own (a replayed
+    * batch re-wins its (key, ts) collisions against corrections that
+    * landed in between), so suppression must commit atomically with the
+    * data — the shared rename protocol provides exactly that.
+    */
+  def foldScd2BatchOnce(
+      batch: DataFrame,
+      batchId: Long,
+      statePath: String,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      sinkId: String = "default"): Boolean = {
+    val vs = struct(valueCols.map(col): _*)
+    foldStateBatchOnce(batch, batchId, statePath, sinkId,
+      b => graft.etl.Scd2.build(
+        b.groupBy(col(keyCol), col(tsCol)).agg(max(vs).as("__vs"))
+          .select(col(keyCol) +: col(tsCol) +: valueCols.map(c => col(s"__vs.$c")): _*),
+        keyCol, tsCol, valueCols),
+      // the stored state IS the history table; flatten the batch fragment
+      // back to changes (valid_from = the original ts) and Scd2.fold them
+      (cur, bState) => graft.etl.Scd2.fold(cur,
+        bState.select(col(keyCol) +: col("valid_from").as(tsCol) +:
+          valueCols.map(col): _*),
+        keyCol, tsCol, valueCols))
+  }
+
+  /** Maintain an SCD2 dimension-history MV from a change stream — the
+    * dimension lane of [[vocabStateAvailableNow]]/[[candleStateAvailableNow]],
+    * same `sinkId` contract (the stream's stable LOGICAL identity, so a
+    * rebuilt checkpoint's full re-delivery lands in the same marker
+    * namespace and is suppressed). Query the maintained history directly:
+    * `spark.read.parquet(statePath)` is the exact [[graft.etl.Scd2.build]]
+    * output over everything folded so far (StreamingSpec pins the law).
+    */
+  def scd2StateAvailableNow(
+      changes: DataFrame,
+      statePath: String,
+      checkpoint: String,
+      sinkId: String,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String]): StreamingQuery =
+    changes.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldScd2BatchOnce(batch, batchId, statePath, keyCol, tsCol, valueCols, sinkId)
+        ()
+      }
+      .start()
+
   /** The shared exactly-once state fold behind [[foldVocabBatchOnce]] and
     * [[foldCandleBatchOnce]]: reduce the batch with `stateOf`, fold it into
     * the persisted state with `merge` (which must be a NON-rescanning

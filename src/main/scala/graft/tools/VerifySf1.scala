@@ -59,6 +59,7 @@ object VerifySf1 {
 
     def ev = graft.Tables(spark, work, "events")
     def docs = graft.Tables(spark, work, "documents")
+    def li = graft.Tables(spark, work, "lineitem")
 
     val checks: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
       ("a26_salted_skew_join",
@@ -153,6 +154,94 @@ object VerifySf1 {
               col("user_id"), col("value"),
               col("np_ts").cast("timestamp_ntz").as("next_purchase_ts"),
               col("next_purchase_value"))
+        }),
+      // ---- sketch-VERDICT queries: their bounds contracts are the class
+      // most likely to drift with scale (the r6 redesign proved it), so the
+      // 10× twin re-derives every EXACT column through an independent
+      // formulation and asserts the verdict booleans stay TRUE — a sketch
+      // whose error contract breaks at 10× flips a boolean and fails the
+      // hash compare.
+      ("a9b_approx_distinct",
+        () => CoreQueries.a9bApproxDistinct(spark, work),
+        () => li.select(col("l_returnflag"), col("l_partkey")).distinct()
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("nd_parts"))
+          .withColumn("approx_ok", lit(true))),
+      ("a15b_quantiles_approx",
+        () => CoreQueries.a15bQuantilesApprox(spark, work),
+        () => {
+          // exact p50/p95 via an explicit sort-rank interpolation — the
+          // same value arithmetic Spark's Percentile uses (lower +
+          // (higher - lower) * frac on pos = q·(n-1)), derived through a
+          // window rank instead of the aggregate's internal buffer
+          val byFlag = Window.partitionBy(col("l_returnflag"))
+          val ranked = li.select(col("l_returnflag"), col("l_extendedprice").as("v"))
+            .withColumn("rn", row_number().over(byFlag.orderBy(col("v"))))
+            .withColumn("n", count(lit(1)).over(byFlag))
+          def pick(q: Double, name: String)(df: DataFrame): DataFrame = {
+            val pos = lit(q) * (col("n") - 1).cast("double")
+            df.withColumn(s"__lo_$name",
+                when(col("rn") === floor(pos).cast("long") + 1, col("v")))
+              .withColumn(s"__hi_$name",
+                when(col("rn") === floor(pos).cast("long") + 2, col("v")))
+          }
+          pick(0.95, "p95")(pick(0.5, "p50")(ranked))
+            .groupBy(col("l_returnflag"), col("n"))
+            .agg(max(col("__lo_p50")).as("lo50"), max(col("__hi_p50")).as("hi50"),
+              max(col("__lo_p95")).as("lo95"), max(col("__hi_p95")).as("hi95"))
+            .select(col("l_returnflag"),
+              (col("lo50") + (coalesce(col("hi50"), col("lo50")) - col("lo50")) *
+                (lit(0.5) * (col("n") - 1).cast("double") -
+                  floor(lit(0.5) * (col("n") - 1).cast("double")))).as("p50"),
+              (col("lo95") + (coalesce(col("hi95"), col("lo95")) - col("lo95")) *
+                (lit(0.95) * (col("n") - 1).cast("double") -
+                  floor(lit(0.95) * (col("n") - 1).cast("double")))).as("p95"),
+              col("n"), lit(true).as("p50_ok"), lit(true).as("p95_ok"))
+        }),
+      ("a23_rolling_active_users",
+        () => CoreQueries.a23RollingActiveUsers(spark, work),
+        () => {
+          val pairs = ev.select(to_date(col("ts")).as("uday"), col("user_id")).distinct()
+          val ex7 = pairs
+            .select(explode(expr("sequence(uday, date_add(uday, 6))")).as("day"),
+              col("user_id"))
+            .dropDuplicates("day", "user_id")
+            .groupBy(col("day")).agg(count(lit(1)).as("active_7d_exact"))
+          val ex1 = pairs.groupBy(col("uday").as("day"))
+            .agg(count(lit(1)).as("active_1d_exact"))
+          // inner join = gate's day domain (days with events)
+          ex1.join(ex7, Seq("day"))
+            .select(col("day"), col("active_1d_exact"), col("active_7d_exact"),
+              lit(true).as("approx_7d_ok"))
+        }),
+      ("t15_heavy_hitters",
+        () => graft.text.TextQueries.t15HeavyHitters(spark, work),
+        () => {
+          // exact top-10 through TakeOrderedAndProject (no window), counts
+          // through a two-level partial aggregate
+          val toks = docs.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("term"))
+          toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+            .groupBy(col("term")).agg(sum(col("c")).as("cnt"))
+            .orderBy(col("cnt").desc, col("term")).limit(10)
+            .withColumn("mg_ok", lit(true))
+        }),
+      // ---- the round-8 GlobalRankExec extensions, against the STOCK
+      // single-partition Window (kill-switch; affordable as a one-shot
+      // twin) — the forward tie-chain stitch and the aggregate carry are
+      // exactly the machinery that only 10× tie/partition shapes stress
+      ("e15_running_total_sql",
+        () => CoreQueries.e15RunningTotalSql(spark, work),
+        () => {
+          spark.conf.set(graft.plans.GlobalRankRule.EnabledKey, "false")
+          try CoreQueries.e15RunningTotalSql(spark, work).localCheckpoint()
+          finally spark.conf.unset(graft.plans.GlobalRankRule.EnabledKey)
+        }),
+      ("c8c_cume_dist_sql",
+        () => CoreQueries.c8cCumeDistSql(spark, work),
+        () => {
+          spark.conf.set(graft.plans.GlobalRankRule.EnabledKey, "false")
+          try CoreQueries.c8cCumeDistSql(spark, work).localCheckpoint()
+          finally spark.conf.unset(graft.plans.GlobalRankRule.EnabledKey)
         }),
       // a13d: nearest+tolerance through the exec ↔ the candidate-pair
       // range join ranked by (|Δts|, backward-first) — the quadratic

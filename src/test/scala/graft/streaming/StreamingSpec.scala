@@ -415,6 +415,62 @@ class StreamingSpec extends SparkSuite {
       "n_bars should sum across folds")
   }
 
+  test("streaming SCD2 MV: per-batch folds equal the one-shot build; " +
+    "replays, checkpoint loss, and swap-crash windows all suppressed") {
+    import spark.implicits._
+    val changesDir = s"$work/scd2_changes"
+    val state = s"$work/scd2_state"
+    // a dimension change stream: 3 keys, interleaved versions, one file
+    // per micro-batch (maxFilesPerTrigger=1 → the fold law sees ≥3 batches)
+    val changes = Seq(
+      (1L, 10L, "a1"), (2L, 10L, "b1"),
+      (1L, 20L, "a2"), (3L, 15L, "c1"),
+      (2L, 30L, "b2"), (1L, 40L, "a3"))
+      .toDF("k", "ts", "value")
+    changes.repartition(3).write.mode("overwrite").parquet(changesDir)
+    val schema = spark.read.parquet(changesDir).schema
+    def tick(n: Int): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(changesDir)
+      StreamingIngest.scd2StateAvailableNow(stream, state,
+        s"$work/ckpt_scd2_$n", sinkId = "dim-history",
+        keyCol = "k", tsCol = "ts", valueCols = Seq("value"))
+        .awaitTermination()
+    }
+    tick(1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "version", "valid_from", "valid_to", "value", "is_current")
+      .collect().map(_.toSeq).toSet
+    val want = rows(graft.etl.Scd2.build(changes, "k", "ts", Seq("value")))
+    assert(rows(spark.read.parquet(state)) == want,
+      "incremental history folds drifted from the one-shot build")
+    // fresh checkpoint ⇒ full re-delivery; in-state markers must suppress
+    // every batch (a re-fold would re-version every key's chain)
+    tick(2)
+    assert(rows(spark.read.parquet(state)) == want,
+      "checkpoint-loss replay corrupted the history")
+    // direct replay of an applied (sinkId, batchId) is a no-op
+    val state2 = s"$work/scd2_state2"
+    assert(StreamingIngest.foldScd2BatchOnce(changes, 0L, state2, "k", "ts", Seq("value")))
+    assert(!StreamingIngest.foldScd2BatchOnce(changes, 0L, state2, "k", "ts", Seq("value")),
+      "replayed batch was folded twice")
+    // swap-crash window: state parked at __old — the next fold restores it
+    // and applies the new batch (a correction rewriting k=1's history)
+    val fs = new org.apache.hadoop.fs.Path(state2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(state2),
+      new org.apache.hadoop.fs.Path(state2 + "__old")))
+    val correction = Seq((1L, 20L, "a2fix")).toDF("k", "ts", "value")
+    assert(StreamingIngest.foldScd2BatchOnce(correction, 1L, state2, "k", "ts", Seq("value")),
+      "fold after crash-parked state did not apply")
+    val healed = rows(spark.read.parquet(state2))
+    val wantHealed = rows(graft.etl.Scd2.fold(
+      graft.etl.Scd2.build(changes, "k", "ts", Seq("value")),
+      correction, "k", "ts", Seq("value")))
+    assert(healed == wantHealed,
+      "recovered state must hold the base fold plus the correction exactly once")
+  }
+
   test("streaming foreachBatch into a JDBC MERGE sink converges across re-delivery") {
     val url = "jdbc:derby:memory:graft_stream_jdbc;create=true"
     val c = java.sql.DriverManager.getConnection(url)
