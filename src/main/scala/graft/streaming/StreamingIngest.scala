@@ -302,6 +302,34 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming upsert into the SNAPSHOT-ISOLATED lake
+    * ([[graft.etl.SnapshotLake]]) — [[upsertAvailableNow]] with manifest
+    * commits instead of directory swaps: every micro-batch LWW-merges into
+    * new partition generations and publishes ONE atomic manifest, so
+    * concurrent readers of the maintained table always resolve a
+    * consistent snapshot (never the torn window the Hive-layout sink
+    * documents), an in-flight scan is never invalidated by the next batch,
+    * and a crash mid-batch leaves the previous snapshot readable. Replay
+    * safety is convergence, as for the Hive sink: the merge is idempotent
+    * LWW, so a re-delivered batch publishes a gen with identical content
+    * (no ledger needed — unlike the sum-fold MV lanes).
+    */
+  def snapshotMergeAvailableNow(
+      deduped: DataFrame,
+      targetPath: String,
+      checkpoint: String,
+      keys: Seq[String],
+      versionCol: String,
+      partitionCol: String): StreamingQuery =
+    deduped.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.SnapshotLake.merge(
+          batch.sparkSession, targetPath, batch, keys, versionCol, partitionCol)
+      }
+      .start()
+
   /** Streaming document admission: each micro-batch of crawled documents
     * flows through [[graft.dedup.IncrementalDedup]]'s content-hash gate —
     * only never-seen content reaches the corpus, across batches AND across

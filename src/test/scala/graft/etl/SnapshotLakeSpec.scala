@@ -149,6 +149,30 @@ class SnapshotLakeSpec extends SparkSuite {
     intercept[IllegalArgumentException](SnapshotLake.readAt(spark, dir, g1))
   }
 
+  test("streaming sink: micro-batches converge to the batch merge; replays converge") {
+    val dir = tmp()
+    val landing = Files.createTempDirectory("graft_snaplake_landing").toString
+    b1.unionByName(b2).repartition(3).write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    def tick(n: Int): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
+      graft.streaming.StreamingIngest.snapshotMergeAvailableNow(
+        stream, dir, s"$landing/ckpt_$n", Seq("key"), "v", "dt")
+        .awaitTermination()
+    }
+    tick(1) // >= 3 micro-batches, each one manifest commit
+    val want = Map("k1" -> ((2L, 15.0)), "k2" -> ((1L, 20.0)),
+      "k3" -> ((1L, 30.0)), "k4" -> ((1L, 40.0)))
+    assert(state(SnapshotLake.read(spark, dir)) == want)
+    assert(SnapshotLake.currentManifest(spark, dir).get.gen >= 3,
+      "each micro-batch must have published its own manifest")
+    // fresh checkpoint => full re-delivery; idempotent LWW converges
+    tick(2)
+    assert(state(SnapshotLake.read(spark, dir)) == want,
+      "replayed stream must converge, not duplicate or regress")
+  }
+
   test("guardrails: null partition value, wrong partition column, empty lake") {
     val dir = tmp()
     intercept[IllegalStateException](SnapshotLake.read(spark, dir))
