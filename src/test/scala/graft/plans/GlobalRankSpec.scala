@@ -358,6 +358,106 @@ class GlobalRankSpec extends SparkSuite {
     assert(rows.last.getDouble(2) == 1.0)
   }
 
+  test("law: random function mixes over random tied/null corpora match the stock Window") {
+    // six seeded trials, each drawing a random subset of every supported
+    // family over a random corpus (heavy ties, nulls in keys AND values) —
+    // the cross-family interactions (run-close buffering holding lead
+    // slots, accumulators advancing while ranks stream) are exactly what
+    // single-family tests cannot catch
+    for (seed <- Seq(101L, 113L, 127L, 139L, 151L, 163L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 400 + rnd.nextInt(800)
+      val df = (1 to n).map { i =>
+        val s: Option[Long] = if (rnd.nextInt(15) == 0) None else Some(rnd.nextInt(8).toLong)
+        val v: Option[Long] = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(500).toLong - 250L)
+        (i.toLong, s, v)
+      }.toDF("id", "score", "v")
+      // ORDER BY (score, id): total, so every family compares exact
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
+      val wRows = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val pool: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        "rn" -> row_number().over(w),
+        "r" -> rank().over(w),
+        "d" -> dense_rank().over(w),
+        "p" -> percent_rank().over(w),
+        "nt" -> ntile(1 + rnd.nextInt(9)).over(w),
+        "cd" -> cume_dist().over(w),
+        "s" -> sum(col("v")).over(w),
+        "sr" -> sum(col("v")).over(wRows),
+        "mn" -> min(col("v")).over(w),
+        "mx" -> max(col("v")).over(wRows),
+        "c" -> count(col("v")).over(w),
+        "lg" -> lag(col("v"), 1 + rnd.nextInt(5)).over(w),
+        "ld" -> lead(col("v"), 1 + rnd.nextInt(5), -9L).over(w))
+      val picked = rnd.shuffle(pool).take(3 + rnd.nextInt(5))
+      def apply(d: DataFrame) =
+        picked.foldLeft(d) { case (acc, (nm, c)) => acc.withColumn(nm, c) }
+      val viaExec = apply(df)
+      assert(viaExec.queryExecution.executedPlan.toString.contains("GlobalRank"),
+        s"seed $seed: mix ${picked.map(_._1)} did not rewrite")
+      val viaStock = apply(df.dropDuplicates("id"))
+      val colsOut = "id" +: picked.map(_._1)
+      def m(d: DataFrame) = d.select(colsOut.head, colsOut.tail: _*)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(m(viaExec) == m(viaStock),
+        s"seed $seed: mix ${picked.map(_._1)} diverged from the stock Window")
+    }
+  }
+
+  test("law: Acc merge algebra — any partition grouping folds to the sequential value") {
+    // the distributed-prefix correctness rests on merge being
+    // commutative+associative over partials with null as identity; drive
+    // each kind through 50 random (values, grouping) draws, JVM-only
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+    import GlobalRankFunc.AggKind
+    val rnd = new scala.util.Random(173)
+    def rowOf(v: Any): org.apache.spark.sql.catalyst.InternalRow = {
+      val r = new GenericInternalRow(1)
+      if (v == null) r.setNullAt(0) else r.update(0, v)
+      r
+    }
+    def run(kind: AggKind, dt: DataType, gen: () => Any): Unit = {
+      for (_ <- 1 to 50) {
+        val vals = Seq.fill(rnd.nextInt(40))(if (rnd.nextInt(6) == 0) null else gen())
+        // sequential reference
+        val seqAcc = GlobalRankExec.mkAcc(kind, dt)
+        vals.foreach(v => seqAcc.add(rowOf(v)))
+        // random contiguous grouping, partials merged in SHUFFLED order
+        val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+        var rest = vals
+        while (rest.nonEmpty) {
+          val k = 1 + rnd.nextInt(rest.length)
+          groups += rest.take(k); rest = rest.drop(k)
+        }
+        val partials = groups.map { g =>
+          val a = GlobalRankExec.mkAcc(kind, dt)
+          g.foreach(v => a.add(rowOf(v)))
+          a.partial
+        }
+        val merged = GlobalRankExec.mkAcc(kind, dt)
+        rnd.shuffle(partials.toSeq).foreach(merged.merge)
+        merged.merge(null) // null partial is the identity
+        assert(merged.value == seqAcc.value,
+          s"$kind: grouped ${merged.value} != sequential ${seqAcc.value} over $vals")
+      }
+    }
+    run(AggKind.SumLong, LongType, () => rnd.nextInt(1000).toLong - 500L)
+    run(AggKind.Cnt, LongType, () => rnd.nextLong())
+    run(AggKind.MinMax(isMin = true), LongType, () => rnd.nextLong())
+    run(AggKind.MinMax(isMin = false), DoubleType, () => rnd.nextDouble() - 0.5)
+    // doubles: sum/avg merges are exact-rational here (dyadic fractions
+    // would still not associate in general — which is WHY the engine's
+    // oracle lane casts to decimal; this law uses integral doubles)
+    run(AggKind.SumDouble, DoubleType, () => (rnd.nextInt(1000) - 500).toDouble)
+    run(AggKind.AvgDouble, DoubleType, () => (rnd.nextInt(8) * 512).toDouble)
+    run(AggKind.SumDecimal(12, 2), org.apache.spark.sql.types.DecimalType(12, 2),
+      () => org.apache.spark.sql.types.Decimal(
+        BigDecimal(rnd.nextInt(1000000) - 500000, 2), 12, 2))
+  }
+
   test("tileOf implements the SQL-standard remainder rule for all shapes") {
     val rnd = new scala.util.Random(31)
     for (_ <- 1 to 200) {
