@@ -63,6 +63,18 @@ object GlobalRankFunc {
     */
   case class PrefixAgg(inputIdx: Int, kind: AggKind, perRow: Boolean)
       extends GlobalRankFunc
+  /** A SLIDING aggregate over `ROWS BETWEEN k PRECEDING AND CURRENT ROW`
+    * (the global moving average/total): a windowed accumulator that ADDS
+    * the arriving value and RETRACTS the value leaving the frame — the
+    * leaving value comes from the same ring + driver-stitched boundary
+    * values the shift family reads (a sliding agg is "lag values, folded"),
+    * so there is no carry, no run-close, and emission is at arrival.
+    * Restricted to INVERTIBLE kinds (sum/count/avg — min/max cannot
+    * retract and stay with the stock plan) and to `k + 1 <= MaxShift`
+    * (the same driver-traffic bound as shifts).
+    */
+  case class SlideAgg(inputIdx: Int, kind: AggKind, k: Int)
+      extends GlobalRankFunc
 
   /** The aggregate arithmetic a [[PrefixAgg]] runs. All kinds here are
     * COMMUTATIVE+ASSOCIATIVE merges (sum/count/min/max/avg-pair), which is
@@ -115,11 +127,14 @@ object GlobalRankFunc {
   * plans stay byte-stable). Every window expression in the node must be a
   * supported function — the rank family (`row_number`/`ntile(lit)`/`rank`/
   * `dense_rank`/`percent_rank`/`cume_dist`), bounded-literal `lag`/`lead`,
-  * or a running aggregate (`sum`/`min`/`max`/`count`/`avg` over
+  * a running aggregate (`sum`/`min`/`max`/`count`/`avg` over
   * `[ROWS|RANGE] UNBOUNDED PRECEDING..CURRENT ROW` — RANGE being the SQL
   * default frame, so the plain `SUM(x) OVER (ORDER BY ts)` running total
-  * rides this path); one unsupported sibling vetoes the whole node (a
-  * half-rewrite would need two global orderings).
+  * rides this path), or a SLIDING aggregate (`sum`/`count`/`avg` over
+  * `ROWS BETWEEN k PRECEDING AND CURRENT ROW`, k ≤ MaxShift−1 — the
+  * global moving average, retract-based over the shift boundary lane);
+  * one unsupported sibling vetoes the whole node (a half-rewrite would
+  * need two global orderings).
   *
   * Physical shape ([[GlobalRankExec]]): declares
   * `OrderedDistribution(orderSpec)` + per-partition sort — exactly a
@@ -275,6 +290,44 @@ object GlobalRankRule extends Rule[LogicalPlan] {
           case _ => None
         }
         conv.map((a, _))
+      // SLIDING aggregates: ROWS BETWEEN k PRECEDING AND CURRENT ROW over
+      // the INVERTIBLE kinds (the windowed accumulator retracts the value
+      // leaving the frame — min/max cannot). Bounded k: the frame's tail
+      // reads k+1 ring positions and each partition ships k boundary
+      // values through the driver, the shift family's exact envelope.
+      case a @ Alias(WindowExpression(
+          AggregateExpression(af, _, false, None, _),
+          WindowSpecDefinition(_, _,
+            SpecifiedWindowFrame(RowFrame, Literal(lo: Int, IntegerType), CurrentRow))), _)
+          if lo < 0 && -lo + 1 <= MaxShift =>
+        val k = -lo
+        import GlobalRankFunc.{AggKind, SlideAgg}
+        val conv: Option[WithInput] = af match {
+          case Sum(e, _) if e.deterministic => e.dataType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              Some(WithInput(Cast(e, LongType),
+                i => SlideAgg(i, AggKind.SumLong, k)))
+            case FloatType | DoubleType =>
+              Some(WithInput(Cast(e, DoubleType),
+                i => SlideAgg(i, AggKind.SumDouble, k)))
+            case _: DecimalType =>
+              val rt = af.dataType.asInstanceOf[DecimalType]
+              Some(WithInput(Cast(e, rt),
+                i => SlideAgg(i, AggKind.SumDecimal(rt.precision, rt.scale), k)))
+            case _ => None
+          }
+          case Average(e, _) if e.deterministic => e.dataType match {
+            case ByteType | ShortType | IntegerType | LongType |
+              FloatType | DoubleType =>
+              Some(WithInput(Cast(e, DoubleType),
+                i => SlideAgg(i, AggKind.AvgDouble, k)))
+            case _ => None
+          }
+          case Count(Seq(e)) if e.deterministic =>
+            Some(WithInput(e, i => SlideAgg(i, AggKind.Cnt, k)))
+          case _ => None
+        }
+        conv.map((a, _))
       case _ => None
     }
 
@@ -351,13 +404,19 @@ case class GlobalRankExec(
     // additionally need each partition's leading-run length/partials)
     val needKeys = funcs.exists {
       case GlobalRankFunc.RowNum | GlobalRankFunc.Tile(_) |
-        GlobalRankFunc.Shift(_, _, _, _) => false
+        GlobalRankFunc.Shift(_, _, _, _) | GlobalRankFunc.SlideAgg(_, _, _) => false
       case GlobalRankFunc.PrefixAgg(_, _, perRow) => !perRow
       case _ => true // Rnk, DenseRnk, PctRank, Cume
     }
     val shiftFns = funcs.collect { case s: GlobalRankFunc.Shift => s }
+    val slideFns = funcs.collect { case s: GlobalRankFunc.SlideAgg => s }
     val hasShift = shiftFns.nonEmpty
-    val maxK = if (hasShift) shiftFns.map(_.k).max else 0
+    val hasSlide = slideFns.nonEmpty
+    // sliding frames read back k+1 positions (the retracting value), so
+    // they size the ring + boundary shipping exactly like a lag(k+1)
+    val hasRing = hasShift || hasSlide
+    val maxK =
+      (shiftFns.map(_.k) ++ slideFns.map(_.k + 1)).foldLeft(0)(math.max)
     val maxLead = {
       val ls = shiftFns.filter(!_.isLag)
       if (ls.nonEmpty) ls.map(_.k).max else 0
@@ -367,6 +426,8 @@ case class GlobalRankExec(
     // their value is only known when the row's tie run ends
     val aggSlots: Array[Int] = funcs.indices.filter(
       funcs(_).isInstanceOf[GlobalRankFunc.PrefixAgg]).toArray
+    val slideSlots: Array[Int] = funcs.indices.filter(
+      funcs(_).isInstanceOf[GlobalRankFunc.SlideAgg]).toArray
     val hasAgg = aggSlots.nonEmpty
     val runSlots: Array[Int] = funcs.indices.filter(j => funcs(j) match {
       case GlobalRankFunc.Cume => true
@@ -393,7 +454,7 @@ case class GlobalRankExec(
     val stats: Array[PartStats] = childRDD.mapPartitions({ it =>
       val keyProj = if (needKeys) UnsafeProjection.create(keyExprs, childOut) else null
       val ord = if (needKeys) RowOrdering.createNaturalAscendingOrdering(keyTypes) else null
-      val collectVals = hasShift && maxK > 0
+      val collectVals = hasRing && maxK > 0
       val inProjs = if (collectVals || hasAgg)
         shiftIn.map(e => UnsafeProjection.create(Seq(e), childOut)).toArray else null
       val firsts = if (collectVals)
@@ -502,7 +563,7 @@ case class GlobalRankExec(
     // partitions) and immediately AFTER it — O(#partitions × maxK) driver
     // memory, bounded by the rule's MaxShift guard.
     val prevVals: Array[Array[Array[InternalRow]]] =
-      if (hasShift && maxK > 0) locally {
+      if (hasRing && maxK > 0) locally {
         val out = Array.ofDim[Array[Array[InternalRow]]](stats.length)
         val ring = Array.fill(nInputs)(Vector.empty[InternalRow])
         var p = 0
@@ -517,7 +578,7 @@ case class GlobalRankExec(
         out
       } else null
     val nextVals: Array[Array[Array[InternalRow]]] =
-      if (hasShift && maxK > 0) locally {
+      if (hasShift && maxK > 0) locally { // leads only — slides look back
         val out = Array.ofDim[Array[Array[InternalRow]]](stats.length)
         val ring = Array.fill(nInputs)(Vector.empty[InternalRow])
         var p = stats.length - 1
@@ -609,11 +670,11 @@ case class GlobalRankExec(
       val n = partNs(pid)
       val keyProj = if (needKeys) UnsafeProjection.create(keyExprs, childOut) else null
       val ord = if (needKeys) RowOrdering.createNaturalAscendingOrdering(keyTypes) else null
-      val inProjs = if (hasShift || hasAgg)
+      val inProjs = if (hasRing || hasAgg)
         shiftIn.map(e => UnsafeProjection.create(Seq(e), childOut)).toArray else null
       // value ring per input: positions [i - maxK, i] stay resolvable
       val ringSize = maxK + 1
-      val valRing = if (hasShift)
+      val valRing = if (hasRing)
         Array.fill(nInputs)(new Array[InternalRow](ringSize)) else null
       val pPrev = if (prevValsBc != null) prevValsBc.value(pid) else null
       val pNext = if (nextValsBc != null) nextValsBc.value(pid) else null
@@ -654,6 +715,27 @@ case class GlobalRankExec(
         else r.get(0, shiftTypes(f.inputIdx))
       }
 
+      // sliding-frame accumulators, WARMED with the ≤ k previous-partition
+      // tail values the frame spans at this partition's first rows (the
+      // driver-stitched pPrev lane; null = before the corpus)
+      val slideAccs: Array[Acc] = if (hasSlide) {
+        val a = new Array[Acc](funcs.length)
+        var t = 0
+        while (t < slideSlots.length) {
+          val j = slideSlots(t)
+          val f = funcs(j).asInstanceOf[GlobalRankFunc.SlideAgg]
+          a(j) = GlobalRankExec.mkAcc(f.kind, shiftTypes(f.inputIdx))
+          var m = f.k
+          while (m >= 1) {
+            val r = valueAt(f.inputIdx, -m.toLong, 0L)
+            if (r != null) a(j).add(r)
+            m -= 1
+          }
+          t += 1
+        }
+        a
+      } else null
+
       // arrival-time values: everything except the FORWARD slots — lead
       // (eager-filled by the arrival k rows later) and run-close slots
       // (filled when the tie run ends), both marked Unfilled. Writes into
@@ -673,7 +755,7 @@ case class GlobalRankExec(
             localDistinct += 1L; localRunStart = i; prevKey = k.copy()
           }
         }
-        if (hasShift) {
+        if (hasRing) {
           var x = 0
           while (x < nInputs) {
             valRing(x)((i % ringSize).toInt) = inProjs(x)(row).copy(); x += 1
@@ -685,6 +767,27 @@ case class GlobalRankExec(
             val j = aggSlots(t)
             accs(j).add(inProjs(
               funcs(j).asInstanceOf[GlobalRankFunc.PrefixAgg].inputIdx)(row))
+            t += 1
+          }
+        }
+        if (hasSlide) {
+          // windowed accumulators: add the arriving value (just written to
+          // the ring), retract the value leaving the frame (ring or the
+          // driver-stitched previous-partition tail; null = before the
+          // corpus, nothing to retract)
+          var t = 0
+          while (t < slideSlots.length) {
+            val j = slideSlots(t)
+            val f = funcs(j).asInstanceOf[GlobalRankFunc.SlideAgg]
+            slideAccs(j).add(valRing(f.inputIdx)((i % ringSize).toInt))
+            // the leaving position entered the accumulator only if the
+            // warm-up covered it (warm-up spans [-k, -1]): q >= -k — a
+            // deeper pPrev value exists on disk but was never added
+            val q = i - f.k - 1L
+            if (q >= -f.k.toLong) {
+              val leaving = valueAt(f.inputIdx, q, i)
+              if (leaving != null) slideAccs(j).retract(leaving)
+            }
             t += 1
           }
         }
@@ -711,6 +814,9 @@ case class GlobalRankExec(
               // ROWS frame: the running value THROUGH this row
               out(j) = accs(j).value
             case GlobalRankFunc.PrefixAgg(_, _, false) => out(j) = Unfilled
+            case GlobalRankFunc.SlideAgg(_, _, _) =>
+              // the windowed accumulator was advanced above
+              out(j) = slideAccs(j).value
           }
           j += 1
         }
@@ -907,44 +1013,62 @@ object GlobalRankExec {
     def merge(partial: Any): Unit
     def partial: Any
     def value: Any
+    /** Remove a previously-ADDED value (the sliding-frame inverse).
+      * Defined only for the invertible kinds, and only on accumulators
+      * that have never merged a partial (sliding accs never do — the
+      * rule's SlideAgg/MinMax split keeps the two worlds apart).
+      */
+    def retract(r: InternalRow): Unit =
+      throw new UnsupportedOperationException(s"$this cannot retract")
   }
 
   private final class AccSumLong extends Acc {
-    private var has = false; private var s = 0L
+    private var nn = 0L; private var s = 0L
     def add(r: InternalRow): Unit =
-      if (!r.isNullAt(0)) { has = true; s += r.getLong(0) }
+      if (!r.isNullAt(0)) { nn += 1L; s += r.getLong(0) }
     def merge(p: Any): Unit = p match {
-      case l: java.lang.Long => has = true; s += l.longValue
+      case l: java.lang.Long => nn += 1L; s += l.longValue
       case _ => ()
     }
-    def partial: Any = if (has) java.lang.Long.valueOf(s) else null
-    def value: Any = if (has) s else null
+    override def retract(r: InternalRow): Unit =
+      if (!r.isNullAt(0)) { nn -= 1L; s -= r.getLong(0) }
+    def partial: Any = if (nn > 0L) java.lang.Long.valueOf(s) else null
+    def value: Any = if (nn > 0L) s else null
   }
 
   private final class AccSumDouble extends Acc {
-    private var has = false; private var s = 0.0
+    private var nn = 0L; private var s = 0.0
     def add(r: InternalRow): Unit =
-      if (!r.isNullAt(0)) { has = true; s += r.getDouble(0) }
+      if (!r.isNullAt(0)) { nn += 1L; s += r.getDouble(0) }
     def merge(p: Any): Unit = p match {
-      case d: java.lang.Double => has = true; s += d.doubleValue
+      case d: java.lang.Double => nn += 1L; s += d.doubleValue
       case _ => ()
     }
-    def partial: Any = if (has) java.lang.Double.valueOf(s) else null
-    def value: Any = if (has) s else null
+    override def retract(r: InternalRow): Unit =
+      if (!r.isNullAt(0)) { nn -= 1L; s -= r.getDouble(0); if (nn == 0L) s = 0.0 }
+    def partial: Any = if (nn > 0L) java.lang.Double.valueOf(s) else null
+    def value: Any = if (nn > 0L) s else null
   }
 
   private final class AccSumDecimal(precision: Int, scale: Int) extends Acc {
-    private var bd: java.math.BigDecimal = null
+    private var nn = 0L; private var bd: java.math.BigDecimal = null
     def add(r: InternalRow): Unit = if (!r.isNullAt(0)) {
       val d = r.getDecimal(0, precision, scale).toJavaBigDecimal
+      nn += 1L
       bd = if (bd == null) d else bd.add(d)
     }
     def merge(p: Any): Unit = p match {
-      case d: java.math.BigDecimal => bd = if (bd == null) d else bd.add(d)
+      case d: java.math.BigDecimal =>
+        nn += 1L; bd = if (bd == null) d else bd.add(d)
       case _ => ()
     }
-    def partial: Any = bd
-    def value: Any = if (bd == null) null else {
+    override def retract(r: InternalRow): Unit = if (!r.isNullAt(0)) {
+      nn -= 1L
+      bd = if (nn == 0L) null
+        else bd.subtract(r.getDecimal(0, precision, scale).toJavaBigDecimal)
+    }
+    def partial: Any = if (nn > 0L) bd else null
+    def value: Any = if (nn == 0L || bd == null) null else {
       val dec = Decimal(bd)
       // Spark's sum(decimal) result contract: decimal(p+10, s), null on
       // overflow (the stock plan's non-ANSI behavior)
@@ -959,6 +1083,7 @@ object GlobalRankExec {
       case l: java.lang.Long => c += l.longValue
       case _ => ()
     }
+    override def retract(r: InternalRow): Unit = if (!r.isNullAt(0)) c -= 1L
     def partial: Any = java.lang.Long.valueOf(c)
     def value: Any = c // count is never null
   }
@@ -987,6 +1112,8 @@ object GlobalRankExec {
         s += ps.doubleValue; c += pc.longValue
       case _ => ()
     }
+    override def retract(r: InternalRow): Unit =
+      if (!r.isNullAt(0)) { s -= r.getDouble(0); c -= 1L; if (c == 0L) s = 0.0 }
     def partial: Any =
       if (c > 0L) (java.lang.Double.valueOf(s), java.lang.Long.valueOf(c)) else null
     def value: Any = if (c == 0L) null else s / c

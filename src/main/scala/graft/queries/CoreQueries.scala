@@ -1417,6 +1417,31 @@ object CoreQueries {
          ORDER BY o_orderkey""")
   }
 
+  /** E17: the raw-SQL GLOBAL MOVING TOTAL/AVERAGE —
+    * `SUM(x) OVER (ORDER BY … ROWS BETWEEN k PRECEDING AND CURRENT ROW)`.
+    * [[graft.plans.GlobalRankRule]] rewrites the sliding frame into a
+    * retract-based windowed accumulator riding the shift family's ring +
+    * driver-stitched boundary values (no carry, no tie buffering, emission
+    * at arrival — fully streaming); the moving average is the plain
+    * division of the two window outputs, outside any window. Decimal
+    * accumulation keeps the retractions exact (a double window would
+    * drift from the stock recompute-per-frame semantics).
+    */
+  def e17MovingTotalSql(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GlobalRank.ensureRegistered(s)
+    t(s, dir, "orders").createOrReplaceTempView("e17_orders")
+    s.sql(
+      """SELECT o_orderkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER w AS DOUBLE) AS mov_total,
+                COUNT(*) OVER w AS n_window,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER w AS DOUBLE)
+                     / (COUNT(*) OVER w) AS DOUBLE) AS mov_avg
+         FROM e17_orders
+         WINDOW w AS (ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""")
+  }
+
   /** C8c: raw-SQL `CUME_DIST() OVER (ORDER BY n_chars)` — the FORWARD
     * tie-aware rank (value = tie-run END / total), c8b's sibling now that
     * [[graft.plans.GlobalRankExec]] stitches forward chains (each
@@ -1785,6 +1810,7 @@ object CoreQueries {
     "c8c_cume_dist_sql" -> (c8cCumeDistSql _),
     "e15_running_total_sql" -> (e15RunningTotalSql _),
     "e16_running_minmax_sql" -> (e16RunningMinmaxSql _),
+    "e17_moving_total_sql" -> (e17MovingTotalSql _),
     "a26_salted_skew_join" -> ((s: SparkSession, d: String) => a26SaltedSkewJoin(s, d)),
     "c9_fixed_size_sample" -> ((s: SparkSession, d: String) => c9FixedSizeSample(s, d)),
     "c10_weighted_sample" -> ((s: SparkSession, d: String) => c10WeightedSample(s, d)),
@@ -2070,6 +2096,16 @@ object CoreQueries {
          FROM orders
          WINDOW w AS (ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
+    "e17_moving_total_sql" ->
+      """SELECT o_orderkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER w AS DOUBLE) AS mov_total,
+                COUNT(*) OVER w AS n_window,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER w AS DOUBLE)
+                     / (COUNT(*) OVER w) AS DOUBLE) AS mov_avg
+         FROM orders
+         WINDOW w AS (ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY o_orderkey""",
     "a23_rolling_active_users" ->
       // Bounds-checked sketch gate (the a9b scheme): the exact rolling twin

@@ -243,6 +243,13 @@ object VerifySf1 {
           try CoreQueries.c8cCumeDistSql(spark, work).localCheckpoint()
           finally spark.conf.unset(graft.plans.GlobalRankRule.EnabledKey)
         }),
+      ("e17_moving_total_sql",
+        () => CoreQueries.e17MovingTotalSql(spark, work),
+        () => {
+          spark.conf.set(graft.plans.GlobalRankRule.EnabledKey, "false")
+          try CoreQueries.e17MovingTotalSql(spark, work).localCheckpoint()
+          finally spark.conf.unset(graft.plans.GlobalRankRule.EnabledKey)
+        }),
       // a13d: nearest+tolerance through the exec ↔ the candidate-pair
       // range join ranked by (|Δts|, backward-first) — the quadratic
       // formulation the merge's two-candidate compare replaces

@@ -116,11 +116,12 @@ class GlobalRankSpec extends SparkSuite {
       org.apache.spark.sql.expressions.Window.orderBy(col("count"), col("score")))))
       .contains("GlobalRank"))
     // unsupported functions → untouched (the lint still owns them):
-    // sliding frames aren't prefix aggregates, first/last aren't matched,
-    // decimal avg has its own precision arithmetic
-    val sliding = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score"), col("id")).rowsBetween(-2, 0)
-    assert(!planOf(df.withColumn("s", sum(col("score")).over(sliding))).contains("GlobalRank"))
+    // RANGE sliding frames need value arithmetic (ROWS sliding rewrites —
+    // see the sliding tests), first/last aren't matched, decimal avg has
+    // its own precision arithmetic
+    val rangeSliding = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score")).rangeBetween(-2, 0)
+    assert(!planOf(df.withColumn("s", sum(col("score")).over(rangeSliding))).contains("GlobalRank"))
     assert(!planOf(df.withColumn("f", first(col("payload")).over(wGlob))).contains("GlobalRank"))
     assert(!planOf(df.withColumn("a",
       avg(col("score").cast("decimal(10,2)")).over(wGlob))).contains("GlobalRank"))
@@ -358,6 +359,44 @@ class GlobalRankSpec extends SparkSuite {
     assert(rows.last.getDouble(2) == 1.0)
   }
 
+  test("sliding ROWS aggregates match the stock Window, cross-partition warm-up included") {
+    // k=300 exceeds a partition's ~250 rows, so the frame's tail spans
+    // MULTIPLE previous partitions: the warm-up must add exactly the k
+    // driver-stitched boundary values and retract them as they leave
+    val rnd = new scala.util.Random(211)
+    val df = (1 to 1000).map { i =>
+      val v: Option[Long] = if (rnd.nextInt(9) == 0) None else Some(rnd.nextInt(400).toLong - 200L)
+      (i.toLong, rnd.nextInt(300).toLong, v)
+    }.toDF("id", "score", "v").withColumn("dv", col("v").cast("decimal(10,2)") / 8)
+    val base = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
+    def agged(d: DataFrame) = d
+      .withColumn("s7", sum(col("v")).over(base.rowsBetween(-6, 0)))
+      .withColumn("s300", sum(col("v")).over(base.rowsBetween(-300, 0)))
+      .withColumn("sd", sum(col("dv")).over(base.rowsBetween(-12, 0)))
+      .withColumn("c5", count(col("v")).over(base.rowsBetween(-4, 0)))
+      .withColumn("rn", row_number().over(base)) // mixed node
+    val viaExec = agged(df)
+    val p = viaExec.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    val viaStock = agged(df.dropDuplicates("id"))
+    assert(!viaStock.queryExecution.executedPlan.toString.contains("GlobalRank"))
+    def m(d: DataFrame) = d.select("id", "s7", "s300", "sd", "c5", "rn")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(m(viaExec) == m(viaStock), "sliding aggregates diverged")
+  }
+
+  test("sliding scope: min/max (non-invertible), over-bound k, and FOLLOWING keep the stock plan") {
+    val df = corpus(200, 223)
+    val base = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
+    def planOf(d: DataFrame): String = d.queryExecution.executedPlan.toString
+    assert(!planOf(df.withColumn("m", min(col("payload")).over(base.rowsBetween(-3, 0))))
+      .contains("GlobalRank"))
+    assert(!planOf(df.withColumn("s", sum(col("score"))
+      .over(base.rowsBetween(-(GlobalRankRule.MaxShift.toLong), 0)))).contains("GlobalRank"))
+    assert(!planOf(df.withColumn("s", sum(col("score")).over(base.rowsBetween(-2, 1))))
+      .contains("GlobalRank"))
+  }
+
   test("law: random function mixes over random tied/null corpora match the stock Window") {
     // six seeded trials, each drawing a random subset of every supported
     // family over a random corpus (heavy ties, nulls in keys AND values) —
@@ -389,6 +428,8 @@ class GlobalRankSpec extends SparkSuite {
         "mn" -> min(col("v")).over(w),
         "mx" -> max(col("v")).over(wRows),
         "c" -> count(col("v")).over(w),
+        "sl" -> sum(col("v")).over(w.rowsBetween(-(1 + rnd.nextInt(40)).toLong, 0)),
+        "cl" -> count(col("v")).over(w.rowsBetween(-(1 + rnd.nextInt(200)).toLong, 0)),
         "lg" -> lag(col("v"), 1 + rnd.nextInt(5)).over(w),
         "ld" -> lead(col("v"), 1 + rnd.nextInt(5), -9L).over(w))
       val picked = rnd.shuffle(pool).take(3 + rnd.nextInt(5))

@@ -108,7 +108,8 @@ class PlanSpec extends SparkSuite {
   test("c8c/e15/e16: cume_dist + prefix aggregates rewrite to GlobalRankExec, no Window") {
     for (df <- Seq(CoreQueries.c8cCumeDistSql(spark, sf001),
         CoreQueries.e15RunningTotalSql(spark, sf001),
-        CoreQueries.e16RunningMinmaxSql(spark, sf001))) {
+        CoreQueries.e16RunningMinmaxSql(spark, sf001),
+        CoreQueries.e17MovingTotalSql(spark, sf001))) {
       val p = simplePlan(df)
       assert(p.contains("GlobalRank"),
         "forward tie-aware / prefix-aggregate windows must rewrite:\n" + p)
