@@ -64,14 +64,16 @@ object GlobalRankFunc {
   case class PrefixAgg(inputIdx: Int, kind: AggKind, perRow: Boolean)
       extends GlobalRankFunc
   /** A SLIDING aggregate over `ROWS BETWEEN k PRECEDING AND CURRENT ROW`
-    * (the global moving average/total): a windowed accumulator that ADDS
-    * the arriving value and RETRACTS the value leaving the frame — the
-    * leaving value comes from the same ring + driver-stitched boundary
-    * values the shift family reads (a sliding agg is "lag values, folded"),
-    * so there is no carry, no run-close, and emission is at arrival.
-    * Restricted to INVERTIBLE kinds (sum/count/avg — min/max cannot
-    * retract and stay with the stock plan) and to `k + 1 <= MaxShift`
-    * (the same driver-traffic bound as shifts).
+    * (the global moving average/total): sum/count/avg run a windowed
+    * accumulator that ADDS the arriving value and RETRACTS the value
+    * leaving the frame — the leaving value comes from the same ring +
+    * driver-stitched boundary values the shift family reads (a sliding
+    * agg is "lag values, folded") — while min/max, which cannot retract,
+    * run the classic MONOTONIC DEQUE (dominated tail entries popped on
+    * push, expired head entries evicted by index; O(1) amortized, O(k)
+    * state). Either way there is no carry, no run-close, emission is at
+    * arrival, and `k + 1 <= MaxShift` bounds the driver traffic exactly
+    * as for shifts.
     */
   case class SlideAgg(inputIdx: Int, kind: AggKind, k: Int)
       extends GlobalRankFunc
@@ -325,6 +327,13 @@ object GlobalRankRule extends Rule[LogicalPlan] {
           }
           case Count(Seq(e)) if e.deterministic =>
             Some(WithInput(e, i => SlideAgg(i, AggKind.Cnt, k)))
+          // min/max cannot retract, but a k-bounded frame admits the
+          // classic monotonic deque (O(1) amortized, O(k) state) — the
+          // exec branches on the kind
+          case Min(e) if e.deterministic && RowOrdering.isOrderable(e.dataType) =>
+            Some(WithInput(e, i => SlideAgg(i, AggKind.MinMax(isMin = true), k)))
+          case Max(e) if e.deterministic && RowOrdering.isOrderable(e.dataType) =>
+            Some(WithInput(e, i => SlideAgg(i, AggKind.MinMax(isMin = false), k)))
           case _ => None
         }
         conv.map((a, _))
@@ -715,20 +724,23 @@ case class GlobalRankExec(
         else r.get(0, shiftTypes(f.inputIdx))
       }
 
-      // sliding-frame accumulators, WARMED with the ≤ k previous-partition
-      // tail values the frame spans at this partition's first rows (the
-      // driver-stitched pPrev lane; null = before the corpus)
-      val slideAccs: Array[Acc] = if (hasSlide) {
-        val a = new Array[Acc](funcs.length)
+      // sliding-frame state, WARMED with the ≤ k previous-partition tail
+      // values the frame spans at this partition's first rows (the
+      // driver-stitched pPrev lane; null = before the corpus): a
+      // retracting accumulator for the invertible kinds, a monotonic
+      // deque for min/max
+      val slideStates: Array[GlobalRankExec.SlideState] = if (hasSlide) {
+        val a = new Array[GlobalRankExec.SlideState](funcs.length)
         var t = 0
         while (t < slideSlots.length) {
           val j = slideSlots(t)
           val f = funcs(j).asInstanceOf[GlobalRankFunc.SlideAgg]
-          a(j) = GlobalRankExec.mkAcc(f.kind, shiftTypes(f.inputIdx))
+          a(j) = GlobalRankExec.mkSlideState(f, shiftTypes(f.inputIdx),
+            (q, cur) => valueAt(f.inputIdx, q, cur))
           var m = f.k
           while (m >= 1) {
             val r = valueAt(f.inputIdx, -m.toLong, 0L)
-            if (r != null) a(j).add(r)
+            if (r != null) a(j).push(-m.toLong, r)
             m -= 1
           }
           t += 1
@@ -771,23 +783,14 @@ case class GlobalRankExec(
           }
         }
         if (hasSlide) {
-          // windowed accumulators: add the arriving value (just written to
-          // the ring), retract the value leaving the frame (ring or the
-          // driver-stitched previous-partition tail; null = before the
-          // corpus, nothing to retract)
+          // advance every sliding state: push the arriving value (just
+          // written to the ring), expire what leaves the frame
           var t = 0
           while (t < slideSlots.length) {
             val j = slideSlots(t)
             val f = funcs(j).asInstanceOf[GlobalRankFunc.SlideAgg]
-            slideAccs(j).add(valRing(f.inputIdx)((i % ringSize).toInt))
-            // the leaving position entered the accumulator only if the
-            // warm-up covered it (warm-up spans [-k, -1]): q >= -k — a
-            // deeper pPrev value exists on disk but was never added
-            val q = i - f.k - 1L
-            if (q >= -f.k.toLong) {
-              val leaving = valueAt(f.inputIdx, q, i)
-              if (leaving != null) slideAccs(j).retract(leaving)
-            }
+            slideStates(j).push(i, valRing(f.inputIdx)((i % ringSize).toInt))
+            slideStates(j).expireBefore(i - f.k)
             t += 1
           }
         }
@@ -815,8 +818,8 @@ case class GlobalRankExec(
               out(j) = accs(j).value
             case GlobalRankFunc.PrefixAgg(_, _, false) => out(j) = Unfilled
             case GlobalRankFunc.SlideAgg(_, _, _) =>
-              // the windowed accumulator was advanced above
-              out(j) = slideAccs(j).value
+              // the sliding state was advanced above
+              out(j) = slideStates(j).value
           }
           j += 1
         }
@@ -1117,6 +1120,68 @@ object GlobalRankExec {
     def partial: Any =
       if (c > 0L) (java.lang.Double.valueOf(s), java.lang.Long.valueOf(c)) else null
     def value: Any = if (c == 0L) null else s / c
+  }
+
+  /** Sliding-frame (`ROWS k PRECEDING..CURRENT ROW`) state: push the value
+    * at position `idx` (arrival or warm-up), expire positions leaving the
+    * frame, read the frame's current value.
+    */
+  sealed trait SlideState {
+    def push(idx: Long, r: InternalRow): Unit
+    def expireBefore(minIdx: Long): Unit
+    def value: Any
+  }
+
+  /** Invertible kinds: a retracting accumulator. Expiry walks the position
+    * frontier and retracts each leaving value re-read through `lookup`
+    * (the ring / driver-stitched boundary lane; null = before the corpus,
+    * never pushed, nothing to retract).
+    */
+  private final class AccSlideState(
+      acc: Acc, k: Int, lookup: (Long, Long) => InternalRow) extends SlideState {
+    private var cur = 0L
+    private var frontier = -k.toLong // next position to expire
+    def push(idx: Long, r: InternalRow): Unit = {
+      acc.add(r)
+      if (idx > cur) cur = idx
+    }
+    def expireBefore(minIdx: Long): Unit =
+      while (frontier < minIdx) {
+        val r = lookup(frontier, cur)
+        if (r != null) acc.retract(r)
+        frontier += 1L
+      }
+    def value: Any = acc.value
+  }
+
+  /** min/max: the monotonic deque — a pushed value pops every dominated
+    * tail entry (they can never be the extremum again while the new value
+    * is in frame), expiry drops head entries by position; the head is
+    * always the frame's extremum. O(1) amortized, ≤ k+1 entries. Null
+    * inputs are never pushed (SQL min/max ignore nulls); an all-null
+    * frame reads null.
+    */
+  private final class DequeSlideState(dt: DataType, isMin: Boolean)
+      extends SlideState {
+    private val ord = RowOrdering.createNaturalAscendingOrdering(Seq(dt))
+    private val dq =
+      scala.collection.mutable.ArrayDeque.empty[(Long, InternalRow)]
+    def push(idx: Long, r: InternalRow): Unit = if (!r.isNullAt(0)) {
+      while (dq.nonEmpty && {
+        val c = ord.compare(r, dq.last._2)
+        if (isMin) c <= 0 else c >= 0
+      }) dq.removeLast()
+      dq.append((idx, r)) // ring/boundary rows are per-arrival copies
+    }
+    def expireBefore(minIdx: Long): Unit =
+      while (dq.nonEmpty && dq.head._1 < minIdx) dq.removeHead()
+    def value: Any = if (dq.isEmpty) null else dq.head._2.get(0, dt)
+  }
+
+  def mkSlideState(f: GlobalRankFunc.SlideAgg, dt: DataType,
+      lookup: (Long, Long) => InternalRow): SlideState = f.kind match {
+    case GlobalRankFunc.AggKind.MinMax(isMin) => new DequeSlideState(dt, isMin)
+    case kind => new AccSlideState(mkAcc(kind, dt), f.k, lookup)
   }
 
   def mkAcc(kind: GlobalRankFunc.AggKind, dt: DataType): Acc = {

@@ -1423,7 +1423,8 @@ object CoreQueries {
     * retract-based windowed accumulator riding the shift family's ring +
     * driver-stitched boundary values (no carry, no tie buffering, emission
     * at arrival — fully streaming); the moving average is the plain
-    * division of the two window outputs, outside any window. Decimal
+    * division of the two window outputs, outside any window; moving
+    * MIN/MAX ride the monotonic-deque lane of the same rewrite. Decimal
     * accumulation keeps the retractions exact (a double window would
     * drift from the stock recompute-per-frame semantics).
     */
@@ -1435,7 +1436,9 @@ object CoreQueries {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER w AS DOUBLE) AS mov_total,
                 COUNT(*) OVER w AS n_window,
                 CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER w AS DOUBLE)
-                     / (COUNT(*) OVER w) AS DOUBLE) AS mov_avg
+                     / (COUNT(*) OVER w) AS DOUBLE) AS mov_avg,
+                CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_min,
+                CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_max
          FROM e17_orders
          WINDOW w AS (ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -2102,7 +2105,9 @@ object CoreQueries {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER w AS DOUBLE) AS mov_total,
                 COUNT(*) OVER w AS n_window,
                 CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER w AS DOUBLE)
-                     / (COUNT(*) OVER w) AS DOUBLE) AS mov_avg
+                     / (COUNT(*) OVER w) AS DOUBLE) AS mov_avg,
+                CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_min,
+                CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_max
          FROM orders
          WINDOW w AS (ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)

@@ -374,26 +374,29 @@ class GlobalRankSpec extends SparkSuite {
       .withColumn("s300", sum(col("v")).over(base.rowsBetween(-300, 0)))
       .withColumn("sd", sum(col("dv")).over(base.rowsBetween(-12, 0)))
       .withColumn("c5", count(col("v")).over(base.rowsBetween(-4, 0)))
+      .withColumn("mn9", min(col("v")).over(base.rowsBetween(-8, 0)))
+      .withColumn("mx250", max(col("v")).over(base.rowsBetween(-250, 0)))
       .withColumn("rn", row_number().over(base)) // mixed node
     val viaExec = agged(df)
     val p = viaExec.queryExecution.executedPlan.toString
     assert(p.contains("GlobalRank") && !p.contains("Window"), p)
     val viaStock = agged(df.dropDuplicates("id"))
     assert(!viaStock.queryExecution.executedPlan.toString.contains("GlobalRank"))
-    def m(d: DataFrame) = d.select("id", "s7", "s300", "sd", "c5", "rn")
+    def m(d: DataFrame) = d.select("id", "s7", "s300", "sd", "c5", "mn9", "mx250", "rn")
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     assert(m(viaExec) == m(viaStock), "sliding aggregates diverged")
   }
 
-  test("sliding scope: min/max (non-invertible), over-bound k, and FOLLOWING keep the stock plan") {
+  test("sliding scope: over-bound k, FOLLOWING, and RANGE sliding keep the stock plan") {
     val df = corpus(200, 223)
     val base = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
     def planOf(d: DataFrame): String = d.queryExecution.executedPlan.toString
-    assert(!planOf(df.withColumn("m", min(col("payload")).over(base.rowsBetween(-3, 0))))
-      .contains("GlobalRank"))
     assert(!planOf(df.withColumn("s", sum(col("score"))
       .over(base.rowsBetween(-(GlobalRankRule.MaxShift.toLong), 0)))).contains("GlobalRank"))
     assert(!planOf(df.withColumn("s", sum(col("score")).over(base.rowsBetween(-2, 1))))
+      .contains("GlobalRank"))
+    assert(!planOf(df.withColumn("s", sum(col("score")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("score")).rangeBetween(-2, 0))))
       .contains("GlobalRank"))
   }
 
@@ -430,6 +433,8 @@ class GlobalRankSpec extends SparkSuite {
         "c" -> count(col("v")).over(w),
         "sl" -> sum(col("v")).over(w.rowsBetween(-(1 + rnd.nextInt(40)).toLong, 0)),
         "cl" -> count(col("v")).over(w.rowsBetween(-(1 + rnd.nextInt(200)).toLong, 0)),
+        "ml" -> min(col("v")).over(w.rowsBetween(-(1 + rnd.nextInt(120)).toLong, 0)),
+        "xl" -> max(col("v")).over(w.rowsBetween(-(1 + rnd.nextInt(15)).toLong, 0)),
         "lg" -> lag(col("v"), 1 + rnd.nextInt(5)).over(w),
         "ld" -> lead(col("v"), 1 + rnd.nextInt(5), -9L).over(w))
       val picked = rnd.shuffle(pool).take(3 + rnd.nextInt(5))
