@@ -169,8 +169,18 @@ object SnapshotLake {
       case Some(vs) => m.entries.filter(e => vs.contains(e.value))
       case None => m.entries
     }
-    if (picked.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(picked.map(e => genDirOf(path, e).toString): _*)
+    if (picked.nonEmpty)
+      spark.read.parquet(picked.map(e => genDirOf(path, e).toString): _*)
+    else if (m.entries.nonEmpty) {
+      // pruned-to-nothing read still carries the TABLE's shape: an empty
+      // frame with the snapshot's schema, so df.select/filter on table
+      // columns keeps working (a zero-column emptyDataFrame would throw
+      // UNRESOLVED_COLUMN)
+      val schema = spark.read
+        .parquet(genDirOf(path, m.entries.head).toString).schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.emptyDataFrame // a table with zero partitions has no schema
   }
 
   /** Keyed LWW merge into the lake — [[Upsert.mergePartitionedParquet]]'s
@@ -229,6 +239,20 @@ object SnapshotLake {
     require(affected.forall(_._1 != null),
       s"null $partitionCol in update batch: a null partition value has no " +
         "directory form — filter or default it upstream")
+    // manifest lines are newline-terminated and the publish format is not
+    // escape-aware beyond tabs; a control character in a value string
+    // would corrupt every future parse of the table — reject up front,
+    // like the null check (tab itself is parse-safe and stays legal)
+    require(affected.forall { case (v, _) => !v.exists(c => c.isControl && c != '\t') },
+      s"$partitionCol value contains a control character (newline?) — " +
+        "it would corrupt the manifest; sanitize upstream")
+    // hex dir names double the value's byte length; keep the full
+    // component (`<col>=<hex>`) under common 255-byte filesystem limits
+    // instead of failing mid-commit with an opaque FS error
+    require(affected.forall { case (v, _) =>
+      partitionCol.length + 1 + v.getBytes("UTF-8").length * 2 <= 240 },
+      s"$partitionCol value too long for a hex-named partition directory " +
+        "(value bytes x2 + column name must stay under 240 chars)")
     val newGen = curGen + 1
     val affectedDirs = affected.map { case (_, h) => s"$partitionCol=$h" }.toSet
     val hit = cur.map(_.entries.filter(e => affectedDirs.contains(e.dirName)))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, Attribute, AttributeSet, Cast, CumeDist, CurrentRow, DenseRank,
-  Expression, GenericInternalRow, JoinedRow, Lag, Lead, Literal,
+  EvalMode, Expression, GenericInternalRow, JoinedRow, Lag, Lead, Literal,
   NamedExpression, NTile, PercentRank, Rank, RangeFrame, RowFrame,
   RowNumber, RowOrdering, SortOrder, SpecifiedWindowFrame,
   UnboundedPreceding, UnsafeProjection, WindowExpression,
@@ -88,9 +88,13 @@ object GlobalRankFunc {
     */
   sealed trait AggKind
   object AggKind {
-    case object SumLong extends AggKind
+    /** `ansi` mirrors the matched Sum's evalMode: checked arithmetic that
+      * THROWS on overflow (the stock ANSI Window's behavior) vs the
+      * legacy wrap (long) / null (decimal).
+      */
+    case class SumLong(ansi: Boolean) extends AggKind
     case object SumDouble extends AggKind
-    case class SumDecimal(precision: Int, scale: Int) extends AggKind
+    case class SumDecimal(precision: Int, scale: Int, ansi: Boolean) extends AggKind
     case object Cnt extends AggKind
     case class MinMax(isMin: Boolean) extends AggKind
     case object AvgDouble extends AggKind
@@ -257,22 +261,29 @@ object GlobalRankRule extends Rule[LogicalPlan] {
         val perRow = ft == RowFrame
         import GlobalRankFunc.{AggKind, PrefixAgg}
         val conv: Option[WithInput] = af match {
-          case Sum(e, _) if e.deterministic => e.dataType match {
-            case ByteType | ShortType | IntegerType | LongType =>
-              Some(WithInput(Cast(e, LongType),
-                i => PrefixAgg(i, AggKind.SumLong, perRow)))
-            case FloatType | DoubleType =>
-              Some(WithInput(Cast(e, DoubleType),
-                i => PrefixAgg(i, AggKind.SumDouble, perRow)))
-            case _: DecimalType =>
-              // af.dataType is Spark's sum result type decimal(p+10, s);
-              // casting each input to it is exact and makes the partial
-              // arithmetic carry the result's precision from the start
-              val rt = af.dataType.asInstanceOf[DecimalType]
-              Some(WithInput(Cast(e, rt),
-                i => PrefixAgg(i, AggKind.SumDecimal(rt.precision, rt.scale), perRow)))
-            case _ => None
-          }
+          // evalMode rides into the kind: under ANSI the accumulators use
+          // checked arithmetic (overflow throws, as the stock Window
+          // would) instead of silently wrapping/nulling; TRY stays stock
+          case Sum(e, ctx) if e.deterministic && ctx.evalMode != EvalMode.TRY =>
+            e.dataType match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                Some(WithInput(Cast(e, LongType),
+                  i => PrefixAgg(i, AggKind.SumLong(ctx.evalMode == EvalMode.ANSI), perRow)))
+              case FloatType | DoubleType =>
+                Some(WithInput(Cast(e, DoubleType),
+                  i => PrefixAgg(i, AggKind.SumDouble, perRow)))
+              case _: DecimalType =>
+                // af.dataType is Spark's sum result type decimal(p+10, s);
+                // casting each input to it is exact and makes the partial
+                // arithmetic carry the result's precision from the start
+                val rt = af.dataType.asInstanceOf[DecimalType]
+                Some(WithInput(Cast(e, rt),
+                  i => PrefixAgg(i,
+                    AggKind.SumDecimal(rt.precision, rt.scale,
+                      ctx.evalMode == EvalMode.ANSI),
+                    perRow)))
+              case _ => None
+            }
           case Average(e, _) if e.deterministic => e.dataType match {
             // decimal avg has its own precision arithmetic — stock plan
             case ByteType | ShortType | IntegerType | LongType |
@@ -305,22 +316,29 @@ object GlobalRankRule extends Rule[LogicalPlan] {
         val k = -lo
         import GlobalRankFunc.{AggKind, SlideAgg}
         val conv: Option[WithInput] = af match {
-          case Sum(e, _) if e.deterministic => e.dataType match {
-            case ByteType | ShortType | IntegerType | LongType =>
-              Some(WithInput(Cast(e, LongType),
-                i => SlideAgg(i, AggKind.SumLong, k)))
-            case FloatType | DoubleType =>
-              Some(WithInput(Cast(e, DoubleType),
-                i => SlideAgg(i, AggKind.SumDouble, k)))
-            case _: DecimalType =>
-              val rt = af.dataType.asInstanceOf[DecimalType]
-              Some(WithInput(Cast(e, rt),
-                i => SlideAgg(i, AggKind.SumDecimal(rt.precision, rt.scale), k)))
-            case _ => None
-          }
+          // float/double sliding sum/avg stay STOCK: the stock Window
+          // recomputes each frame, while a retracting accumulator can
+          // cancel catastrophically ([1e17, 1, 1] at k=1: recompute says
+          // 2.0, add/retract says 0.0). Integral and decimal retractions
+          // are exact, so only the fp kinds are vetoed.
+          case Sum(e, ctx) if e.deterministic && ctx.evalMode != EvalMode.TRY =>
+            e.dataType match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                Some(WithInput(Cast(e, LongType),
+                  i => SlideAgg(i, AggKind.SumLong(ctx.evalMode == EvalMode.ANSI), k)))
+              case _: DecimalType =>
+                val rt = af.dataType.asInstanceOf[DecimalType]
+                Some(WithInput(Cast(e, rt),
+                  i => SlideAgg(i,
+                    AggKind.SumDecimal(rt.precision, rt.scale,
+                      ctx.evalMode == EvalMode.ANSI), k)))
+              case _ => None
+            }
           case Average(e, _) if e.deterministic => e.dataType match {
-            case ByteType | ShortType | IntegerType | LongType |
-              FloatType | DoubleType =>
+            // integral inputs stay exact in a double accumulator (every
+            // value and windowed sum is a dyadic integer < 2^53 territory);
+            // float/double inputs hit the cancellation veto above
+            case ByteType | ShortType | IntegerType | LongType =>
               Some(WithInput(Cast(e, DoubleType),
                 i => SlideAgg(i, AggKind.AvgDouble, k)))
             case _ => None
@@ -1025,16 +1043,21 @@ object GlobalRankExec {
       throw new UnsupportedOperationException(s"$this cannot retract")
   }
 
-  private final class AccSumLong extends Acc {
+  private final class AccSumLong(ansi: Boolean) extends Acc {
     private var nn = 0L; private var s = 0L
+    private def plus(a: Long, b: Long): Long =
+      if (ansi) Math.addExact(a, b) else a + b
     def add(r: InternalRow): Unit =
-      if (!r.isNullAt(0)) { nn += 1L; s += r.getLong(0) }
+      if (!r.isNullAt(0)) { nn += 1L; s = plus(s, r.getLong(0)) }
     def merge(p: Any): Unit = p match {
-      case l: java.lang.Long => nn += 1L; s += l.longValue
+      case l: java.lang.Long => nn += 1L; s = plus(s, l.longValue)
       case _ => ()
     }
     override def retract(r: InternalRow): Unit =
-      if (!r.isNullAt(0)) { nn -= 1L; s -= r.getLong(0) }
+      if (!r.isNullAt(0)) {
+        nn -= 1L
+        s = if (ansi) Math.subtractExact(s, r.getLong(0)) else s - r.getLong(0)
+      }
     def partial: Any = if (nn > 0L) java.lang.Long.valueOf(s) else null
     def value: Any = if (nn > 0L) s else null
   }
@@ -1053,7 +1076,8 @@ object GlobalRankExec {
     def value: Any = if (nn > 0L) s else null
   }
 
-  private final class AccSumDecimal(precision: Int, scale: Int) extends Acc {
+  private final class AccSumDecimal(precision: Int, scale: Int, ansi: Boolean)
+      extends Acc {
     private var nn = 0L; private var bd: java.math.BigDecimal = null
     def add(r: InternalRow): Unit = if (!r.isNullAt(0)) {
       val d = r.getDecimal(0, precision, scale).toJavaBigDecimal
@@ -1073,9 +1097,13 @@ object GlobalRankExec {
     def partial: Any = if (nn > 0L) bd else null
     def value: Any = if (nn == 0L || bd == null) null else {
       val dec = Decimal(bd)
-      // Spark's sum(decimal) result contract: decimal(p+10, s), null on
-      // overflow (the stock plan's non-ANSI behavior)
-      if (dec.changePrecision(precision, scale)) dec else null
+      // Spark's sum(decimal) result contract: decimal(p+10, s); overflow
+      // nulls under legacy mode and THROWS under ANSI (the stock Window's
+      // behavior either way)
+      if (dec.changePrecision(precision, scale)) dec
+      else if (ansi) throw new ArithmeticException(
+        s"${bd.toPlainString} cannot be represented as Decimal($precision, $scale)")
+      else null
     }
   }
 
@@ -1187,9 +1215,9 @@ object GlobalRankExec {
   def mkAcc(kind: GlobalRankFunc.AggKind, dt: DataType): Acc = {
     import GlobalRankFunc.AggKind._
     kind match {
-      case SumLong => new AccSumLong
+      case SumLong(ansi) => new AccSumLong(ansi)
       case SumDouble => new AccSumDouble
-      case SumDecimal(p, s) => new AccSumDecimal(p, s)
+      case SumDecimal(p, s, ansi) => new AccSumDecimal(p, s, ansi)
       case Cnt => new AccCnt
       case MinMax(isMin) => new AccMinMax(dt, isMin)
       case AvgDouble => new AccAvgDouble

@@ -72,7 +72,11 @@ object JdbcUpsertV2 {
       noUpdate: Seq[String])
 
   object Config {
-    def apply(o: Map[String, String]): Config = {
+    def apply(o0: Map[String, String]): Config = {
+      // DSv2 options are case-insensitive by convention, but getTable
+      // receives the case-PRESERVING properties map — normalize here so
+      // .option("dbTable", …) works everywhere, not just in inferSchema
+      val o = o0.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
       def req(k: String): String = o.getOrElse(k,
         throw new IllegalArgumentException(s"option '$k' is required"))
       val keys = req("keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -216,12 +220,23 @@ private[sources] final class JdbcUpsertDataWriter(
     .map(cols.indexOf).toArray
   private val bindTypes = bindIdx.map(schema.fields(_).dataType)
 
+  // track what was actually OPENED, not what was written: a first write()
+  // that fails after the connection opens (bad SQL, unsupported type)
+  // still reaches close() with total == 0, and the connection must not
+  // leak across task retries
+  private var connOpened = false
+  private var stOpened = false
   private lazy val conn: Connection = {
     val c = DriverManager.getConnection(cfg.url)
+    connOpened = true
     c.setAutoCommit(false)
     c
   }
-  private lazy val st: PreparedStatement = conn.prepareStatement(sql)
+  private lazy val st: PreparedStatement = {
+    val s = conn.prepareStatement(sql)
+    stOpened = true
+    s
+  }
   private var pending = 0
   private var total = 0L
 
@@ -248,9 +263,10 @@ private[sources] final class JdbcUpsertDataWriter(
     JdbcUpsertCommit(total)
   }
 
-  override def abort(): Unit = if (total > 0L) conn.rollback()
+  override def abort(): Unit = if (connOpened) conn.rollback()
 
-  override def close(): Unit = {
-    if (total > 0L) { st.close(); conn.close() }
+  override def close(): Unit = if (connOpened) {
+    try if (stOpened) st.close()
+    finally conn.close()
   }
 }

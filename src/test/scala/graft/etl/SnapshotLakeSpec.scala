@@ -173,16 +173,34 @@ class SnapshotLakeSpec extends SparkSuite {
       "replayed stream must converge, not duplicate or regress")
   }
 
-  test("guardrails: null partition value, wrong partition column, empty lake") {
+  test("guardrails: null/control-char/over-long partition values, wrong column, empty lake") {
     val dir = tmp()
     intercept[IllegalStateException](SnapshotLake.read(spark, dir))
     val withNull = Seq(("k1", null.asInstanceOf[String], 1L, 1.0))
       .toDF("key", "dt", "v", "price")
     intercept[IllegalArgumentException](
       SnapshotLake.merge(spark, dir, withNull, Seq("key"), "v", "dt"))
+    // a newline in a value would corrupt the line-oriented manifest and
+    // brick every future parse — rejected up front like null
+    val withNewline = Seq(("k1", "a\nb", 1L, 1.0)).toDF("key", "dt", "v", "price")
+    val eNl = intercept[IllegalArgumentException](
+      SnapshotLake.merge(spark, dir, withNewline, Seq("key"), "v", "dt"))
+    assert(eNl.getMessage.contains("control character"))
+    // hex dir names double the value's length — over-long values fail
+    // fast instead of dying mid-commit on a filesystem name limit
+    val withLong = Seq(("k1", "x" * 200, 1L, 1.0)).toDF("key", "dt", "v", "price")
+    val eLen = intercept[IllegalArgumentException](
+      SnapshotLake.merge(spark, dir, withLong, Seq("key"), "v", "dt"))
+    assert(eLen.getMessage.contains("too long"))
     SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
     intercept[IllegalArgumentException](
       SnapshotLake.merge(spark, dir, b1.withColumnRenamed("dt", "other")
         .withColumn("dt", col("other")), Seq("key"), "v", "other"))
+    // pruning to a nonexistent partition keeps the TABLE's schema — an
+    // empty typed frame, not a zero-column one
+    val pruned = SnapshotLake.read(spark, dir, Seq("2099-12-31"))
+    assert(pruned.count() == 0)
+    assert(pruned.columns.toSeq == Seq("key", "dt", "v", "price"))
+    assert(pruned.filter(col("price") > 0).count() == 0) // columns resolve
   }
 }

@@ -387,7 +387,7 @@ class GlobalRankSpec extends SparkSuite {
     assert(m(viaExec) == m(viaStock), "sliding aggregates diverged")
   }
 
-  test("sliding scope: over-bound k, FOLLOWING, and RANGE sliding keep the stock plan") {
+  test("sliding scope: over-bound k, FOLLOWING, RANGE sliding, and fp sum/avg keep the stock plan") {
     val df = corpus(200, 223)
     val base = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
     def planOf(d: DataFrame): String = d.queryExecution.executedPlan.toString
@@ -398,6 +398,48 @@ class GlobalRankSpec extends SparkSuite {
     assert(!planOf(df.withColumn("s", sum(col("score")).over(
       org.apache.spark.sql.expressions.Window.orderBy(col("score")).rangeBetween(-2, 0))))
       .contains("GlobalRank"))
+    // float/double sliding sum/avg: a retracting accumulator cancels
+    // catastrophically where the stock Window recomputes each frame
+    // ([1e17, 1, 1] at k=1 → 0.0 vs 2.0) — those stay stock
+    assert(!planOf(df.withColumn("s", sum(col("payload")).over(base.rowsBetween(-1, 0))))
+      .contains("GlobalRank"))
+    assert(!planOf(df.withColumn("a", avg(col("payload")).over(base.rowsBetween(-1, 0))))
+      .contains("GlobalRank"))
+    // and the would-have-cancelled case is CORRECT via the stock plan
+    val cancel = Seq((1L, 1e17), (2L, 1.0), (3L, 1.0)).toDF("id", "x")
+      .withColumn("s", sum(col("x")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("id")).rowsBetween(-1, 0)))
+      .orderBy("id").select("s").collect().map(_.getDouble(0))
+    assert(cancel(2) == 2.0, s"fp sliding sum must recompute per frame: ${cancel.toSeq}")
+  }
+
+  test("ANSI evalMode rides into the rewrite: overflow throws; legacy wraps like stock") {
+    val df = Seq((1L, Long.MaxValue), (2L, 10L), (3L, 7L)).toDF("id", "v")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    val before = spark.conf.getOption("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val ansi = df.withColumn("s", sum(col("v")).over(w))
+      assert(ansi.queryExecution.executedPlan.toString.contains("GlobalRank"))
+      val e = intercept[Exception](ansi.collect())
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      assert(chain(e).exists(c => c.isInstanceOf[ArithmeticException] ||
+        c.getMessage != null && c.getMessage.toLowerCase.contains("overflow")),
+        s"ANSI running-sum overflow must throw, got: $e")
+
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val legacy = df.withColumn("s", sum(col("v")).over(w))
+      assert(legacy.queryExecution.executedPlan.toString.contains("GlobalRank"))
+      val got = legacy.orderBy("id").select("s").collect().map(_.getLong(0)).toSeq
+      // bounded twin = the stock legacy Window, which wraps identically
+      val want = df.dropDuplicates("id").withColumn("s", sum(col("v")).over(w))
+        .orderBy("id").select("s").collect().map(_.getLong(0)).toSeq
+      assert(got == want, s"legacy wrap diverged: $got vs $want")
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None => spark.conf.unset("spark.sql.ansi.enabled")
+    }
   }
 
   test("law: random function mixes over random tied/null corpora match the stock Window") {
@@ -490,7 +532,8 @@ class GlobalRankSpec extends SparkSuite {
           s"$kind: grouped ${merged.value} != sequential ${seqAcc.value} over $vals")
       }
     }
-    run(AggKind.SumLong, LongType, () => rnd.nextInt(1000).toLong - 500L)
+    run(AggKind.SumLong(ansi = false), LongType, () => rnd.nextInt(1000).toLong - 500L)
+    run(AggKind.SumLong(ansi = true), LongType, () => rnd.nextInt(1000).toLong - 500L)
     run(AggKind.Cnt, LongType, () => rnd.nextLong())
     run(AggKind.MinMax(isMin = true), LongType, () => rnd.nextLong())
     run(AggKind.MinMax(isMin = false), DoubleType, () => rnd.nextDouble() - 0.5)
@@ -499,7 +542,8 @@ class GlobalRankSpec extends SparkSuite {
     // oracle lane casts to decimal; this law uses integral doubles)
     run(AggKind.SumDouble, DoubleType, () => (rnd.nextInt(1000) - 500).toDouble)
     run(AggKind.AvgDouble, DoubleType, () => (rnd.nextInt(8) * 512).toDouble)
-    run(AggKind.SumDecimal(12, 2), org.apache.spark.sql.types.DecimalType(12, 2),
+    run(AggKind.SumDecimal(12, 2, ansi = false),
+      org.apache.spark.sql.types.DecimalType(12, 2),
       () => org.apache.spark.sql.types.Decimal(
         BigDecimal(rnd.nextInt(1000000) - 500000, 2), 12, 2))
   }

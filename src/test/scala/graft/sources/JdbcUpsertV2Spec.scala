@@ -108,4 +108,25 @@ class JdbcUpsertV2Spec extends SparkSuite {
       "keys" -> "user_id", "dialect" -> "oracle"))
       .getMessage.contains("unknown dialect"))
   }
+
+  test("V2 upsert sink: options are case-insensitive on BOTH schema and write paths") {
+    // getTable receives the case-PRESERVING properties map — mixed-case
+    // keys must still resolve (the DSv2 convention)
+    val c = DriverManager.getConnection(url)
+    c.createStatement().execute(
+      """CREATE TABLE quotes_v2_ci (
+        |  "user_id" BIGINT NOT NULL, "value" DOUBLE,
+        |  PRIMARY KEY ("user_id"))""".stripMargin)
+    c.close()
+    val df = Tables(spark, sf001, "events")
+      .select(col("user_id"), col("value")).dropDuplicates("user_id").limit(20)
+    df.write.format(classOf[JdbcUpsertDataSource].getName)
+      .option("Url", url)
+      .option("dbTable", "quotes_v2_ci")
+      .option("Keys", "user_id")
+      .option("Dialect", "derby")
+      .mode("append").save()
+    assert(spark.read.jdbc(url, "quotes_v2_ci", new java.util.Properties()).count()
+      == df.count())
+  }
 }
