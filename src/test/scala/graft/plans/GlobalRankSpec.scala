@@ -548,6 +548,31 @@ class GlobalRankSpec extends SparkSuite {
         BigDecimal(rnd.nextInt(1000000) - 500000, 2), 12, 2))
   }
 
+  test("DESC / nulls-last orderings: ranks, cume_dist, and prefix sums stay tie-exact") {
+    // every parity test above orders ASC; the exec only ever USES key
+    // equality (run detection) and honors the orderSpec's direction via
+    // the sort envelope — pin that DESC and NULLS LAST don't break it
+    val rnd = new scala.util.Random(229)
+    val df = (1 to 900).map { i =>
+      val s: Option[Long] = if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(7).toLong)
+      (i.toLong, s, rnd.nextInt(100).toLong)
+    }.toDF("id", "score", "v")
+    for (ord <- Seq(col("score").desc, col("score").desc_nulls_last,
+        col("score").asc_nulls_last)) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(ord)
+      def q(d: DataFrame) = d
+        .withColumn("r", rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("s", sum(col("v")).over(w))
+      val viaExec = q(df)
+      assert(viaExec.queryExecution.executedPlan.toString.contains("GlobalRank"), ord.toString)
+      val viaStock = q(df.dropDuplicates("id"))
+      def m(d: DataFrame) = d.select("id", "r", "cd", "s")
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(m(viaExec) == m(viaStock), s"$ord diverged from the stock Window")
+    }
+  }
+
   test("tileOf implements the SQL-standard remainder rule for all shapes") {
     val rnd = new scala.util.Random(31)
     for (_ <- 1 to 200) {
