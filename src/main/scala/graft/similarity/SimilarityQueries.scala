@@ -427,16 +427,17 @@ object SimilarityQueries {
   def x8cAnnIvfPqFrom(e: DataFrame, cent: DataFrame, cbIds: Seq[Long],
       k: Int, nprobe: Int): DataFrame = {
     require(cbIds.length == 16, s"PQ sub-codebook needs 16 sample rows, got ${cbIds.length}")
-    val assigned = assignCells(e, cent)
-    val centAs = broadcast(cent.select(col("c_id").as("cell"), col("cv")))
-    val withRes = assigned.join(centAs, "cell")
-      .withColumn("r", expr("zip_with(v, cv, (a, b) -> a - b)"))
     // bounded collect: 16 residual vectors (16 × 64 doubles) become the
-    // literal codebook — encoding then needs NO join at all
-    val cbRows: Seq[Seq[Double]] = withRes
-      .filter(col("vec_id").isin(cbIds: _*))
-      .select(col("vec_id"), col("r")).collect()
-      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toSeq).toSeq
+    // literal codebook. Cell assignment is per-vector independent, so
+    // deriving the 16 sample residuals assigns ONLY the 16 sample vectors
+    // (16 × 16 cosines) — never a corpus pass
+    val centAs = broadcast(cent.select(col("c_id").as("cell"), col("cv")))
+    val cbRows: Seq[Seq[Double]] =
+      assignCells(e.filter(col("vec_id").isin(cbIds: _*)), cent)
+        .join(centAs, "cell")
+        .withColumn("r", expr("zip_with(v, cv, (a, b) -> a - b)"))
+        .select(col("vec_id"), col("r")).collect()
+        .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toSeq).toSeq
     require(cbRows.length == 16,
       s"corpus lacks PQ codebook sample vec_ids ${cbIds.mkString(",")}")
     x8cAnnIvfPqCoded(e, cent, cbRows, k, nprobe)
