@@ -443,6 +443,25 @@ object SimilarityQueries {
     x8cAnnIvfPqCoded(e, cent, cbRows, k, nprobe)
   }
 
+  /** The cross-subspace decimal-exact fold for the ADC sums: 16 per-subspace
+    * double terms, each rounded to 8 decimals, summed without loss.
+    *
+    * Exactness trap (the round-8 gate failure): with acc DECIMAL(38,8) and
+    * terms DECIMAL(30,8), Spark types each `acc + term` as DECIMAL(38,7)
+    * (precision 8+30+1 = 39 > 38, so the precision-loss rule drops the
+    * scale to 7), silently rounding every PARTIAL sum to 7dp while the
+    * oracle's DECIMAL SUM is exact at 8dp — drift up to ~3e-7 in the ADC
+    * output. Keeping acc at DECIMAL(30,8) and terms at DECIMAL(20,8) types
+    * each step DECIMAL(31,8) — inside precision 38, no scale loss — and the
+    * closing cast back to (30,8) is exact for these O(1) magnitudes. The
+    * term cast to (20,8) rounds the double identically to the oracle's
+    * (30,8) cast (same 8dp half-even; 12 integer digits are ample).
+    * SimilaritySpec pins the fold arithmetic against the lossy shape.
+    */
+  private[graft] def decSumSql(inner: String): String =
+    s"""aggregate(sequence(0, 15), CAST(0 AS DECIMAL(30,8)),
+          (acc, s) -> CAST(acc + CAST(($inner) AS DECIMAL(20,8)) AS DECIMAL(30,8)))"""
+
   /** X8c engine over an arbitrary assembled 16×64 codebook. */
   def x8cAnnIvfPqCoded(e: DataFrame, cent: DataFrame, cbRows: Seq[Seq[Double]],
       k: Int, nprobe: Int): DataFrame = {
@@ -487,9 +506,7 @@ object SimilarityQueries {
     val rT = "element_at(element_at(__cb, element_at(codes, s+1) + 1), s*4+i)"
     def fold4(term: String): String =
       s"aggregate(sequence(1, 4), CAST(0.0 AS DOUBLE), (a, i) -> a + ($term))"
-    def decSum(inner: String): String =
-      s"""aggregate(sequence(0, 15), CAST(0 AS DECIMAL(38,8)),
-            (acc, s) -> CAST(acc + CAST(($inner) AS DECIMAL(30,8)) AS DECIMAL(38,8)))"""
+    def decSum(inner: String): String = decSumSql(inner)
     def dot64(a: String, b: String): String =
       s"""aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
             (acc, i) -> acc + element_at($a, i) * element_at($b, i))"""

@@ -243,6 +243,26 @@ class SimilaritySpec extends SparkSuite {
     assert(out.count(_.getAs[Long]("q_id") == 0L) == 10)
   }
 
+  test("x8c decimal fold keeps 8-decimal scale in every partial sum (r8 gate regression)") {
+    // The production fold: 16 terms of 3e-8 must sum to exactly 4.8e-7.
+    val fixed = spark.sql(
+      s"SELECT CAST(${SimilarityQueries.decSumSql("CAST(3.0e-8 AS DOUBLE)")} AS DOUBLE) AS v")
+      .head.getDouble(0)
+    assert(fixed == 4.8e-7, s"decimal fold lost scale: got $fixed, want 4.8e-7")
+    // Document the trap the fold avoids: acc DECIMAL(38,8) + term DECIMAL(30,8)
+    // types as DECIMAL(38,7) under Spark's precision-loss rule, so each 3e-8
+    // partial rounds to 0 at 7dp and the whole fold collapses to 0. If a Spark
+    // upgrade changes this typing, we want to know — the parity contract with
+    // the oracle's exact DECIMAL SUM depends on the fold staying at scale 8.
+    val lossy = spark.sql(
+      """SELECT CAST(aggregate(sequence(0, 15), CAST(0 AS DECIMAL(38,8)),
+           (acc, s) -> CAST(acc + CAST(CAST(3.0e-8 AS DOUBLE) AS DECIMAL(30,8))
+             AS DECIMAL(38,8))) AS DOUBLE) AS v""")
+      .head.getDouble(0)
+    assert(lossy == 0.0,
+      s"Spark's decimal promotion changed (lossy fold now $lossy); re-audit decSumSql parity")
+  }
+
   test("x8c IVF-PQ: 4-bit codes, learned codebook beats the stand-in, rescore recall holds") {
     val e = graft.Tables(spark, sf001, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
