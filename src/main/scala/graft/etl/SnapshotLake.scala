@@ -21,11 +21,15 @@ import org.apache.spark.sql.functions._
   * Layout (under the table root):
   * {{{
   *   _manifests/manifest-<zero-padded gen>     one per commit; max = current
-  *   data/<partitionCol>=<HEX>/gen=<n>/part-….parquet
+  *   data/<partitionCol>=h<HEX>/gen=<n>/part-….parquet
   * }}}
   *  - Partition dir names carry the value HEX-ENCODED (of its
   *    `cast(v as string)` UTF-8 bytes, computed by the same Spark
-  *    expression that routes the rows) and are NEVER parsed back — the
+  *    expression that routes the rows) behind a constant `h` prefix — the
+  *    prefix keeps the routing key non-empty for the EMPTY-STRING value,
+  *    which Spark's `partitionBy` would otherwise fold into
+  *    `__HIVE_DEFAULT_PARTITION__` (the null dir) and the install could
+  *    never match back to its staged dir. Dir names are NEVER parsed back — the
   *    partition column is stored IN the data files, so values round-trip
   *    with their exact types (the "string shard '0025' re-emerging as int
   *    25" class of bug is structurally impossible, where the Hive-layout
@@ -73,6 +77,10 @@ object SnapshotLake {
   case class Manifest(gen: Long, partitionCol: String, entries: Seq[Entry])
 
   private val ManifestName = """manifest-(\d{20})""".r
+  // digits-only, like ManifestName: stray non-numeric `gen=` debris (manual
+  // copies, partial syncs) must be skipped, not NumberFormatException every
+  // future merge/compact/vacuum into a brick
+  private val GenName = """gen=(\d+)""".r
 
   private def manifestDir(path: String) = new Path(path, "_manifests")
   private def dataDir(path: String) = new Path(path, "data")
@@ -232,8 +240,12 @@ object SnapshotLake {
     // disagree on a value's directory. Bounded collect: one row per
     // affected partition.
     val castStr = expr(s"cast(`$partitionCol` as string)")
+    // `h` + hex: never empty even for the empty-string value (see layout
+    // scaladoc) — a bare hex('') = '' routing key would partitionBy into
+    // __HIVE_DEFAULT_PARTITION__ and die mid-install unmatchable
+    val routeKey = concat(lit("h"), hex(castStr))
     val affected = deduped
-      .select(castStr.as("__v"), hex(castStr).as("__h")).distinct()
+      .select(castStr.as("__v"), routeKey.as("__h")).distinct()
       .collect().map(r => (r.getString(0), r.getString(1)))
     if (affected.isEmpty) return None
     require(affected.forall(_._1 != null),
@@ -247,10 +259,10 @@ object SnapshotLake {
       s"$partitionCol value contains a control character (newline?) — " +
         "it would corrupt the manifest; sanitize upstream")
     // hex dir names double the value's byte length; keep the full
-    // component (`<col>=<hex>`) under common 255-byte filesystem limits
+    // component (`<col>=h<hex>`) under common 255-byte filesystem limits
     // instead of failing mid-commit with an opaque FS error
     require(affected.forall { case (v, _) =>
-      partitionCol.length + 1 + v.getBytes("UTF-8").length * 2 <= 240 },
+      partitionCol.length + 2 + v.getBytes("UTF-8").length * 2 <= 240 },
       s"$partitionCol value too long for a hex-named partition directory " +
         "(value bytes x2 + column name must stay under 240 chars)")
     val newGen = curGen + 1
@@ -275,7 +287,7 @@ object SnapshotLake {
     // ONE write job for every affected partition: route rows by the hex
     // dir key (a derived column, so partitionCol itself STAYS in the
     // files), then install each staged dir as the partition's next gen.
-    merged.withColumn("__pdir", hex(castStr))
+    merged.withColumn("__pdir", concat(lit("h"), hex(castStr)))
       .write.partitionBy("__pdir").parquet(staging.toString)
     val staged = fs.listStatus(staging)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__pdir="))
@@ -306,8 +318,7 @@ object SnapshotLake {
     fs.listStatus(data).filter(_.isDirectory).foreach { part =>
       fs.listStatus(part.getPath).foreach { g =>
         g.getPath.getName match {
-          case s if s.startsWith("gen=") && s.stripPrefix("gen=").toLong > curGen =>
-            fs.delete(g.getPath, true)
+          case GenName(n) if n.toLong > curGen => fs.delete(g.getPath, true)
           case _ => ()
         }
       }
@@ -363,9 +374,18 @@ object SnapshotLake {
                     .write.parquet(dest.toString)
                 }
               }
-              scala.concurrent.Await.result(
-                scala.concurrent.Future.sequence(jobs),
+              // settle EVERY rewrite before leaving the lease scope: a
+              // fail-fast sequence would release the lease while sibling
+              // Spark jobs still write gen=N dirs — the next lease holder
+              // GCs and reuses N, and the zombie job could mix files into
+              // its commit. Await all (as Try), then surface the first
+              // failure; the publish below never runs on a partial set.
+              val settled = scala.concurrent.Await.result(
+                scala.concurrent.Future.sequence(
+                  jobs.map(_.transform(scala.util.Success(_)))),
                 scala.concurrent.duration.Duration.Inf)
+              settled.collectFirst { case scala.util.Failure(t) => t }
+                .foreach(t => throw t)
             } finally pool.shutdown()
             val bumped = picked.map(_._1.dirName).toSet
             publish(fs, path, Manifest(newGen, m.partitionCol,
@@ -408,10 +428,11 @@ object SnapshotLake {
         val data = dataDir(path)
         if (fs.exists(data)) fs.listStatus(data).filter(_.isDirectory).foreach { part =>
           fs.listStatus(part.getPath).foreach { g =>
-            val name = g.getPath.getName
-            if (name.startsWith("gen=") &&
-              !referenced.contains((part.getPath.getName, name.stripPrefix("gen=").toLong))) {
-              fs.delete(g.getPath, true); removed += 1
+            g.getPath.getName match {
+              case GenName(n)
+                if !referenced.contains((part.getPath.getName, n.toLong)) =>
+                fs.delete(g.getPath, true); removed += 1
+              case _ => ()
             }
           }
           if (fs.listStatus(part.getPath).isEmpty) fs.delete(part.getPath, false)

@@ -1043,23 +1043,47 @@ object GlobalRankExec {
       throw new UnsupportedOperationException(s"$this cannot retract")
   }
 
+  /** SumLong partial: the wrapping 64-bit sum plus its 2^64-wrap count and
+    * the non-null contribution count. Carried instead of a bare Long so a
+    * partition-local subtotal (or a driver carry fold) may transiently
+    * exceed the Long range without losing the true value.
+    */
+  private[plans] final case class SumLongPartial(s: Long, wraps: Long, nn: Long)
+
   private final class AccSumLong(ansi: Boolean) extends Acc {
-    private var nn = 0L; private var s = 0L
-    private def plus(a: Long, b: Long): Long =
-      if (ansi) Math.addExact(a, b) else a + b
+    // Wrapping accumulation + a wrap counter: under ANSI, a checked add on
+    // every internal step would be WRONG — a partition-local subtotal or a
+    // carry merge can overflow on mixed-sign data (e.g. partitions
+    // [-MaxValue] then [MaxValue, MaxValue]) even when every EMITTED
+    // global prefix value is representable, and the stock sequential
+    // Window succeeds there. The true sum is s + wraps·2^64, so an emitted
+    // value is representable exactly when wraps == 0 — the ANSI check
+    // applies only at `value`, the same observable point the stock Window
+    // checks. Legacy mode wraps mod 2^64 like the stock unchecked sum.
+    private var nn = 0L; private var s = 0L; private var wraps = 0L
+    private def addWrap(b: Long): Unit = {
+      val r = s + b
+      if (((s ^ r) & (b ^ r)) < 0L) wraps += (if (b > 0L) 1L else -1L)
+      s = r
+    }
+    private def subWrap(b: Long): Unit = {
+      val r = s - b
+      if (((s ^ b) & (s ^ r)) < 0L) wraps += (if (b < 0L) 1L else -1L)
+      s = r
+    }
     def add(r: InternalRow): Unit =
-      if (!r.isNullAt(0)) { nn += 1L; s = plus(s, r.getLong(0)) }
+      if (!r.isNullAt(0)) { nn += 1L; addWrap(r.getLong(0)) }
     def merge(p: Any): Unit = p match {
-      case l: java.lang.Long => nn += 1L; s = plus(s, l.longValue)
+      case SumLongPartial(ps, pw, pn) => nn += pn; wraps += pw; addWrap(ps)
       case _ => ()
     }
     override def retract(r: InternalRow): Unit =
-      if (!r.isNullAt(0)) {
-        nn -= 1L
-        s = if (ansi) Math.subtractExact(s, r.getLong(0)) else s - r.getLong(0)
-      }
-    def partial: Any = if (nn > 0L) java.lang.Long.valueOf(s) else null
-    def value: Any = if (nn > 0L) s else null
+      if (!r.isNullAt(0)) { nn -= 1L; subWrap(r.getLong(0)) }
+    def partial: Any = if (nn > 0L) SumLongPartial(s, wraps, nn) else null
+    def value: Any =
+      if (nn == 0L) null
+      else if (wraps != 0L && ansi) throw new ArithmeticException("long overflow")
+      else s
   }
 
   private final class AccSumDouble extends Acc {

@@ -26,6 +26,8 @@ import graft.etl.Upsert
   *   df.write.format("graft.sources.JdbcUpsertDataSource")
   *     .option("url", url).option("dbtable", "quotes")
   *     .option("keys", "ticker,timestamp_utc").option("dialect", "postgres")
+  *     .option("user", u).option("password", pw)       // optional auth
+  *     .option("jdbcprop.ssl", "true")                 // driver passthrough
   *     .mode("append").save()
   * }}}
   *
@@ -69,7 +71,21 @@ object JdbcUpsertV2 {
       keys: Seq[String],
       dialect: Upsert.Dialect,
       batchSize: Int,
-      noUpdate: Seq[String])
+      noUpdate: Seq[String],
+      props: Map[String, String]) {
+    def connectionProperties: java.util.Properties = {
+      val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.setProperty(k, v) }
+      p
+    }
+  }
+
+  /** One connection-open path for driver (schema inference) and executors
+    * (writers): credentials and passthrough properties always apply — an
+    * authenticated database must not require credentials baked into the URL.
+    */
+  private[sources] def connect(cfg: Config): Connection =
+    DriverManager.getConnection(cfg.url, cfg.connectionProperties)
 
   object Config {
     def apply(o0: Map[String, String]): Config = {
@@ -94,7 +110,16 @@ object JdbcUpsertV2 {
         },
         batchSize = o.getOrElse("batchsize", "1000").toInt,
         noUpdate = o.get("noupdate").toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+        // user/password ride as first-class options (upsertJdbc's
+        // java.util.Properties contract); any other driver property goes
+        // through a `jdbcprop.<name>` option. Names arrive lowercased —
+        // DSv2's CaseInsensitiveStringMap folds keys before we see them —
+        // which every mainstream JDBC driver accepts.
+        props = o.get("user").map("user" -> _).toMap ++
+          o.get("password").map("password" -> _).toMap ++
+          o.collect { case (k, v) if k.startsWith("jdbcprop.") =>
+            k.stripPrefix("jdbcprop.") -> v })
     }
   }
 
@@ -102,13 +127,15 @@ object JdbcUpsertV2 {
     * (see the provider scaladoc for why).
     */
   def tableSchema(cfg: Config): StructType = {
-    val conn = DriverManager.getConnection(cfg.url)
+    val conn = connect(cfg)
     try {
-      val md = conn.createStatement()
-        .executeQuery(s"SELECT * FROM ${cfg.table} WHERE 1=0").getMetaData
-      StructType((1 to md.getColumnCount).map { i =>
-        StructField(md.getColumnLabel(i), catalystType(md, i), nullable = true)
-      })
+      val st = conn.createStatement()
+      try {
+        val md = st.executeQuery(s"SELECT * FROM ${cfg.table} WHERE 1=0").getMetaData
+        StructType((1 to md.getColumnCount).map { i =>
+          StructField(md.getColumnLabel(i), catalystType(md, i), nullable = true)
+        })
+      } finally st.close()
     } finally conn.close()
   }
 
@@ -227,7 +254,7 @@ private[sources] final class JdbcUpsertDataWriter(
   private var connOpened = false
   private var stOpened = false
   private lazy val conn: Connection = {
-    val c = DriverManager.getConnection(cfg.url)
+    val c = JdbcUpsertV2.connect(cfg)
     connOpened = true
     c.setAutoCommit(false)
     c

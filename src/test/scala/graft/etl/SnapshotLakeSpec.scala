@@ -192,6 +192,17 @@ class SnapshotLakeSpec extends SparkSuite {
     val eLen = intercept[IllegalArgumentException](
       SnapshotLake.merge(spark, dir, withLong, Seq("key"), "v", "dt"))
     assert(eLen.getMessage.contains("too long"))
+    // the EMPTY STRING is a legal partition value: the `h`-prefixed hex
+    // routing key keeps its staged dir name non-empty (bare hex('') = ''
+    // would partitionBy into __HIVE_DEFAULT_PARTITION__ and the install
+    // could never match it back — the batch was permanently unwritable)
+    val withEmpty = Seq(("ke", "", 1L, 7.5)).toDF("key", "dt", "v", "price")
+    SnapshotLake.merge(spark, dir, withEmpty, Seq("key"), "v", "dt")
+    val gotEmpty = SnapshotLake.read(spark, dir).filter(col("key") === "ke").collect()
+    assert(gotEmpty.length == 1 && gotEmpty.head.getAs[String]("dt") == "",
+      "empty-string partition value must commit and round-trip exactly")
+    assert(SnapshotLake.read(spark, dir, Seq("")).count() == 1,
+      "manifest-level pruning must address the empty-string partition")
     SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
     intercept[IllegalArgumentException](
       SnapshotLake.merge(spark, dir, b1.withColumnRenamed("dt", "other")
@@ -202,5 +213,19 @@ class SnapshotLakeSpec extends SparkSuite {
     assert(pruned.count() == 0)
     assert(pruned.columns.toSeq == Seq("key", "dt", "v", "price"))
     assert(pruned.filter(col("price") > 0).count() == 0) // columns resolve
+    // stray NON-NUMERIC gen= debris (manual copy, partial sync) must be
+    // skipped by GC/vacuum/merge, not NumberFormatException the table into
+    // a brick on every subsequent mutation
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val somePart = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data"))
+      .filter(_.isDirectory).head.getPath
+    fs.mkdirs(new org.apache.hadoop.fs.Path(somePart, "gen=copy.bak"))
+    SnapshotLake.merge(spark, dir,
+      b1.withColumn("v", col("v") + 100), Seq("key"), "v", "dt")
+    SnapshotLake.vacuum(spark, dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(somePart, "gen=copy.bak")),
+      "non-conforming debris is not ours to delete")
+    assert(SnapshotLake.read(spark, dir).count() > 0)
   }
 }

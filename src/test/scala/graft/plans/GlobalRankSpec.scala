@@ -548,6 +548,33 @@ class GlobalRankSpec extends SparkSuite {
         BigDecimal(rnd.nextInt(1000000) - 500000, 2), 12, 2))
   }
 
+  test("law: ANSI SumLong checks overflow only on EMITTED values, not internal partials") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.LongType
+    import GlobalRankFunc.AggKind
+    def rowOf(v: Long) = { val r = new GenericInternalRow(1); r.update(0, v); r }
+    def acc(ansi: Boolean) = GlobalRankExec.mkAcc(AggKind.SumLong(ansi), LongType)
+    val Max = Long.MaxValue
+    // partitions [-Max] and [Max, Max]: the second SUBTOTAL exceeds the
+    // Long range, but every emitted prefix (-Max, 0, Max) is representable
+    // — the stock sequential checked Window succeeds, so the distributed
+    // fold must not throw on the internal partial (it used Math.addExact
+    // there and did)
+    val p1 = acc(ansi = true); p1.add(rowOf(-Max))
+    val p2 = acc(ansi = true); p2.add(rowOf(Max)); p2.add(rowOf(Max))
+    for (order <- Seq(Seq(p1, p2), Seq(p2, p1))) { // merge is order-free
+      val fold = acc(ansi = true)
+      order.foreach(p => fold.merge(p.partial))
+      assert(fold.value == Max, s"carry fold lost the representable sum")
+    }
+    // a genuinely unrepresentable EMITTED value still throws under ANSI...
+    val over = acc(ansi = true); over.add(rowOf(Max)); over.add(rowOf(1L))
+    intercept[ArithmeticException](over.value)
+    // ...and wraps mod 2^64 under legacy, like the stock unchecked sum
+    val legacy = acc(ansi = false); legacy.add(rowOf(Max)); legacy.add(rowOf(1L))
+    assert(legacy.value == Long.MinValue)
+  }
+
   test("DESC / nulls-last orderings: ranks, cume_dist, and prefix sums stay tie-exact") {
     // every parity test above orders ASC; the exec only ever USES key
     // equality (run detection) and honors the orderSpec's direction via

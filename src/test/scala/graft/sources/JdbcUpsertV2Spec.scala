@@ -109,6 +109,21 @@ class JdbcUpsertV2Spec extends SparkSuite {
       .getMessage.contains("unknown dialect"))
   }
 
+  test("V2 upsert sink: user/password and jdbcprop.* become connection properties") {
+    // authenticated databases need credentials OUTSIDE the URL (the
+    // upsertJdbc java.util.Properties contract) — both the schema-inference
+    // and writer paths open connections through Config.connectionProperties
+    val cfg = JdbcUpsertV2.Config(Map(
+      "url" -> url, "dbtable" -> "t", "keys" -> "k",
+      "user" -> "alice", "password" -> "s3cret", "jdbcprop.ssl" -> "true"))
+    val p = cfg.connectionProperties
+    assert(p.getProperty("user") == "alice")
+    assert(p.getProperty("password") == "s3cret")
+    assert(p.getProperty("ssl") == "true")
+    assert(cfg.props.size == 3,
+      s"engine options must not leak into driver properties: ${cfg.props}")
+  }
+
   test("V2 upsert sink: options are case-insensitive on BOTH schema and write paths") {
     // getTable receives the case-PRESERVING properties map — mixed-case
     // keys must still resolve (the DSv2 convention)
