@@ -62,6 +62,14 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/failures.json"),
       failures.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}"))
+    // Engine-version stamp: the sketch-free float queries' parity contract
+    // is "bit-identical BEFORE rounding", which an oracle-engine upgrade
+    // can silently break (arithmetic drift ~1e-7 flips 4dp rounding on
+    // borderline values) — record what produced this dump so a
+    // local-green/driver-red split is attributable. oracle_check.py adds
+    // the DuckDB side + an arithmetic canary.
+    Files.writeString(Paths.get(s"$outDir/versions.json"),
+      s"""{"spark": ${q(spark.version)}, "scala": ${q(scala.util.Properties.versionNumberString)}, "java": ${q(System.getProperty("java.version"))}}""")
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[verify] ${failures.size} queries FAILED: " +

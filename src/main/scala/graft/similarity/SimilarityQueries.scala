@@ -462,18 +462,17 @@ object SimilarityQueries {
     s"""aggregate(sequence(0, 15), CAST(0 AS DECIMAL(30,8)),
           (acc, s) -> CAST(acc + CAST(($inner) AS DECIMAL(20,8)) AS DECIMAL(30,8)))"""
 
-  /** X8c engine over an arbitrary assembled 16×64 codebook. */
-  def x8cAnnIvfPqCoded(e: DataFrame, cent: DataFrame, cbRows: Seq[Seq[Double]],
-      k: Int, nprobe: Int): DataFrame = {
-    require(cbRows.length == 16 && cbRows.forall(_.length == 64),
-      "assembled PQ codebook must be 16 rows x 64 dims")
-    val assigned = assignCells(e, cent)
+  /** (vec_id, cell, codes): every corpus vector's cell + 16 PQ codes —
+    * one map-only projection against the codebook literal. The per-subspace
+    * code is argmin_j of the 4-term residual L2, ties -> lowest j
+    * (array_min's struct ordering = (d asc, j asc), exactly the oracle's
+    * ORDER BY dist, j).
+    */
+  private def pqCodedFrame(e: DataFrame, cent: DataFrame,
+      cbRows: Seq[Seq[Double]]): DataFrame = {
     val centAs = broadcast(cent.select(col("c_id").as("cell"), col("cv")))
-    val withRes = assigned.join(centAs, "cell")
+    val withRes = assignCells(e, cent).join(centAs, "cell")
       .withColumn("r", expr("zip_with(v, cv, (a, b) -> a - b)"))
-    // per-subspace code: argmin_j of the 4-term residual L2, ties -> lowest
-    // j (array_min's struct ordering = (d asc, j asc), exactly the oracle's
-    // ORDER BY dist, j)
     val dist4 =
       """aggregate(sequence(1, 4), CAST(0.0 AS DOUBLE), (a, i) ->
            a + (element_at(r, s*4+i) - element_at(element_at(__cb, j+1), s*4+i))
@@ -482,12 +481,16 @@ object SimilarityQueries {
       s"""transform(sequence(0, 15), s ->
             array_min(transform(sequence(0, 15), j ->
               named_struct('d', $dist4, 'j', j))).j)"""
-    val coded = withRes.withColumn("__cb", typedLit(cbRows))
+    withRes.withColumn("__cb", typedLit(cbRows))
       .withColumn("codes", expr(codesSql))
       .select(col("vec_id"), col("cell"), col("codes"))
-    // queries probe their nprobe nearest cells (x8's probe shape) and carry
-    // their exact norm for the ADC denominator
-    val probes = withCosine(
+  }
+
+  /** (q_id, qv, cell, qn): each query fanned to its `nprobe` nearest cells
+    * (x8's probe shape), carrying its exact norm for the ADC denominator.
+    */
+  private def pqProbesFrame(e: DataFrame, cent: DataFrame, nprobe: Int): DataFrame =
+    withCosine(
         e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
           .crossJoin(broadcast(cent)), "qv", "cv")
@@ -499,21 +502,36 @@ object SimilarityQueries {
       .withColumn("qn", expr(
         """sqrt(aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
              (acc, i) -> acc + element_at(qv, i) * element_at(qv, i)))"""))
+
+  // shared ADC term SQL: one fixed 4-term fold per subspace through the
+  // codebook literal (`rT` = the coded residual component)
+  private val pqRT = "element_at(element_at(__cb, element_at(codes, s+1) + 1), s*4+i)"
+  private def fold4(term: String): String =
+    s"aggregate(sequence(1, 4), CAST(0.0 AS DOUBLE), (a, i) -> a + ($term))"
+  private def dot64(a: String, b: String): String =
+    s"""aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
+          (acc, i) -> acc + element_at($a, i) * element_at($b, i))"""
+  private val pqDS = fold4(s"element_at(qv, s*4+i) * $pqRT")
+  private val pqNS =
+    s"(CAST(2.0 AS DOUBLE) * (${fold4(s"element_at(cv, s*4+i) * $pqRT")}) + (${fold4(s"$pqRT * $pqRT")}))"
+
+  /** X8c engine over an arbitrary assembled 16×64 codebook. */
+  def x8cAnnIvfPqCoded(e: DataFrame, cent: DataFrame, cbRows: Seq[Seq[Double]],
+      k: Int, nprobe: Int): DataFrame = {
+    require(cbRows.length == 16 && cbRows.forall(_.length == 64),
+      "assembled PQ codebook must be 16 rows x 64 dims")
+    val centAs = broadcast(cent.select(col("c_id").as("cell"), col("cv")))
+    val coded = pqCodedFrame(e, cent, cbRows)
+    val probes = pqProbesFrame(e, cent, nprobe)
     // ADC scoring from the codes alone: dot(q,x) ~ q·cv + Σ_s q_s·r̂_s and
     // ‖x‖² ~ ‖cv‖² + Σ_s (2·cv_s·r̂_s + ‖r̂_s‖²), each subspace term one
     // fixed 4-term fold through the shared codebook literal, cross-subspace
-    // sums decimal-exact
-    val rT = "element_at(element_at(__cb, element_at(codes, s+1) + 1), s*4+i)"
-    def fold4(term: String): String =
-      s"aggregate(sequence(1, 4), CAST(0.0 AS DOUBLE), (a, i) -> a + ($term))"
-    def decSum(inner: String): String = decSumSql(inner)
-    def dot64(a: String, b: String): String =
-      s"""aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
-            (acc, i) -> acc + element_at($a, i) * element_at($b, i))"""
-    val dS = fold4(s"element_at(qv, s*4+i) * $rT")
-    val nS = s"(CAST(2.0 AS DOUBLE) * (${fold4(s"element_at(cv, s*4+i) * $rT")}) + (${fold4(s"$rT * $rT")}))"
-    val adc = s"""CAST(CAST((${dot64("qv", "cv")}) AS DECIMAL(30,8)) + ${decSum(dS)} AS DOUBLE)"""
-    val norm2 = s"""CAST(CAST((${dot64("cv", "cv")}) AS DECIMAL(30,8)) + ${decSum(nS)} AS DOUBLE)"""
+    // sums decimal-exact ([[decSumSql]]; [[x8cAnnIvfPqTwin]] re-derives
+    // them through Spark's decimal SUM aggregate for the 10× gate)
+    val adc =
+      s"""CAST(CAST((${dot64("qv", "cv")}) AS DECIMAL(30,8)) + ${decSumSql(pqDS)} AS DOUBLE)"""
+    val norm2 =
+      s"""CAST(CAST((${dot64("cv", "cv")}) AS DECIMAL(30,8)) + ${decSumSql(pqNS)} AS DOUBLE)"""
     val scored = coded
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -525,6 +543,63 @@ object SimilarityQueries {
       .filter(col("cosine").isNotNull)
     topKPerQuery(scored, k, col("q_id"))
       .select(col("q_id"), col("neighbor_id"), col("cosine").as("qcos"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** X8c exact in-engine twin for the 10× gate: the same contract as the
+    * declared [[x8cAnnIvfPq]], arithmetically independent exactly where the
+    * round-8 parity bug lived — the cross-subspace ADC sums run through
+    * Spark's decimal SUM AGGREGATE over exploded per-subspace terms (the
+    * engine's standard exact shape, DECIMAL(38,8) without per-step loss)
+    * instead of the [[decSumSql]] HOF fold, and the per-query top-k through
+    * a row_number window instead of [[TopKAggregator]]. VerifySf1 compares
+    * full-signature at 10×, so the fold's exactness is hash-pinned in-engine
+    * rather than depending on the sf0.01 oracle's 4dp rounding luck.
+    */
+  private[graft] def x8cAnnIvfPqTwin(s: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    val e = vecs(s, dir)
+    val cent = fixedCodebook(e)
+    val centAs = broadcast(cent.select(col("c_id").as("cell"), col("cv")))
+    val cbRows: Seq[Seq[Double]] =
+      assignCells(e.filter(col("vec_id").isin((30L until 46L): _*)), cent)
+        .join(centAs, "cell")
+        .withColumn("r", expr("zip_with(v, cv, (a, b) -> a - b)"))
+        .select(col("vec_id"), col("r")).collect()
+        .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toSeq).toSeq
+    val terms = pqCodedFrame(e, cent, cbRows)
+      .join(broadcast(pqProbesFrame(e, cent, nprobe)), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(centAs, Seq("cell"))
+      .withColumn("__cb", typedLit(cbRows))
+      .withColumn("qc_dot", expr(dot64("qv", "cv")))
+      .withColumn("cv_n2", expr(dot64("cv", "cv")))
+      .select(col("q_id"), col("vec_id"), col("qn"), col("qc_dot"), col("cv_n2"),
+        col("qv"), col("cv"), col("codes"), col("__cb"),
+        explode(expr("sequence(0, 15)")).as("s"))
+      .withColumn("d_s", expr(pqDS).cast("decimal(20,8)"))
+      .withColumn("n_s", expr(pqNS).cast("decimal(20,8)"))
+    val sums = terms.groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d_s")).as("dsum"), sum(col("n_s")).as("nsum"),
+        first(col("qn")).as("qn"), first(col("qc_dot")).as("qc_dot"),
+        first(col("cv_n2")).as("cv_n2"))
+    // recombine inside precision 38: DECIMAL(20,8) + DECIMAL(30,8) types
+    // DECIMAL(31,8) — the sum casts down losslessly (16 O(1) terms), the
+    // dot casts round at 8dp exactly like the fold face's casts
+    val scored = sums
+      .withColumn("cosine",
+        (col("qc_dot").cast("decimal(20,8)") + col("dsum").cast("decimal(30,8)"))
+          .cast("double") /
+        nullif(col("qn") * sqrt(greatest(
+          (col("cv_n2").cast("decimal(20,8)") + col("nsum").cast("decimal(30,8)"))
+            .cast("double"), lit(0.0))), lit(0.0)))
+      .filter(col("cosine").isNotNull)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("cosine").as("qcos"), col("rnk"))
       .orderBy("q_id", "rnk")
   }
 

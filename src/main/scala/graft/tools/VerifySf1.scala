@@ -243,6 +243,13 @@ object VerifySf1 {
           try CoreQueries.c8cCumeDistSql(spark, work).localCheckpoint()
           finally spark.conf.unset(graft.plans.GlobalRankRule.EnabledKey)
         }),
+      ("e16_running_minmax_sql",
+        () => CoreQueries.e16RunningMinmaxSql(spark, work),
+        () => {
+          spark.conf.set(graft.plans.GlobalRankRule.EnabledKey, "false")
+          try CoreQueries.e16RunningMinmaxSql(spark, work).localCheckpoint()
+          finally spark.conf.unset(graft.plans.GlobalRankRule.EnabledKey)
+        }),
       ("e17_moving_total_sql",
         () => CoreQueries.e17MovingTotalSql(spark, work),
         () => {
@@ -250,6 +257,13 @@ object VerifySf1 {
           try CoreQueries.e17MovingTotalSql(spark, work).localCheckpoint()
           finally spark.conf.unset(graft.plans.GlobalRankRule.EnabledKey)
         }),
+      // x8c: the declared HOF-fold ADC arithmetic ↔ the exploded decimal
+      // SUM-aggregate formulation — full-signature at 10×, so the decimal
+      // fold's exactness (the round-8 parity bug's surface) is pinned
+      // in-engine, not left to the sf0.01 oracle's 4dp rounding
+      ("x8c_ann_ivfpq",
+        () => graft.similarity.SimilarityQueries.x8cAnnIvfPq(spark, work, 10, 2),
+        () => graft.similarity.SimilarityQueries.x8cAnnIvfPqTwin(spark, work, 10, 2)),
       // a13d: nearest+tolerance through the exec ↔ the candidate-pair
       // range join ranked by (|Δts|, backward-first) — the quadratic
       // formulation the merge's two-candidate compare replaces

@@ -91,9 +91,51 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def parity_canary(con) -> list:
+    """Fail LOUDLY if the oracle engine's arithmetic changed. The float
+    queries' parity contract is bit-identical-before-rounding; an engine
+    upgrade that drifts a decimal cast or a fold by ~1e-7 would otherwise
+    surface only as a lottery over borderline 4dp roundings (the r8 x8c
+    lesson). Constants pinned against duckdb 1.0.0 == Spark 4.1 semantics."""
+    probes = [
+        # exact decimal SUM at scale 8 (the ADC-fold contract)
+        ("SELECT CAST(SUM(x) AS DOUBLE) FROM "
+         "(SELECT CAST(3.0e-8 AS DECIMAL(30,8)) x FROM range(16))", 4.8e-7),
+        # double->decimal rounding is HALF-UP (Spark's Decimal.changePrecision)
+        ("SELECT CAST(CAST(CAST(2.5e-8 AS DOUBLE) AS DECIMAL(20,8)) AS DOUBLE)", 3e-8),
+        ("SELECT CAST(CAST(CAST(3.5e-8 AS DOUBLE) AS DECIMAL(20,8)) AS DOUBLE)", 4e-8),
+        # left-to-right double fold (the list_reduce cosine shape)
+        ("SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+         "list_transform(range(1,11), i -> CAST(i AS DOUBLE)/7.0)), "
+         "(a,b)->a+b)", 7.857142857142857),
+    ]
+    bad = []
+    for sql, want in probes:
+        got = con.sql(sql).fetchone()[0]
+        if got != want:
+            bad.append(f"canary {sql!r}: got {got!r}, want {want!r}")
+    return bad
+
+
 def main() -> int:
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    versions = {}
+    vpath = os.path.join(outdir, "versions.json")
+    if os.path.exists(vpath):
+        versions = json.load(open(vpath))
+    versions["duckdb"] = duckdb.__version__
+    versions["pandas"] = pd.__version__
+    print("engine versions: " +
+          ", ".join(f"{k}={v}" for k, v in sorted(versions.items())))
+    json.dump(versions, open(vpath, "w"))
+    canary = parity_canary(con)
+    if canary:
+        for c in canary:
+            print(f"  ✗ {c}")
+        print("ORACLE ENGINE ARITHMETIC CHANGED — float parity contracts "
+              "(bit-identical before rounding) need re-audit")
+        return 1
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
