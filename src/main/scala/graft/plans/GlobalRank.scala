@@ -6,12 +6,12 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, Attribute, AttributeSet, Cast, CumeDist, CurrentRow, DenseRank,
   EvalMode, Expression, GenericInternalRow, JoinedRow, Lag, Lead, Literal,
-  NamedExpression, NTile, PercentRank, Rank, RangeFrame, RowFrame,
+  NamedExpression, NthValue, NTile, PercentRank, Rank, RangeFrame, RowFrame,
   RowNumber, RowOrdering, SortOrder, SpecifiedWindowFrame,
   UnboundedPreceding, UnsafeProjection, WindowExpression,
   WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Average, Count, Max, Min, Sum}
+  AggregateExpression, Average, Count, First, Last, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -78,13 +78,17 @@ object GlobalRankFunc {
   case class SlideAgg(inputIdx: Int, kind: AggKind, k: Int)
       extends GlobalRankFunc
 
-  /** The aggregate arithmetic a [[PrefixAgg]] runs. All kinds here are
-    * COMMUTATIVE+ASSOCIATIVE merges (sum/count/min/max/avg-pair), which is
-    * what lets per-partition partials merge in any grouping on the driver.
-    * Result types mirror Spark's own (GlobalRankSpec pins bit-equality):
-    * sum(int family)=LONG, sum(float/double)=DOUBLE,
-    * sum(decimal(p,s))=decimal(p+10,s) with null-on-overflow,
-    * count=LONG (never null), min/max=input type, avg(non-decimal)=DOUBLE.
+  /** The aggregate arithmetic a [[PrefixAgg]] runs. The numeric kinds
+    * (sum/count/min/max/avg-pair) have COMMUTATIVE+ASSOCIATIVE merges;
+    * the positional kinds (first/last/nth) are ORDER-SENSITIVE and lean on
+    * the exec's universal left-to-right fold order (carries fold
+    * partitions ascending, run chains absorb forward) — both laws are
+    * spec-pinned separately. Result types mirror Spark's own
+    * (GlobalRankSpec pins bit-equality): sum(int family)=LONG,
+    * sum(float/double)=DOUBLE, sum(decimal(p,s))=decimal(p+10,s) with
+    * null-on-overflow, count=LONG (never null), min/max=input type,
+    * avg(non-decimal)=DOUBLE, avg(decimal(p,s))=decimal(p+4,s+4),
+    * first/last/nth=input type.
     */
   sealed trait AggKind
   object AggKind {
@@ -98,6 +102,31 @@ object GlobalRankFunc {
     case object Cnt extends AggKind
     case class MinMax(isMin: Boolean) extends AggKind
     case object AvgDouble extends AggKind
+    /** `avg(decimal(p, s))`: exact BigDecimal sum + count, divided at
+      * emission through Spark's own decimal `Average` arithmetic (sum
+      * overflow check at decimal(p+10, s), division typed by the
+      * precision-loss rules, final cast to decimal(p+4, s+4)) — pinned
+      * bit-identical to the stock Window in GlobalRankSpec.
+      */
+    case class AvgDecimal(p: Int, s: Int, ansi: Boolean) extends AggKind
+    /** `first_value`/`last_value` over a prefix frame. ORDER-SENSITIVE
+      * merges (earlier-partial-first is the exec's invariant everywhere —
+      * carries fold partitions left-to-right, run chains absorb forward);
+      * these two are the only kinds that RELY on it, so they are excluded
+      * from the shuffled commutativity law and pinned by an in-order law
+      * instead.
+      */
+    case class FirstVal(ignoreNulls: Boolean) extends AggKind
+    case class LastVal(ignoreNulls: Boolean) extends AggKind
+    /** `nth_value(x, n)` over a prefix frame: the n-th qualifying frame row
+      * (all rows, or non-null rows under IGNORE NULLS); null while the
+      * frame holds fewer. Partials carry each partition's first ≤ n
+      * qualifying values — O(#partitions × n) driver traffic, which is why
+      * the rule bounds n by MaxShift. Merges are order-sensitive like
+      * first/last. (Spark itself rewrites `first_value` over a ROWS prefix
+      * frame into `nth_value(x, 1)`, so this kind also carries that face.)
+      */
+    case class NthVal(n: Int, ignoreNulls: Boolean) extends AggKind
   }
   /** Global time-series shift (`lag`/`lead` with a literal offset and
     * literal default, ignoreNulls=false): the SHIFT family. `inputIdx`
@@ -133,14 +162,20 @@ object GlobalRankFunc {
   * plans stay byte-stable). Every window expression in the node must be a
   * supported function — the rank family (`row_number`/`ntile(lit)`/`rank`/
   * `dense_rank`/`percent_rank`/`cume_dist`), bounded-literal `lag`/`lead`,
-  * a running aggregate (`sum`/`min`/`max`/`count`/`avg` over
-  * `[ROWS|RANGE] UNBOUNDED PRECEDING..CURRENT ROW` — RANGE being the SQL
-  * default frame, so the plain `SUM(x) OVER (ORDER BY ts)` running total
-  * rides this path), or a SLIDING aggregate (`sum`/`count`/`avg` over
+  * a running aggregate (`sum`/`min`/`max`/`count`/`avg` — decimal `avg`
+  * included — over `[ROWS|RANGE] UNBOUNDED PRECEDING..CURRENT ROW` —
+  * RANGE being the SQL default frame, so the plain
+  * `SUM(x) OVER (ORDER BY ts)` running total rides this path), a
+  * positional value over the same prefix frames (`first_value`/
+  * `last_value`, both IGNORE NULLS variants, and `nth_value(x, lit n)`
+  * with n ≤ MaxShift), or a SLIDING aggregate (`sum`/`count`/`avg` over
   * `ROWS BETWEEN k PRECEDING AND CURRENT ROW`, k ≤ MaxShift−1 — the
   * global moving average, retract-based over the shift boundary lane);
   * one unsupported sibling vetoes the whole node (a half-rewrite would
-  * need two global orderings).
+  * need two global orderings). Remaining reject list: sliding RANGE
+  * frames, FOLLOWING frame ends, float/double sliding sum/avg (fp
+  * cancellation), multi-argument aggregates (stddev/corr), DISTINCT and
+  * FILTER clauses — all still caught by the PlanChecks lint.
   *
   * Physical shape ([[GlobalRankExec]]): declares
   * `OrderedDistribution(orderSpec)` + per-partition sort — exactly a
@@ -284,14 +319,23 @@ object GlobalRankRule extends Rule[LogicalPlan] {
                     perRow)))
               case _ => None
             }
-          case Average(e, _) if e.deterministic => e.dataType match {
-            // decimal avg has its own precision arithmetic — stock plan
-            case ByteType | ShortType | IntegerType | LongType |
-              FloatType | DoubleType =>
-              Some(WithInput(Cast(e, DoubleType),
-                i => PrefixAgg(i, AggKind.AvgDouble, perRow)))
-            case _ => None
-          }
+          case Average(e, em) if e.deterministic && em != EvalMode.TRY =>
+            e.dataType match {
+              case ByteType | ShortType | IntegerType | LongType |
+                FloatType | DoubleType =>
+                Some(WithInput(Cast(e, DoubleType),
+                  i => PrefixAgg(i, AggKind.AvgDouble, perRow)))
+              case dt: DecimalType =>
+                // accumulate at Spark's avg sum type decimal(p+10, s) —
+                // input casts are exact; the Acc owns the division + the
+                // result cast (Spark's own precision arithmetic)
+                val sumT = DecimalType(math.min(dt.precision + 10, 38), dt.scale)
+                Some(WithInput(Cast(e, sumT),
+                  i => PrefixAgg(i,
+                    AggKind.AvgDecimal(dt.precision, dt.scale,
+                      em == EvalMode.ANSI), perRow)))
+              case _ => None
+            }
           case Min(e) if e.deterministic && RowOrdering.isOrderable(e.dataType) =>
             Some(WithInput(e, i => PrefixAgg(i, AggKind.MinMax(isMin = true), perRow)))
           case Max(e) if e.deterministic && RowOrdering.isOrderable(e.dataType) =>
@@ -300,9 +344,30 @@ object GlobalRankRule extends Rule[LogicalPlan] {
             // count(*) analyzes to Count(1): a non-null literal counts
             // every row, exactly SQL's count(*)
             Some(WithInput(e, i => PrefixAgg(i, AggKind.Cnt, perRow)))
+          // first_value/last_value over a prefix frame: the degenerate
+          // running aggregates (carry one value). RANGE semantics ride the
+          // run-close lane — last_value's peers share the run-END value,
+          // exactly the stock Window's peer-inclusive contract. Both
+          // ignoreNulls variants are exact (the accumulator sees every
+          // frame row in order). Deterministic input, as for every kind.
+          case First(e, ignoreNulls) if e.deterministic =>
+            Some(WithInput(e, i => PrefixAgg(i, AggKind.FirstVal(ignoreNulls), perRow)))
+          case Last(e, ignoreNulls) if e.deterministic =>
+            Some(WithInput(e, i => PrefixAgg(i, AggKind.LastVal(ignoreNulls), perRow)))
           case _ => None
         }
         conv.map((a, _))
+      // nth_value over a prefix frame (Spark plans it BARE, not inside an
+      // AggregateExpression — and rewrites first_value over ROWS prefix
+      // frames into nth_value(x, 1) itself). Literal n bounded by MaxShift:
+      // each partition ships its first ≤ n qualifying values.
+      case a @ Alias(WindowExpression(
+          NthValue(in, Literal(nth: Int, IntegerType), ignoreNulls),
+          WindowSpecDefinition(_, _,
+            SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))), _)
+          if nth >= 1 && nth <= MaxShift && in.deterministic =>
+        Some((a, WithInput(in, i => GlobalRankFunc.PrefixAgg(i,
+          GlobalRankFunc.AggKind.NthVal(nth, ignoreNulls), ft == RowFrame))))
       // SLIDING aggregates: ROWS BETWEEN k PRECEDING AND CURRENT ROW over
       // the INVERTIBLE kinds (the windowed accumulator retracts the value
       // leaving the frame — min/max cannot). Bounded k: the frame's tail
@@ -334,15 +399,24 @@ object GlobalRankRule extends Rule[LogicalPlan] {
                       ctx.evalMode == EvalMode.ANSI), k)))
               case _ => None
             }
-          case Average(e, _) if e.deterministic => e.dataType match {
-            // integral inputs stay exact in a double accumulator (every
-            // value and windowed sum is a dyadic integer < 2^53 territory);
-            // float/double inputs hit the cancellation veto above
-            case ByteType | ShortType | IntegerType | LongType =>
-              Some(WithInput(Cast(e, DoubleType),
-                i => SlideAgg(i, AggKind.AvgDouble, k)))
-            case _ => None
-          }
+          case Average(e, em) if e.deterministic && em != EvalMode.TRY =>
+            e.dataType match {
+              // integral inputs stay exact in a double accumulator (every
+              // value and windowed sum is a dyadic integer < 2^53
+              // territory); float/double inputs hit the cancellation veto
+              // above; decimal retractions are exact, so the sliding
+              // decimal avg rides the same windowed accumulator
+              case ByteType | ShortType | IntegerType | LongType =>
+                Some(WithInput(Cast(e, DoubleType),
+                  i => SlideAgg(i, AggKind.AvgDouble, k)))
+              case dt: DecimalType =>
+                val sumT = DecimalType(math.min(dt.precision + 10, 38), dt.scale)
+                Some(WithInput(Cast(e, sumT),
+                  i => SlideAgg(i,
+                    AggKind.AvgDecimal(dt.precision, dt.scale,
+                      em == EvalMode.ANSI), k)))
+              case _ => None
+            }
           case Count(Seq(e)) if e.deterministic =>
             Some(WithInput(e, i => SlideAgg(i, AggKind.Cnt, k)))
           // min/max cannot retract, but a k-bounded frame admits the
@@ -1158,6 +1232,121 @@ object GlobalRankExec {
     def value: Any = if (best == null) null else best.get(0, dt)
   }
 
+  /** Spark's `Average` over decimal(p, s), step for step: exact BigDecimal
+    * sum + count; at emission (1) the sum is overflow-checked against the
+    * avg buffer type decimal(min(p+10,38), s), (2) divided by the count at
+    * SCALE 38, (3) rounded ONCE to the declared result
+    * decimal(min(p+4,38), s+4) — HALF_UP everywhere, overflow null
+    * (legacy) / throw (ANSI). NO intermediate rounding at a
+    * precision-rule division type: the stock window's internal Divide
+    * evaluates through `Decimal./` (scale-38 quotient) and casts straight
+    * to the result — probed empirically (the two-step chain diverges on
+    * decimal(38,10), where the precision rules would shed scale to 10
+    * while the stock result carries all 14). GlobalRankSpec pins
+    * bit-equality across precisions incl. (38,10).
+    */
+  private final class AccAvgDecimal(p: Int, s: Int, ansi: Boolean) extends Acc {
+    private val sumP = math.min(p + 10, 38)
+    private val resP = math.min(p + 4, 38)
+    private val resS = math.min(s + 4, 38)
+    private var nn = 0L; private var bd: java.math.BigDecimal = null
+    def add(r: InternalRow): Unit = if (!r.isNullAt(0)) {
+      val d = r.getDecimal(0, sumP, s).toJavaBigDecimal
+      nn += 1L
+      bd = if (bd == null) d else bd.add(d)
+    }
+    def merge(p0: Any): Unit = p0 match {
+      case (d: java.math.BigDecimal, c: java.lang.Long) =>
+        nn += c.longValue; bd = if (bd == null) d else bd.add(d)
+      case _ => ()
+    }
+    override def retract(r: InternalRow): Unit = if (!r.isNullAt(0)) {
+      nn -= 1L
+      bd = if (nn == 0L) null
+        else bd.subtract(r.getDecimal(0, sumP, s).toJavaBigDecimal)
+    }
+    def partial: Any = if (nn > 0L) (bd, java.lang.Long.valueOf(nn)) else null
+    private def lose(what: String): Any =
+      if (ansi) throw new ArithmeticException(
+        s"$what cannot be represented as Decimal (avg overflow)")
+      else null
+    def value: Any = if (nn == 0L || bd == null) null else {
+      val sum = Decimal(bd)
+      if (!sum.changePrecision(sumP, s)) lose(bd.toPlainString)
+      else {
+        val q = Decimal(bd.divide(java.math.BigDecimal.valueOf(nn),
+          38, java.math.RoundingMode.HALF_UP))
+        if (!q.changePrecision(resP, resS)) lose("average")
+        else q
+      }
+    }
+  }
+
+  /** First/last partial: the partition's candidate value as a copied
+    * 1-field row (null at field 0 is a REAL first_value candidate under
+    * ignoreNulls=false, so absence is the wrapper being null, not the
+    * field).
+    */
+  private[plans] final case class FLPartial(row: InternalRow)
+
+  /** `first_value`: lock onto the first qualifying row. Merge is
+    * order-SENSITIVE (earlier partial first — the exec's universal fold
+    * order); an already-locked acc ignores later partials.
+    */
+  private final class AccFirst(dt: DataType, ignoreNulls: Boolean) extends Acc {
+    private var v: InternalRow = null
+    def add(r: InternalRow): Unit =
+      if (v == null && (!ignoreNulls || !r.isNullAt(0))) v = r.copy()
+    def merge(p: Any): Unit = p match {
+      case FLPartial(pr) => if (v == null) v = pr
+      case _ => ()
+    }
+    def partial: Any = if (v == null) null else FLPartial(v)
+    def value: Any = if (v == null || v.isNullAt(0)) null else v.get(0, dt)
+  }
+
+  /** nth_value partial: qualifying-row count + the first ≤ n qualifying
+    * values (copied 1-field rows).
+    */
+  private[plans] final case class NthPartial(cnt: Long, vals: Array[InternalRow])
+
+  /** `nth_value(x, n)`: keep the first n qualifying values; order-sensitive
+    * merges append the later partial's prefix until n values are held.
+    */
+  private final class AccNth(dt: DataType, n: Int, ignoreNulls: Boolean)
+      extends Acc {
+    private var cnt = 0L
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    def add(r: InternalRow): Unit = if (!ignoreNulls || !r.isNullAt(0)) {
+      cnt += 1L
+      if (buf.length < n) buf += r.copy()
+    }
+    def merge(p: Any): Unit = p match {
+      case NthPartial(pc, pv) =>
+        cnt += pc
+        var i = 0
+        while (buf.length < n && i < pv.length) { buf += pv(i); i += 1 }
+      case _ => ()
+    }
+    def partial: Any = if (cnt == 0L) null else NthPartial(cnt, buf.toArray)
+    def value: Any =
+      if (buf.length < n) null
+      else { val r = buf(n - 1); if (r.isNullAt(0)) null else r.get(0, dt) }
+  }
+
+  /** `last_value`: every qualifying row (or later partial) overwrites. */
+  private final class AccLast(dt: DataType, ignoreNulls: Boolean) extends Acc {
+    private var v: InternalRow = null
+    def add(r: InternalRow): Unit =
+      if (!ignoreNulls || !r.isNullAt(0)) v = r.copy()
+    def merge(p: Any): Unit = p match {
+      case FLPartial(pr) => v = pr
+      case _ => ()
+    }
+    def partial: Any = if (v == null) null else FLPartial(v)
+    def value: Any = if (v == null || v.isNullAt(0)) null else v.get(0, dt)
+  }
+
   private final class AccAvgDouble extends Acc {
     private var s = 0.0; private var c = 0L
     def add(r: InternalRow): Unit =
@@ -1245,6 +1434,10 @@ object GlobalRankExec {
       case Cnt => new AccCnt
       case MinMax(isMin) => new AccMinMax(dt, isMin)
       case AvgDouble => new AccAvgDouble
+      case AvgDecimal(p, s, ansi) => new AccAvgDecimal(p, s, ansi)
+      case FirstVal(ignoreNulls) => new AccFirst(dt, ignoreNulls)
+      case LastVal(ignoreNulls) => new AccLast(dt, ignoreNulls)
+      case NthVal(n, ignoreNulls) => new AccNth(dt, n, ignoreNulls)
     }
   }
 

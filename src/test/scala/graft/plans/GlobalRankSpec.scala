@@ -117,18 +117,22 @@ class GlobalRankSpec extends SparkSuite {
       .contains("GlobalRank"))
     // unsupported functions → untouched (the lint still owns them):
     // RANGE sliding frames need value arithmetic (ROWS sliding rewrites —
-    // see the sliding tests), first/last aren't matched, decimal avg has
-    // its own precision arithmetic
+    // see the sliding tests), stddev/variance aren't matched
     val rangeSliding = org.apache.spark.sql.expressions.Window
       .orderBy(col("score")).rangeBetween(-2, 0)
     assert(!planOf(df.withColumn("s", sum(col("score")).over(rangeSliding))).contains("GlobalRank"))
-    assert(!planOf(df.withColumn("f", first(col("payload")).over(wGlob))).contains("GlobalRank"))
-    assert(!planOf(df.withColumn("a",
-      avg(col("score").cast("decimal(10,2)")).over(wGlob))).contains("GlobalRank"))
+    assert(!planOf(df.withColumn("a", stddev(col("payload")).over(wGlob))).contains("GlobalRank"))
+    assert(!planOf(df.withColumn("a", var_samp(col("payload")).over(wGlob))).contains("GlobalRank"))
     // one unsupported sibling vetoes the whole node
     val mixed = df.withColumn("rn", row_number().over(wGlob))
-      .withColumn("f", first(col("payload")).over(wGlob))
+      .withColumn("f", stddev(col("payload")).over(wGlob))
     assert(!planOf(mixed).contains("GlobalRank"))
+    // ...while first/last, nth_value, and decimal avg — formerly on this
+    // reject list — now rewrite (their parity suites live below)
+    assert(planOf(df.withColumn("f", first(col("payload")).over(wGlob))
+      .withColumn("nv", expr("nth_value(payload, 2)").over(wGlob))
+      .withColumn("a", avg(col("score").cast("decimal(10,2)")).over(wGlob)))
+      .contains("GlobalRank"))
   }
 
   test("rank/dense_rank/percent_rank are tie-exact vs the stock Window, chains included") {
@@ -439,6 +443,119 @@ class GlobalRankSpec extends SparkSuite {
     } finally before match {
       case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
       case None => spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
+  test("first_value/last_value match the stock Window: frames, nulls, ignoreNulls, chains") {
+    // total order (score, id) → deterministic first/last even though score
+    // is heavily tied (tie runs span partitions at 4000 rows / 32 parts);
+    // nulls in v exercise both ignoreNulls variants; leading nulls pin the
+    // ignoreNulls=false "first row IS null" case
+    val rnd = new scala.util.Random(271)
+    val df = (1 to 4000).map { i =>
+      val v: Option[Long] = if (i <= 3 || rnd.nextInt(7) == 0) None else Some(rnd.nextInt(1000).toLong)
+      (i.toLong, rnd.nextInt(5).toLong, v)
+    }.toDF("id", "score", "v")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
+    val wRows = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    def apply(d: DataFrame) = d
+      .withColumn("f", first(col("v")).over(w))
+      .withColumn("fn", first(col("v"), ignoreNulls = true).over(w))
+      .withColumn("l", last(col("v")).over(w))
+      .withColumn("ln", last(col("v"), ignoreNulls = true).over(w))
+      .withColumn("lr", last(col("v")).over(wRows))
+      // Spark itself rewrites this into nth_value(v, 1) over ROWS
+      .withColumn("fr", first(col("v")).over(wRows))
+      .withColumn("n2", nth_value(col("v"), 2).over(w))
+      .withColumn("n2n", nth_value(col("v"), 2, ignoreNulls = true).over(w))
+      .withColumn("n9", nth_value(col("v"), 9).over(wRows))
+    val viaExec = apply(df)
+    assert(viaExec.queryExecution.executedPlan.toString.contains("GlobalRank"))
+    val viaStock = apply(df.dropDuplicates("id"))
+    def m(d: DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(3)).toMap
+    assert(m(viaExec) == m(viaStock), "first/last diverged from the stock Window")
+    // RANGE last_value is peer-inclusive (run-END value): the globally
+    // last row's value must surface as `l` on every row of the last run
+    val lastRow = df.orderBy(col("score").desc, col("id").desc).limit(1)
+      .select("v").head.get(0)
+    val got = viaExec.orderBy(col("score").desc, col("id").desc).limit(1)
+      .select("l").head.get(0)
+    assert(got == lastRow, s"global last_value $got != corpus last $lastRow")
+  }
+
+  test("decimal avg matches the stock Window bit-for-bit across precisions") {
+    // Spark's Average(decimal) chains sum-overflow-check → precision-rule
+    // division → result cast; the exec reproduces it step for step. Three
+    // precision regimes: comfortable (12,2), scale-shedding division
+    // (21,4 → divide at (38,11)), and the cap (38,10 → result scale GROWS
+    // past the division scale). Nulls ride along.
+    for ((p, sc) <- Seq((12, 2), (21, 4), (38, 10))) {
+      val rnd = new scala.util.Random(100L + p)
+      val df = (1 to 1500).map { i =>
+        val v: Option[Double] = if (rnd.nextInt(9) == 0) None
+          else Some((rnd.nextInt(2000000) - 1000000) / 100.0)
+        (i.toLong, rnd.nextInt(40).toLong, v)
+      }.toDF("id", "score", "x")
+        .withColumn("d", col("x").cast(s"decimal($p,$sc)"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))
+      val wRows = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      def apply(d: DataFrame) = d
+        .withColumn("a", avg(col("d")).over(w))
+        .withColumn("ar", avg(col("d")).over(wRows))
+        .withColumn("as", avg(col("d")).over(w.rowsBetween(-7, 0)))
+      val viaExec = apply(df)
+      assert(viaExec.queryExecution.executedPlan.toString.contains("GlobalRank"),
+        s"decimal($p,$sc) avg did not rewrite")
+      val viaStock = apply(df.dropDuplicates("id"))
+      def m(d: DataFrame) = d.select("id", "a", "ar", "as").collect()
+        .map(r => r.getLong(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+      val (ge, gs) = (m(viaExec), m(viaStock))
+      val bad = ge.keys.toSeq.filter(k => ge(k) != gs(k)).sorted.take(3)
+        .map(k => s"id=$k exec=${ge(k)} stock=${gs(k)}")
+      assert(bad.isEmpty, s"decimal($p,$sc) avg diverged: ${bad.mkString("; ")}")
+    }
+  }
+
+  test("law: First/Last fold IN PARTITION ORDER to the sequential value") {
+    // unlike every other kind, first/last merges are order-sensitive; the
+    // exec always folds partials left-to-right (carries, chains), so the
+    // law quantifies over contiguous groupings merged IN ORDER
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.LongType
+    import GlobalRankFunc.AggKind
+    val rnd = new scala.util.Random(199)
+    def rowOf(v: Any): org.apache.spark.sql.catalyst.InternalRow = {
+      val r = new GenericInternalRow(1)
+      if (v == null) r.setNullAt(0) else r.update(0, v)
+      r
+    }
+    for (kind <- Seq(AggKind.FirstVal(false), AggKind.FirstVal(true),
+        AggKind.LastVal(false), AggKind.LastVal(true),
+        AggKind.NthVal(2, false), AggKind.NthVal(3, true)); _ <- 1 to 25) {
+      val vals = Seq.fill(rnd.nextInt(30))(
+        if (rnd.nextInt(3) == 0) null else rnd.nextInt(100).toLong: Any)
+      val seqAcc = GlobalRankExec.mkAcc(kind, LongType)
+      vals.foreach(v => seqAcc.add(rowOf(v)))
+      val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      var rest = vals
+      while (rest.nonEmpty) {
+        val k = 1 + rnd.nextInt(rest.length)
+        groups += rest.take(k); rest = rest.drop(k)
+      }
+      val merged = GlobalRankExec.mkAcc(kind, LongType)
+      groups.foreach { g =>
+        val a = GlobalRankExec.mkAcc(kind, LongType)
+        g.foreach(v => a.add(rowOf(v)))
+        merged.merge(a.partial)
+      }
+      merged.merge(null)
+      assert(merged.value == seqAcc.value,
+        s"$kind: grouped ${merged.value} != sequential ${seqAcc.value} over $vals")
     }
   }
 
