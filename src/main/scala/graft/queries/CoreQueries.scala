@@ -93,6 +93,34 @@ object CoreQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** E3b — the E3 upsert THROUGH the snapshot lake: the events stream lands
+    * in two batches (even event_ids, then odd), each merged into a
+    * manifest-pointer [[graft.etl.SnapshotLake]] table partitioned by
+    * event_type, and the answer reads back via `SnapshotLake.read` — the
+    * manifest commit path proven under the REAL query surface and the
+    * DuckDB oracle, not just its own spec. Semantics exercised: within-batch
+    * LWW on (ts, event_id), cross-batch update-wins (the merge contract —
+    * a key present in batch 2 takes batch 2's winner regardless of
+    * version), partition-scoped gen-dir rewrites, and a read that binds the
+    * published manifest's concrete gen dirs (plan-pinned in
+    * SnapshotLakeSpec). The lake lives in a fresh temp dir per evaluation;
+    * at scale the two merges are the E1→E2→L2 incremental landing flow.
+    */
+  def e3bUpsertLake(s: SparkSession, dir: String): DataFrame = {
+    val lake = java.nio.file.Files.createTempDirectory("graft_e3b_lake").toString
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+    graft.etl.SnapshotLake.merge(s, lake, ev.filter(col("event_id") % 2 === 0),
+      Seq("user_id", "event_type"), "ts", "event_type", Seq("event_id"))
+    graft.etl.SnapshotLake.merge(s, lake, ev.filter(col("event_id") % 2 === 1),
+      Seq("user_id", "event_type"), "ts", "event_type", Seq("event_id"))
+    graft.etl.SnapshotLake.read(s, lake)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        ntz(col("ts")).as("timestamp_utc"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** E4 — OHLCV resampling (SURVEY §2.2 Aggregations): per-key daily candles
     * from finer-grained ticks via `min_by`/`max_by` — open/close ride on
     * the extreme timestamps, high/low/volume are plain extremes/sums, all in
@@ -1417,6 +1445,33 @@ object CoreQueries {
          ORDER BY o_orderkey""")
   }
 
+  /** E18: raw-SQL positional window values + the DECIMAL running average —
+    * `first_value`/`last_value`/`nth_value` over a global ORDER BY and
+    * `AVG(DECIMAL) OVER (ORDER BY day)` (tie runs!), the shapes that used
+    * to sit on [[graft.plans.GlobalRankRule]]'s reject list and fall off
+    * the single-partition-Window cliff. Exactness: the decimal average is
+    * Spark's own chain (exact decimal sum ÷ count at scale 38, one HALF_UP
+    * rounding to decimal(25,8), cast to double); the oracle reproduces it
+    * in HUGEINT unit arithmetic — integer divide + explicit half-up — so
+    * the doubles are bit-identical. The positional values are raw column
+    * reads, no arithmetic at all.
+    */
+  def e18FirstLastSql(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GlobalRank.ensureRegistered(s)
+    t(s, dir, "orders").createOrReplaceTempView("e18_orders")
+    s.sql(
+      """SELECT o_orderkey,
+                first_value(o_totalprice) OVER w AS first_px,
+                last_value(o_totalprice) OVER w AS last_px,
+                nth_value(o_totalprice, 5) OVER w AS fifth_px,
+                CAST(AVG(CAST(o_totalprice AS DECIMAL(21,4))) OVER wd AS DOUBLE)
+                  AS run_avg_day
+         FROM e18_orders
+         WINDOW w AS (ORDER BY o_orderdate, o_orderkey),
+                wd AS (ORDER BY o_orderdate)
+         ORDER BY o_orderkey""")
+  }
+
   /** E17: the raw-SQL GLOBAL MOVING TOTAL/AVERAGE —
     * `SUM(x) OVER (ORDER BY … ROWS BETWEEN k PRECEDING AND CURRENT ROW)`.
     * [[graft.plans.GlobalRankRule]] rewrites the sliding frame into a
@@ -1752,6 +1807,7 @@ object CoreQueries {
     "e1_standardize" -> (e1Standardize _),
     "e2_convert" -> (e2Convert _),
     "e3_upsert" -> (e3Upsert _),
+    "e3b_upsert_lake" -> (e3bUpsertLake _),
     "e4_ohlcv_resample" -> (e4OhlcvResample _),
     "e13_weekly_candles" -> (e13WeeklyCandles _),
     "e5_gap_fill" -> (e5GapFill _),
@@ -1814,6 +1870,7 @@ object CoreQueries {
     "e15_running_total_sql" -> (e15RunningTotalSql _),
     "e16_running_minmax_sql" -> (e16RunningMinmaxSql _),
     "e17_moving_total_sql" -> (e17MovingTotalSql _),
+    "e18_firstlast_sql" -> (e18FirstLastSql _),
     "a26_salted_skew_join" -> ((s: SparkSession, d: String) => a26SaltedSkewJoin(s, d)),
     "c9_fixed_size_sample" -> ((s: SparkSession, d: String) => c9FixedSizeSample(s, d)),
     "c10_weighted_sample" -> ((s: SparkSession, d: String) => c10WeightedSample(s, d)),
@@ -1841,6 +1898,29 @@ object CoreQueries {
                  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
                FROM events)
          WHERE rn = 1 ORDER BY user_id, event_type""",
+    "e3b_upsert_lake" ->
+      // within-batch LWW on (ts, event_id); cross-batch the UPDATE wins:
+      // a key present in the odd batch takes its odd-batch winner, else it
+      // keeps the even-batch winner (the SnapshotLake.merge contract)
+      """WITH b0 AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 0)
+           WHERE rn = 1),
+         b1 AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 1)
+           WHERE rn = 1),
+         merged AS (
+           SELECT * FROM b1
+           UNION ALL
+           SELECT b0.* FROM b0 ANTI JOIN b1 USING (user_id, event_type))
+         SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP) AS timestamp_utc, value
+         FROM merged ORDER BY user_id, event_type""",
     "a26_salted_skew_join" ->
       """WITH ts_stats AS (
            SELECT event_type,
@@ -2100,6 +2180,31 @@ object CoreQueries {
          WINDOW w AS (ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY o_orderkey""",
+    "e18_firstlast_sql" ->
+      // decimal running avg replicated in exact HUGEINT unit arithmetic:
+      // cumulative sum of 1e-4 units, integer divide at scale 8 with
+      // explicit HALF-UP, one double division by 1e8 (both operands exact
+      // doubles, so the quotient is the correctly-rounded decimal value —
+      // bit-identical to Spark's Decimal(25,8).toDouble)
+      """WITH o AS (
+           SELECT o_orderkey, o_orderdate, o_totalprice,
+                  CAST(CAST(o_totalprice AS DECIMAL(21,4)) * 10000 AS HUGEINT) AS u4
+           FROM orders),
+         w1 AS (
+           SELECT o_orderkey,
+                  first_value(o_totalprice) OVER w AS first_px,
+                  last_value(o_totalprice) OVER w AS last_px,
+                  nth_value(o_totalprice, 5) OVER w AS fifth_px,
+                  SUM(u4) OVER wd AS s4,
+                  COUNT(*) OVER wd AS c
+           FROM o
+           WINDOW w AS (ORDER BY o_orderdate, o_orderkey),
+                  wd AS (ORDER BY o_orderdate))
+         SELECT o_orderkey, first_px, last_px, fifth_px,
+                CAST((s4 * 10000) // c +
+                     (CASE WHEN 2 * ((s4 * 10000) % c) >= c THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 100000000.0 AS run_avg_day
+         FROM w1 ORDER BY o_orderkey""",
     "e17_moving_total_sql" ->
       """SELECT o_orderkey,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER w AS DOUBLE) AS mov_total,

@@ -173,6 +173,26 @@ class SnapshotLakeSpec extends SparkSuite {
       "replayed stream must converge, not duplicate or regress")
   }
 
+  test("query-surface face (e3b): the gate query's read binds published gen dirs") {
+    // the manifest path under the REAL query surface: e3b merges two
+    // batches and answers from SnapshotLake.read — its scan must resolve
+    // concrete `<col>=h<hex>/gen=<n>` paths (a snapshot, immune to later
+    // commits), not a recursive directory listing
+    val df = graft.queries.CoreQueries.e3bUpsertLake(spark, sf001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "e3b must read through a parquet scan")
+    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.nonEmpty && roots.forall(p =>
+      p.contains("/event_type=h") && p.contains("/gen=")),
+      s"lake read must bind manifest gen dirs, got: $roots")
+    // batch 2 (odd event_ids) rewrote every partition, so every pinned gen
+    // is the second generation — the manifest points past batch 1's dirs
+    assert(roots.forall(_.endsWith("gen=2")), s"expected gen=2 snapshots: $roots")
+    assert(df.limit(1).count() == 1)
+  }
+
   test("guardrails: null/control-char/over-long partition values, wrong column, empty lake") {
     val dir = tmp()
     intercept[IllegalStateException](SnapshotLake.read(spark, dir))
