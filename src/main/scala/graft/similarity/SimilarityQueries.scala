@@ -362,15 +362,32 @@ object SimilarityQueries {
     * the assembled 16×64 codebook rows (row j, dims [4s+1, 4s+4] = subspace
     * s's centroid j) — the exact shape [[x8cAnnIvfPqCoded]] consumes, so
     * the fixed and learned codebooks are interchangeable. Each iteration is
-    * one corpus-slice scan (assignment by 4-term L2 against a broadcast
+    * one training-slice scan (assignment by 4-term L2 against a broadcast
     * 256-row codebook, ties → lowest j) plus a decimal-exact per-dimension
-    * mean; at 100 TB one trains on a bounded sample, exactly as for the
-    * cell codebook. A cluster that loses every member keeps its previous
-    * centroid (k never shrinks — the assembled rows must stay complete).
+    * mean; `trainFrac` bounds the training set by a deterministic hash-mod
+    * sample — the 100 TB path trains on a fraction and encodes the full
+    * corpus (SimilaritySpec pins the recall tolerance). A cluster that
+    * loses every member keeps its previous centroid (k never shrinks — the
+    * assembled rows must stay complete).
     */
-  def learnPqCodebook(e: DataFrame, cent: DataFrame, maxIter: Int = 6): Seq[Seq[Double]] = {
+  def learnPqCodebook(e: DataFrame, cent: DataFrame, maxIter: Int = 6,
+      trainFrac: Double = 1.0): Seq[Seq[Double]] = {
+    require(trainFrac > 0.0 && trainFrac <= 1.0,
+      s"trainFrac must be in (0, 1], got $trainFrac")
+    // BOUNDED TRAINING SAMPLE (the e7 watchlistCap discipline): at 100 TB
+    // the codebook trains on a sample, not the corpus — the Lloyd scans
+    // below then touch #corpus×trainFrac rows per iteration. The sample is
+    // a DETERMINISTIC pure-row hash-mod on vec_id (never a sampled
+    // partitioner: rdd.id-seeded sampling drifts across jobs — the round-7
+    // rank-bound lesson), and the 16 seed vectors always stay in (the
+    // codebook assembly requires them).
+    val train =
+      if (trainFrac >= 1.0) e
+      else e.filter(col("vec_id").isin((30L until 46L): _*) ||
+        pmod(xxhash64(col("vec_id")), lit(1000000L)) <
+          lit(math.round(trainFrac * 1000000L)))
     val centAs = broadcast(cent.select(col("c_id").as("cell"), col("cv")))
-    val slices = assignCells(e, cent).join(centAs, "cell")
+    val slices = assignCells(train, cent).join(centAs, "cell")
       .withColumn("r", expr("zip_with(v, cv, (a, b) -> a - b)"))
       .select(col("vec_id"), posexplode(expr(
         "transform(sequence(0, 15), s -> slice(r, s*4+1, 4))")))

@@ -317,5 +317,23 @@ class SimilaritySpec extends SparkSuite {
     info(f"x8c learned shortlist50+exact-rescore recall@10: $rescored%.2f")
     assert(rescored >= 0.7,
       f"shortlist+rescore recall@10 $rescored%.2f below the quality floor")
+
+    // the 100 TB seam: train the PQ codebook on a bounded hash-mod sample,
+    // encode the FULL corpus — ADC quality must hold within tolerance of
+    // full-corpus training (the training scan is what a real deployment
+    // cannot afford corpus-wide; encoding stays one map-only pass)
+    val sampledCb = SimilarityQueries.learnPqCodebook(e, cent, trainFrac = 0.3)
+    assert(sampledCb.length == 16 && sampledCb.forall(_.length == 64))
+    val sampledRecall = recallOf(
+      SimilarityQueries.x8cAnnIvfPqCoded(e, cent, sampledCb, 10, 16).collect())
+    info(f"x8c ADC recall@10, 30%%-sample-trained codebook: $sampledRecall%.2f")
+    assert(sampledRecall >= learnedRecall - 0.12,
+      f"sample-trained ADC recall $sampledRecall%.2f fell more than 0.12 " +
+        f"below full-corpus training $learnedRecall%.2f")
+    val sampledRescored = recallOf(rescoreTop10(
+      SimilarityQueries.x8cAnnIvfPqCoded(e, cent, sampledCb, 50, 16)))
+    info(f"x8c sample-trained shortlist50+rescore recall@10: $sampledRescored%.2f")
+    assert(sampledRescored >= 0.7,
+      f"sample-trained rescore recall $sampledRescored%.2f below the floor")
   }
 }
