@@ -677,7 +677,13 @@ object SimilarityQueries {
     * mirroring [[x8AnnIvfFrom]].
     */
   def x14SemDedupFrom(e: DataFrame, cent: DataFrame, tau: Double): DataFrame = {
-    val assigned = assignCells(e, cent)
+    // materialize the assignment ONCE: a plain self-join would re-derive
+    // it on both sides (no CSE across a self-join in Catalyst) — one full
+    // re-scan + 16-cell cosine pass + two exchanges of duplicated work
+    // (profiled: ~1.4× the whole query). At corpus scale the (vec_id,
+    // cell, v) frame is exactly what a SemDeDup deployment persists
+    // between the assignment and pairing stages anyway.
+    val assigned = assignCells(e, cent).localCheckpoint()
     val pairs = withCosine(
       assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id")),
