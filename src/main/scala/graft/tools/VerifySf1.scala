@@ -264,6 +264,35 @@ object VerifySf1 {
       ("x8c_ann_ivfpq",
         () => graft.similarity.SimilarityQueries.x8cAnnIvfPq(spark, work, 10, 2),
         () => graft.similarity.SimilarityQueries.x8cAnnIvfPqTwin(spark, work, 10, 2)),
+      // e18: the round-9 window families (first/last/nth_value + DECIMAL
+      // running avg) against the stock single-partition Window via the
+      // kill-switch — the e15/c8c/e17 discipline for the new lanes
+      ("e18_firstlast_sql",
+        () => CoreQueries.e18FirstLastSql(spark, work),
+        () => {
+          spark.conf.set(graft.plans.GlobalRankRule.EnabledKey, "false")
+          try CoreQueries.e18FirstLastSql(spark, work).localCheckpoint()
+          finally spark.conf.unset(graft.plans.GlobalRankRule.EnabledKey)
+        }),
+      // e3b: the snapshot-lake merge path ↔ a lake-free in-engine
+      // formulation of the same two-batch semantics (within-batch LWW,
+      // cross-batch update-wins) — 1.5M rows through manifest commits,
+      // hash-compared against pure dataframe algebra
+      ("e3b_upsert_lake",
+        () => CoreQueries.e3bUpsertLake(spark, work),
+        () => {
+          import graft.etl.Upsert
+          val evb = ev.select(col("user_id"), col("event_type"),
+            col("event_id"), col("ts"), col("value"))
+          val keys = Seq("user_id", "event_type")
+          val b0 = Upsert.lastWriteWins(
+            evb.filter(col("event_id") % 2 === 0), keys, "ts", Seq("event_id"))
+          val b1 = Upsert.lastWriteWins(
+            evb.filter(col("event_id") % 2 === 1), keys, "ts", Seq("event_id"))
+          b1.unionByName(b0.join(b1.select(keys.map(col): _*), keys, "left_anti"))
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts").cast("timestamp_ntz").as("timestamp_utc"), col("value"))
+        }),
       // a13d: nearest+tolerance through the exec ↔ the candidate-pair
       // range join ranked by (|Δts|, backward-first) — the quadratic
       // formulation the merge's two-candidate compare replaces
