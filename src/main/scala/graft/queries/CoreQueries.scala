@@ -1472,6 +1472,29 @@ object CoreQueries {
          ORDER BY o_orderkey""")
   }
 
+  /** E19: the global VALUE-bounded moving window —
+    * `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over the order-date day
+    * number (a 7-day trailing total/average that follows the CALENDAR, not
+    * the row count — sparse days shrink the frame, which no ROWS frame can
+    * express). Spark's native plan for this shape is the single-partition
+    * Window cliff and the value-bounded frame cannot ride the sliding
+    * exec's row-bounded ring, so it runs through
+    * [[graft.operators.RangeWindows]]' ghost-probe subtraction: one
+    * distributed running window over rows ∪ null-valued threshold ghosts,
+    * one id equi-join, exact decimal difference. Oracle = DuckDB's native
+    * RANGE window engine over the identical day numbers.
+    */
+  def e19RangeSliding(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).cast("long").as("dnum"),
+      col("o_totalprice").cast("decimal(25,4)").as("px"))
+    graft.operators.RangeWindows.rangeSlidingAvg(o, "o_orderkey", "dnum", "px", 6L)
+      .select(col("o_orderkey"),
+        col("frame_sum").cast("double").as("frame_total"),
+        col("frame_cnt"), col("frame_avg"))
+      .orderBy("o_orderkey")
+  }
+
   /** E17: the raw-SQL GLOBAL MOVING TOTAL/AVERAGE —
     * `SUM(x) OVER (ORDER BY … ROWS BETWEEN k PRECEDING AND CURRENT ROW)`.
     * [[graft.plans.GlobalRankRule]] rewrites the sliding frame into a
@@ -1871,6 +1894,7 @@ object CoreQueries {
     "e16_running_minmax_sql" -> (e16RunningMinmaxSql _),
     "e17_moving_total_sql" -> (e17MovingTotalSql _),
     "e18_firstlast_sql" -> (e18FirstLastSql _),
+    "e19_range_sliding" -> (e19RangeSliding _),
     "a26_salted_skew_join" -> ((s: SparkSession, d: String) => a26SaltedSkewJoin(s, d)),
     "c9_fixed_size_sample" -> ((s: SparkSession, d: String) => c9FixedSizeSample(s, d)),
     "c10_weighted_sample" -> ((s: SparkSession, d: String) => c10WeightedSample(s, d)),
@@ -2179,6 +2203,20 @@ object CoreQueries {
          FROM orders
          WINDOW w AS (ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
+    "e19_range_sliding" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dnum,
+                  CAST(o_totalprice AS DECIMAL(25,4)) AS px
+           FROM orders)
+         SELECT o_orderkey,
+                CAST(SUM(px) OVER w AS DOUBLE) AS frame_total,
+                COUNT(*) OVER w AS frame_cnt,
+                CAST(CAST(SUM(px) OVER w AS DOUBLE)
+                     / (COUNT(*) OVER w) AS DOUBLE) AS frame_avg
+         FROM o
+         WINDOW w AS (ORDER BY dnum RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY o_orderkey""",
     "e18_firstlast_sql" ->
       // decimal running avg replicated in exact HUGEINT unit arithmetic:

@@ -274,6 +274,24 @@ object VerifySf1 {
           try CoreQueries.e18FirstLastSql(spark, work).localCheckpoint()
           finally spark.conf.unset(graft.plans.GlobalRankRule.EnabledKey)
         }),
+      // e19: the ghost-probe RANGE-sliding composition ↔ the stock
+      // single-partition rangeBetween Window (naturally independent — the
+      // rule rejects bounded RANGE frames), at the scale point where the
+      // union ordering and tie-run stitching actually stress it
+      ("e19_range_sliding",
+        () => CoreQueries.e19RangeSliding(spark, work),
+        () => {
+          val o = graft.Tables(spark, work, "orders").select(col("o_orderkey"),
+            datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+              .cast("long").as("dnum"),
+            col("o_totalprice").cast("decimal(25,4)").as("px"))
+          val sw = Window.orderBy(col("dnum")).rangeBetween(-6, 0)
+          o.withColumn("frame_total", sum(col("px")).over(sw).cast("double"))
+            .withColumn("frame_cnt", count(col("px")).over(sw))
+            .withColumn("frame_avg",
+              col("frame_total") / col("frame_cnt").cast("double"))
+            .select("o_orderkey", "frame_total", "frame_cnt", "frame_avg")
+        }),
       // e3b: the snapshot-lake merge path ↔ a lake-free in-engine
       // formulation of the same two-batch semantics (within-batch LWW,
       // cross-batch update-wins) — 1.5M rows through manifest commits,

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class RangeWindowsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus(seed: Long, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      val v: Option[Double] =
+        if (rnd.nextInt(6) == 0) None else Some((rnd.nextInt(200000) - 100000) / 100.0)
+      (i.toLong, rnd.nextInt(40).toLong, v)
+    }.toDF("id", "k", "x")
+      .withColumn("v", col("x").cast("decimal(12,2)")).drop("x")
+  }
+
+  test("RANGE w PRECEDING sum/count match the stock Window bit-for-bit") {
+    // heavy key ties (40 distinct keys over 1200 rows) force peer-inclusive
+    // frames and cross-partition tie runs; null values exercise the count
+    // lane and the all-null-frame NULL
+    for ((seed, w) <- Seq((11L, 0L), (23L, 3L), (37L, 17L), (41L, 200L))) {
+      val df = corpus(seed, 1200)
+      val got = RangeWindows.rangeSlidingSum(df, "id", "k", "v", w)
+        .select("id", "frame_sum", "frame_cnt").collect()
+        .map(r => r.getLong(0) -> (r.get(1), r.getLong(2))).toMap
+      // stock single-partition RANGE window — GlobalRankRule rejects
+      // bounded RANGE frames, so this is naturally the independent plan
+      val sw = org.apache.spark.sql.expressions.Window
+        .orderBy(col("k")).rangeBetween(-w, 0)
+      val want = df
+        .withColumn("frame_sum", sum(col("v")).over(sw))
+        .withColumn("frame_cnt", count(col("v")).over(sw))
+        .select("id", "frame_sum", "frame_cnt").collect()
+        .map(r => r.getLong(0) -> (r.get(1), r.getLong(2))).toMap
+      val bad = got.keys.filter(k => got(k) != want(k)).take(3)
+        .map(k => s"id=$k got=${got(k)} want=${want(k)}")
+      assert(bad.isEmpty, s"seed=$seed w=$w diverged: ${bad.mkString("; ")}")
+    }
+  }
+
+  test("the operator's window plans through GlobalRankExec, not a global Window") {
+    val df = corpus(7L, 300)
+    val out = RangeWindows.rangeSlidingSum(df, "id", "k", "v", 5L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("GlobalRank"),
+      "the union running window must ride the distributed exec")
+    assert(!plan.contains("Window "),
+      s"no stock Window may survive in the plan:\n$plan")
+  }
+
+  test("avg face: exact sum / exact count as one double division; null frames stay null") {
+    val df = Seq(
+      (1L, 10L, Some(1.50)), (2L, 11L, None), (3L, 12L, None),
+      (4L, 30L, None), (5L, 31L, None) // frame of id=5 at w=1: all-null
+    ).toDF("id", "k", "x").withColumn("v", col("x").cast("decimal(12,2)")).drop("x")
+    val got = RangeWindows.rangeSlidingAvg(df, "id", "k", "v", 1L)
+      .select("id", "frame_avg", "frame_cnt").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), r.getLong(2))).toMap
+    assert(got(1L) == (Some(1.5), 1L))
+    assert(got(2L) == (Some(1.5), 1L), "frame [10,11] carries id=1's value")
+    assert(got(3L)._1.isEmpty && got(3L)._2 == 0L, "all-null frame → null avg")
+    assert(got(5L)._1.isEmpty && got(5L)._2 == 0L)
+  }
+
+  test("guardrails: non-decimal values and non-long keys are rejected") {
+    val df = Seq((1L, 2L, 3.0)).toDF("id", "k", "v")
+    val e1 = intercept[IllegalArgumentException](
+      RangeWindows.rangeSlidingSum(df, "id", "k", "v", 5L))
+    assert(e1.getMessage.contains("DECIMAL"))
+    val df2 = df.withColumn("v", col("v").cast("decimal(10,2)"))
+      .withColumn("k", col("k").cast("int"))
+    val e2 = intercept[IllegalArgumentException](
+      RangeWindows.rangeSlidingSum(df2, "id", "k", "v", 5L))
+    assert(e2.getMessage.contains("BIGINT"))
+  }
+}
