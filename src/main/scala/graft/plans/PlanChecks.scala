@@ -14,6 +14,15 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Glob
   * counts) or an explicit limit. So the lint flags global windows whose
   * subtree reaches any LEAF without passing through an Aggregate /
   * Deduplicate / Limit — i.e. windows ordering raw corpus-scale rows.
+  *
+  * Remediation map for a flagged window: most single-ordering shapes
+  * (ranks, shifts, prefix aggregates, first/last/nth_value, decimal avg,
+  * sliding ROWS frames) auto-rewrite via [[GlobalRankRule]] — a flag means
+  * the shape is on its reject list. `RANGE k PRECEDING` sliding
+  * sum/count/avg → [[graft.operators.RangeWindows]] (the ghost-probe
+  * composition). Sliding RANGE min/max, FOLLOWING ends, fp sliding
+  * sum/avg, and multi-argument aggregates have no distributed rewrite —
+  * restructure the query (pre-aggregate, partition, or bound the input).
   */
 object PlanChecks {
 

@@ -1488,7 +1488,7 @@ object CoreQueries {
     val o = t(s, dir, "orders").select(col("o_orderkey"),
       datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).cast("long").as("dnum"),
       col("o_totalprice").cast("decimal(25,4)").as("px"))
-    graft.operators.RangeWindows.rangeSlidingAvg(o, "o_orderkey", "dnum", "px", 6L)
+    graft.operators.RangeWindows.rangeSlidingAvg(o, Seq("o_orderkey"), "dnum", "px", 6L)
       .select(col("o_orderkey"),
         col("frame_sum").cast("double").as("frame_total"),
         col("frame_cnt"), col("frame_avg"))

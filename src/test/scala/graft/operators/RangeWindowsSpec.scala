@@ -23,7 +23,7 @@ class RangeWindowsSpec extends SparkSuite {
     // lane and the all-null-frame NULL
     for ((seed, w) <- Seq((11L, 0L), (23L, 3L), (37L, 17L), (41L, 200L))) {
       val df = corpus(seed, 1200)
-      val got = RangeWindows.rangeSlidingSum(df, "id", "k", "v", w)
+      val got = RangeWindows.rangeSlidingSum(df, Seq("id"), "k", "v", w)
         .select("id", "frame_sum", "frame_cnt").collect()
         .map(r => r.getLong(0) -> (r.get(1), r.getLong(2))).toMap
       // stock single-partition RANGE window — GlobalRankRule rejects
@@ -43,7 +43,7 @@ class RangeWindowsSpec extends SparkSuite {
 
   test("the operator's window plans through GlobalRankExec, not a global Window") {
     val df = corpus(7L, 300)
-    val out = RangeWindows.rangeSlidingSum(df, "id", "k", "v", 5L)
+    val out = RangeWindows.rangeSlidingSum(df, Seq("id"), "k", "v", 5L)
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("GlobalRank"),
       "the union running window must ride the distributed exec")
@@ -56,7 +56,7 @@ class RangeWindowsSpec extends SparkSuite {
       (1L, 10L, Some(1.50)), (2L, 11L, None), (3L, 12L, None),
       (4L, 30L, None), (5L, 31L, None) // frame of id=5 at w=1: all-null
     ).toDF("id", "k", "x").withColumn("v", col("x").cast("decimal(12,2)")).drop("x")
-    val got = RangeWindows.rangeSlidingAvg(df, "id", "k", "v", 1L)
+    val got = RangeWindows.rangeSlidingAvg(df, Seq("id"), "k", "v", 1L)
       .select("id", "frame_avg", "frame_cnt").collect()
       .map(r => r.getLong(0) -> (Option(r.get(1)), r.getLong(2))).toMap
     assert(got(1L) == (Some(1.5), 1L))
@@ -65,15 +65,39 @@ class RangeWindowsSpec extends SparkSuite {
     assert(got(5L)._1.isEmpty && got(5L)._2 == 0L)
   }
 
+  test("null order keys: a null-key row's frame is exactly its null peer group") {
+    // nulls sort FIRST (the operator's declared ASC NULLS FIRST scope);
+    // SQL gives null-key rows their own peer-group frame — no ghost is
+    // spawned for them and the left join subtracts nothing
+    val df = Seq(
+      (1L, None, Some(2.00)), (2L, None, Some(3.00)), (3L, None, None),
+      (4L, Some(5L), Some(1.00)), (5L, Some(6L), Some(4.00))
+    ).toDF("id", "kx", "x")
+      .select(col("id"), col("kx").cast("long").as("k"),
+        col("x").cast("decimal(12,2)").as("v"))
+    val got = RangeWindows.rangeSlidingSum(df, Seq("id"), "k", "v", 1L)
+      .select("id", "frame_sum", "frame_cnt").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.toString), r.getLong(2))).toMap
+    val sw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("k")).rangeBetween(-1L, 0)
+    val want = df
+      .withColumn("frame_sum", sum(col("v")).over(sw))
+      .withColumn("frame_cnt", count(col("v")).over(sw))
+      .select("id", "frame_sum", "frame_cnt").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.toString), r.getLong(2))).toMap
+    assert(got == want, s"null-key frames diverged: $got vs $want")
+    assert(got(1L)._2 == 2L, "null peers see each other's non-null values")
+  }
+
   test("guardrails: non-decimal values and non-long keys are rejected") {
     val df = Seq((1L, 2L, 3.0)).toDF("id", "k", "v")
     val e1 = intercept[IllegalArgumentException](
-      RangeWindows.rangeSlidingSum(df, "id", "k", "v", 5L))
+      RangeWindows.rangeSlidingSum(df, Seq("id"), "k", "v", 5L))
     assert(e1.getMessage.contains("DECIMAL"))
     val df2 = df.withColumn("v", col("v").cast("decimal(10,2)"))
       .withColumn("k", col("k").cast("int"))
     val e2 = intercept[IllegalArgumentException](
-      RangeWindows.rangeSlidingSum(df2, "id", "k", "v", 5L))
+      RangeWindows.rangeSlidingSum(df2, Seq("id"), "k", "v", 5L))
     assert(e2.getMessage.contains("BIGINT"))
   }
 }
