@@ -101,6 +101,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // the distributed two-pass rank instead of a single-partition Window —
     // see graft.plans.GlobalRankRule
     ext.injectOptimizerRule(_ => graft.plans.GlobalRankRule)
+    // global RANGE n PRECEDING sliding sums/counts rewrite to the
+    // ghost-probe composition (whose inner running window the rule above
+    // then distributes) — see graft.plans.RangeSlidingRule
+    ext.injectOptimizerRule(_ => graft.plans.RangeSlidingRule)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
   }
 }

@@ -1486,6 +1486,11 @@ object GlobalRank {
     val exp = spark.experimental
     if (!exp.extraOptimizations.contains(GlobalRankRule))
       exp.extraOptimizations = exp.extraOptimizations :+ GlobalRankRule
+    // RangeSlidingRule rides the same fixed-point batch: it rewrites the
+    // RANGE n PRECEDING cliff into a composition whose inner running
+    // window GlobalRankRule then distributes on the next iteration
+    if (!exp.extraOptimizations.contains(RangeSlidingRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ RangeSlidingRule
     if (!exp.extraStrategies.contains(GlobalRankStrategy))
       exp.extraStrategies = exp.extraStrategies :+ GlobalRankStrategy
   }

@@ -1495,6 +1495,29 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** E19b — the RAW-SQL face of e19: the identical calendar-valued moving
+    * window written as the natural SQL (`RANGE BETWEEN 6 PRECEDING AND
+    * CURRENT ROW`), auto-rewritten by [[graft.plans.RangeSlidingRule]]
+    * into the ghost-probe composition — no library call, no cliff. Same
+    * oracle discipline as e19.
+    */
+  def e19bRangeSlidingSql(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GlobalRank.ensureRegistered(s)
+    t(s, dir, "orders").createOrReplaceTempView("e19b_orders")
+    s.sql(
+      """SELECT o_orderkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER win AS DOUBLE)
+                  AS frame_total,
+                COUNT(*) OVER win AS frame_cnt,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER win AS DOUBLE)
+                     / (COUNT(*) OVER win) AS DOUBLE) AS frame_avg
+         FROM (SELECT o_orderkey, o_totalprice,
+                      CAST(datediff(o_orderdate, DATE'1992-01-01') AS BIGINT) AS dnum
+               FROM e19b_orders)
+         WINDOW win AS (ORDER BY dnum RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""")
+  }
+
   /** E17: the raw-SQL GLOBAL MOVING TOTAL/AVERAGE —
     * `SUM(x) OVER (ORDER BY … ROWS BETWEEN k PRECEDING AND CURRENT ROW)`.
     * [[graft.plans.GlobalRankRule]] rewrites the sliding frame into a
@@ -1895,6 +1918,7 @@ object CoreQueries {
     "e17_moving_total_sql" -> (e17MovingTotalSql _),
     "e18_firstlast_sql" -> (e18FirstLastSql _),
     "e19_range_sliding" -> (e19RangeSliding _),
+    "e19b_range_sliding_sql" -> (e19bRangeSlidingSql _),
     "a26_salted_skew_join" -> ((s: SparkSession, d: String) => a26SaltedSkewJoin(s, d)),
     "c9_fixed_size_sample" -> ((s: SparkSession, d: String) => c9FixedSizeSample(s, d)),
     "c10_weighted_sample" -> ((s: SparkSession, d: String) => c10WeightedSample(s, d)),
@@ -2203,6 +2227,20 @@ object CoreQueries {
          FROM orders
          WINDOW w AS (ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
+    "e19b_range_sliding_sql" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dnum,
+                  CAST(o_totalprice AS DECIMAL(25,4)) AS px
+           FROM orders)
+         SELECT o_orderkey,
+                CAST(SUM(px) OVER w AS DOUBLE) AS frame_total,
+                COUNT(*) OVER w AS frame_cnt,
+                CAST(CAST(SUM(px) OVER w AS DOUBLE)
+                     / (COUNT(*) OVER w) AS DOUBLE) AS frame_avg
+         FROM o
+         WINDOW w AS (ORDER BY dnum RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY o_orderkey""",
     "e19_range_sliding" ->
       """WITH o AS (

@@ -292,6 +292,19 @@ object VerifySf1 {
               col("frame_total") / col("frame_cnt").cast("double"))
             .select("o_orderkey", "frame_total", "frame_cnt", "frame_avg")
         }),
+      // e19b: the raw-SQL RANGE-sliding auto-rewrite ↔ the kill-switched
+      // stock single-partition Window (both rule switches off)
+      ("e19b_range_sliding_sql",
+        () => CoreQueries.e19bRangeSlidingSql(spark, work),
+        () => {
+          spark.conf.set(graft.plans.RangeSlidingRule.EnabledKey, "false")
+          spark.conf.set(graft.plans.GlobalRankRule.EnabledKey, "false")
+          try CoreQueries.e19bRangeSlidingSql(spark, work).localCheckpoint()
+          finally {
+            spark.conf.unset(graft.plans.RangeSlidingRule.EnabledKey)
+            spark.conf.unset(graft.plans.GlobalRankRule.EnabledKey)
+          }
+        }),
       // e3b: the snapshot-lake merge path ↔ a lake-free in-engine
       // formulation of the same two-batch semantics (within-batch LWW,
       // cross-batch update-wins) — 1.5M rows through manifest commits,
