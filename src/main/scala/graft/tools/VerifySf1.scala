@@ -281,16 +281,22 @@ object VerifySf1 {
       ("e19_range_sliding",
         () => CoreQueries.e19RangeSliding(spark, work),
         () => {
-          val o = graft.Tables(spark, work, "orders").select(col("o_orderkey"),
-            datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
-              .cast("long").as("dnum"),
-            col("o_totalprice").cast("decimal(25,4)").as("px"))
-          val sw = Window.orderBy(col("dnum")).rangeBetween(-6, 0)
-          o.withColumn("frame_total", sum(col("px")).over(sw).cast("double"))
-            .withColumn("frame_cnt", count(col("px")).over(sw))
-            .withColumn("frame_avg",
-              col("frame_total") / col("frame_cnt").cast("double"))
-            .select("o_orderkey", "frame_total", "frame_cnt", "frame_avg")
+          // kill-switch: RangeSlidingRule would otherwise rewrite this
+          // rangeBetween twin too, making the comparison rule-vs-rule
+          spark.conf.set(graft.plans.RangeSlidingRule.EnabledKey, "false")
+          try {
+            val o = graft.Tables(spark, work, "orders").select(col("o_orderkey"),
+              datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+                .cast("long").as("dnum"),
+              col("o_totalprice").cast("decimal(25,4)").as("px"))
+            val sw = Window.orderBy(col("dnum")).rangeBetween(-6, 0)
+            o.withColumn("frame_total", sum(col("px")).over(sw).cast("double"))
+              .withColumn("frame_cnt", count(col("px")).over(sw))
+              .withColumn("frame_avg",
+                col("frame_total") / col("frame_cnt").cast("double"))
+              .select("o_orderkey", "frame_total", "frame_cnt", "frame_avg")
+              .localCheckpoint()
+          } finally spark.conf.unset(graft.plans.RangeSlidingRule.EnabledKey)
         }),
       // e19b: the raw-SQL RANGE-sliding auto-rewrite ↔ the kill-switched
       // stock single-partition Window (both rule switches off)

@@ -7,6 +7,15 @@ import graft.SparkSuite
 class RangeWindowsSpec extends SparkSuite {
   import spark.implicits._
 
+  /** Evaluate with the RANGE-sliding auto-rewrite off, so the stock
+    * single-partition Window is genuinely the INDEPENDENT formulation
+    * (RangeSlidingRule would otherwise rewrite the twin too).
+    */
+  private def stock[A](body: => A): A = {
+    spark.conf.set(graft.plans.RangeSlidingRule.EnabledKey, "false")
+    try body finally spark.conf.unset(graft.plans.RangeSlidingRule.EnabledKey)
+  }
+
   private def corpus(seed: Long, n: Int) = {
     val rnd = new scala.util.Random(seed)
     (1 to n).map { i =>
@@ -30,11 +39,15 @@ class RangeWindowsSpec extends SparkSuite {
       // bounded RANGE frames, so this is naturally the independent plan
       val sw = org.apache.spark.sql.expressions.Window
         .orderBy(col("k")).rangeBetween(-w, 0)
-      val want = df
-        .withColumn("frame_sum", sum(col("v")).over(sw))
-        .withColumn("frame_cnt", count(col("v")).over(sw))
-        .select("id", "frame_sum", "frame_cnt").collect()
-        .map(r => r.getLong(0) -> (r.get(1), r.getLong(2))).toMap
+      val want = stock {
+        val d = df
+          .withColumn("frame_sum", sum(col("v")).over(sw))
+          .withColumn("frame_cnt", count(col("v")).over(sw))
+        assert(!d.queryExecution.executedPlan.toString.contains("GlobalRank"),
+          "the twin must stay the stock Window")
+        d.select("id", "frame_sum", "frame_cnt").collect()
+          .map(r => r.getLong(0) -> (r.get(1), r.getLong(2))).toMap
+      }
       val bad = got.keys.filter(k => got(k) != want(k)).take(3)
         .map(k => s"id=$k got=${got(k)} want=${want(k)}")
       assert(bad.isEmpty, s"seed=$seed w=$w diverged: ${bad.mkString("; ")}")
@@ -80,11 +93,12 @@ class RangeWindowsSpec extends SparkSuite {
       .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.toString), r.getLong(2))).toMap
     val sw = org.apache.spark.sql.expressions.Window
       .orderBy(col("k")).rangeBetween(-1L, 0)
-    val want = df
-      .withColumn("frame_sum", sum(col("v")).over(sw))
-      .withColumn("frame_cnt", count(col("v")).over(sw))
-      .select("id", "frame_sum", "frame_cnt").collect()
-      .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.toString), r.getLong(2))).toMap
+    val want = stock {
+      df.withColumn("frame_sum", sum(col("v")).over(sw))
+        .withColumn("frame_cnt", count(col("v")).over(sw))
+        .select("id", "frame_sum", "frame_cnt").collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.toString), r.getLong(2))).toMap
+    }
     assert(got == want, s"null-key frames diverged: $got vs $want")
     assert(got(1L)._2 == 2L, "null peers see each other's non-null values")
   }
