@@ -266,8 +266,23 @@ object SnapshotLake {
       s"$partitionCol value too long for a hex-named partition directory " +
         "(value bytes x2 + column name must stay under 240 chars)")
     val newGen = curGen + 1
-    val affectedDirs = affected.map { case (_, h) => s"$partitionCol=$h" }.toSet
-    val hit = cur.map(_.entries.filter(e => affectedDirs.contains(e.dirName)))
+    // Entries are matched by VALUE, not by directory name: the value string
+    // is layout-independent (dir names changed once already — bare hex →
+    // `h`-prefixed hex), so a manifest written under an older dir scheme
+    // still LWW-merges correctly — its old entry is read through its
+    // verbatim dirName, replaced by a new-layout entry, and the stale gen
+    // dir ages out at vacuum. Matching by dirName would silently keep the
+    // legacy entry ALONGSIDE the new one for the same value (duplicate
+    // rows on read). A well-formed manifest has one entry per value; a
+    // duplicate means corruption — fail loudly before making it worse.
+    val affectedValues = affected.map(_._1).toSet
+    cur.foreach { m =>
+      val dup = m.entries.groupBy(_.value).collect { case (v, es) if es.length > 1 => v }
+      require(dup.isEmpty,
+        s"$path manifest lists multiple entries for value(s) ${dup.mkString(", ")} — " +
+          "corrupt manifest; refusing to merge")
+    }
+    val hit = cur.map(_.entries.filter(e => affectedValues.contains(e.value)))
       .getOrElse(Nil)
     // Existing rows of ONLY the affected partitions, read through the
     // manifest's gen dirs. Schema pinned to the updates' (every column —
@@ -303,7 +318,7 @@ object SnapshotLake {
           s"staged dir $hexName has no affected value — hex routing diverged")))
     }.toSeq
     fs.delete(staging, true)
-    val kept = cur.map(_.entries.filterNot(e => affectedDirs.contains(e.dirName)))
+    val kept = cur.map(_.entries.filterNot(e => affectedValues.contains(e.value)))
       .getOrElse(Nil)
     Some((fs, Manifest(newGen, partitionCol, kept ++ newEntries)))
   }

@@ -20,6 +20,28 @@ import graft.Tables
   *  - timestamps are emitted as TIMESTAMP_NTZ (UTC wall time), matching
   *    DuckDB's naive TIMESTAMP.
   */
+/** e3b's scratch lake: ONE JVM-pinned directory, wiped at each evaluation
+  * and removed on JVM exit, so repeated bench/verify reps hold at most one
+  * lake's worth of disk instead of leaking a temp dir per run.
+  */
+private object E3bLakeDir {
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_e3b_lake")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => wipe(p, keepRoot = false)))
+    p
+  }
+  private def wipe(p: java.nio.file.Path, keepRoot: Boolean): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder()).iterator.asScala
+        .filter(q => !keepRoot || q != p)
+        .foreach(q => java.nio.file.Files.deleteIfExists(q))
+      finally walk.close()
+    }
+  def fresh(): String = synchronized { wipe(root, keepRoot = true); root.toString }
+}
+
 object CoreQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
@@ -107,7 +129,10 @@ object CoreQueries {
     * at scale the two merges are the E1→E2→L2 incremental landing flow.
     */
   def e3bUpsertLake(s: SparkSession, dir: String): DataFrame = {
-    val lake = java.nio.file.Files.createTempDirectory("graft_e3b_lake").toString
+    // one JVM-pinned lake dir, wiped per evaluation and removed at exit —
+    // repeated bench/verify reps must not leak a full events-table lake
+    // per run (each holds two merges)
+    val lake = E3bLakeDir.fresh()
     val ev = t(s, dir, "events")
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("ts"), col("value"))

@@ -73,6 +73,16 @@ object JdbcUpsertV2 {
       batchSize: Int,
       noUpdate: Seq[String],
       props: Map[String, String]) {
+    // Config travels to executors and surfaces in task-failure traces —
+    // the auto-generated case-class toString would print every JDBC prop
+    // verbatim, credentials included. Redact all prop VALUES (any prop can
+    // be a secret under a non-obvious key: password, sslKey, token, …).
+    override def toString: String = {
+      val red = props.keys.toSeq.sorted.map(k => s"$k=***").mkString(", ")
+      val safeUrl = url.takeWhile(_ != '?') // query params can embed password=
+      s"Config($safeUrl, $table, keys=${keys.mkString(",")}, dialect=$dialect, " +
+        s"batchSize=$batchSize, noUpdate=${noUpdate.mkString(",")}, props=[$red])"
+    }
     def connectionProperties: java.util.Properties = {
       val p = new java.util.Properties()
       props.foreach { case (k, v) => p.setProperty(k, v) }

@@ -248,4 +248,43 @@ class SnapshotLakeSpec extends SparkSuite {
       "non-conforming debris is not ours to delete")
     assert(SnapshotLake.read(spark, dir).count() > 0)
   }
+
+  test("legacy bare-hex partition dirs migrate on merge (entries match by VALUE)") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmp()
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    // simulate a lake written under the pre-`h` dir scheme: one entry's
+    // dir renamed to bare hex, manifest re-published to point at it
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = SnapshotLake.currentManifest(spark, dir).get
+    val victim = m.entries.find(_.value == "2025-01-01").get
+    val legacyName = victim.dirName.replace("=h", "=")
+    assert(legacyName != victim.dirName)
+    fs.rename(new Path(dir + "/data/" + victim.dirName),
+      new Path(dir + "/data/" + legacyName))
+    SnapshotLake.publish(fs, dir, m.copy(gen = m.gen + 1,
+      entries = m.entries.map(e =>
+        if (e.value == victim.value) e.copy(dirName = legacyName) else e)))
+    // a merge touching the legacy value must LWW THROUGH it (read its old
+    // rows, replace its entry) — dir-name matching would keep the legacy
+    // entry alongside the new one and reads would return duplicate keys
+    SnapshotLake.merge(spark, dir, b2, Seq("key"), "v", "dt")
+    val got = state(SnapshotLake.read(spark, dir))
+    assert(got == Map("k1" -> ((2L, 15.0)), "k2" -> ((1L, 20.0)),
+      "k3" -> ((1L, 30.0)), "k4" -> ((1L, 40.0))),
+      s"legacy-layout merge lost LWW semantics: $got")
+    val after = SnapshotLake.currentManifest(spark, dir).get
+    assert(after.entries.map(_.value).distinct.length == after.entries.length,
+      "duplicate manifest entries for one value")
+    assert(after.entries.filter(_.value == victim.value)
+      .forall(_.dirName == victim.dirName),
+      "the merged partition must land back under the current dir scheme")
+    // an actually-corrupt manifest (two entries, one value) fails loudly
+    val dup = after.copy(gen = after.gen + 1,
+      entries = after.entries :+ after.entries.head.copy(dirName = "dt=hFF"))
+    SnapshotLake.publish(fs, dir, dup)
+    val e = intercept[IllegalArgumentException](
+      SnapshotLake.merge(spark, dir, b2, Seq("key"), "v", "dt"))
+    assert(e.getMessage.contains("multiple entries"))
+  }
 }
