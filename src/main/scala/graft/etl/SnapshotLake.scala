@@ -77,6 +77,7 @@ object SnapshotLake {
   case class Manifest(gen: Long, partitionCol: String, entries: Seq[Entry])
 
   private val ManifestName = """manifest-(\d{20})""".r
+  private val StatsName = """stats-(\d{20})""".r
   // digits-only, like ManifestName: stray non-numeric `gen=` debris (manual
   // copies, partial syncs) must be skipped, not NumberFormatException every
   // future merge/compact/vacuum into a brick
@@ -164,11 +165,17 @@ object SnapshotLake {
   /** Time travel: read the snapshot as of manifest `gen` (must still be
     * retained — see [[vacuum]]).
     */
-  def readAt(spark: SparkSession, path: String, gen: Long): DataFrame = {
+  def readAt(spark: SparkSession, path: String, gen: Long): DataFrame =
+    readManifest(spark, path, manifestAt(spark, path, gen), None)
+
+  /** The RETAINED manifest `gen` — the metadata face of [[readAt]], also
+    * serving [[graft.sources.LakeCatalog]]'s `VERSION/TIMESTAMP AS OF`.
+    */
+  def manifestAt(spark: SparkSession, path: String, gen: Long): Manifest = {
     val fs = fsOf(spark, path)
     val p = new Path(manifestDir(path), f"manifest-$gen%020d")
     require(fs.exists(p), s"snapshot $gen of $path is not retained")
-    readManifest(spark, path, parseManifest(fs, p, gen), None)
+    parseManifest(fs, p, gen)
   }
 
   private def readManifest(spark: SparkSession, path: String, m: Manifest,
@@ -195,6 +202,13 @@ object SnapshotLake {
     * semantics (same CONTRACT: `partitionCol` functionally determined by
     * `keys`; on key collision the update wins, then LWW on `versionCol` +
     * `tieBreakers`) with a snapshot-isolated commit.
+    *
+    * `statsCols` (opt-in): range-CLUSTER each partition's files by these
+    * columns at write (one extra range exchange) and record per-FILE
+    * min/max into a `_manifests/stats-<gen>` sidecar (one extra
+    * page-cache-warm read of just-written data) — enabling
+    * [[readSlice]]'s FILE-level skipping inside a partition. Advisory
+    * metadata: a missing/partial sidecar only loses pruning, never rows.
     */
   def merge(
       spark: SparkSession,
@@ -203,13 +217,16 @@ object SnapshotLake {
       keys: Seq[String],
       versionCol: String,
       partitionCol: String,
-      tieBreakers: Seq[String] = Nil): Unit = {
+      tieBreakers: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Unit = {
     require(updates.columns.contains(partitionCol),
       s"updates must carry partition column '$partitionCol'")
+    require(statsCols.forall(updates.columns.contains),
+      s"statsCols ${statsCols.mkString(",")} must be update columns")
     val deduped = Upsert.lastWriteWins(updates, keys, versionCol, tieBreakers)
     LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
       prepareMerge(spark, path, deduped, keys, versionCol, partitionCol,
-        tieBreakers).foreach { case (fs, m) => publish(fs, path, m) }
+        tieBreakers, statsCols).foreach { case (fs, m) => publish(fs, path, m) }
     }
   }
 
@@ -226,7 +243,8 @@ object SnapshotLake {
       keys: Seq[String],
       versionCol: String,
       partitionCol: String,
-      tieBreakers: Seq[String]): Option[(FileSystem, Manifest)] = {
+      tieBreakers: Seq[String],
+      statsCols: Seq[String] = Nil): Option[(FileSystem, Manifest)] = {
     val fs = fsOf(spark, path)
     val cur = currentManifest(spark, path)
     val curGen = cur.map(_.gen).getOrElse(0L)
@@ -302,8 +320,17 @@ object SnapshotLake {
     // ONE write job for every affected partition: route rows by the hex
     // dir key (a derived column, so partitionCol itself STAYS in the
     // files), then install each staged dir as the partition's next gen.
-    merged.withColumn("__pdir", concat(lit("h"), hex(castStr)))
-      .write.partitionBy("__pdir").parquet(staging.toString)
+    // With statsCols, range-cluster rows by (dir, statsCols) first so each
+    // file covers a NARROW slice of the stats columns — the layout that
+    // makes the per-file min/max sidecar actually prune (a hash-shuffled
+    // write gives every file the full value range). In-job sampling
+    // nondeterminism is harmless: stats are recorded from the files
+    // actually written, never re-derived.
+    val routed = merged.withColumn("__pdir", concat(lit("h"), hex(castStr)))
+    val clustered =
+      if (statsCols.isEmpty) routed
+      else routed.repartitionByRange((col("__pdir") +: statsCols.map(col)): _*)
+    clustered.write.partitionBy("__pdir").parquet(staging.toString)
     val staged = fs.listStatus(staging)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__pdir="))
     val valueOfHex = affected.map { case (v, h) => h -> v }.toMap
@@ -318,9 +345,178 @@ object SnapshotLake {
           s"staged dir $hexName has no affected value — hex routing diverged")))
     }.toSeq
     fs.delete(staging, true)
+    if (statsCols.nonEmpty)
+      writeStats(spark, fs, path, newGen, newEntries, deduped.schema, statsCols)
     val kept = cur.map(_.entries.filterNot(e => affectedValues.contains(e.value)))
       .getOrElse(Nil)
     Some((fs, Manifest(newGen, partitionCol, kept ++ newEntries)))
+  }
+
+  // ---- per-file column statistics (advisory sidecars for readSlice) ----
+
+  private def statsPath(path: String, gen: Long) =
+    new Path(manifestDir(path), f"stats-$gen%020d")
+
+  /** URL-encoding keeps the line format unambiguous for arbitrary string
+    * stats; a NULL min/max encodes as the empty field and is never used
+    * to prune (the safe direction).
+    */
+  private def enc(s: String): String =
+    if (s == null) "" else java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    if (s.isEmpty) null else java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** The monotone string form a column's per-file min/max is recorded in:
+    * TIMESTAMP goes through `unix_micros` (session-timezone-free and
+    * truncation-free); everything else through Spark's own string cast
+    * (exact round-trips for decimal/date/integral/double/string/ntz).
+    */
+  private def statForm(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c).cast("string")
+      case _ => c.cast("string")
+    }
+
+  /** One job over the commit's NEW gen dirs (just-written, page-cache
+    * warm): per (file, statsCol) min/max, written to the gen's sidecar
+    * before the publish. Crash between sidecar and publish leaves an
+    * orphan sidecar, GC'd with the orphan gens.
+    */
+  private def writeStats(
+      spark: SparkSession,
+      fs: FileSystem,
+      path: String,
+      gen: Long,
+      entries: Seq[Entry],
+      schema: org.apache.spark.sql.types.StructType,
+      statsCols: Seq[String]): Unit = {
+    val dirs = entries.map(e => genDirOf(path, e).toString)
+    if (dirs.isEmpty) return
+    val df = spark.read.schema(schema).parquet(dirs: _*)
+    val aggs = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      val dt = schema(c).dataType
+      Seq(min(statForm(col(c), dt)).as(s"__mn$i"),
+        max(statForm(col(c), dt)).as(s"__mx$i"))
+    }
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val dataPrefix = fs.makeQualified(dataDir(path)).toString + "/"
+    val sb = new StringBuilder
+    sb.append(s"graft-stats-v1\t$gen\t${statsCols.map(enc).mkString(",")}\n")
+    rows.foreach { r =>
+      val f = r.getString(0)
+      // stats are keyed by the file's path RELATIVE to data/ so the lake
+      // can be relocated; a file whose URI does not share the expected
+      // prefix is simply not recorded (readSlice keeps unrecorded files)
+      if (f.startsWith(dataPrefix)) {
+        val rel = f.drop(dataPrefix.length)
+        statsCols.zipWithIndex.foreach { case (c, i) =>
+          sb.append(s"${enc(rel)}\t${enc(c)}\t${enc(r.getAs[String](s"__mn$i"))}\t" +
+            s"${enc(r.getAs[String](s"__mx$i"))}\n")
+        }
+      }
+    }
+    val tmp = new Path(manifestDir(path), s".tmp-stats-$gen-${System.nanoTime()}")
+    fs.mkdirs(manifestDir(path))
+    val out = fs.create(tmp, false)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    Upsert.renameOrThrow(fs, tmp, statsPath(path, gen))
+  }
+
+  /** (relative file path, col) → (min, max) string forms for one gen's
+    * sidecar; empty for a missing/unparseable sidecar (advisory).
+    */
+  private def readStats(fs: FileSystem, path: String,
+      gen: Long): Map[(String, String), (String, String)] = {
+    val p = statsPath(path, gen)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = text.split('\n').filter(_.nonEmpty)
+    if (lines.isEmpty || !lines.head.startsWith("graft-stats-v1")) return Map.empty
+    lines.tail.flatMap { l =>
+      l.split('\t') match {
+        case Array(f, c, mn, mx) => Some((dec(f), dec(c)) -> ((dec(mn), dec(mx))))
+        case Array(f, c, mn) => Some((dec(f), dec(c)) -> ((dec(mn), null: String)))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Read the current snapshot restricted to `sliceCol ∈ [lo, hi]` (both
+    * bounds optional/inclusive), SKIPPING whole files whose recorded
+    * [min, max] cannot intersect the slice — the file-level pruning the
+    * manifest's partition entries cannot give inside one partition. The
+    * returned frame carries the slice filter, so it is byte-identical to
+    * `read(...).filter(...)`; files without recorded stats (older
+    * commits, compactions without sidecars, relocation gaps) are always
+    * read — pruning is advisory, never lossy. Bound comparisons run
+    * through Spark's own cast/ordering on the column's real type.
+    */
+  def readSlice(
+      spark: SparkSession,
+      path: String,
+      sliceCol: String,
+      lo: Option[Any],
+      hi: Option[Any]): DataFrame = {
+    val fs = fsOf(spark, path)
+    val m = currentManifest(spark, path).getOrElse(
+      throw new IllegalStateException(s"$path has no published snapshot"))
+    val full = readManifest(spark, path, m, None)
+    def sliceFilter(df: DataFrame): DataFrame = {
+      val c = col(sliceCol)
+      val f1 = lo.map(v => c >= lit(v)).getOrElse(lit(true))
+      val f2 = hi.map(v => c <= lit(v)).getOrElse(lit(true))
+      df.filter(f1 && f2)
+    }
+    if (m.entries.isEmpty || (lo.isEmpty && hi.isEmpty)) return sliceFilter(full)
+    val dt = full.schema(sliceCol).dataType
+    val statsByGen = m.entries.map(_.gen).distinct
+      .map(g => g -> readStats(fs, path, g)).toMap
+    // candidate exclusions, evaluated through Spark's own comparisons on
+    // the column's type (driver-local frame, O(#files-with-stats) rows)
+    import spark.implicits._
+    val cand = m.entries.flatMap { e =>
+      statsByGen(e.gen).collect {
+        case ((f, c), (mn, mx)) if c == sliceCol && f.startsWith(e.dirName + "/") =>
+          (f, mn, mx)
+      }
+    }
+    val excluded: Set[String] =
+      if (cand.isEmpty) Set.empty
+      else {
+        val sdf = cand.toDF("f", "mn", "mx")
+        def typed(c: org.apache.spark.sql.Column) = dt match {
+          case org.apache.spark.sql.types.TimestampType => c.cast("long")
+          case _ => c.cast(dt)
+        }
+        def bound(v: Any) = dt match {
+          case org.apache.spark.sql.types.TimestampType => unix_micros(lit(v).cast(dt))
+          case _ => lit(v).cast(dt)
+        }
+        val exLo = lo.map(v => coalesce(typed(col("mx")) < bound(v), lit(false)))
+          .getOrElse(lit(false))
+        val exHi = hi.map(v => coalesce(typed(col("mn")) > bound(v), lit(false)))
+          .getOrElse(lit(false))
+        sdf.filter(exLo || exHi).select("f").collect().map(_.getString(0)).toSet
+      }
+    if (excluded.isEmpty) return sliceFilter(full)
+    // per entry: list the gen dir and keep every file NOT excluded —
+    // listing-based, so files the sidecar missed are always kept
+    val dataPrefix = fs.makeQualified(dataDir(path)).toString + "/"
+    val paths = m.entries.flatMap { e =>
+      val dir = genDirOf(path, e)
+      fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(s => fs.makeQualified(s.getPath).toString)
+        .filter(p => !excluded.contains(p.stripPrefix(dataPrefix)))
+    }
+    if (paths.isEmpty) {
+      val schema = full.schema
+      sliceFilter(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    } else sliceFilter(spark.read.schema(full.schema).parquet(paths: _*))
   }
 
   /** Unpublished generation dirs (gen > the current manifest) are orphans
@@ -329,6 +525,14 @@ object SnapshotLake {
     */
   private def gcOrphans(fs: FileSystem, path: String, curGen: Long): Unit = {
     val data = dataDir(path)
+    // an unpublished commit may also have left its stats sidecar
+    val mdir = manifestDir(path)
+    if (fs.exists(mdir)) fs.listStatus(mdir).foreach { s =>
+      s.getPath.getName match {
+        case StatsName(g) if g.toLong > curGen => fs.delete(s.getPath, false)
+        case _ => ()
+      }
+    }
     if (!fs.exists(data)) return
     fs.listStatus(data).filter(_.isDirectory).foreach { part =>
       fs.listStatus(part.getPath).foreach { g =>
@@ -348,7 +552,10 @@ object SnapshotLake {
     * [[Upsert.compactPartitionedParquet]] documents simply does not exist
     * here; a reader pinned to the pre-compact snapshot keeps reading the
     * old files until [[vacuum]]. Row content is preserved as a multiset.
-    * Returns (dirName, filesBefore, filesAfter) per compacted partition.
+    * Compacted gens carry no stats sidecar — their (fewer, larger) files
+    * are simply never file-pruned by [[readSlice]], the advisory-metadata
+    * contract's safe direction. Returns (dirName, filesBefore,
+    * filesAfter) per compacted partition.
     */
   def compact(
       spark: SparkSession,
@@ -454,6 +661,17 @@ object SnapshotLake {
         }
         manifests.drop(keepManifests).foreach { case (_, n) =>
           fs.delete(new Path(dir, n), false)
+        }
+        // stats sidecars live per GEN: drop the ones no kept manifest's
+        // entries still reference (a kept manifest can reference entries
+        // of much older gens, whose sidecars must survive)
+        val referencedGens = referenced.map(_._2)
+        if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
+          s.getPath.getName match {
+            case StatsName(g) if !referencedGens.contains(g.toLong) =>
+              fs.delete(s.getPath, false)
+            case _ => ()
+          }
         }
         removed
       }

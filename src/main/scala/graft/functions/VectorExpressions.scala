@@ -105,6 +105,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // ghost-probe composition (whose inner running window the rule above
     // then distributes) — see graft.plans.RangeSlidingRule
     ext.injectOptimizerRule(_ => graft.plans.RangeSlidingRule)
+    // global RANGE-frame min/max (no inverse) rewrite to the sparse-block
+    // decomposition — see graft.plans.RangeMinMaxRule
+    ext.injectOptimizerRule(_ => graft.plans.RangeMinMaxRule)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
   }
 }

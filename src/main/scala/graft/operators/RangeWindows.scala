@@ -51,9 +51,12 @@ import org.apache.spark.sql.functions._
   * lives with this.
   *
   * Scope: `keyCol` long-backed (cast dates/timestamps to day numbers /
-  * epoch micros first; values must stay above Long.MinValue + w + 1);
-  * `valueCol` DECIMAL; sum/count/avg only — min/max have no inverse and
-  * that residue stays on the PlanChecks lint.
+  * epoch micros first — the full BIGINT domain is legal: a key within
+  * w + 1 of Long.MinValue gets a NULL-positioned ghost, because its true
+  * threshold sits below every representable key and an empty-prefix
+  * ghost subtracts exactly nothing); `valueCol` DECIMAL; sum/count/avg —
+  * min/max ride [[rangeSlidingMinMax]]'s block decomposition instead
+  * (no inverse, so the subtraction algebra cannot carry them).
   *
   * RangeWindowsSpec pins bit-equality against Spark's stock
   * single-partition `rangeBetween` Window on randomized tied/null
@@ -75,7 +78,8 @@ object RangeWindows {
       valueCol: String,
       w: Long,
       outPrefix: String = "frame"): DataFrame = {
-    require(w >= 0L, s"frame width must be non-negative, got $w")
+    require(w >= 0L && w < Long.MaxValue,
+      s"frame width must be in [0, Long.MaxValue), got $w")
     graft.plans.GlobalRank.ensureRegistered(df.sparkSession)
     val vType = df.schema(valueCol).dataType
     require(vType.isInstanceOf[org.apache.spark.sql.types.DecimalType],
@@ -96,10 +100,17 @@ object RangeWindows {
     // key alone. Ghost sorts at the exclusive threshold, after any real
     // rows there (reals at k − w − 1 are outside the frame and belong in
     // the subtrahend), and remembers the key it serves.
+    // underflow guard: a key within w + 1 of Long.MinValue has its true
+    // threshold below every representable key — a NULL sort position
+    // (nulls first, empty real prefix beyond the null peers, which the
+    // minuend carries identically and the subtraction cancels) IS that
+    // frame; unguarded the subtraction wraps (legacy) or throws (ANSI).
+    val minSafe = java.lang.Long.MIN_VALUE + w + 1L
     val ghosts = df.filter(col(keyCol).isNotNull)
       .select(col(keyCol).as("__rw_for")).distinct()
       .select((keep.map(c => lit(null).cast(df.schema(c).dataType).as(c)) ++
-        Seq((col("__rw_for") - lit(w) - lit(1L)).as("__rw_sort"),
+        Seq(when(col("__rw_for") < lit(minSafe), lit(null).cast("long"))
+            .otherwise(col("__rw_for") - lit(w) - lit(1L)).as("__rw_sort"),
           col("__rw_for"), lit(null).cast(vType).as("__rw_v"),
           lit(1).as("__rw_g"))): _*)
     val win = Window.orderBy(col("__rw_sort"), col("__rw_g"))
@@ -136,4 +147,229 @@ object RangeWindows {
     rangeSlidingSum(df, passthrough, keyCol, valueCol, w)
       .withColumn(outCol,
         col("frame_sum").cast("double") / col("frame_cnt").cast("double"))
+
+  /** `RANGE BETWEEN before PRECEDING AND after FOLLOWING` — the CENTERED
+    * value-bounded frame (the pandas `rolling(center=True)` shape) — via
+    * TWO ghost families: frame(k) = prefix(k + after, peer-inclusive) −
+    * prefix(k − before − 1), each threshold a function of the key alone,
+    * so one ghost per distinct key per family. The upper ghost clamps to
+    * Long.MaxValue (nothing sorts above it, so its prefix IS the frame's
+    * top) and the lower ghost NULL-positions on underflow, exactly like
+    * [[rangeSlidingSum]]. Null order keys keep SQL's null-peer-group
+    * frame: they spawn no ghosts and read their own peer-inclusive
+    * running lanes. Emits `<outPrefix>_sum` / `<outPrefix>_cnt`; same
+    * DECIMAL-value / BIGINT-key / corpus-prefix contracts as
+    * [[rangeSlidingSum]] (which remains the cheaper single-family path
+    * for `after = 0`).
+    */
+  def rangeSlidingSumBetween(
+      df: DataFrame,
+      passthrough: Seq[String],
+      keyCol: String,
+      valueCol: String,
+      before: Long,
+      after: Long,
+      outPrefix: String = "frame"): DataFrame = {
+    require(before >= 0L && before < Long.MaxValue,
+      s"frame start must be in [0, Long.MaxValue) PRECEDING, got $before")
+    require(after >= 0L, s"frame end must be >= 0 FOLLOWING, got $after")
+    graft.plans.GlobalRank.ensureRegistered(df.sparkSession)
+    val vType = df.schema(valueCol).dataType
+    require(vType.isInstanceOf[org.apache.spark.sql.types.DecimalType],
+      s"value column '$valueCol' must be DECIMAL, got ${vType.simpleString}")
+    require(df.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"order key '$keyCol' must be BIGINT, got ${df.schema(keyCol).dataType.simpleString}")
+
+    val keep = passthrough.filterNot(c => c == keyCol || c == valueCol)
+    val reals = df.select(
+      (keep.map(col) ++ Seq(col(keyCol).as("__rw_sort"),
+        lit(null).cast("long").as("__rw_for"), lit(0).as("__rw_fam"),
+        col(valueCol).as("__rw_v"), lit(0).as("__rw_g"))): _*)
+    val keys = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("__rw_for")).distinct()
+    def ghost(pos: Column, fam: Int) =
+      keys.select((keep.map(c => lit(null).cast(df.schema(c).dataType).as(c)) ++
+        Seq(pos.as("__rw_sort"), col("__rw_for"), lit(fam).as("__rw_fam"),
+          lit(null).cast(vType).as("__rw_v"), lit(1).as("__rw_g"))): _*)
+    val loMin = java.lang.Long.MIN_VALUE + before + 1L
+    val hiMax = java.lang.Long.MAX_VALUE - after
+    val ghostsL = ghost(
+      when(col("__rw_for") < lit(loMin), lit(null).cast("long"))
+        .otherwise(col("__rw_for") - lit(before) - lit(1L)), 1)
+    val ghostsU = ghost(
+      when(col("__rw_for") > lit(hiMax), lit(Long.MaxValue))
+        .otherwise(col("__rw_for") + lit(after)), 2)
+    val win = Window.orderBy(col("__rw_sort"), col("__rw_g"))
+    val scored = reals.unionByName(ghostsL).unionByName(ghostsU)
+      .withColumn("__rw_s", sum(col("__rw_v")).over(win))
+      .withColumn("__rw_c", count(col("__rw_v")).over(win))
+    val thr = scored.filter(col("__rw_g") === 1)
+      .groupBy(col("__rw_for"))
+      .agg(max(when(col("__rw_fam") === 1, col("__rw_s"))).as("__rw_ls"),
+        max(when(col("__rw_fam") === 1, col("__rw_c"))).as("__rw_lc"),
+        max(when(col("__rw_fam") === 2, col("__rw_s"))).as("__rw_us"),
+        max(when(col("__rw_fam") === 2, col("__rw_c"))).as("__rw_uc"))
+    val sumT = scored.schema("__rw_s").dataType
+    scored.filter(col("__rw_g") === 0).drop("__rw_for")
+      .join(thr, col("__rw_sort") === col("__rw_for"), "left")
+      .withColumn(s"${outPrefix}_cnt",
+        when(col("__rw_sort").isNull, col("__rw_c"))
+          .otherwise(col("__rw_uc") - coalesce(col("__rw_lc"), lit(0L))))
+      .withColumn(s"${outPrefix}_sum",
+        when(col(s"${outPrefix}_cnt") === 0L, lit(null).cast(sumT))
+          .otherwise(when(col("__rw_sort").isNull, col("__rw_s"))
+            .otherwise(col("__rw_us") -
+              coalesce(col("__rw_ls"), lit(0).cast(sumT)))))
+      .select((keep.map(col) ++ Seq(col("__rw_sort").as(keyCol),
+        col("__rw_v").as(valueCol),
+        col(s"${outPrefix}_sum"), col(s"${outPrefix}_cnt"))): _*)
+  }
+
+  /** Centered-frame average: exact sum ÷ count as DOUBLE, null on an
+    * all-null frame — [[rangeSlidingAvg]]'s FOLLOWING-capable sibling.
+    */
+  def rangeSlidingAvgBetween(
+      df: DataFrame,
+      passthrough: Seq[String],
+      keyCol: String,
+      valueCol: String,
+      before: Long,
+      after: Long,
+      outCol: String = "frame_avg"): DataFrame =
+    rangeSlidingSumBetween(df, passthrough, keyCol, valueCol, before, after)
+      .withColumn(outCol,
+        col("frame_sum").cast("double") / col("frame_cnt").cast("double"))
+
+  /** Distributed GLOBAL `MIN`/`MAX OVER (ORDER BY k RANGE BETWEEN before
+    * PRECEDING AND after FOLLOWING)` — extrema have NO INVERSE, so the
+    * ghost-probe subtraction cannot carry them; this is the classic
+    * SPARSE-BLOCK decomposition instead, in KEY space:
+    *
+    *  1. bucket every key by the frame length `B = before + after + 1`
+    *     (floor division, so buckets are fixed key intervals);
+    *  2. a frame `[k − before, k + after]` spans at most two ADJACENT
+    *     buckets (it is exactly B keys wide), so its extremum is
+    *     `min(suffix of the left bucket from k − before, prefix of the
+    *     right bucket to k + after)` — and when both ends fall in ONE
+    *     bucket the frame is exactly bucket-aligned and the prefix alone
+    *     is the answer;
+    *  3. both suffix and prefix are PARTITIONED running windows
+    *     (`partitionBy(bucket)`, ascending and descending) — plain
+    *     hash-exchange WindowExecs, no single-partition cliff anywhere;
+    *  4. ghost probes carry the two thresholds (one per distinct key per
+    *     needed side, null-valued so they contribute nothing) and an
+    *     equi-join on the served key delivers them back.
+    *
+    * Domain edges clamp: a lower threshold below Long.MinValue means the
+    * suffix side is skipped (the right bucket's prefix already reaches
+    * every representable key below it); an upper threshold above
+    * Long.MaxValue means the suffix side alone is exact (the prefix
+    * probe would overshoot) — both decided per key, so the full BIGINT
+    * key domain is legal. Null keys keep SQL's null-peer-group frame
+    * (their bucket is null; their own peer-inclusive prefix IS the
+    * frame).
+    *
+    * No arithmetic ever touches the VALUE column (comparisons only), so
+    * any orderable type rides bit-stably — decimals, doubles, strings,
+    * dates. Cost: one hash exchange on the bucket + two in-partition
+    * sorts + one key equi-join; per-task work is bounded by the rows in
+    * a B-key span (the inherent block-decomposition shape — a frame
+    * width that covers the whole corpus degenerates to one bucket, as
+    * any algorithm over that frame must).
+    *
+    * Emits `<outPrefix>_min` / `<outPrefix>_max` (null on an all-null
+    * frame, the SQL contract).
+    */
+  def rangeSlidingMinMax(
+      df: DataFrame,
+      passthrough: Seq[String],
+      keyCol: String,
+      valueCol: String,
+      before: Long,
+      after: Long = 0L,
+      outPrefix: String = "frame"): DataFrame = {
+    require(before >= 0L && after >= 0L,
+      s"frame bounds must be non-negative, got $before PRECEDING $after FOLLOWING")
+    require(before < Long.MaxValue - after,
+      s"bucket width before + after + 1 must fit a Long")
+    require(df.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"order key '$keyCol' must be BIGINT, got ${df.schema(keyCol).dataType.simpleString}")
+    val vType = df.schema(valueCol).dataType
+    require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(vType), s"value type ${vType.simpleString} is not orderable")
+
+    val b = before + after + 1L
+    // floor division (Spark's `div`/`%` truncate toward zero)
+    def fd(c: String): Column =
+      expr(s"(`$c` div ${b}L) - (CASE WHEN (`$c` % ${b}L) < 0 THEN 1 ELSE 0 END)")
+    val keep = passthrough.filterNot(c => c == keyCol || c == valueCol)
+    val reals = df.select(
+      (keep.map(col) ++ Seq(col(keyCol).as("__mm_sort"),
+        lit(null).cast("long").as("__mm_for"), lit(0).as("__mm_fam"),
+        col(valueCol).as("__mm_v"), lit(0).as("__mm_g"))): _*)
+      .withColumn("__mm_bkt", fd("__mm_sort"))
+    val loMin = java.lang.Long.MIN_VALUE + before
+    val hiMax = java.lang.Long.MAX_VALUE - after
+    val keys = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("__mm_for")).distinct()
+      .withColumn("__mm_lo",
+        when(col("__mm_for") < lit(loMin), lit(Long.MinValue))
+          .otherwise(col("__mm_for") - lit(before)))
+      .withColumn("__mm_hi",
+        when(col("__mm_for") > lit(hiMax), lit(Long.MaxValue))
+          .otherwise(col("__mm_for") + lit(after)))
+      .withColumn("__mm_blo", fd("__mm_lo"))
+      .withColumn("__mm_bhi", fd("__mm_hi"))
+      .withColumn("__mm_clo", col("__mm_for") < lit(loMin))
+      .withColumn("__mm_chi", col("__mm_for") > lit(hiMax))
+    // suffix probe: needed when the frame spans two buckets, or when a
+    // TOP-clamped frame shares one bucket whose prefix would overshoot
+    val spawnS = (col("__mm_blo") < col("__mm_bhi")) ||
+      (col("__mm_blo") === col("__mm_bhi") && col("__mm_chi") && !col("__mm_clo"))
+    // prefix probe (only a ghost when after > 0; at after = 0 the row's
+    // own peer-inclusive prefix serves): exact unless that same
+    // top-clamped one-bucket case
+    val prefUsable =
+      !(col("__mm_blo") === col("__mm_bhi") && col("__mm_chi") && !col("__mm_clo"))
+    def ghost(src: DataFrame, pos: Column, bkt: Column, fam: Int) =
+      src.select((keep.map(c => lit(null).cast(df.schema(c).dataType).as(c)) ++
+        Seq(pos.as("__mm_sort"), col("__mm_for"), lit(fam).as("__mm_fam"),
+          lit(null).cast(vType).as("__mm_v"), lit(1).as("__mm_g"),
+          bkt.as("__mm_bkt"))): _*)
+    val ghostsS = ghost(keys.filter(spawnS), col("__mm_lo"), col("__mm_blo"), 1)
+    val union0 = reals.unionByName(ghostsS)
+    val union = if (after == 0L) union0 else union0.unionByName(
+      ghost(keys.filter(prefUsable), col("__mm_hi"), col("__mm_bhi"), 2))
+    val ascW = Window.partitionBy(col("__mm_bkt")).orderBy(col("__mm_sort"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val descW = Window.partitionBy(col("__mm_bkt")).orderBy(col("__mm_sort").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = union
+      .withColumn("__mm_amin", min(col("__mm_v")).over(ascW))
+      .withColumn("__mm_amax", max(col("__mm_v")).over(ascW))
+      .withColumn("__mm_dmin", min(col("__mm_v")).over(descW))
+      .withColumn("__mm_dmax", max(col("__mm_v")).over(descW))
+    val thr = scored.filter(col("__mm_g") === 1)
+      .groupBy(col("__mm_for"))
+      .agg(max(when(col("__mm_fam") === 1, col("__mm_dmin"))).as("__mm_smin"),
+        max(when(col("__mm_fam") === 1, col("__mm_dmax"))).as("__mm_smax"),
+        max(when(col("__mm_fam") === 2, col("__mm_amin"))).as("__mm_pmin"),
+        max(when(col("__mm_fam") === 2, col("__mm_amax"))).as("__mm_pmax"))
+    val joined = scored.filter(col("__mm_g") === 0).drop("__mm_for")
+      .join(thr, col("__mm_sort") === col("__mm_for"), "left")
+    val (pMin, pMax) =
+      if (after == 0L) (col("__mm_amin"), col("__mm_amax"))
+      else (when(col("__mm_sort").isNull, col("__mm_amin"))
+          .otherwise(col("__mm_pmin")),
+        when(col("__mm_sort").isNull, col("__mm_amax"))
+          .otherwise(col("__mm_pmax")))
+    joined
+      .withColumn(s"${outPrefix}_min", least(pMin, col("__mm_smin")))
+      .withColumn(s"${outPrefix}_max", greatest(pMax, col("__mm_smax")))
+      .select((keep.map(col) ++ Seq(col("__mm_sort").as(keyCol),
+        col("__mm_v").as(valueCol),
+        col(s"${outPrefix}_min"), col(s"${outPrefix}_max"))): _*)
+  }
 }

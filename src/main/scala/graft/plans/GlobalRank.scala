@@ -1491,6 +1491,10 @@ object GlobalRank {
     // window GlobalRankRule then distributes on the next iteration
     if (!exp.extraOptimizations.contains(RangeSlidingRule))
       exp.extraOptimizations = exp.extraOptimizations :+ RangeSlidingRule
+    // sliding RANGE min/max have no inverse — they ride the sparse-block
+    // decomposition instead (partitioned windows only, no cliff)
+    if (!exp.extraOptimizations.contains(RangeMinMaxRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ RangeMinMaxRule
     if (!exp.extraStrategies.contains(GlobalRankStrategy))
       exp.extraStrategies = exp.extraStrategies :+ GlobalRankStrategy
   }

@@ -18,11 +18,22 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Glob
   * Remediation map for a flagged window: most single-ordering shapes
   * (ranks, shifts, prefix aggregates, first/last/nth_value, decimal avg,
   * sliding ROWS frames) auto-rewrite via [[GlobalRankRule]] — a flag means
-  * the shape is on its reject list. `RANGE k PRECEDING` sliding
-  * sum/count/avg → [[graft.operators.RangeWindows]] (the ghost-probe
-  * composition). Sliding RANGE min/max, FOLLOWING ends, fp sliding
-  * sum/avg, and multi-argument aggregates have no distributed rewrite —
-  * restructure the query (pre-aggregate, partition, or bound the input).
+  * the shape is on its reject list. `RANGE n PRECEDING [AND m FOLLOWING]`
+  * sliding sum/count/decimal-avg → [[RangeSlidingRule]] (the ghost-probe
+  * composition; note its corpus-prefix decimal overflow contract,
+  * documented on [[RangeSlidingRule.EnabledKey]]); sliding RANGE min/max →
+  * [[RangeMinMaxRule]] (sparse-block decomposition). Remaining flags:
+  *  - fp (double) sliding sum/avg — vetoed on subtraction-cancellation
+  *    grounds; cast to DECIMAL if the rewrite semantics are acceptable;
+  *  - a MIXED min/max + sum node (each rule requires all siblings in
+  *    scope) — split the query's window expressions into two selects;
+  *  - multi-argument aggregates (covar/corr): native `COVAR_POP OVER`
+  *    stays stock BY DOCTRINE (double Welford accumulation is
+  *    order-dependent fp — no bit-compatible rewrite exists); compose
+  *    from DECIMAL prefix sums instead, which DO rewrite — the
+  *    [[graft.queries.CoreQueries.e22RunningCovarSql]] recipe;
+  *  - ROWS frames with FOLLOWING ends — no distributed rewrite;
+  *    restructure (pre-aggregate, partition, or bound the input).
   */
 object PlanChecks {
 

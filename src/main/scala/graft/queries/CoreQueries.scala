@@ -20,16 +20,13 @@ import graft.Tables
   *  - timestamps are emitted as TIMESTAMP_NTZ (UTC wall time), matching
   *    DuckDB's naive TIMESTAMP.
   */
-/** e3b's scratch lake: ONE JVM-pinned directory, wiped at each evaluation
-  * and removed on JVM exit, so repeated bench/verify reps hold at most one
-  * lake's worth of disk instead of leaking a temp dir per run.
+/** Scratch lakes for the lake-faced gate queries (e3b/e3c/e3d): ONE
+  * JVM-pinned directory per slot, wiped at each evaluation and removed on
+  * JVM exit, so repeated bench/verify reps hold at most one lake's worth
+  * of disk per slot instead of leaking a temp dir per run.
   */
-private object E3bLakeDir {
-  private lazy val root: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_e3b_lake")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => wipe(p, keepRoot = false)))
-    p
-  }
+private object ScratchLakes {
+  private val roots = scala.collection.mutable.Map.empty[String, java.nio.file.Path]
   private def wipe(p: java.nio.file.Path, keepRoot: Boolean): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -39,7 +36,15 @@ private object E3bLakeDir {
         .foreach(q => java.nio.file.Files.deleteIfExists(q))
       finally walk.close()
     }
-  def fresh(): String = synchronized { wipe(root, keepRoot = true); root.toString }
+  def fresh(slot: String): String = synchronized {
+    val p = roots.getOrElseUpdate(slot, {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_${slot}_lake")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => wipe(d, keepRoot = false)))
+      d
+    })
+    wipe(p, keepRoot = true)
+    p.toString
+  }
 }
 
 object CoreQueries {
@@ -132,7 +137,7 @@ object CoreQueries {
     // one JVM-pinned lake dir, wiped per evaluation and removed at exit —
     // repeated bench/verify reps must not leak a full events-table lake
     // per run (each holds two merges)
-    val lake = E3bLakeDir.fresh()
+    val lake = ScratchLakes.fresh("e3b")
     val ev = t(s, dir, "events")
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("ts"), col("value"))
@@ -141,6 +146,60 @@ object CoreQueries {
     graft.etl.SnapshotLake.merge(s, lake, ev.filter(col("event_id") % 2 === 1),
       Seq("user_id", "event_type"), "ts", "event_type", Seq("event_id"))
     graft.etl.SnapshotLake.read(s, lake)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        ntz(col("ts")).as("timestamp_utc"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** E3c — the lake's SQL FACE: the same two-batch merge as e3b, read back
+    * through [[graft.sources.LakeCatalog]] with plain `spark.sql` over a
+    * catalog-qualified table (the reference's whole value proposition is
+    * raw SQL over its tables, `README.md:316-357` — the lake cannot stay
+    * API-only). `loadTable` resolves the manifest driver-side and hands
+    * the snapshot's gen dirs to Spark's native V2 ParquetTable, so
+    * pushdown/pruning/vectorization are stock; `VERSION AS OF` time
+    * travel is spec-pinned in LakeCatalogSpec.
+    */
+  def e3cLakeSql(s: SparkSession, dir: String): DataFrame = {
+    val root = ScratchLakes.fresh("e3c")
+    val lake = s"$root/events"
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+    graft.etl.SnapshotLake.merge(s, lake, ev.filter(col("event_id") % 2 === 0),
+      Seq("user_id", "event_type"), "ts", "event_type", Seq("event_id"))
+    graft.etl.SnapshotLake.merge(s, lake, ev.filter(col("event_id") % 2 === 1),
+      Seq("user_id", "event_type"), "ts", "event_type", Seq("event_id"))
+    s.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.LakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftlake.root", root)
+    s.sql(
+      """SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP_NTZ) AS timestamp_utc, value
+         FROM graftlake.events
+         ORDER BY user_id, event_type""")
+  }
+
+  /** E3d — FILE-level data skipping inside one lake partition: the merge
+    * range-clusters each partition's files by `ts` and records per-file
+    * min/max into the commit's stats sidecar;
+    * [[graft.etl.SnapshotLake.readSlice]] then skips whole files whose
+    * recorded range cannot intersect the queried six-day window — the
+    * pruning lane partition entries cannot give INSIDE a partition
+    * (SnapshotLakeSpec proves fewer files are read; this gate row pins
+    * the results byte-identical to the unpruned read + filter via the
+    * DuckDB oracle).
+    */
+  def e3dLakeSlice(s: SparkSession, dir: String): DataFrame = {
+    val lake = ScratchLakes.fresh("e3d") + "/events"
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+    graft.etl.SnapshotLake.merge(s, lake, ev,
+      Seq("user_id", "event_type"), "ts", "event_type", Seq("event_id"),
+      statsCols = Seq("ts"))
+    graft.etl.SnapshotLake.readSlice(s, lake, "ts",
+      Some("2024-01-22 00:00:00"), Some("2024-01-28 00:00:00"))
       .select(col("user_id"), col("event_type"), col("event_id"),
         ntz(col("ts")).as("timestamp_utc"), col("value"))
       .orderBy("user_id", "event_type")
@@ -1543,6 +1602,163 @@ object CoreQueries {
          ORDER BY o_orderkey""")
   }
 
+  /** E19c — the RAW-SQL decimal AVERAGE over the calendar frame:
+    * `AVG(DECIMAL) OVER (ORDER BY dnum RANGE BETWEEN 6 PRECEDING AND
+    * CURRENT ROW)` — the natural text e19b's rewrite used to leave on the
+    * cliff. [[graft.plans.RangeSlidingRule]] now carries AVG through an
+    * exact sum lane at Spark's own avg buffer type + a count lane,
+    * emitting through the REAL `Average.evaluateExpression` (scale-38
+    * decimal division, ONE HALF_UP rounding — the e18 arithmetic), so the
+    * double is bit-identical to the stock window; the oracle reproduces
+    * it in HUGEINT unit arithmetic like e18's.
+    */
+  def e19cRangeAvgSql(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GlobalRank.ensureRegistered(s)
+    t(s, dir, "orders").createOrReplaceTempView("e19c_orders")
+    s.sql(
+      """SELECT o_orderkey,
+                CAST(AVG(CAST(o_totalprice AS DECIMAL(21,4))) OVER win AS DOUBLE)
+                  AS frame_avg
+         FROM (SELECT o_orderkey, o_totalprice,
+                      CAST(datediff(o_orderdate, DATE'1992-01-01') AS BIGINT) AS dnum
+               FROM e19c_orders)
+         WINDOW win AS (ORDER BY dnum RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""")
+  }
+
+  /** E20: the global VALUE-bounded moving MIN/MAX — extrema have no
+    * inverse, so e19's ghost-probe subtraction cannot carry them;
+    * [[graft.operators.RangeWindows.rangeSlidingMinMax]] runs the classic
+    * SPARSE-BLOCK decomposition instead (bucket keys by the frame length;
+    * per-bucket suffix + prefix extrema as PARTITIONED windows; each
+    * frame = the combine of its two bucket parts — keyed exchanges only,
+    * no single-partition cliff). Oracle = DuckDB's native RANGE window
+    * engine; min/max are raw column reads, so the doubles are
+    * bit-identical by construction.
+    */
+  def e20RangeMinmax(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).cast("long").as("dnum"),
+      col("o_totalprice").cast("decimal(18,2)").as("px"))
+    graft.operators.RangeWindows
+      .rangeSlidingMinMax(o, Seq("o_orderkey"), "dnum", "px", 6L)
+      .select(col("o_orderkey"),
+        col("frame_min").cast("double").as("frame_min"),
+        col("frame_max").cast("double").as("frame_max"))
+      .orderBy("o_orderkey")
+  }
+
+  /** E20b — E20's RAW-SQL face with a FOLLOWING end: the natural
+    * `MIN/MAX OVER (ORDER BY dnum RANGE BETWEEN 6 PRECEDING AND 3
+    * FOLLOWING)` is auto-rewritten by [[graft.plans.RangeMinMaxRule]]
+    * into the same block decomposition (the prefix side riding a ghost
+    * probe at k + 3) — no library call, no cliff.
+    */
+  def e20bRangeMinmaxSql(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GlobalRank.ensureRegistered(s)
+    t(s, dir, "orders").createOrReplaceTempView("e20b_orders")
+    s.sql(
+      """SELECT o_orderkey,
+                CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) OVER win AS DOUBLE)
+                  AS frame_min,
+                CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER win AS DOUBLE)
+                  AS frame_max
+         FROM (SELECT o_orderkey, o_totalprice,
+                      CAST(datediff(o_orderdate, DATE'1992-01-01') AS BIGINT) AS dnum
+               FROM e20b_orders)
+         WINDOW win AS (ORDER BY dnum RANGE BETWEEN 6 PRECEDING AND 3 FOLLOWING)
+         ORDER BY o_orderkey""")
+  }
+
+  /** E21: the CENTERED calendar moving total/average —
+    * `RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING` (the pandas
+    * `rolling(center=True)` shape; a 7-day window centered on each day).
+    * [[graft.operators.RangeWindows.rangeSlidingSumBetween]] carries the
+    * FOLLOWING end with a SECOND ghost family at the inclusive upper
+    * threshold k + 3: frame = prefix(k + 3, peer-incl) − prefix(k − 4) —
+    * still one distributed running window + one key join. Oracle =
+    * DuckDB's native RANGE window engine.
+    */
+  def e21RangeCentered(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).cast("long").as("dnum"),
+      col("o_totalprice").cast("decimal(25,4)").as("px"))
+    graft.operators.RangeWindows
+      .rangeSlidingAvgBetween(o, Seq("o_orderkey"), "dnum", "px", 3L, 3L)
+      .select(col("o_orderkey"),
+        col("frame_sum").cast("double").as("frame_total"),
+        col("frame_cnt"), col("frame_avg"))
+      .orderBy("o_orderkey")
+  }
+
+  /** E21b — E21's RAW-SQL face plus the decimal AVG lane: the natural
+    * centered-window SQL auto-rewritten by
+    * [[graft.plans.RangeSlidingRule]]'s two-ghost-family path; the AVG
+    * double is Spark's own decimal avg arithmetic, oracle-reproduced in
+    * HUGEINT units (the e18/e19c discipline).
+    */
+  def e21bRangeCenteredSql(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GlobalRank.ensureRegistered(s)
+    t(s, dir, "orders").createOrReplaceTempView("e21b_orders")
+    s.sql(
+      """SELECT o_orderkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER win AS DOUBLE)
+                  AS frame_total,
+                COUNT(*) OVER win AS frame_cnt,
+                CAST(AVG(CAST(o_totalprice AS DECIMAL(25,4))) OVER win AS DOUBLE)
+                  AS frame_avg
+         FROM (SELECT o_orderkey, o_totalprice,
+                      CAST(datediff(o_orderdate, DATE'1992-01-01') AS BIGINT) AS dnum
+               FROM e21b_orders)
+         WINDOW win AS (ORDER BY dnum RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         ORDER BY o_orderkey""")
+  }
+
+  /** E22: RUNNING multi-argument statistics — `covar_pop(x, y)` and
+    * `corr(x, y)` over a global ORDER BY — the last documented
+    * GlobalRank scope exclusion, closed by COMPOSITION rather than a new
+    * exec lane: the five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    * are plain DECIMAL prefix sums, each auto-rewritten by
+    * [[graft.plans.GlobalRankRule]] into the distributed exec (one range
+    * exchange feeds ALL lanes), and the covariance/correlation are
+    * per-row DOUBLE arithmetic on exact operands — bit-identical across
+    * engines (the e6/e7 discipline, applied to the running case). Spark's
+    * native `COVAR_POP OVER` stays stock BY DOCTRINE: its double Welford
+    * accumulation is order-dependent fp, so an auto-rewrite could not be
+    * bit-compatible (the PlanChecks remediation points here instead).
+    * Types: x = decimal(18,2) price, y = decimal(9,0) day number —
+    * products at decimal(28,2), prefix sums exact in both engines.
+    */
+  def e22RunningCovarSql(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GlobalRank.ensureRegistered(s)
+    t(s, dir, "orders").createOrReplaceTempView("e22_orders")
+    s.sql(
+      """WITH o AS (
+           SELECT o_orderkey,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+                  CAST(CAST(datediff(o_orderdate, DATE'1992-01-01') AS BIGINT)
+                       AS DECIMAL(9,0)) AS y
+           FROM e22_orders),
+         p AS (
+           SELECT o_orderkey,
+                  COUNT(*) OVER w AS n,
+                  CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+                  CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+                  CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy,
+                  CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+                  CAST(SUM(y * y) OVER w AS DOUBLE) AS syy
+           FROM o
+           WINDOW w AS (ORDER BY o_orderkey))
+         SELECT o_orderkey, n,
+                (sxy - sx * sy / n) / n AS run_covar_pop,
+                CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
+                          AND (n * syy - sy * sy) > 0
+                     THEN (n * sxy - sx * sy)
+                          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                     ELSE NULL END AS run_corr
+         FROM p ORDER BY o_orderkey""")
+  }
+
   /** E17: the raw-SQL GLOBAL MOVING TOTAL/AVERAGE —
     * `SUM(x) OVER (ORDER BY … ROWS BETWEEN k PRECEDING AND CURRENT ROW)`.
     * [[graft.plans.GlobalRankRule]] rewrites the sliding frame into a
@@ -1879,6 +2095,8 @@ object CoreQueries {
     "e2_convert" -> (e2Convert _),
     "e3_upsert" -> (e3Upsert _),
     "e3b_upsert_lake" -> (e3bUpsertLake _),
+    "e3c_lake_sql" -> (e3cLakeSql _),
+    "e3d_lake_slice" -> (e3dLakeSlice _),
     "e4_ohlcv_resample" -> (e4OhlcvResample _),
     "e13_weekly_candles" -> (e13WeeklyCandles _),
     "e5_gap_fill" -> (e5GapFill _),
@@ -1944,6 +2162,12 @@ object CoreQueries {
     "e18_firstlast_sql" -> (e18FirstLastSql _),
     "e19_range_sliding" -> (e19RangeSliding _),
     "e19b_range_sliding_sql" -> (e19bRangeSlidingSql _),
+    "e19c_range_avg_sql" -> (e19cRangeAvgSql _),
+    "e20_range_minmax" -> (e20RangeMinmax _),
+    "e20b_range_minmax_sql" -> (e20bRangeMinmaxSql _),
+    "e21_range_centered" -> (e21RangeCentered _),
+    "e21b_range_centered_sql" -> (e21bRangeCenteredSql _),
+    "e22_running_covar_sql" -> (e22RunningCovarSql _),
     "a26_salted_skew_join" -> ((s: SparkSession, d: String) => a26SaltedSkewJoin(s, d)),
     "c9_fixed_size_sample" -> ((s: SparkSession, d: String) => c9FixedSizeSample(s, d)),
     "c10_weighted_sample" -> ((s: SparkSession, d: String) => c10WeightedSample(s, d)),
@@ -1994,6 +2218,43 @@ object CoreQueries {
          SELECT user_id, event_type, event_id,
                 CAST(ts AS TIMESTAMP) AS timestamp_utc, value
          FROM merged ORDER BY user_id, event_type""",
+    "e3c_lake_sql" ->
+      // identical semantics to e3b — the engine-side difference (catalog
+      // SQL face vs API read) is exactly what the shared oracle pins
+      """WITH b0 AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 0)
+           WHERE rn = 1),
+         b1 AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 1)
+           WHERE rn = 1),
+         merged AS (
+           SELECT * FROM b1
+           UNION ALL
+           SELECT b0.* FROM b0 ANTI JOIN b1 USING (user_id, event_type))
+         SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP) AS timestamp_utc, value
+         FROM merged ORDER BY user_id, event_type""",
+    "e3d_lake_slice" ->
+      // single-batch LWW winners, then the ten-day slice — byte-identical
+      // to the engine's pruned read (skipping may drop FILES, never rows)
+      """WITH w AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events)
+           WHERE rn = 1)
+         SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP) AS timestamp_utc, value
+         FROM w
+         WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-22 00:00:00'
+           AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-28 00:00:00'
+         ORDER BY user_id, event_type""",
     "a26_salted_skew_join" ->
       """WITH ts_stats AS (
            SELECT event_type,
@@ -2281,6 +2542,112 @@ object CoreQueries {
          FROM o
          WINDOW w AS (ORDER BY dnum RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY o_orderkey""",
+    "e19c_range_avg_sql" ->
+      // Spark's AVG(DECIMAL(21,4)) emission replicated in exact HUGEINT
+      // unit arithmetic (the e18 discipline): cumulative scale-4 units,
+      // integer divide at scale 8 with explicit HALF-UP, one double
+      // division by 1e8 — bit-identical to Decimal(25,8).toDouble
+      """WITH o AS (
+           SELECT o_orderkey,
+                  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dnum,
+                  CAST(CAST(o_totalprice AS DECIMAL(21,4)) * 10000 AS HUGEINT) AS u4
+           FROM orders),
+         w1 AS (
+           SELECT o_orderkey, SUM(u4) OVER w AS s4, COUNT(*) OVER w AS c
+           FROM o
+           WINDOW w AS (ORDER BY dnum RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT o_orderkey,
+                CAST((s4 * 10000) // c +
+                     (CASE WHEN 2 * ((s4 * 10000) % c) >= c THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 100000000.0 AS frame_avg
+         FROM w1 ORDER BY o_orderkey""",
+    "e20_range_minmax" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dnum,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS px
+           FROM orders)
+         SELECT o_orderkey,
+                CAST(MIN(px) OVER w AS DOUBLE) AS frame_min,
+                CAST(MAX(px) OVER w AS DOUBLE) AS frame_max
+         FROM o
+         WINDOW w AS (ORDER BY dnum RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
+    "e20b_range_minmax_sql" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dnum,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS px
+           FROM orders)
+         SELECT o_orderkey,
+                CAST(MIN(px) OVER w AS DOUBLE) AS frame_min,
+                CAST(MAX(px) OVER w AS DOUBLE) AS frame_max
+         FROM o
+         WINDOW w AS (ORDER BY dnum RANGE BETWEEN 6 PRECEDING AND 3 FOLLOWING)
+         ORDER BY o_orderkey""",
+    "e21_range_centered" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dnum,
+                  CAST(o_totalprice AS DECIMAL(25,4)) AS px
+           FROM orders)
+         SELECT o_orderkey,
+                CAST(SUM(px) OVER w AS DOUBLE) AS frame_total,
+                COUNT(*) OVER w AS frame_cnt,
+                CAST(CAST(SUM(px) OVER w AS DOUBLE)
+                     / (COUNT(*) OVER w) AS DOUBLE) AS frame_avg
+         FROM o
+         WINDOW w AS (ORDER BY dnum RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         ORDER BY o_orderkey""",
+    "e21b_range_centered_sql" ->
+      // sum/count natively; the decimal AVG lane in HUGEINT units
+      // (scale 8 = Spark's decimal(29,8) result), the e18/e19c discipline
+      """WITH o AS (
+           SELECT o_orderkey,
+                  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dnum,
+                  CAST(o_totalprice AS DECIMAL(25,4)) AS px,
+                  CAST(CAST(o_totalprice AS DECIMAL(25,4)) * 10000 AS HUGEINT) AS u4
+           FROM orders),
+         w1 AS (
+           SELECT o_orderkey,
+                  CAST(SUM(px) OVER w AS DOUBLE) AS frame_total,
+                  COUNT(*) OVER w AS frame_cnt,
+                  SUM(u4) OVER w AS s4,
+                  COUNT(*) OVER w AS c
+           FROM o
+           WINDOW w AS (ORDER BY dnum RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+         SELECT o_orderkey, frame_total, frame_cnt,
+                CAST((s4 * 10000) // c +
+                     (CASE WHEN 2 * ((s4 * 10000) % c) >= c THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 100000000.0 AS frame_avg
+         FROM w1 ORDER BY o_orderkey""",
+    "e22_running_covar_sql" ->
+      // the same five exact prefix sums + the same per-row IEEE formula —
+      // DuckDB's decimal window sums are exact too, so the doubles match
+      """WITH o AS (
+           SELECT o_orderkey,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+                  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                       AS DECIMAL(9,0)) AS y
+           FROM orders),
+         p AS (
+           SELECT o_orderkey,
+                  COUNT(*) OVER w AS n,
+                  CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+                  CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+                  CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy,
+                  CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+                  CAST(SUM(y * y) OVER w AS DOUBLE) AS syy
+           FROM o
+           WINDOW w AS (ORDER BY o_orderkey))
+         SELECT o_orderkey, n,
+                (sxy - sx * sy / n) / n AS run_covar_pop,
+                CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
+                          AND (n * syy - sy * sy) > 0
+                     THEN (n * sxy - sx * sy)
+                          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                     ELSE NULL END AS run_corr
+         FROM p ORDER BY o_orderkey""",
     "e18_firstlast_sql" ->
       // decimal running avg replicated in exact HUGEINT unit arithmetic:
       // cumulative sum of 1e-4 units, integer divide at scale 8 with

@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{
+  Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog,
+  TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.etl.SnapshotLake
+
+/** The SQL face of the manifest-pointer [[graft.etl.SnapshotLake]]: a
+  * READ-ONLY `TableCatalog` that resolves `SELECT … FROM <cat>.<table>`
+  * (and `VERSION AS OF n` / `TIMESTAMP AS OF t` time travel ≙
+  * [[SnapshotLake.readAt]]) through the lake's published manifests —
+  * the reference's whole value proposition is raw SQL over its tables
+  * (`/root/reference/README.md:316-357`), so the lake cannot stay
+  * API-only.
+  *
+  * Registration (per session or cluster-wide):
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.lake.root", "/warehouse/lakes")
+  *   spark.sql("SELECT * FROM lake.quotes VERSION AS OF 3")
+  * }}}
+  * Each table is the directory `root/<name>` holding a SnapshotLake.
+  *
+  * `loadTable` resolves the (named or current) manifest ON THE DRIVER —
+  * O(#partitions) metadata, no file listing — and hands the snapshot's
+  * concrete gen-dir paths to Spark's OWN V2 `ParquetTable`: the scan
+  * gets the native vectorized parquet reader, filter/column pushdown,
+  * and AQE for free, and stays pinned to the resolved snapshot (gen dirs
+  * are immutable until vacuum — the same stability contract as
+  * [[SnapshotLake.read]]). Writes go through [[SnapshotLake.merge]]'s
+  * keyed LWW commit protocol, never through SQL INSERT — `createTable` /
+  * `dropTable` / `alterTable` refuse loudly.
+  *
+  * Time travel: `VERSION AS OF n` loads manifest n exactly (must be
+  * retained); `TIMESTAMP AS OF t` loads the newest manifest PUBLISHED at
+  * or before t (manifest files are create-once, so their modification
+  * time IS the publish time).
+  */
+class LakeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    root = options.get("root")
+    require(root != null && root.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.root = <lakes dir>")
+  }
+
+  override def name(): String = catName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def tablePath(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).foldLeft(root)((p, s) => s"$p/$s")
+
+  private def noSuch(ident: Identifier): Nothing =
+    throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+      Seq(catName) ++ ident.namespace() :+ ident.name())
+
+  private def parquetTable(ident: Identifier, m: SnapshotLake.Manifest,
+      path: String): Table = {
+    val dirs = m.entries
+      .map(e => new Path(new Path(new Path(path, "data"), e.dirName), s"gen=${e.gen}"))
+      .map(_.toString)
+    // a zero-partition snapshot still needs a schema-less placeholder;
+    // surface it as an empty table over no files
+    ParquetTable(ident.name(), spark, CaseInsensitiveStringMap.empty(), dirs,
+      Option.empty[StructType], classOf[ParquetFileFormat])
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    SnapshotLake.currentManifest(spark, path) match {
+      case Some(m) => parquetTable(ident, m, path)
+      case None => noSuch(ident)
+    }
+  }
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = tablePath(ident)
+    val gen = try version.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$catName.$ident VERSION AS OF takes a manifest number, got '$version'")
+    }
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(new Path(path, "_manifests"), f"manifest-$gen%020d")
+    if (!fs.exists(p)) noSuch(ident)
+    parquetTable(ident, SnapshotLake.manifestAt(spark, path, gen), path)
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    // timestamp arrives in MICROseconds since epoch; manifest files are
+    // create-once, so modification time == publish time
+    val path = tablePath(ident)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(path, "_manifests")
+    if (!fs.exists(dir)) noSuch(ident)
+    val cutMs = timestamp / 1000L
+    val cands = fs.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.matches("manifest-\\d{20}"))
+      .filter(_.getModificationTime <= cutMs)
+    if (cands.isEmpty) noSuch(ident)
+    val gen = cands.map(_.getPath.getName.stripPrefix("manifest-").toLong).max
+    parquetTable(ident, SnapshotLake.manifestAt(spark, path, gen), path)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = namespace.foldLeft(root)((p, s) => s"$p/$s")
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(base)
+    if (!fs.exists(dir)) return Array.empty
+    fs.listStatus(dir).filter(_.isDirectory)
+      .filter(s => fs.exists(new Path(s.getPath, "_manifests")))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    SnapshotLake.currentManifest(spark, tablePath(ident)).isDefined
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$catName is a READ-ONLY face over snapshot lakes: $op must go " +
+        "through SnapshotLake.merge's keyed LWW commit protocol")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    readOnly("CREATE TABLE")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+
+  // ---- namespaces: directories under root, read-only ----
+
+  override def listNamespaces(): Array[Array[String]] = Array(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) Array.empty
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+      Seq(catName) ++ namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespace.isEmpty) Map.empty[String, String].asJava
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+      Seq(catName) ++ namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = readOnly("CREATE NAMESPACE")
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = readOnly("ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    readOnly("DROP NAMESPACE")
+}

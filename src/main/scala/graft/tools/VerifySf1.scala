@@ -61,6 +61,18 @@ object VerifySf1 {
     def docs = graft.Tables(spark, work, "documents")
     def li = graft.Tables(spark, work, "lineitem")
 
+    /** Evaluate with EVERY graft window rule kill-switched, so the twin is
+      * genuinely the stock single-partition Window plan (checkpointed
+      * before the switches flip back).
+      */
+    def stockWindows(body: => DataFrame): DataFrame = {
+      val keys = Seq(graft.plans.GlobalRankRule.EnabledKey,
+        graft.plans.RangeSlidingRule.EnabledKey,
+        graft.plans.RangeMinMaxRule.EnabledKey)
+      keys.foreach(spark.conf.set(_, "false"))
+      try body.localCheckpoint() finally keys.foreach(spark.conf.unset)
+    }
+
     val checks: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
       ("a26_salted_skew_join",
         () => CoreQueries.a26SaltedSkewJoin(spark, work),
@@ -310,6 +322,62 @@ object VerifySf1 {
             spark.conf.unset(graft.plans.RangeSlidingRule.EnabledKey)
             spark.conf.unset(graft.plans.GlobalRankRule.EnabledKey)
           }
+        }),
+      // e19c/e20/e20b/e21/e21b: the round-10 RANGE-frame families (decimal
+      // AVG emission, block-decomposed min/max, FOLLOWING ends) against
+      // the stock single-partition Window with ALL graft window rules
+      // kill-switched — the e19b discipline at 1.5M rows
+      ("e19c_range_avg_sql",
+        () => CoreQueries.e19cRangeAvgSql(spark, work),
+        () => stockWindows(CoreQueries.e19cRangeAvgSql(spark, work))),
+      ("e20_range_minmax",
+        () => CoreQueries.e20RangeMinmax(spark, work),
+        () => stockWindows {
+          val o = graft.Tables(spark, work, "orders").select(col("o_orderkey"),
+            datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+              .cast("long").as("dnum"),
+            col("o_totalprice").cast("decimal(18,2)").as("px"))
+          val sw = Window.orderBy(col("dnum")).rangeBetween(-6, 0)
+          o.withColumn("frame_min", min(col("px")).over(sw).cast("double"))
+            .withColumn("frame_max", max(col("px")).over(sw).cast("double"))
+            .select("o_orderkey", "frame_min", "frame_max")
+        }),
+      ("e20b_range_minmax_sql",
+        () => CoreQueries.e20bRangeMinmaxSql(spark, work),
+        () => stockWindows(CoreQueries.e20bRangeMinmaxSql(spark, work))),
+      ("e21_range_centered",
+        () => CoreQueries.e21RangeCentered(spark, work),
+        () => stockWindows {
+          val o = graft.Tables(spark, work, "orders").select(col("o_orderkey"),
+            datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+              .cast("long").as("dnum"),
+            col("o_totalprice").cast("decimal(25,4)").as("px"))
+          val sw = Window.orderBy(col("dnum")).rangeBetween(-3, 3)
+          o.withColumn("frame_total", sum(col("px")).over(sw).cast("double"))
+            .withColumn("frame_cnt", count(col("px")).over(sw))
+            .withColumn("frame_avg",
+              col("frame_total") / col("frame_cnt").cast("double"))
+            .select("o_orderkey", "frame_total", "frame_cnt", "frame_avg")
+        }),
+      ("e21b_range_centered_sql",
+        () => CoreQueries.e21bRangeCenteredSql(spark, work),
+        () => stockWindows(CoreQueries.e21bRangeCenteredSql(spark, work))),
+      // e3d: the FILE-SKIPPING slice read (stats-clustered merge +
+      // sidecar-pruned readSlice) ↔ lake-free LWW algebra + a plain
+      // filter — pruning may drop files, never rows, at 1.5M events
+      ("e3d_lake_slice",
+        () => CoreQueries.e3dLakeSlice(spark, work),
+        () => {
+          import graft.etl.Upsert
+          Upsert.lastWriteWins(
+            ev.select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts"), col("value")),
+            Seq("user_id", "event_type"), "ts", Seq("event_id"))
+            .filter(col("ts") >= lit("2024-01-22 00:00:00").cast("timestamp") &&
+              col("ts") <= lit("2024-01-28 00:00:00").cast("timestamp"))
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts").cast("timestamp_ntz").as("timestamp_utc"), col("value"))
+            .localCheckpoint()
         }),
       // e3b: the snapshot-lake merge path ↔ a lake-free in-engine
       // formulation of the same two-batch semantics (within-batch LWW,

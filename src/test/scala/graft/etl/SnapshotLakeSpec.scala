@@ -249,6 +249,62 @@ class SnapshotLakeSpec extends SparkSuite {
     assert(SnapshotLake.read(spark, dir).count() > 0)
   }
 
+  test("readSlice: file-level min/max skipping inside one partition, byte-identical results") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmp()
+    val n = 1000
+    val rows = (1 to n).map(i => (s"k$i", "p", i.toLong,
+      java.sql.Timestamp.valueOf(f"2025-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+      i.toDouble))
+      .toDF("key", "dt", "v", "ts", "price")
+    // at test scale AQE would rightly coalesce the range-clustered write
+    // into ONE small file; disable coalescing so the partition fragments
+    // and skipping has something to prove (at 100 TB AQE sizing IS the
+    // desired file-count governor)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try SnapshotLake.merge(spark, dir, rows, Seq("key"), "v", "dt",
+      statsCols = Seq("v", "ts"))
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = SnapshotLake.currentManifest(spark, dir).get
+    val genDir = new Path(new Path(dir, "data"),
+      m.entries.head.dirName + s"/gen=${m.entries.head.gen}")
+    val totalFiles = fs.listStatus(genDir)
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    assert(totalFiles > 3, s"need a fragmented partition to prove skipping, got $totalFiles")
+    // a narrow v-slice must READ fewer files than the partition holds...
+    val sliced = SnapshotLake.readSlice(spark, dir, "v", Some(100L), Some(200L))
+    val readFiles = sliced.select(input_file_name()).distinct().count()
+    assert(readFiles < totalFiles, s"no files skipped: $readFiles of $totalFiles")
+    // ...with results byte-identical to the unpruned read + filter
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("v"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("price"))).toSet
+    val want = SnapshotLake.read(spark, dir)
+      .filter(col("v") >= 100L && col("v") <= 200L)
+    assert(keyset(sliced) == keyset(want))
+    assert(sliced.count() == 101)
+    // timestamp stats ride unix_micros (session-timezone-free)
+    val tsLo = java.sql.Timestamp.valueOf("2025-01-01 00:05:00")
+    val tsHi = java.sql.Timestamp.valueOf("2025-01-01 00:06:40")
+    val tsSliced = SnapshotLake.readSlice(spark, dir, "ts", Some(tsLo), Some(tsHi))
+    assert(tsSliced.select(input_file_name()).distinct().count() < totalFiles)
+    assert(keyset(tsSliced) == keyset(SnapshotLake.read(spark, dir)
+      .filter(col("ts") >= tsLo && col("ts") <= tsHi)))
+    // half-open slices work; an unbounded slice is the plain read
+    assert(SnapshotLake.readSlice(spark, dir, "v", Some(901L), None).count() == 100)
+    assert(SnapshotLake.readSlice(spark, dir, "v", None, None).count() == n.toLong)
+    // a later merge WITHOUT stats keeps correctness (its gen unpruned)
+    val extra = Seq(("kx", "p", 5000L,
+      java.sql.Timestamp.valueOf("2025-01-01 01:00:00"), 1.0))
+      .toDF("key", "dt", "v", "ts", "price")
+    SnapshotLake.merge(spark, dir, extra, Seq("key"), "v", "dt")
+    assert(SnapshotLake.readSlice(spark, dir, "v", Some(4000L), None).count() == 1)
+    // vacuum keeps sidecars of still-referenced gens, drops expired ones
+    SnapshotLake.vacuum(spark, dir)
+    assert(SnapshotLake.readSlice(spark, dir, "v", Some(100L), Some(200L)).count() == 101)
+  }
+
   test("legacy bare-hex partition dirs migrate on merge (entries match by VALUE)") {
     import org.apache.hadoop.fs.Path
     val dir = tmp()
