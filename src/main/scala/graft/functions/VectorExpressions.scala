@@ -108,6 +108,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // global RANGE-frame min/max (no inverse) rewrite to the sparse-block
     // decomposition — see graft.plans.RangeMinMaxRule
     ext.injectOptimizerRule(_ => graft.plans.RangeMinMaxRule)
+    // ROWS frames with FOLLOWING ends re-express as RANGE over
+    // row_number() — see graft.plans.RowsFollowingRule
+    ext.injectOptimizerRule(_ => graft.plans.RowsFollowingRule)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
   }
 }

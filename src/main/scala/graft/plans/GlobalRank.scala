@@ -1495,6 +1495,10 @@ object GlobalRank {
     // decomposition instead (partitioned windows only, no cliff)
     if (!exp.extraOptimizations.contains(RangeMinMaxRule))
       exp.extraOptimizations = exp.extraOptimizations :+ RangeMinMaxRule
+    // ROWS frames with FOLLOWING ends re-express as RANGE over
+    // row_number() — food for all three rules above on the same batch
+    if (!exp.extraOptimizations.contains(RowsFollowingRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ RowsFollowingRule
     if (!exp.extraStrategies.contains(GlobalRankStrategy))
       exp.extraStrategies = exp.extraStrategies :+ GlobalRankStrategy
   }

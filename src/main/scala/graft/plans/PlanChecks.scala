@@ -17,23 +17,22 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Glob
   *
   * Remediation map for a flagged window: most single-ordering shapes
   * (ranks, shifts, prefix aggregates, first/last/nth_value, decimal avg,
-  * sliding ROWS frames) auto-rewrite via [[GlobalRankRule]] — a flag means
-  * the shape is on its reject list. `RANGE n PRECEDING [AND m FOLLOWING]`
-  * sliding sum/count/decimal-avg → [[RangeSlidingRule]] (the ghost-probe
-  * composition; note its corpus-prefix decimal overflow contract,
-  * documented on [[RangeSlidingRule.EnabledKey]]); sliding RANGE min/max →
-  * [[RangeMinMaxRule]] (sparse-block decomposition). Remaining flags:
+  * sliding ROWS-PRECEDING frames) auto-rewrite via [[GlobalRankRule]] — a
+  * flag means the shape is on its reject list. `RANGE n PRECEDING [AND m
+  * FOLLOWING]` sliding sum/count/decimal-avg → [[RangeSlidingRule]] (the
+  * ghost-probe composition; note its corpus-prefix decimal overflow
+  * contract, documented on [[RangeSlidingRule.EnabledKey]]); sliding
+  * RANGE min/max → [[RangeMinMaxRule]] (sparse-block decomposition, whose
+  * mixed-node split also covers min/max + sum sharing one node); `ROWS n
+  * PRECEDING AND m FOLLOWING` → [[RowsFollowingRule]] (re-expressed as
+  * RANGE over row_number, then the rules above). Remaining flags:
   *  - fp (double) sliding sum/avg — vetoed on subtraction-cancellation
   *    grounds; cast to DECIMAL if the rewrite semantics are acceptable;
-  *  - a MIXED min/max + sum node (each rule requires all siblings in
-  *    scope) — split the query's window expressions into two selects;
   *  - multi-argument aggregates (covar/corr): native `COVAR_POP OVER`
   *    stays stock BY DOCTRINE (double Welford accumulation is
   *    order-dependent fp — no bit-compatible rewrite exists); compose
   *    from DECIMAL prefix sums instead, which DO rewrite — the
-  *    [[graft.queries.CoreQueries.e22RunningCovarSql]] recipe;
-  *  - ROWS frames with FOLLOWING ends — no distributed rewrite;
-  *    restructure (pre-aggregate, partition, or bound the input).
+  *    [[graft.queries.CoreQueries.e22RunningCovarSql]] recipe.
   */
 object PlanChecks {
 

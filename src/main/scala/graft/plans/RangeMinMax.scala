@@ -103,6 +103,27 @@ object RangeMinMaxRule extends Rule[LogicalPlan] {
               slots.flatten.map(s => (s.width, s.follow)).distinct.length == 1
           } =>
       rewrite(w)
+    // the MIXED node: Spark merges every window expression sharing one
+    // partitioning/ordering into ONE Window node, so `MIN(x) OVER w,
+    // SUM(y) OVER w` lands here with neither rule's all-siblings guard
+    // satisfied. Split: peel the min/max slots into this rule's block
+    // rewrite and stack a residual Window with the rest on top — which
+    // [[RangeSlidingRule]] accepts on the same fixed-point batch (checked
+    // BEFORE splitting, so we never strand a half-rewritten plan).
+    case w: Window
+        if conf.getConfString(EnabledKey, "true") != "false" &&
+          RangeSlidingRule.globalLongOrder(w) && {
+            val mm = w.windowExpressions.flatMap(slotOf)
+            val rest = w.windowExpressions.filter(ne => slotOf(ne).isEmpty)
+            mm.nonEmpty && rest.nonEmpty &&
+              mm.map(s => (s.width, s.follow)).distinct.length == 1 &&
+              RangeSlidingRule.acceptsExpressions(rest)
+          } =>
+      val mmExprs = w.windowExpressions.filter(ne => slotOf(ne).isDefined)
+      val rest = w.windowExpressions.filter(ne => slotOf(ne).isEmpty)
+      val inner = rewrite(Window(mmExprs, w.partitionSpec, w.orderSpec, w.child))
+      val outer = Window(rest, w.partitionSpec, w.orderSpec, inner)
+      Project(w.output, outer)
   }
 
   private def rewrite(w: Window): LogicalPlan = {

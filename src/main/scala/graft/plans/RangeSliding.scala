@@ -125,37 +125,53 @@ object RangeSlidingRule extends Rule[LogicalPlan] {
     for (n <- width; m <- follow) yield (n, m)
   }
 
+  /** The aggregate-family half of the scope check (frame-independent) —
+    * shared with [[RowsFollowingRule]], which re-expresses ROWS frames
+    * into this rule's food and must know the family will be accepted.
+    */
+  private[plans] def kindOf(
+      af: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Option[(Expression, Kind)] =
+    af match {
+      // decimal sums ride in BOTH eval modes: the exact subtraction
+      // and the overflow contract match the stock frame sum up to the
+      // corpus-prefix headroom (see the class doc). Integral sums are
+      // LEGACY-only: their exactness rests on wrap-around difference
+      // algebra, and an ANSI checked prefix would throw on running
+      // overflow where every stock frame sum fits.
+      case Sum(e, ctx) if e.deterministic && ctx.evalMode != EvalMode.TRY &&
+          (e.dataType.isInstanceOf[DecimalType] ||
+            (integral(e.dataType) && ctx.evalMode == EvalMode.LEGACY)) =>
+        Some((e, SumK(ctx)))
+      case Count(Seq(e)) if e.deterministic => Some((e, CountK))
+      // AVG over DECIMAL: sum/count lanes are exact; emission rides
+      // Spark's own Average arithmetic (fp averages stay stock —
+      // their sum lane would cancel under subtraction)
+      case avg @ Average(e, em) if e.deterministic &&
+          em != EvalMode.TRY && e.dataType.isInstanceOf[DecimalType] =>
+        Some((e, AvgK(avg)))
+      case _ => None
+    }
+
   private def slotOf(ne: NamedExpression): Option[Slot] =
     ne match {
       case a @ Alias(WindowExpression(
           AggregateExpression(af, _, false, None, _),
           WindowSpecDefinition(Nil, _,
             SpecifiedWindowFrame(RangeFrame, lower, upper))), _) =>
-        frameBounds(lower, upper).flatMap { case (n, m) =>
-          af match {
-            // decimal sums ride in BOTH eval modes: the exact subtraction
-            // and the overflow contract match the stock frame sum up to the
-            // corpus-prefix headroom (see the class doc). Integral sums are
-            // LEGACY-only: their exactness rests on wrap-around difference
-            // algebra, and an ANSI checked prefix would throw on running
-            // overflow where every stock frame sum fits.
-            case Sum(e, ctx) if e.deterministic && ctx.evalMode != EvalMode.TRY &&
-                (e.dataType.isInstanceOf[DecimalType] ||
-                  (integral(e.dataType) && ctx.evalMode == EvalMode.LEGACY)) =>
-              Some(Slot(a, e, SumK(ctx), n, m))
-            case Count(Seq(e)) if e.deterministic =>
-              Some(Slot(a, e, CountK, n, m))
-            // AVG over DECIMAL: sum/count lanes are exact; emission rides
-            // Spark's own Average arithmetic (fp averages stay stock —
-            // their sum lane would cancel under subtraction)
-            case avg @ Average(e, em) if e.deterministic &&
-                em != EvalMode.TRY && e.dataType.isInstanceOf[DecimalType] =>
-              Some(Slot(a, e, AvgK(avg), n, m))
-            case _ => None
-          }
-        }
+        for ((n, m) <- frameBounds(lower, upper); (e, k) <- kindOf(af))
+          yield Slot(a, e, k, n, m)
       case _ => None
     }
+
+  /** Whole-node acceptance for OTHER rules deciding whether handing this
+    * rule a residual Window is safe: every expression a valid slot, one
+    * shared frame.
+    */
+  private[plans] def acceptsExpressions(exprs: Seq[NamedExpression]): Boolean = {
+    val slots = exprs.map(slotOf)
+    exprs.nonEmpty && slots.forall(_.isDefined) &&
+      slots.flatten.map(s => (s.width, s.follow)).distinct.length == 1
+  }
 
   /** Shared order-key guard with [[RangeMinMaxRule]]: one global ASC
     * NULLS FIRST deterministic BIGINT key on an UNBOUNDED input.

@@ -1759,6 +1759,38 @@ object CoreQueries {
          FROM p ORDER BY o_orderkey""")
   }
 
+  /** E23: the CENTERED ROW-COUNT window — `ROWS BETWEEN 6 PRECEDING AND 3
+    * FOLLOWING` over a total order, ALL FIVE aggregate families in ONE
+    * window. A FOLLOWING end needs values that have not arrived yet, so
+    * the in-exec ring cannot emit it; [[graft.plans.RowsFollowingRule]]
+    * re-expresses the node as `RANGE (−6, +3)` over a synthesized
+    * `row_number()` (a ROWS frame over a total order IS a RANGE frame
+    * over rn), and the existing rules distribute the pieces on the same
+    * fixed-point batch: GlobalRank for rn, the minmax block split for
+    * MIN/MAX, the two-ghost-family subtraction for SUM/COUNT/AVG — three
+    * rules interlocking on one natural SQL text. Oracle = DuckDB's
+    * native ROWS window engine (AVG in HUGEINT units, the e18
+    * discipline).
+    */
+  def e23RowsCenteredSql(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GlobalRank.ensureRegistered(s)
+    t(s, dir, "orders").createOrReplaceTempView("e23_orders")
+    s.sql(
+      """SELECT o_orderkey,
+                CAST(SUM(px) OVER w AS DOUBLE) AS c_total,
+                COUNT(*) OVER w AS c_cnt,
+                CAST(AVG(px) OVER w AS DOUBLE) AS c_avg,
+                CAST(MIN(px2) OVER w AS DOUBLE) AS c_min,
+                CAST(MAX(px2) OVER w AS DOUBLE) AS c_max
+         FROM (SELECT o_orderkey, o_orderdate,
+                      CAST(o_totalprice AS DECIMAL(25,4)) AS px,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS px2
+               FROM e23_orders)
+         WINDOW w AS (ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 6 PRECEDING AND 3 FOLLOWING)
+         ORDER BY o_orderkey""")
+  }
+
   /** E17: the raw-SQL GLOBAL MOVING TOTAL/AVERAGE —
     * `SUM(x) OVER (ORDER BY … ROWS BETWEEN k PRECEDING AND CURRENT ROW)`.
     * [[graft.plans.GlobalRankRule]] rewrites the sliding frame into a
@@ -2168,6 +2200,7 @@ object CoreQueries {
     "e21_range_centered" -> (e21RangeCentered _),
     "e21b_range_centered_sql" -> (e21bRangeCenteredSql _),
     "e22_running_covar_sql" -> (e22RunningCovarSql _),
+    "e23_rows_centered_sql" -> (e23RowsCenteredSql _),
     "a26_salted_skew_join" -> ((s: SparkSession, d: String) => a26SaltedSkewJoin(s, d)),
     "c9_fixed_size_sample" -> ((s: SparkSession, d: String) => c9FixedSizeSample(s, d)),
     "c10_weighted_sample" -> ((s: SparkSession, d: String) => c10WeightedSample(s, d)),
@@ -2648,6 +2681,32 @@ object CoreQueries {
                           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
                      ELSE NULL END AS run_corr
          FROM p ORDER BY o_orderkey""",
+    "e23_rows_centered_sql" ->
+      // sum/count/min/max natively; the decimal AVG lane in HUGEINT units
+      // (scale 8 = Spark's decimal(29,8) result), the e18 discipline
+      """WITH o AS (
+           SELECT o_orderkey, o_orderdate,
+                  CAST(o_totalprice AS DECIMAL(25,4)) AS px,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS px2,
+                  CAST(CAST(o_totalprice AS DECIMAL(25,4)) * 10000 AS HUGEINT) AS u4
+           FROM orders),
+         w1 AS (
+           SELECT o_orderkey,
+                  CAST(SUM(px) OVER w AS DOUBLE) AS c_total,
+                  COUNT(*) OVER w AS c_cnt,
+                  CAST(MIN(px2) OVER w AS DOUBLE) AS c_min,
+                  CAST(MAX(px2) OVER w AS DOUBLE) AS c_max,
+                  SUM(u4) OVER w AS s4,
+                  COUNT(*) OVER w AS c
+           FROM o
+           WINDOW w AS (ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 6 PRECEDING AND 3 FOLLOWING))
+         SELECT o_orderkey, c_total, c_cnt,
+                CAST((s4 * 10000) // c +
+                     (CASE WHEN 2 * ((s4 * 10000) % c) >= c THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 100000000.0 AS c_avg,
+                c_min, c_max
+         FROM w1 ORDER BY o_orderkey""",
     "e18_firstlast_sql" ->
       // decimal running avg replicated in exact HUGEINT unit arithmetic:
       // cumulative sum of 1e-4 units, integer divide at scale 8 with

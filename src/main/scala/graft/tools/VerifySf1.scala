@@ -68,7 +68,8 @@ object VerifySf1 {
     def stockWindows(body: => DataFrame): DataFrame = {
       val keys = Seq(graft.plans.GlobalRankRule.EnabledKey,
         graft.plans.RangeSlidingRule.EnabledKey,
-        graft.plans.RangeMinMaxRule.EnabledKey)
+        graft.plans.RangeMinMaxRule.EnabledKey,
+        graft.plans.RowsFollowingRule.EnabledKey)
       keys.foreach(spark.conf.set(_, "false"))
       try body.localCheckpoint() finally keys.foreach(spark.conf.unset)
     }
@@ -362,6 +363,9 @@ object VerifySf1 {
       ("e21b_range_centered_sql",
         () => CoreQueries.e21bRangeCenteredSql(spark, work),
         () => stockWindows(CoreQueries.e21bRangeCenteredSql(spark, work))),
+      ("e23_rows_centered_sql",
+        () => CoreQueries.e23RowsCenteredSql(spark, work),
+        () => stockWindows(CoreQueries.e23RowsCenteredSql(spark, work))),
       // e3d: the FILE-SKIPPING slice read (stats-clustered merge +
       // sidecar-pruned readSlice) ↔ lake-free LWW algebra + a plain
       // filter — pruning may drop files, never rows, at 1.5M events

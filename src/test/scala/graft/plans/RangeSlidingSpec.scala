@@ -108,8 +108,13 @@ class RangeSlidingSpec extends SparkSuite {
     // RangeMinMaxRule's block decomposition, which never uses GlobalRank)
     assert(!rewrote("""SELECT MIN(d) OVER (ORDER BY k RANGE BETWEEN 3 PRECEDING
       AND CURRENT ROW) FROM rs_scope"""))
-    // one unsupported sibling vetoes the node
-    assert(!rewrote("""SELECT SUM(d) OVER win, MAX(d) OVER win FROM rs_scope
+    // a MIXED sum+max node is no longer a veto: RangeMinMaxRule's split
+    // peels the extrema and leaves the sums to this rule (round 10) —
+    // correctness pinned in RowsFollowingSpec's mixed tests
+    assert(rewrote("""SELECT SUM(d) OVER win, MAX(d) OVER win FROM rs_scope
+      WINDOW win AS (ORDER BY k RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)"""))
+    // but an unsupported sibling (fp sum) still vetoes the whole node
+    assert(!rewrote("""SELECT SUM(d) OVER win, SUM(x) OVER win FROM rs_scope
       WINDOW win AS (ORDER BY k RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)"""))
     // DESC ordering: the threshold arithmetic assumes ASC NULLS FIRST
     assert(!rewrote("""SELECT SUM(d) OVER (ORDER BY k DESC RANGE BETWEEN 3
