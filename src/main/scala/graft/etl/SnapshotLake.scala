@@ -444,6 +444,22 @@ object SnapshotLake {
     }.toMap
   }
 
+  /** The stats columns a gen's sidecar was recorded for (from its header);
+    * empty for a missing sidecar.
+    */
+  private def statsColsOf(fs: FileSystem, path: String, gen: Long): Seq[String] = {
+    val p = statsPath(path, gen)
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val head = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().nextOption().getOrElse("") finally in.close()
+    head.split('\t') match {
+      case Array("graft-stats-v1", _, cols) if cols.nonEmpty =>
+        cols.split(',').toSeq.map(dec)
+      case _ => Nil
+    }
+  }
+
   /** Read the current snapshot restricted to `sliceCol ∈ [lo, hi]` (both
     * bounds optional/inclusive), SKIPPING whole files whose recorded
     * [min, max] cannot intersect the slice — the file-level pruning the
@@ -459,32 +475,45 @@ object SnapshotLake {
       path: String,
       sliceCol: String,
       lo: Option[Any],
-      hi: Option[Any]): DataFrame = {
+      hi: Option[Any]): DataFrame =
+    readSlices(spark, path, Seq((sliceCol, lo, hi)))
+
+  /** Multi-column [[readSlice]]: the conjunction of `(col, lo, hi)`
+    * slices — a file is skipped when ANY slice cannot intersect its
+    * recorded range (the conjunct semantics), and every slice filter is
+    * applied to the result.
+    */
+  def readSlices(
+      spark: SparkSession,
+      path: String,
+      slices: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
     val fs = fsOf(spark, path)
     val m = currentManifest(spark, path).getOrElse(
       throw new IllegalStateException(s"$path has no published snapshot"))
     val full = readManifest(spark, path, m, None)
-    def sliceFilter(df: DataFrame): DataFrame = {
-      val c = col(sliceCol)
-      val f1 = lo.map(v => c >= lit(v)).getOrElse(lit(true))
-      val f2 = hi.map(v => c <= lit(v)).getOrElse(lit(true))
-      df.filter(f1 && f2)
-    }
-    if (m.entries.isEmpty || (lo.isEmpty && hi.isEmpty)) return sliceFilter(full)
-    val dt = full.schema(sliceCol).dataType
+    def sliceFilter(df: DataFrame): DataFrame =
+      slices.foldLeft(df) { case (d, (sc, lo, hi)) =>
+        val c = col(sc)
+        val f1 = lo.map(v => c >= lit(v)).getOrElse(lit(true))
+        val f2 = hi.map(v => c <= lit(v)).getOrElse(lit(true))
+        d.filter(f1 && f2)
+      }
+    val active = slices.filter(s => s._2.isDefined || s._3.isDefined)
+    if (m.entries.isEmpty || active.isEmpty) return sliceFilter(full)
     val statsByGen = m.entries.map(_.gen).distinct
       .map(g => g -> readStats(fs, path, g)).toMap
     // candidate exclusions, evaluated through Spark's own comparisons on
-    // the column's type (driver-local frame, O(#files-with-stats) rows)
+    // each column's type (driver-local frame, O(#files-with-stats) rows)
     import spark.implicits._
-    val cand = m.entries.flatMap { e =>
-      statsByGen(e.gen).collect {
-        case ((f, c), (mn, mx)) if c == sliceCol && f.startsWith(e.dirName + "/") =>
-          (f, mn, mx)
+    val excluded: Set[String] = active.flatMap { case (sliceCol, lo, hi) =>
+      val dt = full.schema(sliceCol).dataType
+      val cand = m.entries.flatMap { e =>
+        statsByGen(e.gen).collect {
+          case ((f, c), (mn, mx)) if c == sliceCol && f.startsWith(e.dirName + "/") =>
+            (f, mn, mx)
+        }
       }
-    }
-    val excluded: Set[String] =
-      if (cand.isEmpty) Set.empty
+      if (cand.isEmpty) Nil
       else {
         val sdf = cand.toDF("f", "mn", "mx")
         def typed(c: org.apache.spark.sql.Column) = dt match {
@@ -499,8 +528,9 @@ object SnapshotLake {
           .getOrElse(lit(false))
         val exHi = hi.map(v => coalesce(typed(col("mn")) > bound(v), lit(false)))
           .getOrElse(lit(false))
-        sdf.filter(exLo || exHi).select("f").collect().map(_.getString(0)).toSet
+        sdf.filter(exLo || exHi).select("f").collect().map(_.getString(0)).toSeq
       }
+    }.toSet
     if (excluded.isEmpty) return sliceFilter(full)
     // per entry: list the gen dir and keep every file NOT excluded —
     // listing-based, so files the sidecar missed are always kept
@@ -552,10 +582,11 @@ object SnapshotLake {
     * [[Upsert.compactPartitionedParquet]] documents simply does not exist
     * here; a reader pinned to the pre-compact snapshot keeps reading the
     * old files until [[vacuum]]. Row content is preserved as a multiset.
-    * Compacted gens carry no stats sidecar — their (fewer, larger) files
-    * are simply never file-pruned by [[readSlice]], the advisory-metadata
-    * contract's safe direction. Returns (dirName, filesBefore,
-    * filesAfter) per compacted partition.
+    * Compacted gens RE-CAPTURE their stats sidecar for whatever columns
+    * the replaced gens recorded (coalesced files carry wider — but still
+    * correct — ranges), so [[readSlice]] keeps skipping after
+    * maintenance; partitions that never had stats stay statless. Returns
+    * (dirName, filesBefore, filesAfter) per compacted partition.
     */
   def compact(
       spark: SparkSession,
@@ -609,6 +640,21 @@ object SnapshotLake {
               settled.collectFirst { case scala.util.Failure(t) => t }
                 .foreach(t => throw t)
             } finally pool.shutdown()
+            // re-capture stats for the compacted gens so file skipping
+            // survives compaction: the columns come from the sidecars of
+            // the gens being replaced (coalesced files carry wider — but
+            // still correct — ranges, recorded from the files actually
+            // written); partitions that never had stats stay statless
+            val statCols = picked.map(_._1.gen).distinct
+              .flatMap(g => statsColsOf(fs, path, g)).distinct
+            if (statCols.nonEmpty) {
+              val newEntries = picked.map(_._1.copy(gen = newGen))
+              val schema = spark.read
+                .parquet(genDirOf(path, newEntries.head).toString).schema
+              val usable = statCols.filter(c => schema.fieldNames.contains(c))
+              if (usable.nonEmpty)
+                writeStats(spark, fs, path, newGen, newEntries, schema, usable)
+            }
             val bumped = picked.map(_._1.dirName).toSet
             publish(fs, path, Manifest(newGen, m.partitionCol,
               m.entries.map(e =>

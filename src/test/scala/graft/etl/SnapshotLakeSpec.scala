@@ -305,6 +305,50 @@ class SnapshotLakeSpec extends SparkSuite {
     assert(SnapshotLake.readSlice(spark, dir, "v", Some(100L), Some(200L)).count() == 101)
   }
 
+  test("compaction re-captures stats sidecars; readSlices conjuncts prune") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmp()
+    val n = 600
+    val rows = (1 to n).map(i => (s"k$i", "p", i.toLong,
+      java.sql.Timestamp.valueOf(f"2025-02-01 00:${i / 60}%02d:${i % 60}%02d"),
+      i.toDouble)).toDF("key", "dt", "v", "ts", "price")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try SnapshotLake.merge(spark, dir, rows, Seq("key"), "v", "dt",
+      statsCols = Seq("v", "ts"))
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def genDir(): Path = {
+      val m = SnapshotLake.currentManifest(spark, dir).get
+      new Path(new Path(dir, "data"),
+        m.entries.head.dirName + s"/gen=${m.entries.head.gen}")
+    }
+    val files0 = fs.listStatus(genDir())
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    assert(files0.length > 2, s"need fragmentation, got ${files0.length}")
+    // compact down to ~2 files: skipping must SURVIVE the rewrite
+    val target = files0.map(_.getLen).sum / 2 + 1
+    val did = SnapshotLake.compact(spark, dir, targetBytes = target,
+      minFilesToCompact = 2)
+    assert(did.nonEmpty, "compaction should have picked the partition")
+    val filesAfter = fs.listStatus(genDir())
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    assert(filesAfter >= 2 && filesAfter < files0.length)
+    val sliced = SnapshotLake.readSlice(spark, dir, "v", Some(50L), Some(150L))
+    assert(sliced.select(input_file_name()).distinct().count() < filesAfter,
+      "post-compact slice read every file — the re-captured sidecar is dead")
+    assert(sliced.count() == 101)
+    // multi-column conjunct: each slice may prune on its own column
+    val tsLo = java.sql.Timestamp.valueOf("2025-02-01 00:01:00")
+    val tsHi = java.sql.Timestamp.valueOf("2025-02-01 00:02:00")
+    val multi = SnapshotLake.readSlices(spark, dir,
+      Seq(("v", Some(1L), None), ("ts", Some(tsLo), Some(tsHi))))
+    val want = SnapshotLake.read(spark, dir)
+      .filter(col("v") >= 1L && col("ts") >= tsLo && col("ts") <= tsHi)
+    assert(multi.collect().map(_.getAs[Long]("v")).sorted.toSeq ==
+      want.collect().map(_.getAs[Long]("v")).sorted.toSeq)
+    assert(multi.count() == 61)
+  }
+
   test("legacy bare-hex partition dirs migrate on merge (entries match by VALUE)") {
     import org.apache.hadoop.fs.Path
     val dir = tmp()
