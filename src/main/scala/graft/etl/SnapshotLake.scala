@@ -487,7 +487,6 @@ object SnapshotLake {
       spark: SparkSession,
       path: String,
       slices: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
-    val fs = fsOf(spark, path)
     val m = currentManifest(spark, path).getOrElse(
       throw new IllegalStateException(s"$path has no published snapshot"))
     val full = readManifest(spark, path, m, None)
@@ -498,15 +497,41 @@ object SnapshotLake {
         val f2 = hi.map(v => c <= lit(v)).getOrElse(lit(true))
         d.filter(f1 && f2)
       }
-    val active = slices.filter(s => s._2.isDefined || s._3.isDefined)
-    if (m.entries.isEmpty || active.isEmpty) return sliceFilter(full)
+    pruneFiles(spark, path, m, full.schema, slices) match {
+      case None => sliceFilter(full)
+      case Some(paths) if paths.isEmpty =>
+        sliceFilter(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema))
+      case Some(paths) =>
+        sliceFilter(spark.read.schema(full.schema).parquet(paths: _*))
+    }
+  }
+
+  /** The pruning core shared by [[readSlices]] and
+    * [[graft.sources.LakeCatalog]]'s scan-time pushdown: the concrete
+    * file paths of manifest `m` with every file whose recorded stats
+    * cannot intersect a slice EXCLUDED — or None when nothing can be
+    * excluded (read the gen dirs whole; no listing cost). Listing-based
+    * exclusion: files the sidecars missed are always kept — advisory
+    * metadata, never lossy.
+    */
+  private[graft] def pruneFiles(
+      spark: SparkSession,
+      path: String,
+      m: Manifest,
+      schema: org.apache.spark.sql.types.StructType,
+      slices: Seq[(String, Option[Any], Option[Any])]): Option[Seq[String]] = {
+    val fs = fsOf(spark, path)
+    val active = slices.filter(s =>
+      schema.fieldNames.contains(s._1) && (s._2.isDefined || s._3.isDefined))
+    if (m.entries.isEmpty || active.isEmpty) return None
     val statsByGen = m.entries.map(_.gen).distinct
       .map(g => g -> readStats(fs, path, g)).toMap
     // candidate exclusions, evaluated through Spark's own comparisons on
     // each column's type (driver-local frame, O(#files-with-stats) rows)
     import spark.implicits._
     val excluded: Set[String] = active.flatMap { case (sliceCol, lo, hi) =>
-      val dt = full.schema(sliceCol).dataType
+      val dt = schema(sliceCol).dataType
       val cand = m.entries.flatMap { e =>
         statsByGen(e.gen).collect {
           case ((f, c), (mn, mx)) if c == sliceCol && f.startsWith(e.dirName + "/") =>
@@ -531,22 +556,16 @@ object SnapshotLake {
         sdf.filter(exLo || exHi).select("f").collect().map(_.getString(0)).toSeq
       }
     }.toSet
-    if (excluded.isEmpty) return sliceFilter(full)
-    // per entry: list the gen dir and keep every file NOT excluded —
-    // listing-based, so files the sidecar missed are always kept
+    if (excluded.isEmpty) return None
+    // per entry: list the gen dir and keep every file NOT excluded
     val dataPrefix = fs.makeQualified(dataDir(path)).toString + "/"
-    val paths = m.entries.flatMap { e =>
+    Some(m.entries.flatMap { e =>
       val dir = genDirOf(path, e)
       fs.listStatus(dir).toSeq
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
         .map(s => fs.makeQualified(s.getPath).toString)
         .filter(p => !excluded.contains(p.stripPrefix(dataPrefix)))
-    }
-    if (paths.isEmpty) {
-      val schema = full.schema
-      sliceFilter(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-    } else sliceFilter(spark.read.schema(full.schema).parquet(paths: _*))
+    })
   }
 
   /** Unpublished generation dirs (gen > the current manifest) are orphans

@@ -72,15 +72,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       Seq(catName) ++ ident.namespace() :+ ident.name())
 
   private def parquetTable(ident: Identifier, m: SnapshotLake.Manifest,
-      path: String): Table = {
-    val dirs = m.entries
-      .map(e => new Path(new Path(new Path(path, "data"), e.dirName), s"gen=${e.gen}"))
-      .map(_.toString)
-    // a zero-partition snapshot still needs a schema-less placeholder;
-    // surface it as an empty table over no files
-    ParquetTable(ident.name(), spark, CaseInsensitiveStringMap.empty(), dirs,
-      Option.empty[StructType], classOf[ParquetFileFormat])
-  }
+      path: String): Table =
+    new LakeTable(ident.name(), path, m, spark)
 
   override def loadTable(ident: Identifier): Table = {
     val path = tablePath(ident)
@@ -174,4 +167,127 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     readOnly("DROP NAMESPACE")
+}
+
+/** One resolved SNAPSHOT of a lake as a read-only V2 table. Scans delegate
+  * to Spark's native `ParquetTable` over the manifest's immutable gen
+  * dirs, but THROUGH [[LakeScanBuilder]], which intercepts the pushed
+  * filters to apply the manifest's per-file min/max sidecars FIRST: a
+  * simple range/equality conjunct on a stats column excludes whole files
+  * before Spark's file index ever lists them into tasks — then the same
+  * filters continue into the parquet scan for row-group pushdown. Pruning
+  * only ever narrows the FILE list conservatively (files without recorded
+  * stats are always kept, every filter is still evaluated post-scan), so
+  * results are byte-identical to the unpruned scan.
+  */
+private[sources] class LakeTable(
+    tableName: String,
+    lakePath: String,
+    manifest: SnapshotLake.Manifest,
+    spark: SparkSession)
+  extends Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  private[sources] def genDirs: Seq[String] = manifest.entries
+    .map(e => new Path(new Path(new Path(lakePath, "data"), e.dirName),
+      s"gen=${e.gen}").toString)
+
+  private[sources] def parquetOver(paths: Seq[String],
+      schema: Option[StructType], options: CaseInsensitiveStringMap): ParquetTable =
+    ParquetTable(tableName, spark, options, paths, schema,
+      classOf[ParquetFileFormat])
+
+  override def name(): String = tableName
+
+  override lazy val schema: StructType =
+    parquetOver(genDirs, None, CaseInsensitiveStringMap.empty()).schema
+
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    new LakeScanBuilder(this, lakePath, manifest, schema, options, spark)
+}
+
+private[sources] class LakeScanBuilder(
+    table: LakeTable,
+    lakePath: String,
+    manifest: SnapshotLake.Manifest,
+    tableSchema: StructType,
+    options: CaseInsensitiveStringMap,
+    spark: SparkSession)
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.catalyst.expressions.{
+    AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
+    LessThan, LessThanOrEqual, Literal}
+
+  private var inner: org.apache.spark.sql.connector.read.ScanBuilder =
+    table.parquetOver(table.genDirs, Some(tableSchema), options)
+      .newScanBuilder(options)
+
+  /** (col, lo, hi) slices from the pushable conjuncts — inclusive bounds
+    * only ever WIDEN an exclusive predicate, the conservative direction.
+    */
+  private def slicesOf(
+      filters: Seq[Expression]): Seq[(String, Option[Any], Option[Any])] = {
+    def ext(l: Literal): Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(l.dataType)(l.value)
+    filters.collect {
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+        (a.name, Some(ext(l)), None)
+      case GreaterThan(a: AttributeReference, l: Literal) if l.value != null =>
+        (a.name, Some(ext(l)), None)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+        (a.name, None, Some(ext(l)))
+      case LessThan(a: AttributeReference, l: Literal) if l.value != null =>
+        (a.name, None, Some(ext(l)))
+      case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
+        (a.name, Some(ext(l)), Some(ext(l)))
+      case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
+        (a.name, Some(ext(l)), Some(ext(l)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
+        (a.name, None, Some(ext(l)))
+      case GreaterThan(l: Literal, a: AttributeReference) if l.value != null =>
+        (a.name, None, Some(ext(l)))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
+        (a.name, Some(ext(l)), None)
+      case LessThan(l: Literal, a: AttributeReference) if l.value != null =>
+        (a.name, Some(ext(l)), None)
+    }
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    val slices = slicesOf(filters)
+    if (slices.nonEmpty)
+      SnapshotLake.pruneFiles(spark, lakePath, manifest, tableSchema, slices)
+        .foreach { pruned =>
+          inner = table.parquetOver(pruned, Some(tableSchema), options)
+            .newScanBuilder(options)
+        }
+    inner match {
+      case s: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        s.pushFilters(filters)
+      case _ => filters
+    }
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner match {
+      case s: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        s.pushedFilters
+      case _ => Array.empty
+    }
+
+  override def pruneColumns(requiredSchema: StructType): Unit = inner match {
+    case s: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+      s.pruneColumns(requiredSchema)
+    case _ => ()
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = inner.build()
 }

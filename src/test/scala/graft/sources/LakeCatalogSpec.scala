@@ -75,6 +75,46 @@ class LakeCatalogSpec extends SparkSuite {
     assert(state(spark.sql("SELECT * FROM glake.pinned").collect()).size == 4)
   }
 
+  test("stats sidecars prune FILES at SQL scan time (pushed filters)") {
+    val dir = s"$root/sliced"
+    val rows = (1 to 1000).map(i => (s"k$i", "p", i.toLong, i.toDouble))
+      .toDF("key", "dt", "v", "price")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try SnapshotLake.merge(spark, dir, rows, Seq("key"), "v", "dt",
+      statsCols = Seq("v"))
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = SnapshotLake.currentManifest(spark, dir).get
+    val genDir = new org.apache.hadoop.fs.Path(s"$dir/data/" +
+      m.entries.head.dirName + s"/gen=${m.entries.head.gen}")
+    val total = fs.listStatus(genDir)
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    assert(total > 2, s"need fragmentation, got $total")
+    // a narrow v-slice THROUGH SQL must read fewer files than the
+    // partition holds — the pushed conjuncts hit the sidecars before the
+    // parquet file index ever lists the rest
+    val q = spark.sql(
+      "SELECT key, v, input_file_name() AS f FROM glake.sliced " +
+        "WHERE v >= 100 AND v <= 200")
+    assert(q.count() == 101)
+    assert(q.select("f").distinct().count() < total,
+      "SQL scan read every file — pushdown pruning is dead")
+    // results identical to the unpruned read + filter
+    val want = SnapshotLake.read(spark, dir)
+      .filter(col("v") >= 100L && col("v") <= 200L)
+      .select("key", "v").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(q.select("key", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == want)
+    // row-group pushdown still reaches the parquet scan underneath
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(v"), s"parquet pushdown lost:\n$plan")
+    // an unfiltered scan reads everything
+    assert(spark.sql("SELECT count(*) FROM glake.sliced").collect()
+      .head.getLong(0) == 1000L)
+  }
+
   test("read-only: DDL/DML through the catalog refuse loudly; missing tables throw") {
     intercept[UnsupportedOperationException](
       spark.sql("CREATE TABLE glake.t2 (a INT) USING parquet"))
