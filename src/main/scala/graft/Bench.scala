@@ -92,13 +92,20 @@ object Bench {
     // delta exceeds the floor — sub-second queries swing up to 2× on this
     // host from scheduler noise alone (SURVEY §6.2), so ratio alone
     // over-flags exactly the queries that matter least.
-    val (ratios, flagged) = {
+    val (ratios, flagged, baselineStamp) = {
       // Baseline file selectable per scale point: the sf0.1 gate reads the
       // default; the committed 10×-replica artifact (BENCH_sf1.json) gates
-      // against BASELINE_BENCH_sf1.json via this env var.
+      // against BASELINE_BENCH_sf1.json via this env var. The chosen file
+      // AND the flag policy are stamped into the artifact below, so a run
+      // gated against the wrong baseline (the round-10 BENCH_sf1.json
+      // defect: 10× times vs sf0.1 baselines → 40 bogus self-reported
+      // regressions) is visible at review time instead of needing a
+      // re-derivation.
       val p = Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_BENCH.json"))
-      if (!Files.exists(p)) ("{}", Seq.empty[String])
+      if (!Files.exists(p))
+        ("{}", Seq.empty[String],
+          s""""baseline_file":null,"baseline_missing":${jq(p.toString)}""")
       else {
         val b = org.json4s.jackson.JsonMethods.parse(Files.readString(p))
         import org.json4s.DefaultFormats
@@ -115,13 +122,15 @@ object Bench {
         val fl = withBase.collect {
           case (k, v, b0) if v > noiseFactor * b0 && v - b0 > absFloor => k
         }
-        (rj, fl)
+        (rj, fl,
+          s""""baseline_file":${jq(p.toString)},"noise_factor":$noiseFactor,""" +
+            s""""abs_floor_sec":$absFloor""")
       }
     }
     val flaggedJson = flagged.map(jq).mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,""" +
-        s""""order_seed":$seed,"errors":$errs,"vs_baseline":$ratios,""" +
+        s""""order_seed":$seed,"errors":$errs,$baselineStamp,"vs_baseline":$ratios,""" +
         s""""regressions":$flaggedJson,"sf":"$sfDir"}"""
     println(json)
     // Also write to a file so the driver never has to scrape the JSON out of

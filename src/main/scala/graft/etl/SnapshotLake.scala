@@ -74,7 +74,14 @@ object SnapshotLake {
     */
   case class Entry(dirName: String, gen: Long, value: String)
 
-  case class Manifest(gen: Long, partitionCol: String, entries: Seq[Entry])
+  /** `publishedAtMs`: the commit's publish time, stamped INSIDE the
+    * manifest header at [[publish]] — filesystem modification time is NOT
+    * a publish time (any copy/rsync/object-store migration rewrites
+    * mtimes, silently re-dating every snapshot for `TIMESTAMP AS OF`).
+    * None only for legacy manifests written before the stamp existed.
+    */
+  case class Manifest(gen: Long, partitionCol: String, entries: Seq[Entry],
+      publishedAtMs: Option[Long] = None)
 
   private val ManifestName = """manifest-(\d{20})""".r
   private val StatsName = """stats-(\d{20})""".r
@@ -113,14 +120,18 @@ object SnapshotLake {
     } finally in.close()
     val lines = text.split('\n').filter(_.nonEmpty)
     val header = lines.head.split('\t')
-    require(header.length == 3 && header(0) == "graft-snapshot-v1",
+    // 3 fields = legacy (pre-publish-stamp) manifest; 4th = publish epoch ms
+    require((header.length == 3 || header.length == 4) &&
+      header(0) == "graft-snapshot-v1",
       s"unrecognized manifest header in $p: ${lines.head}")
+    val publishedAt =
+      if (header.length == 4) scala.util.Try(header(3).toLong).toOption else None
     val entries = lines.tail.toSeq.map { l =>
       // value strings may contain tabs — split only the first two fields
       val a = l.split('\t')
       Entry(a(0), a(1).toLong, a.drop(2).mkString("\t"))
     }
-    Manifest(gen, header(1), entries)
+    Manifest(gen, header(1), entries, publishedAt)
   }
 
   /** PUBLISH: the one atomic cut. Write to a temp name, then a single
@@ -135,7 +146,12 @@ object SnapshotLake {
     val out = fs.create(tmp, false)
     try {
       val sb = new StringBuilder
-      sb.append(s"graft-snapshot-v1\t${m.partitionCol}\t${m.gen}\n")
+      // publish time stamped IN the header (4th field): create-once files
+      // make mtime a plausible proxy, but mtime does not survive
+      // copy/rsync/backup-restore — TIMESTAMP AS OF must resolve from a
+      // value the commit itself recorded
+      sb.append(
+        s"graft-snapshot-v1\t${m.partitionCol}\t${m.gen}\t${System.currentTimeMillis()}\n")
       m.entries.sortBy(_.dirName).foreach { e =>
         sb.append(s"${e.dirName}\t${e.gen}\t${e.value}\n")
       }
@@ -167,6 +183,25 @@ object SnapshotLake {
     */
   def readAt(spark: SparkSession, path: String, gen: Long): DataFrame =
     readManifest(spark, path, manifestAt(spark, path, gen), None)
+
+  /** The publish time (epoch ms) of one manifest FILE, for `TIMESTAMP AS
+    * OF` resolution: the header's own stamp when present, else the file's
+    * modification time (legacy manifests only — with the caveat that
+    * mtime does not survive copy/rsync/migration; re-publishing refreshes
+    * the lake to stamped manifests). Header-only read: O(1) bytes per
+    * retained manifest.
+    */
+  private[graft] def publishTimeOf(
+      fs: FileSystem, status: org.apache.hadoop.fs.FileStatus): Long = {
+    val in = fs.open(status.getPath)
+    val head = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().nextOption().getOrElse("") finally in.close()
+    head.split('\t') match {
+      case a if a.length >= 4 && a(0) == "graft-snapshot-v1" =>
+        scala.util.Try(a(3).toLong).getOrElse(status.getModificationTime)
+      case _ => status.getModificationTime
+    }
+  }
 
   /** The RETAINED manifest `gen` — the metadata face of [[readAt]], also
     * serving [[graft.sources.LakeCatalog]]'s `VERSION/TIMESTAMP AS OF`.
@@ -490,11 +525,21 @@ object SnapshotLake {
     val m = currentManifest(spark, path).getOrElse(
       throw new IllegalStateException(s"$path has no published snapshot"))
     val full = readManifest(spark, path, m, None)
+    // Bounds are cast to the slice COLUMN's type before comparing, so the
+    // filter and [[pruneFiles]] share ONE comparison semantics: pruning
+    // casts the bound to the column type against the string-form stats,
+    // and an uncast filter would coerce differently for mismatched bound
+    // types (e.g. a numeric bound on a STRING column compares numerically
+    // in the filter but lexicographically in pruning — a file the filter
+    // keeps could be pruned, silent row loss). An uncastable bound turns
+    // the filter null-false AND disables pruning on that slice — rows
+    // never outlive their pruning, the lossless direction.
     def sliceFilter(df: DataFrame): DataFrame =
       slices.foldLeft(df) { case (d, (sc, lo, hi)) =>
         val c = col(sc)
-        val f1 = lo.map(v => c >= lit(v)).getOrElse(lit(true))
-        val f2 = hi.map(v => c <= lit(v)).getOrElse(lit(true))
+        val dt = df.schema(sc).dataType
+        val f1 = lo.map(v => c >= lit(v).cast(dt)).getOrElse(lit(true))
+        val f2 = hi.map(v => c <= lit(v).cast(dt)).getOrElse(lit(true))
         d.filter(f1 && f2)
       }
     pruneFiles(spark, path, m, full.schema, slices) match {
@@ -557,12 +602,17 @@ object SnapshotLake {
       }
     }.toSet
     if (excluded.isEmpty) return None
-    // per entry: list the gen dir and keep every file NOT excluded
+    // per entry: list the gen dir and keep every file NOT excluded.
+    // The listing must match Spark's own InMemoryFileIndex hidden-file
+    // filter ('_' AND '.' prefixes): a stray hidden/temp file fed to the
+    // parquet reader would fail the PRUNED read where the unpruned one
+    // succeeds.
     val dataPrefix = fs.makeQualified(dataDir(path)).toString + "/"
     Some(m.entries.flatMap { e =>
       val dir = genDirOf(path, e)
       fs.listStatus(dir).toSeq
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
         .map(s => fs.makeQualified(s.getPath).toString)
         .filter(p => !excluded.contains(p.stripPrefix(dataPrefix)))
     })
@@ -620,7 +670,8 @@ object SnapshotLake {
           gcOrphans(fs, path, m.gen)
           val picked = m.entries.flatMap { e =>
             val files = fs.listStatus(genDirOf(path, e))
-              .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+              .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+                !f.getPath.getName.startsWith("."))
             val bytes = files.map(_.getLen).sum
             val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
             if (files.length > math.max(want, minFilesToCompact))
@@ -681,7 +732,8 @@ object SnapshotLake {
             picked.map { case (e, before, _) =>
               val after = fs.listStatus(
                 new Path(new Path(dataDir(path), e.dirName), s"gen=$newGen"))
-                .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+                .count(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+                  !f.getPath.getName.startsWith("."))
               (e.dirName, before, after)
             }
           }

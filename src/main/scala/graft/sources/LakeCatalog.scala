@@ -45,8 +45,9 @@ import graft.etl.SnapshotLake
   *
   * Time travel: `VERSION AS OF n` loads manifest n exactly (must be
   * retained); `TIMESTAMP AS OF t` loads the newest manifest PUBLISHED at
-  * or before t (manifest files are create-once, so their modification
-  * time IS the publish time).
+  * or before t, where the publish time is the stamp each commit records
+  * in its own manifest header (mtime is only a legacy fallback — it does
+  * not survive copy/rsync/migration).
   */
 class LakeCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -64,8 +65,22 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
 
   private def spark: SparkSession = SparkSession.active
 
-  private def tablePath(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).foldLeft(root)((p, s) => s"$p/$s")
+  /** Identifier segments become FILESYSTEM path components — a quoted
+    * identifier containing a separator or dot-segment (`` `../secrets` ``)
+    * would escape the catalog root and expose arbitrary parquet
+    * directories as lake tables through SQL. Reject, don't escape: no
+    * legitimate lake table is named that way.
+    */
+  private def tablePath(ident: Identifier): String = {
+    val segs = ident.namespace().toSeq :+ ident.name()
+    segs.foreach { s =>
+      require(s.nonEmpty && s != "." && s != ".." &&
+        !s.contains('/') && !s.contains('\\'),
+        s"illegal table identifier segment '$s' in $catName catalog: " +
+          "segments must not be empty, '.', '..', or contain path separators")
+    }
+    segs.foldLeft(root)((p, s) => s"$p/$s")
+  }
 
   private def noSuch(ident: Identifier): Nothing =
     throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
@@ -97,8 +112,11 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    // timestamp arrives in MICROseconds since epoch; manifest files are
-    // create-once, so modification time == publish time
+    // timestamp arrives in MICROseconds since epoch. Publish times come
+    // from each manifest's OWN header stamp (SnapshotLake.publishTimeOf),
+    // never from filesystem mtime alone — a copy/rsync/backup-restore
+    // rewrites mtimes and would silently re-date every snapshot; legacy
+    // stampless manifests fall back to mtime with that documented caveat.
     val path = tablePath(ident)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(path, "_manifests")
@@ -106,7 +124,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     val cutMs = timestamp / 1000L
     val cands = fs.listStatus(dir).toSeq
       .filter(s => s.getPath.getName.matches("manifest-\\d{20}"))
-      .filter(_.getModificationTime <= cutMs)
+      .filter(s => SnapshotLake.publishTimeOf(fs, s) <= cutMs)
     if (cands.isEmpty) noSuch(ident)
     val gen = cands.map(_.getPath.getName.stripPrefix("manifest-").toLong).max
     parquetTable(ident, SnapshotLake.manifestAt(spark, path, gen), path)

@@ -115,6 +115,77 @@ class LakeCatalogSpec extends SparkSuite {
       .head.getLong(0) == 1000L)
   }
 
+  test("TIMESTAMP AS OF resolves from the manifest's OWN publish stamp, not mtime") {
+    val dir = s"$root/stamped"
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    Thread.sleep(5) // publish stamps are epoch ms — force distinct values
+    SnapshotLake.merge(spark, dir, b2, Seq("key"), "v", "dt")
+    val t1 = SnapshotLake.manifestAt(spark, dir, 1L).publishedAtMs.get
+    val t2 = SnapshotLake.manifestAt(spark, dir, 2L).publishedAtMs.get
+    assert(t1 < t2, s"stamps must be ordered: $t1 vs $t2")
+    // back-date BOTH manifest files' mtimes to the epoch — the rsync /
+    // backup-restore scenario. Resolution must not notice.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(dir, "_manifests")
+    fs.listStatus(mdir).filter(_.getPath.getName.startsWith("manifest-"))
+      .foreach(s => fs.setTimes(s.getPath, 1000L, 1000L))
+    def asOf(ms: Long): Map[String, (Long, Double)] = state(spark.sql(
+      s"SELECT * FROM glake.stamped TIMESTAMP AS OF " +
+        s"'${java.time.Instant.ofEpochMilli(ms)}'").collect())
+    // between the two publishes → snapshot 1; at/after the second → 2
+    assert(asOf((t1 + t2) / 2) ==
+      state(SnapshotLake.readAt(spark, dir, 1L).collect()))
+    assert(asOf(t2 + 60000L) ==
+      state(SnapshotLake.readAt(spark, dir, 2L).collect()))
+    // before the first publish → no snapshot existed (mtime would say
+    // everything is ancient and resolve the NEWEST — the silent bug)
+    intercept[Exception](asOf(t1 - 60000L))
+  }
+
+  test("legacy stampless manifests fall back to mtime for TIMESTAMP AS OF") {
+    val dir = s"$root/legacy"
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_manifests"))
+      .map(_.getPath).find(_.getName.startsWith("manifest-")).get
+    // strip the header's publish stamp: rewrite as a 3-field legacy header
+    val in = fs.open(mf)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split('\n')
+    val h = lines.head.split('\t')
+    fs.delete(mf, false)
+    val out = fs.create(mf, false)
+    try out.write((s"${h(0)}\t${h(1)}\t${h(2)}\n" + lines.tail.mkString("\n") + "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    val mtime = 1700000000000L // some definite legacy publish time
+    fs.setTimes(mf, mtime, mtime)
+    assert(SnapshotLake.currentManifest(spark, dir).get.publishedAtMs.isEmpty)
+    // after the mtime → resolves; before it → nothing existed
+    assert(state(spark.sql(
+      s"SELECT * FROM glake.legacy TIMESTAMP AS OF " +
+        s"'${java.time.Instant.ofEpochMilli(mtime + 60000L)}'").collect()).size == 3)
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM glake.legacy TIMESTAMP AS OF " +
+        s"'${java.time.Instant.ofEpochMilli(mtime - 60000L)}'").collect())
+  }
+
+  test("identifier segments cannot escape the catalog root") {
+    // a quoted identifier with a dot-segment or separator must be
+    // rejected before it becomes a filesystem path
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM glake.`../quotes`").collect())
+    assert(e1.getMessage.contains("illegal table identifier") ||
+      e1.getMessage.contains("TABLE_OR_VIEW"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM glake.`sub/dir`").collect())
+    assert(e2.getMessage.contains("illegal table identifier") ||
+      e2.getMessage.contains("TABLE_OR_VIEW"), e2.getMessage)
+  }
+
   test("read-only: DDL/DML through the catalog refuse loudly; missing tables throw") {
     intercept[UnsupportedOperationException](
       spark.sql("CREATE TABLE glake.t2 (a INT) USING parquet"))
