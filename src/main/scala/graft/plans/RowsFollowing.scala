@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, Ascending, CurrentRow, Expression, Literal, NamedExpression,
-  NullsFirst, RangeFrame, RowFrame, RowNumber, RowOrdering, SortOrder,
+  NullsFirst, RangeFrame, RowFrame, RowOrdering, SortOrder,
   SpecifiedWindowFrame, UnboundedPreceding, WindowExpression,
   WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Max, Min}
+  AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -117,18 +117,21 @@ object RowsFollowingRule extends Rule[LogicalPlan] {
   private[plans] def rewrite(w: Window): LogicalPlan = {
     val slots = w.windowExpressions.map(ne => slotOf(ne).get)
     val (n, m) = slots.head._2
-    // 1. the dense BIGINT linearization of the original order
+    // 1. the dense BIGINT linearization of the original order: a running
+    // COUNT(*) over ROWS UNBOUNDED PRECEDING..CURRENT ROW — value-equal
+    // to row_number() but NATIVELY LongType. RowNumber() is IntegerType
+    // and wraps silently past 2^31 rows BEFORE any cast could widen it;
+    // this rule specifically targets unbounded global inputs, where a
+    // rewrite must not cap what stock Spark computes correctly. The
+    // running count is the same [[GlobalRankRule]] food (prefix count
+    // lane, O(1) state).
     val rnSpec = WindowSpecDefinition(Nil, w.orderSpec,
       SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
-    val rnA = Alias(WindowExpression(RowNumber(), rnSpec), "__rf_rn")()
-    val rnWin = Window(Seq(rnA), Nil, w.orderSpec, w.child)
-    // row_number() is INT in Spark; the downstream rules (and a RANGE
-    // frame with Long bounds) need a BIGINT key
-    val rnlA = Alias(
-      org.apache.spark.sql.catalyst.expressions.Cast(
-        rnA.toAttribute, LongType), "__rf_rnl")()
-    val rnl = Project(rnWin.output ++ Seq(rnlA), rnWin)
-    val rnRef = rnlA.toAttribute
+    val rnA = Alias(WindowExpression(
+      AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false),
+      rnSpec), "__rf_rn")()
+    val rnl = Window(Seq(rnA), Nil, w.orderSpec, w.child)
+    val rnRef = rnA.toAttribute
     // 2. the same aggregates over RANGE (−n, +m) ORDER BY rn, original ids
     val rangeSpec = WindowSpecDefinition(Nil,
       Seq(SortOrder(rnRef, Ascending)),
