@@ -111,6 +111,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // ROWS frames with FOLLOWING ends re-express as RANGE over
     // row_number() — see graft.plans.RowsFollowingRule
     ext.injectOptimizerRule(_ => graft.plans.RowsFollowingRule)
+    // DESC / NULLS LAST global orders canonicalize to ASC NULLS FIRST so
+    // the rules above fire on "latest-first" SQL — see
+    // graft.plans.DescOrderRule
+    ext.injectOptimizerRule(_ => graft.plans.DescOrderRule)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
   }
 }

@@ -438,6 +438,13 @@ object GlobalRankRule extends Rule[LogicalPlan] {
     */
   val MaxShift = 1024
 
+  /** Whole-node acceptance for OTHER rules (the [[DescOrderRule]]
+    * canonicalization) deciding whether this rule will take the node:
+    * every window expression a supported rank/shift/prefix/slide function.
+    */
+  private[plans] def acceptsExpressions(exprs: Seq[NamedExpression]): Boolean =
+    exprs.nonEmpty && exprs.forall(funcOf(_).isDefined)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case w: Window
         if conf.getConfString(EnabledKey, "true") != "false" &&
@@ -1499,6 +1506,11 @@ object GlobalRank {
     // row_number() — food for all three rules above on the same batch
     if (!exp.extraOptimizations.contains(RowsFollowingRule))
       exp.extraOptimizations = exp.extraOptimizations :+ RowsFollowingRule
+    // DESC / NULLS LAST global orders canonicalize to ASC NULLS FIRST
+    // (bitwise-NOT key + null-segregation key) — "latest-first" SQL
+    // becomes food for all the rules above on the same batch
+    if (!exp.extraOptimizations.contains(DescOrderRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ DescOrderRule
     if (!exp.extraStrategies.contains(GlobalRankStrategy))
       exp.extraStrategies = exp.extraStrategies :+ GlobalRankStrategy
   }

@@ -94,6 +94,20 @@ object RangeMinMaxRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Whole-node acceptance for OTHER rules (the [[DescOrderRule]]
+    * canonicalization): min/max slots present over one shared frame, any
+    * residual siblings [[RangeSlidingRule]] food (the mixed-node split).
+    * Order-key conditions are the caller's to check via
+    * [[RangeSlidingRule.globalLongOrder]].
+    */
+  private[plans] def acceptsExpressions(exprs: Seq[NamedExpression]): Boolean = {
+    val mm = exprs.flatMap(slotOf)
+    val rest = exprs.filter(ne => slotOf(ne).isEmpty)
+    mm.nonEmpty &&
+      mm.map(s => (s.width, s.follow)).distinct.length == 1 &&
+      (rest.isEmpty || RangeSlidingRule.acceptsExpressions(rest))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case w: Window
         if conf.getConfString(EnabledKey, "true") != "false" &&

@@ -97,20 +97,28 @@ object RowsFollowingRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** Whole-node acceptance for OTHER rules (the [[DescOrderRule]]
+    * canonicalization): every expression a bounded ROWS-FOLLOWING slot
+    * over one shared frame the downstream RANGE rules will take.
+    * Order-spec conditions are checked by the caller/apply.
+    */
+  private[plans] def acceptsExpressions(exprs: Seq[NamedExpression]): Boolean = {
+    val slots = exprs.map(slotOf)
+    exprs.nonEmpty && slots.forall(_.isDefined) &&
+      slots.flatten.map(_._2).distinct.length == 1 && {
+        val (n, m) = slots.flatten.head._2
+        downstreamAccepts(exprs, n, m)
+      }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case w: Window
         if conf.getConfString(EnabledKey, "true") != "false" &&
           w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
           w.orderSpec.forall(o => o.direction == Ascending &&
             o.nullOrdering == NullsFirst && o.child.deterministic) &&
-          w.windowExpressions.nonEmpty && !PlanChecks.bounded(w.child) && {
-            val slots = w.windowExpressions.map(slotOf)
-            slots.forall(_.isDefined) &&
-              slots.flatten.map(_._2).distinct.length == 1 && {
-                val (n, m) = slots.flatten.head._2
-                downstreamAccepts(w.windowExpressions, n, m)
-              }
-          } =>
+          w.windowExpressions.nonEmpty && !PlanChecks.bounded(w.child) &&
+          acceptsExpressions(w.windowExpressions) =>
       rewrite(w)
   }
 

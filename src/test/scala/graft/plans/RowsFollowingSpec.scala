@@ -105,14 +105,15 @@ class RowsFollowingSpec extends SparkSuite {
       "mixed-range")
   }
 
-  test("scope: fp sums, DESC orders, and unbounded FOLLOWING stay stock") {
+  test("scope: fp sums and unbounded FOLLOWING stay stock; DESC canonicalizes") {
     corpus(11L, 200).createOrReplaceTempView("rf_scope")
     def rewrote(sql: String): Boolean = cliffFree(spark.sql(sql))
     // one fp sibling vetoes the node (RangeSlidingRule would reject it)
     assert(!rewrote("""SELECT SUM(x) OVER (ORDER BY id ROWS BETWEEN 3 PRECEDING
       AND 2 FOLLOWING) FROM rf_scope"""))
-    // DESC ordering
-    assert(!rewrote("""SELECT SUM(d) OVER (ORDER BY id DESC ROWS BETWEEN 3
+    // DESC ordering canonicalizes through DescOrderRule and then rides
+    // this rule (bit-equality pinned in DescOrderSpec)
+    assert(rewrote("""SELECT SUM(d) OVER (ORDER BY id DESC ROWS BETWEEN 3
       PRECEDING AND 2 FOLLOWING) FROM rf_scope"""))
     // UNBOUNDED FOLLOWING is not a literal end
     assert(!rewrote("""SELECT SUM(d) OVER (ORDER BY id ROWS BETWEEN 3 PRECEDING
