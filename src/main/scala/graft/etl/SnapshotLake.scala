@@ -552,6 +552,42 @@ object SnapshotLake {
     }
   }
 
+  /** Read the current snapshot restricted to `sliceCol IN (values)` —
+    * the reference's own verification shape (`= ANY(array)`,
+    * `postgres_writer.py:371-377`) — SKIPPING whole files whose recorded
+    * [min, max] intersects NO point. The returned frame carries the
+    * `isin` filter, so it is byte-identical to `read(...).filter(...)`;
+    * unrecorded files are always read (advisory, never lossy). Null
+    * values never match `IN` in SQL, so they are dropped from both sides.
+    */
+  def readIn(
+      spark: SparkSession,
+      path: String,
+      sliceCol: String,
+      values: Seq[Any]): DataFrame = {
+    val m = currentManifest(spark, path).getOrElse(
+      throw new IllegalStateException(s"$path has no published snapshot"))
+    val full = readManifest(spark, path, m, None)
+    val vs = values.filter(_ != null)
+    def inFilter(df: DataFrame): DataFrame = {
+      val dt = df.schema(sliceCol).dataType
+      if (vs.isEmpty) df.filter(lit(false))
+      else df.filter(col(sliceCol).isin(vs.map(v => lit(v).cast(dt)): _*))
+    }
+    if (vs.isEmpty)
+      return inFilter(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema))
+    val points = Seq((sliceCol, vs.map(v => (Some(v), Some(v)))))
+    pruneFilesMulti(spark, path, m, full.schema, points) match {
+      case None => inFilter(full)
+      case Some(paths) if paths.isEmpty =>
+        inFilter(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema))
+      case Some(paths) =>
+        inFilter(spark.read.schema(full.schema).parquet(paths: _*))
+    }
+  }
+
   /** The pruning core shared by [[readSlices]] and
     * [[graft.sources.LakeCatalog]]'s scan-time pushdown: the concrete
     * file paths of manifest `m` with every file whose recorded stats
@@ -565,17 +601,35 @@ object SnapshotLake {
       path: String,
       m: Manifest,
       schema: org.apache.spark.sql.types.StructType,
-      slices: Seq[(String, Option[Any], Option[Any])]): Option[Seq[String]] = {
+      slices: Seq[(String, Option[Any], Option[Any])]): Option[Seq[String]] =
+    pruneFilesMulti(spark, path, m, schema,
+      slices.map { case (c, lo, hi) => (c, Seq((lo, hi))) })
+
+  /** [[pruneFiles]] generalized to a DISJUNCTION of intervals per column
+    * (conjunction across columns): a file is excluded when, for some
+    * column, NO interval can intersect its recorded [min, max]. An IN
+    * list — the reference's own verification shape, `= ANY(array)`
+    * (`postgres_writer.py:371-377`) — is the degenerate case of point
+    * intervals. An interval with neither bound keeps every file (its
+    * column can never exclude), the conservative direction.
+    */
+  private[graft] def pruneFilesMulti(
+      spark: SparkSession,
+      path: String,
+      m: Manifest,
+      schema: org.apache.spark.sql.types.StructType,
+      slices: Seq[(String, Seq[(Option[Any], Option[Any])])]): Option[Seq[String]] = {
     val fs = fsOf(spark, path)
     val active = slices.filter(s =>
-      schema.fieldNames.contains(s._1) && (s._2.isDefined || s._3.isDefined))
+      schema.fieldNames.contains(s._1) && s._2.nonEmpty &&
+        s._2.forall(iv => iv._1.isDefined || iv._2.isDefined))
     if (m.entries.isEmpty || active.isEmpty) return None
     val statsByGen = m.entries.map(_.gen).distinct
       .map(g => g -> readStats(fs, path, g)).toMap
     // candidate exclusions, evaluated through Spark's own comparisons on
     // each column's type (driver-local frame, O(#files-with-stats) rows)
     import spark.implicits._
-    val excluded: Set[String] = active.flatMap { case (sliceCol, lo, hi) =>
+    val excluded: Set[String] = active.flatMap { case (sliceCol, intervals) =>
       val dt = schema(sliceCol).dataType
       val cand = m.entries.flatMap { e =>
         statsByGen(e.gen).collect {
@@ -594,11 +648,15 @@ object SnapshotLake {
           case org.apache.spark.sql.types.TimestampType => unix_micros(lit(v).cast(dt))
           case _ => lit(v).cast(dt)
         }
-        val exLo = lo.map(v => coalesce(typed(col("mx")) < bound(v), lit(false)))
-          .getOrElse(lit(false))
-        val exHi = hi.map(v => coalesce(typed(col("mn")) > bound(v), lit(false)))
-          .getOrElse(lit(false))
-        sdf.filter(exLo || exHi).select("f").collect().map(_.getString(0)).toSeq
+        // excluded ⇔ every interval misses: (mx < lo_i) OR (mn > hi_i), ∀i
+        val miss = intervals.map { case (lo, hi) =>
+          val exLo = lo.map(v => coalesce(typed(col("mx")) < bound(v), lit(false)))
+            .getOrElse(lit(false))
+          val exHi = hi.map(v => coalesce(typed(col("mn")) > bound(v), lit(false)))
+            .getOrElse(lit(false))
+          exLo || exHi
+        }.reduce(_ && _)
+        sdf.filter(miss).select("f").collect().map(_.getString(0)).toSeq
       }
     }.toSet
     if (excluded.isEmpty) return None

@@ -205,6 +205,42 @@ object CoreQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** E3e — IN-LIST file skipping through the lake's SQL face: the
+    * reference's own verification query shape (`WHERE symbol = ANY(%s)`,
+    * `postgres_writer.py:371-377` — q_any's predicate) over a
+    * [[graft.etl.SnapshotLake]] whose merge range-clustered files by
+    * `user_id`. The catalog's scan-time pushdown turns the `IN` list
+    * into POINT intervals against the per-file min/max sidecars
+    * ([[graft.etl.SnapshotLake.pruneFilesMulti]]): whole files whose
+    * range contains none of the points are skipped before Spark's file
+    * index lists them (LakeCatalogSpec proves fewer files are read; this
+    * gate row pins the results byte-identical to the unpruned
+    * read + filter via the DuckDB oracle). The `event_type IN` conjunct
+    * prunes at the MANIFEST level (whole partitions).
+    */
+  def e3eLakeIn(s: SparkSession, dir: String): DataFrame = {
+    val root = ScratchLakes.fresh("e3e")
+    val lake = s"$root/events"
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+    graft.etl.SnapshotLake.merge(s, lake, ev,
+      Seq("user_id", "event_type"), "ts", "event_type", Seq("event_id"),
+      statsCols = Seq("user_id"))
+    // own catalog name: catalog instances are cached per session by name,
+    // so e3c's catalog (pinned to ITS root) cannot be re-pointed here
+    s.conf.set("spark.sql.catalog.graftlakein",
+      classOf[graft.sources.LakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftlakein.root", root)
+    s.sql(
+      """SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP_NTZ) AS timestamp_utc, value
+         FROM graftlakein.events
+         WHERE event_type IN ('click', 'purchase', 'error')
+           AND user_id IN (2, 3, 5, 7, 11, 13)
+         ORDER BY user_id, event_type""")
+  }
+
   /** E4 — OHLCV resampling (SURVEY §2.2 Aggregations): per-key daily candles
     * from finer-grained ticks via `min_by`/`max_by` — open/close ride on
     * the extreme timestamps, high/low/volume are plain extremes/sums, all in
@@ -1791,6 +1827,62 @@ object CoreQueries {
          ORDER BY o_orderkey""")
   }
 
+  /** E24: the LATEST-FIRST calendar sliding window — the same
+    * value-bounded frame family as e19b/e20b but over `ORDER BY dnum
+    * DESC`, the most natural "most recent first" SQL a market analyst
+    * writes. [[graft.plans.DescOrderRule]] canonicalizes the order to
+    * ASC NULLS FIRST over the bitwise-NOT key (`~k − ~k' = k' − k`, so
+    * the literal RANGE bounds carry over unchanged), and the existing
+    * families distribute the node on the same fixed-point batch: the
+    * minmax block split peels MIN/MAX, the ghost-probe subtraction takes
+    * SUM/COUNT — one natural DESC text, no cliff. Oracle = DuckDB's
+    * native RANGE window engine on the identical DESC order.
+    */
+  def e24DescSlidingSql(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GlobalRank.ensureRegistered(s)
+    t(s, dir, "orders").createOrReplaceTempView("e24_orders")
+    s.sql(
+      """SELECT o_orderkey,
+                CAST(SUM(px) OVER win AS DOUBLE) AS frame_total,
+                COUNT(*) OVER win AS frame_cnt,
+                CAST(MIN(px2) OVER win AS DOUBLE) AS frame_min,
+                CAST(MAX(px2) OVER win AS DOUBLE) AS frame_max
+         FROM (SELECT o_orderkey,
+                      CAST(o_totalprice AS DECIMAL(25,4)) AS px,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS px2,
+                      CAST(datediff(o_orderdate, DATE'1992-01-01') AS BIGINT) AS dnum
+               FROM e24_orders)
+         WINDOW win AS (ORDER BY dnum DESC RANGE BETWEEN 6 PRECEDING AND 2 FOLLOWING)
+         ORDER BY o_orderkey""")
+  }
+
+  /** E24b: the LATEST-FIRST centered ROW-COUNT window — e23's shape over
+    * a fully DESCENDING multi-column total order. Three rules interlock:
+    * [[graft.plans.DescOrderRule]] canonicalizes both DESC keys (NOT'd
+    * BIGINTs + null-segregation flags), [[graft.plans.RowsFollowingRule]]
+    * linearizes the composite order through a running count, and the
+    * RANGE families distribute the frames. Oracle = DuckDB's native ROWS
+    * window engine on the identical DESC order.
+    */
+  def e24bDescRowsSql(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GlobalRank.ensureRegistered(s)
+    t(s, dir, "orders").createOrReplaceTempView("e24b_orders")
+    s.sql(
+      """SELECT o_orderkey,
+                CAST(SUM(px) OVER w AS DOUBLE) AS c_total,
+                COUNT(*) OVER w AS c_cnt,
+                CAST(MIN(px2) OVER w AS DOUBLE) AS c_min,
+                CAST(MAX(px2) OVER w AS DOUBLE) AS c_max
+         FROM (SELECT o_orderkey,
+                      CAST(o_totalprice AS DECIMAL(25,4)) AS px,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS px2,
+                      CAST(datediff(o_orderdate, DATE'1992-01-01') AS BIGINT) AS dnum
+               FROM e24b_orders)
+         WINDOW w AS (ORDER BY dnum DESC, o_orderkey DESC
+                      ROWS BETWEEN 6 PRECEDING AND 3 FOLLOWING)
+         ORDER BY o_orderkey""")
+  }
+
   /** E17: the raw-SQL GLOBAL MOVING TOTAL/AVERAGE —
     * `SUM(x) OVER (ORDER BY … ROWS BETWEEN k PRECEDING AND CURRENT ROW)`.
     * [[graft.plans.GlobalRankRule]] rewrites the sliding frame into a
@@ -2129,6 +2221,7 @@ object CoreQueries {
     "e3b_upsert_lake" -> (e3bUpsertLake _),
     "e3c_lake_sql" -> (e3cLakeSql _),
     "e3d_lake_slice" -> (e3dLakeSlice _),
+    "e3e_lake_in" -> (e3eLakeIn _),
     "e4_ohlcv_resample" -> (e4OhlcvResample _),
     "e13_weekly_candles" -> (e13WeeklyCandles _),
     "e5_gap_fill" -> (e5GapFill _),
@@ -2201,6 +2294,8 @@ object CoreQueries {
     "e21b_range_centered_sql" -> (e21bRangeCenteredSql _),
     "e22_running_covar_sql" -> (e22RunningCovarSql _),
     "e23_rows_centered_sql" -> (e23RowsCenteredSql _),
+    "e24_desc_sliding_sql" -> (e24DescSlidingSql _),
+    "e24b_desc_rows_sql" -> (e24bDescRowsSql _),
     "a26_salted_skew_join" -> ((s: SparkSession, d: String) => a26SaltedSkewJoin(s, d)),
     "c9_fixed_size_sample" -> ((s: SparkSession, d: String) => c9FixedSizeSample(s, d)),
     "c10_weighted_sample" -> ((s: SparkSession, d: String) => c10WeightedSample(s, d)),
@@ -2287,6 +2382,22 @@ object CoreQueries {
          FROM w
          WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-22 00:00:00'
            AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-28 00:00:00'
+         ORDER BY user_id, event_type""",
+    "e3e_lake_in" ->
+      // single-batch LWW winners, then the q_any-shaped IN predicates —
+      // byte-identical to the engine's point-pruned read (skipping may
+      // drop FILES, never rows)
+      """WITH w AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events)
+           WHERE rn = 1)
+         SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP) AS timestamp_utc, value
+         FROM w
+         WHERE event_type IN ('click', 'purchase', 'error')
+           AND user_id IN (2, 3, 5, 7, 11, 13)
          ORDER BY user_id, event_type""",
     "a26_salted_skew_join" ->
       """WITH ts_stats AS (
@@ -2707,6 +2818,37 @@ object CoreQueries {
                   AS DOUBLE) / 100000000.0 AS c_avg,
                 c_min, c_max
          FROM w1 ORDER BY o_orderkey""",
+    "e24_desc_sliding_sql" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  CAST(o_totalprice AS DECIMAL(25,4)) AS px,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS px2,
+                  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dnum
+           FROM orders)
+         SELECT o_orderkey,
+                CAST(SUM(px) OVER win AS DOUBLE) AS frame_total,
+                COUNT(*) OVER win AS frame_cnt,
+                CAST(MIN(px2) OVER win AS DOUBLE) AS frame_min,
+                CAST(MAX(px2) OVER win AS DOUBLE) AS frame_max
+         FROM o
+         WINDOW win AS (ORDER BY dnum DESC RANGE BETWEEN 6 PRECEDING AND 2 FOLLOWING)
+         ORDER BY o_orderkey""",
+    "e24b_desc_rows_sql" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  CAST(o_totalprice AS DECIMAL(25,4)) AS px,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS px2,
+                  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dnum
+           FROM orders)
+         SELECT o_orderkey,
+                CAST(SUM(px) OVER w AS DOUBLE) AS c_total,
+                COUNT(*) OVER w AS c_cnt,
+                CAST(MIN(px2) OVER w AS DOUBLE) AS c_min,
+                CAST(MAX(px2) OVER w AS DOUBLE) AS c_max
+         FROM o
+         WINDOW w AS (ORDER BY dnum DESC, o_orderkey DESC
+                      ROWS BETWEEN 6 PRECEDING AND 3 FOLLOWING)
+         ORDER BY o_orderkey""",
     "e18_firstlast_sql" ->
       // decimal running avg replicated in exact HUGEINT unit arithmetic:
       // cumulative sum of 1e-4 units, integer divide at scale 8 with

@@ -240,49 +240,72 @@ private[sources] class LakeScanBuilder(
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
   import org.apache.spark.sql.catalyst.expressions.{
-    AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
-    LessThan, LessThanOrEqual, Literal}
+    AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan,
+    GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
 
   private var inner: org.apache.spark.sql.connector.read.ScanBuilder =
     table.parquetOver(table.genDirs, Some(tableSchema), options)
       .newScanBuilder(options)
 
-  /** (col, lo, hi) slices from the pushable conjuncts — inclusive bounds
-    * only ever WIDEN an exclusive predicate, the conservative direction.
+  /** Per-column interval DISJUNCTIONS from the pushable conjuncts —
+    * inclusive bounds only ever WIDEN an exclusive predicate, the
+    * conservative direction. Range/equality conjuncts give one interval;
+    * `IN` lists (and their optimized `InSet` form, plus non-null
+    * `EqualNullSafe`) give one POINT interval per value — null elements
+    * are dropped (a null never matches IN/= in a kept row, so pruning on
+    * the non-null points alone stays lossless).
     */
   private def slicesOf(
-      filters: Seq[Expression]): Seq[(String, Option[Any], Option[Any])] = {
-    def ext(l: Literal): Any =
+      filters: Seq[Expression]): Seq[(String, Seq[(Option[Any], Option[Any])])] = {
+    def conv(dt: org.apache.spark.sql.types.DataType): Any => Any =
       org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .createToScalaConverter(l.dataType)(l.value)
+        .createToScalaConverter(dt)
+    def ext(l: Literal): Any = conv(l.dataType)(l.value)
+    def one(col: String, lo: Option[Any], hi: Option[Any]) =
+      (col, Seq((lo, hi)))
     filters.collect {
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
-        (a.name, Some(ext(l)), None)
+        one(a.name, Some(ext(l)), None)
       case GreaterThan(a: AttributeReference, l: Literal) if l.value != null =>
-        (a.name, Some(ext(l)), None)
+        one(a.name, Some(ext(l)), None)
       case LessThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
-        (a.name, None, Some(ext(l)))
+        one(a.name, None, Some(ext(l)))
       case LessThan(a: AttributeReference, l: Literal) if l.value != null =>
-        (a.name, None, Some(ext(l)))
+        one(a.name, None, Some(ext(l)))
       case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
-        (a.name, Some(ext(l)), Some(ext(l)))
+        one(a.name, Some(ext(l)), Some(ext(l)))
       case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
-        (a.name, Some(ext(l)), Some(ext(l)))
+        one(a.name, Some(ext(l)), Some(ext(l)))
+      case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
+        one(a.name, Some(ext(l)), Some(ext(l)))
+      case EqualNullSafe(l: Literal, a: AttributeReference) if l.value != null =>
+        one(a.name, Some(ext(l)), Some(ext(l)))
       case GreaterThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
-        (a.name, None, Some(ext(l)))
+        one(a.name, None, Some(ext(l)))
       case GreaterThan(l: Literal, a: AttributeReference) if l.value != null =>
-        (a.name, None, Some(ext(l)))
+        one(a.name, None, Some(ext(l)))
       case LessThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
-        (a.name, Some(ext(l)), None)
+        one(a.name, Some(ext(l)), None)
       case LessThan(l: Literal, a: AttributeReference) if l.value != null =>
-        (a.name, Some(ext(l)), None)
+        one(a.name, Some(ext(l)), None)
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) &&
+            vs.exists { case l: Literal => l.value != null } =>
+        (a.name, vs.collect { case l: Literal if l.value != null =>
+          (Some(ext(l)): Option[Any], Some(ext(l)): Option[Any]) })
+      case InSet(a: AttributeReference, hset)
+          if hset.nonEmpty && hset.exists(_ != null) =>
+        (a.name, hset.toSeq.filter(_ != null).map { v =>
+          val sv = conv(a.dataType)(v)
+          (Some(sv): Option[Any], Some(sv): Option[Any])
+        })
     }
   }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val slices = slicesOf(filters)
     if (slices.nonEmpty)
-      SnapshotLake.pruneFiles(spark, lakePath, manifest, tableSchema, slices)
+      SnapshotLake.pruneFilesMulti(spark, lakePath, manifest, tableSchema, slices)
         .foreach { pruned =>
           inner = table.parquetOver(pruned, Some(tableSchema), options)
             .newScanBuilder(options)

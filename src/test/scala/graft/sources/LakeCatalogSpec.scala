@@ -186,6 +186,49 @@ class LakeCatalogSpec extends SparkSuite {
       e2.getMessage.contains("TABLE_OR_VIEW"), e2.getMessage)
   }
 
+  test("IN-list predicates prune FILES at SQL scan time (point intervals)") {
+    val dir = s"$root/inlist"
+    val rows = (1 to 1000).map(i => (s"k$i", "p", i.toLong, i.toDouble))
+      .toDF("key", "dt", "v", "price")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try SnapshotLake.merge(spark, dir, rows, Seq("key"), "v", "dt",
+      statsCols = Seq("v"))
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = SnapshotLake.currentManifest(spark, dir).get
+    val genDir = new org.apache.hadoop.fs.Path(s"$dir/data/" +
+      m.entries.head.dirName + s"/gen=${m.entries.head.gen}")
+    val total = fs.listStatus(genDir)
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    assert(total > 2, s"need fragmentation, got $total")
+    // a small IN list (below the InSet threshold) and a large one (above
+    // it, optimized to InSet) must both reach the sidecars as points
+    for (vals <- Seq(Seq(7L, 8L, 900L),
+      (1L to 12L) ++ Seq(990L, 991L, 992L))) {
+      val q = spark.sql(
+        s"SELECT key, v, input_file_name() AS f FROM glake.inlist " +
+          s"WHERE v IN (${vals.mkString(", ")})")
+      assert(q.count() == vals.size.toLong)
+      assert(q.select("f").distinct().count() < total,
+        s"IN(${vals.size}) read every file — point pruning is dead")
+      val want = SnapshotLake.read(spark, dir)
+        .filter(col("v").isin(vals: _*)).select("key", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(q.select("key", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet == want)
+    }
+    // the API face: readIn skips the same files and matches read+filter
+    val got = SnapshotLake.readIn(spark, dir, "v", Seq(5L, 500L, 995L))
+    assert(got.select(input_file_name()).distinct().count() < total)
+    assert(got.select("key", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("k5", 5L), ("k500", 500L), ("k995", 995L)))
+    // empty / all-null IN lists are empty results, not errors
+    assert(SnapshotLake.readIn(spark, dir, "v", Nil).count() == 0L)
+    assert(SnapshotLake.readIn(spark, dir, "v", Seq(null)).count() == 0L)
+  }
+
   test("read-only: DDL/DML through the catalog refuse loudly; missing tables throw") {
     intercept[UnsupportedOperationException](
       spark.sql("CREATE TABLE glake.t2 (a INT) USING parquet"))
