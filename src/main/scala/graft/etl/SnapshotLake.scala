@@ -233,6 +233,72 @@ object SnapshotLake {
     } else spark.emptyDataFrame // a table with zero partitions has no schema
   }
 
+  /** The merge contract a lake was created with — keys, version column,
+    * partition column, tie-breakers, stats columns. Persisted (as
+    * `_manifests/table-meta`) by [[merge]] so the SQL write face
+    * ([[graft.sources.LakeCatalog]]'s `INSERT INTO`) can route through
+    * the SAME keyed LWW commit without the caller re-stating the spec.
+    */
+  case class MergeSpec(
+      keys: Seq[String],
+      versionCol: String,
+      partitionCol: String,
+      tieBreakers: Seq[String],
+      statsCols: Seq[String])
+
+  private def metaPath(path: String) = new Path(manifestDir(path), "table-meta")
+
+  /** The persisted [[MergeSpec]], or None for a lake that has never been
+    * merged through the spec-stamping path (pre-round-11 lakes).
+    */
+  def mergeSpecOf(spark: SparkSession, path: String): Option[MergeSpec] = {
+    val fs = fsOf(spark, path)
+    val p = metaPath(path)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split('\n').filter(_.nonEmpty)
+    if (lines.isEmpty || lines.head != "graft-lake-meta-v1") return None
+    val kv = lines.tail.map { l =>
+      val a = l.split('\t')
+      a(0) -> (if (a.length > 1) a(1) else "")
+    }.toMap
+    def list(k: String): Seq[String] =
+      kv.getOrElse(k, "").split(',').toSeq.filter(_.nonEmpty).map(dec)
+    for {
+      v <- kv.get("version").filter(_.nonEmpty).map(dec)
+      pc <- kv.get("partition").filter(_.nonEmpty).map(dec)
+      ks = list("keys") if ks.nonEmpty
+    } yield MergeSpec(ks, v, pc, list("tiebreakers"), list("statscols"))
+  }
+
+  private def specText(spec: MergeSpec): String =
+    "graft-lake-meta-v1\n" +
+      s"keys\t${spec.keys.map(enc).mkString(",")}\n" +
+      s"version\t${enc(spec.versionCol)}\n" +
+      s"partition\t${enc(spec.partitionCol)}\n" +
+      s"tiebreakers\t${spec.tieBreakers.map(enc).mkString(",")}\n" +
+      s"statscols\t${spec.statsCols.map(enc).mkString(",")}\n"
+
+  /** Persist the merge contract (idempotent; caller holds the lease). */
+  private def writeMergeSpec(fs: FileSystem, path: String, spec: MergeSpec): Unit = {
+    val p = metaPath(path)
+    val text = specText(spec)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val cur = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (cur == text) return
+      fs.delete(p, false)
+    }
+    fs.mkdirs(manifestDir(path))
+    val tmp = new Path(manifestDir(path), s".tmp-meta-${System.nanoTime()}")
+    val out = fs.create(tmp, false)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    Upsert.renameOrThrow(fs, tmp, p)
+  }
+
   /** Keyed LWW merge into the lake — [[Upsert.mergePartitionedParquet]]'s
     * semantics (same CONTRACT: `partitionCol` functionally determined by
     * `keys`; on key collision the update wins, then LWW on `versionCol` +
@@ -261,7 +327,13 @@ object SnapshotLake {
     val deduped = Upsert.lastWriteWins(updates, keys, versionCol, tieBreakers)
     LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
       prepareMerge(spark, path, deduped, keys, versionCol, partitionCol,
-        tieBreakers, statsCols).foreach { case (fs, m) => publish(fs, path, m) }
+        tieBreakers, statsCols).foreach { case (fs, m) =>
+        publish(fs, path, m)
+        // stamp the merge contract so `INSERT INTO` through the SQL face
+        // can route later batches into the same keyed LWW commit
+        writeMergeSpec(fs, path,
+          MergeSpec(keys, versionCol, partitionCol, tieBreakers, statsCols))
+      }
     }
   }
 

@@ -151,14 +151,18 @@ object CoreQueries {
       .orderBy("user_id", "event_type")
   }
 
-  /** E3c — the lake's SQL FACE: the same two-batch merge as e3b, read back
-    * through [[graft.sources.LakeCatalog]] with plain `spark.sql` over a
-    * catalog-qualified table (the reference's whole value proposition is
-    * raw SQL over its tables, `README.md:316-357` — the lake cannot stay
-    * API-only). `loadTable` resolves the manifest driver-side and hands
-    * the snapshot's gen dirs to Spark's native V2 ParquetTable, so
+  /** E3c — the lake's SQL FACE, now both directions: batch 1 lands via
+    * the API merge, batch 2 via `INSERT INTO` over the catalog (planned
+    * as AppendData, routed through the SAME [[graft.etl.SnapshotLake]]
+    * LWW commit via the stamped merge contract), and the answer reads
+    * back with plain `spark.sql` over a catalog-qualified table (the
+    * reference's whole value proposition is raw SQL over its tables,
+    * `README.md:316-357` — the lake can stay neither read- nor
+    * write-API-only). `loadTable` resolves the manifest driver-side and
+    * hands the snapshot's gen dirs to Spark's native V2 ParquetTable, so
     * pushdown/pruning/vectorization are stock; `VERSION AS OF` time
-    * travel is spec-pinned in LakeCatalogSpec.
+    * travel and the write-face guardrails are spec-pinned in
+    * LakeCatalogSpec.
     */
   def e3cLakeSql(s: SparkSession, dir: String): DataFrame = {
     val root = ScratchLakes.fresh("e3c")
@@ -166,13 +170,18 @@ object CoreQueries {
     val ev = t(s, dir, "events")
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("ts"), col("value"))
+    // batch 1 through the API merge — bootstraps the lake AND stamps the
+    // merge contract (keys/version/partition) the SQL write face uses
     graft.etl.SnapshotLake.merge(s, lake, ev.filter(col("event_id") % 2 === 0),
-      Seq("user_id", "event_type"), "ts", "event_type", Seq("event_id"))
-    graft.etl.SnapshotLake.merge(s, lake, ev.filter(col("event_id") % 2 === 1),
       Seq("user_id", "event_type"), "ts", "event_type", Seq("event_id"))
     s.conf.set("spark.sql.catalog.graftlake",
       classOf[graft.sources.LakeCatalog].getName)
     s.conf.set("spark.sql.catalog.graftlake.root", root)
+    // batch 2 through SQL INSERT — plans an AppendData over the lake
+    // table and routes through the SAME SnapshotLake.merge LWW commit
+    // (cross-batch update-wins included), so SQL and API writers agree
+    ev.filter(col("event_id") % 2 === 1).createOrReplaceTempView("e3c_batch2")
+    s.sql("INSERT INTO graftlake.events SELECT * FROM e3c_batch2")
     s.sql(
       """SELECT user_id, event_type, event_id,
                 CAST(ts AS TIMESTAMP_NTZ) AS timestamp_utc, value

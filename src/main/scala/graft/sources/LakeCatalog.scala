@@ -39,9 +39,12 @@ import graft.etl.SnapshotLake
   * gets the native vectorized parquet reader, filter/column pushdown,
   * and AQE for free, and stays pinned to the resolved snapshot (gen dirs
   * are immutable until vacuum — the same stability contract as
-  * [[SnapshotLake.read]]). Writes go through [[SnapshotLake.merge]]'s
-  * keyed LWW commit protocol, never through SQL INSERT — `createTable` /
-  * `dropTable` / `alterTable` refuse loudly.
+  * [[SnapshotLake.read]]). `INSERT INTO <cat>.<table>` is supported and
+  * ROUTES THROUGH [[SnapshotLake.merge]]'s keyed LWW commit (the merge
+  * contract comes from the spec the lake's own merges stamp — see
+  * [[SnapshotLake.mergeSpecOf]]); `INSERT OVERWRITE` and DDL
+  * (`createTable` / `dropTable` / `alterTable`) refuse loudly — a lake is
+  * bootstrapped by its first API merge, never by SQL DDL.
   *
   * Time travel: `VERSION AS OF n` loads manifest n exactly (must be
   * retained); `TIMESTAMP AS OF t` loads the newest manifest PUBLISHED at
@@ -145,8 +148,9 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$catName is a READ-ONLY face over snapshot lakes: $op must go " +
-        "through SnapshotLake.merge's keyed LWW commit protocol")
+      s"$catName carries no DDL face over snapshot lakes: $op is not " +
+        "supported — a lake is bootstrapped by its first SnapshotLake.merge " +
+        "(which also stamps the contract INSERT INTO routes through)")
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
@@ -204,7 +208,8 @@ private[sources] class LakeTable(
     manifest: SnapshotLake.Manifest,
     spark: SparkSession)
   extends Table
-  with org.apache.spark.sql.connector.catalog.SupportsRead {
+  with org.apache.spark.sql.connector.catalog.SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private[sources] def genDirs: Seq[String] = manifest.entries
     .map(e => new Path(new Path(new Path(lakePath, "data"), e.dirName),
@@ -221,11 +226,47 @@ private[sources] class LakeTable(
     parquetOver(genDirs, None, CaseInsensitiveStringMap.empty()).schema
 
   override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ,
+      org.apache.spark.sql.connector.catalog.TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
     new LakeScanBuilder(this, lakePath, manifest, schema, options, spark)
+
+  /** The SQL WRITE face: `INSERT INTO <cat>.<table> …` plans an
+    * `AppendData` over this table and routes the batch through
+    * [[SnapshotLake.merge]]'s keyed LWW commit — the merge contract comes
+    * from the spec the lake's own merges stamped
+    * ([[SnapshotLake.mergeSpecOf]]), so SQL writers and API writers share
+    * ONE upsert semantics, snapshot isolation, and the single-writer
+    * lease (the [[JdbcUpsertTable]] V1-write pattern). `INSERT OVERWRITE`
+    * has no truncate face and refuses at analysis; DDL stays read-only.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              if (overwrite) throw new UnsupportedOperationException(
+                s"lake table $tableName is append-merge only: INSERT " +
+                  "OVERWRITE would discard history; use SnapshotLake " +
+                  "vacuum/retention for lifecycle management")
+              val s = data.sparkSession
+              val spec = SnapshotLake.mergeSpecOf(s, lakePath).getOrElse(
+                throw new UnsupportedOperationException(
+                  s"lake table $tableName has no persisted merge contract " +
+                    "(_manifests/table-meta) — run one SnapshotLake.merge " +
+                    "through the API to establish keys/version/partition, " +
+                    "then INSERT INTO routes through the same LWW commit"))
+              SnapshotLake.merge(s, lakePath, data, spec.keys,
+                spec.versionCol, spec.partitionCol, spec.tieBreakers,
+                spec.statsCols)
+            }
+        }
+    }
 }
 
 private[sources] class LakeScanBuilder(

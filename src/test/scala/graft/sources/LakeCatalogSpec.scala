@@ -229,7 +229,54 @@ class LakeCatalogSpec extends SparkSuite {
     assert(SnapshotLake.readIn(spark, dir, "v", Seq(null)).count() == 0L)
   }
 
-  test("read-only: DDL/DML through the catalog refuse loudly; missing tables throw") {
+  test("INSERT INTO routes through the keyed LWW merge (AppendData plan)") {
+    val dir = s"$root/ins"
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    // the plan face: INSERT over the lake table is an AppendData node
+    val planned = spark.sql(
+      "EXPLAIN EXTENDED INSERT INTO glake.ins SELECT * FROM VALUES " +
+        "('k9', '2025-01-09', CAST(1 AS BIGINT), 90.0)")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(planned.contains("AppendData"), s"not an AppendData write:\n$planned")
+    // merge semantics, same as the API: a key present in the INSERT batch
+    // takes the batch's winner (cross-batch UPDATE-WINS — the e3b
+    // contract, version regardless), untouched keys keep their rows, new
+    // keys append
+    spark.sql(
+      """INSERT INTO glake.ins VALUES
+           ('k1', '2025-01-01', CAST(2 AS BIGINT), 15.0),
+           ('k2', '2025-01-02', CAST(0 AS BIGINT), 7.0),
+           ('k4', '2025-01-04', CAST(1 AS BIGINT), 40.0)""")
+    val after = state(spark.sql("SELECT * FROM glake.ins").collect())
+    assert(after == Map("k1" -> ((2L, 15.0)), "k2" -> ((0L, 7.0)),
+      "k3" -> ((1L, 30.0)), "k4" -> ((1L, 40.0))), after.toString)
+    // snapshot history intact: the pre-insert snapshot still reads
+    assert(state(SnapshotLake.readAt(spark, dir, 1L).collect()).keySet ==
+      Set("k1", "k2", "k3"))
+    // the persisted contract drives the routing
+    val spec = SnapshotLake.mergeSpecOf(spark, dir).get
+    assert(spec.keys == Seq("key") && spec.versionCol == "v" &&
+      spec.partitionCol == "dt")
+  }
+
+  test("INSERT OVERWRITE and spec-less lakes refuse loudly") {
+    val dir = s"$root/insguard"
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    val e1 = intercept[Exception](spark.sql(
+      "INSERT OVERWRITE glake.insguard SELECT * FROM glake.insguard"))
+    assert(e1.getMessage.contains("append-merge only") ||
+      e1.getMessage.toLowerCase.contains("overwrite"), e1.getMessage)
+    // a lake without the stamped contract (pre-round-11 layout) refuses
+    // INSERT with remediation, instead of guessing keys
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_manifests/table-meta"), false)
+    val e2 = intercept[Exception](spark.sql(
+      "INSERT INTO glake.insguard VALUES ('k9','2025-01-09',CAST(1 AS BIGINT),9.0)"))
+    assert(e2.getMessage.contains("merge contract"), e2.getMessage)
+  }
+
+  test("read-only: DDL through the catalog refuses loudly; missing tables throw") {
     intercept[UnsupportedOperationException](
       spark.sql("CREATE TABLE glake.t2 (a INT) USING parquet"))
     intercept[UnsupportedOperationException](spark.sql("DROP TABLE glake.quotes"))
