@@ -69,7 +69,8 @@ object VerifySf1 {
       val keys = Seq(graft.plans.GlobalRankRule.EnabledKey,
         graft.plans.RangeSlidingRule.EnabledKey,
         graft.plans.RangeMinMaxRule.EnabledKey,
-        graft.plans.RowsFollowingRule.EnabledKey)
+        graft.plans.RowsFollowingRule.EnabledKey,
+        graft.plans.DescOrderRule.EnabledKey)
       keys.foreach(spark.conf.set(_, "false"))
       try body.localCheckpoint() finally keys.foreach(spark.conf.unset)
     }
@@ -366,6 +367,22 @@ object VerifySf1 {
       ("e23_rows_centered_sql",
         () => CoreQueries.e23RowsCenteredSql(spark, work),
         () => stockWindows(CoreQueries.e23RowsCenteredSql(spark, work))),
+      // e22: the running covar/corr DECIMAL-prefix composition ↔ the stock
+      // single-partition Window on the same text — the per-row double
+      // arithmetic is on exact operands, so the hashes must be identical
+      ("e22_running_covar_sql",
+        () => CoreQueries.e22RunningCovarSql(spark, work),
+        () => stockWindows(CoreQueries.e22RunningCovarSql(spark, work))),
+      // e24/e24b: the round-11 DESC canonicalization (NOT-key + null
+      // segregation) against the stock DESC Window — the twins where a
+      // sign error in the key algebra or a misplaced null group would
+      // actually flip a hash at 1.5M rows
+      ("e24_desc_sliding_sql",
+        () => CoreQueries.e24DescSlidingSql(spark, work),
+        () => stockWindows(CoreQueries.e24DescSlidingSql(spark, work))),
+      ("e24b_desc_rows_sql",
+        () => CoreQueries.e24bDescRowsSql(spark, work),
+        () => stockWindows(CoreQueries.e24bDescRowsSql(spark, work))),
       // e3d: the FILE-SKIPPING slice read (stats-clustered merge +
       // sidecar-pruned readSlice) ↔ lake-free LWW algebra + a plain
       // filter — pruning may drop files, never rows, at 1.5M events
@@ -379,6 +396,24 @@ object VerifySf1 {
             Seq("user_id", "event_type"), "ts", Seq("event_id"))
             .filter(col("ts") >= lit("2024-01-22 00:00:00").cast("timestamp") &&
               col("ts") <= lit("2024-01-28 00:00:00").cast("timestamp"))
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts").cast("timestamp_ntz").as("timestamp_utc"), col("value"))
+            .localCheckpoint()
+        }),
+      // e3e: the IN-list point-pruned SQL read (merge clustered by
+      // user_id + InSet/In pushdown into the sidecars) ↔ lake-free LWW
+      // algebra + a plain isin filter — point skipping may drop files,
+      // never rows, at 1.5M events
+      ("e3e_lake_in",
+        () => CoreQueries.e3eLakeIn(spark, work),
+        () => {
+          import graft.etl.Upsert
+          Upsert.lastWriteWins(
+            ev.select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts"), col("value")),
+            Seq("user_id", "event_type"), "ts", Seq("event_id"))
+            .filter(col("event_type").isin("click", "purchase", "error") &&
+              col("user_id").isin(2L, 3L, 5L, 7L, 11L, 13L))
             .select(col("user_id"), col("event_type"), col("event_id"),
               col("ts").cast("timestamp_ntz").as("timestamp_utc"), col("value"))
             .localCheckpoint()
