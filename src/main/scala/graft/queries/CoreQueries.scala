@@ -1836,6 +1836,33 @@ object CoreQueries {
          ORDER BY o_orderkey""")
   }
 
+  /** E23b — e23's PRODUCTION face: the same centered ROWS window through
+    * [[graft.operators.RangeWindows.rowsSlidingAll]], which materializes
+    * the sorted stream ONCE (one range exchange + one localCheckpoint)
+    * and carries every family as lead-of-trailing-slide in a single
+    * stacked GlobalRank cascade, patching only the last m rows through a
+    * frame-bounded broadcast self-join — versus e23's pure-optimizer
+    * composition, whose reals/ghost/bucket branches each re-run the rank
+    * pipeline above the reused exchange (SURVEY §6.19's documented cost,
+    * here made a library choice). Same DuckDB oracle as e23: the two
+    * faces must be value-identical.
+    */
+  def e23bRowsCenteredLib(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+      col("o_totalprice").cast("decimal(25,4)").as("px"),
+      col("o_totalprice").cast("decimal(18,2)").as("px2"))
+    graft.operators.RangeWindows
+      .rowsSlidingAll(o, Seq("o_orderkey"),
+        Seq(col("o_orderdate"), col("o_orderkey")), 6L, 3L, "px", "px2")
+      .select(col("o_orderkey"),
+        col("frame_sum").cast("double").as("c_total"),
+        col("frame_cnt").as("c_cnt"),
+        col("frame_avg").cast("double").as("c_avg"),
+        col("frame_min").cast("double").as("c_min"),
+        col("frame_max").cast("double").as("c_max"))
+      .orderBy("o_orderkey")
+  }
+
   /** E24: the LATEST-FIRST calendar sliding window — the same
     * value-bounded frame family as e19b/e20b but over `ORDER BY dnum
     * DESC`, the most natural "most recent first" SQL a market analyst
@@ -2303,6 +2330,7 @@ object CoreQueries {
     "e21b_range_centered_sql" -> (e21bRangeCenteredSql _),
     "e22_running_covar_sql" -> (e22RunningCovarSql _),
     "e23_rows_centered_sql" -> (e23RowsCenteredSql _),
+    "e23b_rows_centered_lib" -> (e23bRowsCenteredLib _),
     "e24_desc_sliding_sql" -> (e24DescSlidingSql _),
     "e24b_desc_rows_sql" -> (e24bDescRowsSql _),
     "a26_salted_skew_join" -> ((s: SparkSession, d: String) => a26SaltedSkewJoin(s, d)),
@@ -2804,6 +2832,63 @@ object CoreQueries {
     "e23_rows_centered_sql" ->
       // sum/count/min/max natively; the decimal AVG lane in HUGEINT units
       // (scale 8 = Spark's decimal(29,8) result), the e18 discipline
+      """WITH o AS (
+           SELECT o_orderkey, o_orderdate,
+                  CAST(o_totalprice AS DECIMAL(25,4)) AS px,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS px2,
+                  CAST(CAST(o_totalprice AS DECIMAL(25,4)) * 10000 AS HUGEINT) AS u4
+           FROM orders),
+         w1 AS (
+           SELECT o_orderkey,
+                  CAST(SUM(px) OVER w AS DOUBLE) AS c_total,
+                  COUNT(*) OVER w AS c_cnt,
+                  CAST(MIN(px2) OVER w AS DOUBLE) AS c_min,
+                  CAST(MAX(px2) OVER w AS DOUBLE) AS c_max,
+                  SUM(u4) OVER w AS s4,
+                  COUNT(*) OVER w AS c
+           FROM o
+           WINDOW w AS (ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 6 PRECEDING AND 3 FOLLOWING))
+         SELECT o_orderkey, c_total, c_cnt,
+                CAST((s4 * 10000) // c +
+                     (CASE WHEN 2 * ((s4 * 10000) % c) >= c THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 100000000.0 AS c_avg,
+                c_min, c_max
+         FROM w1 ORDER BY o_orderkey""",
+    "e24_desc_sliding_sql" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  CAST(o_totalprice AS DECIMAL(25,4)) AS px,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS px2,
+                  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dnum
+           FROM orders)
+         SELECT o_orderkey,
+                CAST(SUM(px) OVER win AS DOUBLE) AS frame_total,
+                COUNT(*) OVER win AS frame_cnt,
+                CAST(MIN(px2) OVER win AS DOUBLE) AS frame_min,
+                CAST(MAX(px2) OVER win AS DOUBLE) AS frame_max
+         FROM o
+         WINDOW win AS (ORDER BY dnum DESC RANGE BETWEEN 6 PRECEDING AND 2 FOLLOWING)
+         ORDER BY o_orderkey""",
+    "e24b_desc_rows_sql" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  CAST(o_totalprice AS DECIMAL(25,4)) AS px,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS px2,
+                  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dnum
+           FROM orders)
+         SELECT o_orderkey,
+                CAST(SUM(px) OVER w AS DOUBLE) AS c_total,
+                COUNT(*) OVER w AS c_cnt,
+                CAST(MIN(px2) OVER w AS DOUBLE) AS c_min,
+                CAST(MAX(px2) OVER w AS DOUBLE) AS c_max
+         FROM o
+         WINDOW w AS (ORDER BY dnum DESC, o_orderkey DESC
+                      ROWS BETWEEN 6 PRECEDING AND 3 FOLLOWING)
+         ORDER BY o_orderkey""",
+    "e23b_rows_centered_lib" ->
+      // e23's oracle verbatim — the library face must be value-identical
+      // to the optimizer composition (and to DuckDB's native ROWS engine)
       """WITH o AS (
            SELECT o_orderkey, o_orderdate,
                   CAST(o_totalprice AS DECIMAL(25,4)) AS px,

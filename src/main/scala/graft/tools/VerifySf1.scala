@@ -367,6 +367,12 @@ object VerifySf1 {
       ("e23_rows_centered_sql",
         () => CoreQueries.e23RowsCenteredSql(spark, work),
         () => stockWindows(CoreQueries.e23RowsCenteredSql(spark, work))),
+      // e23b: the materialize-once library face ↔ the pure-optimizer
+      // three-rule composition — two disjoint distributions of the same
+      // centered ROWS frame, value-identical by contract
+      ("e23b_rows_centered_lib",
+        () => CoreQueries.e23bRowsCenteredLib(spark, work),
+        () => CoreQueries.e23RowsCenteredSql(spark, work)),
       // e22: the running covar/corr DECIMAL-prefix composition ↔ the stock
       // single-partition Window on the same text — the per-row double
       // arithmetic is on exact operands, so the hashes must be identical
