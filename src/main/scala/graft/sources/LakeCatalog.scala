@@ -343,14 +343,57 @@ private[sources] class LakeScanBuilder(
     }
   }
 
+  /** MANIFEST-level partition pruning: point predicates (=, IN) on the
+    * lake's PARTITION column drop whole manifest entries before any file
+    * is listed — the manifest records each partition's value string (the
+    * same `cast(v AS STRING)` the merge routed rows by, evaluated here
+    * under the engine's UTC invariant), so a point matches a partition
+    * iff the strings match. Points only: a RANGE bound would compare
+    * lexicographically against a typed value — not conservative — so
+    * ranges fall through to the (typed) stats sidecars.
+    */
+  private def prunePartitions(
+      m: SnapshotLake.Manifest,
+      slices: Seq[(String, Seq[(Option[Any], Option[Any])])]): SnapshotLake.Manifest = {
+    val dt = tableSchema.fields.find(_.name == m.partitionCol).map(_.dataType)
+      .getOrElse(return m)
+    val pointSets = slices.collect {
+      case (c, intervals)
+          if c == m.partitionCol && intervals.nonEmpty &&
+            intervals.forall(iv => iv._1.isDefined && iv._1 == iv._2) =>
+        intervals.flatMap(_._1).flatMap { v =>
+          Option(org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt),
+            org.apache.spark.sql.types.StringType, Option("UTC")).eval())
+            .map(_.toString)
+        }.toSet
+    }
+    if (pointSets.isEmpty) m
+    else {
+      // conjunct semantics: a partition survives every point-set
+      val kept = m.entries.filter(e => pointSets.forall(_.contains(e.value)))
+      m.copy(entries = kept)
+    }
+  }
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val slices = slicesOf(filters)
-    if (slices.nonEmpty)
-      SnapshotLake.pruneFilesMulti(spark, lakePath, manifest, tableSchema, slices)
+    if (slices.nonEmpty) {
+      val m2 = prunePartitions(manifest, slices)
+      if (m2.entries.length != manifest.entries.length) {
+        // fewer partitions: re-root the inner parquet scan on the kept
+        // gen dirs (empty is fine — the explicit schema carries the shape)
+        val dirs = m2.entries.map(e => new Path(new Path(
+          new Path(lakePath, "data"), e.dirName), s"gen=${e.gen}").toString)
+        inner = table.parquetOver(dirs, Some(tableSchema), options)
+          .newScanBuilder(options)
+      }
+      SnapshotLake.pruneFilesMulti(spark, lakePath, m2, tableSchema, slices)
         .foreach { pruned =>
           inner = table.parquetOver(pruned, Some(tableSchema), options)
             .newScanBuilder(options)
         }
+    }
     inner match {
       case s: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
         s.pushFilters(filters)

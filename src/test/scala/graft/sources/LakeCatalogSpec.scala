@@ -229,6 +229,45 @@ class LakeCatalogSpec extends SparkSuite {
     assert(SnapshotLake.readIn(spark, dir, "v", Seq(null)).count() == 0L)
   }
 
+  test("point predicates on the PARTITION column drop whole manifest entries") {
+    val dir = s"$root/partpts"
+    val rows = (1 to 300).map(i => (s"k$i", s"p${i % 5}", i.toLong, i.toDouble))
+      .toDF("key", "dt", "v", "price")
+    SnapshotLake.merge(spark, dir, rows, Seq("key"), "v", "dt")
+    // the SCAN's own file index — what the pruned gen-dir rooting actually
+    // changes (post-filter input_file_name would also shrink from mere
+    // row-group pushdown, proving nothing about the listing)
+    def nFiles(sql: String): Long = spark.sql(sql).queryExecution.executedPlan
+      .collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+              f.fileIndex.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+    val allFiles = nFiles("SELECT * FROM glake.partpts")
+    assert(allFiles >= 5, s"need >=5 partitions' files, got $allFiles")
+    // = and IN on the partition column: the scan must root on the kept
+    // gen dirs only — strictly fewer files ever LISTED
+    val eq = spark.sql("SELECT * FROM glake.partpts WHERE dt = 'p2'")
+    assert(nFiles("SELECT * FROM glake.partpts WHERE dt = 'p2'") < allFiles,
+      s"equality on the partition column listed every partition")
+    assert(eq.count() == 60)
+    val in = spark.sql("SELECT * FROM glake.partpts WHERE dt IN ('p1','p3')")
+    assert(nFiles("SELECT * FROM glake.partpts WHERE dt IN ('p1','p3')") < allFiles)
+    assert(in.count() == 120)
+    assert(in.select("key").collect().map(_.getString(0)).toSet ==
+      (1 to 300).filter(i => i % 5 == 1 || i % 5 == 3).map(i => s"k$i").toSet)
+    // a point set matching NO partition reads nothing but keeps the schema
+    val none = spark.sql("SELECT * FROM glake.partpts WHERE dt = 'absent'")
+    assert(none.count() == 0)
+    // RANGE bounds on the partition column do NOT prune (lexicographic
+    // string compare is not the column's order) — conservative fallback
+    val rng = spark.sql("SELECT * FROM glake.partpts WHERE dt >= 'p1'")
+    assert(rng.count() == rows.filter(col("dt") >= "p1").count())
+  }
+
   test("INSERT INTO routes through the keyed LWW merge (AppendData plan)") {
     val dir = s"$root/ins"
     SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
