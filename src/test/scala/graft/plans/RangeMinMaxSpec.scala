@@ -130,15 +130,17 @@ class RangeMinMaxSpec extends SparkSuite {
     }
   }
 
-  test("scope: mixed MIN+SUM nodes, DESC orders, and fp-key frames stay stock") {
+  test("scope: mixed MIN+SUM nodes and fp-key frames stay stock; DESC canonicalizes") {
     corpus(7L, 200).createOrReplaceTempView("mm_scope")
     def rewrote(sql: String): Boolean = cliffFree(spark.sql(sql))
     // one unsupported sibling vetoes the node (SUM is RangeSlidingRule
     // food, but a mixed node matches neither rule in full)
     assert(!rewrote("""SELECT MIN(d) OVER win, SUM(x) OVER win FROM mm_scope
       WINDOW win AS (ORDER BY k RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)"""))
-    // DESC ordering: the threshold arithmetic assumes ASC NULLS FIRST
-    assert(!rewrote("""SELECT MIN(d) OVER (ORDER BY k DESC RANGE BETWEEN 3
+    // DESC ordering: the threshold arithmetic assumes ASC NULLS FIRST —
+    // DescOrderRule (round 11) canonicalizes the order first, then this
+    // rule fires (bit-equality pinned in DescOrderSpec)
+    assert(rewrote("""SELECT MIN(d) OVER (ORDER BY k DESC RANGE BETWEEN 3
       PRECEDING AND CURRENT ROW) FROM mm_scope"""))
     // frame length at the representable edge stays stock
     assert(!rewrote("""SELECT MIN(d) OVER (ORDER BY k RANGE BETWEEN

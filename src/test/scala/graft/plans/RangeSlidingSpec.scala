@@ -97,7 +97,7 @@ class RangeSlidingSpec extends SparkSuite {
     assert(df.filter(col("k").isNull).count() > 0)
   }
 
-  test("scope: ANSI, fp sums, min/max, mixed widths, DESC, and multi-key orders stay stock") {
+  test("scope: ANSI, fp sums, min/max, mixed widths stay stock; DESC canonicalizes") {
     val df = corpus(7L, 200)
     df.createOrReplaceTempView("rs_scope")
     def rewrote(sql: String): Boolean = planOf(spark.sql(sql)).contains("GlobalRank")
@@ -116,8 +116,10 @@ class RangeSlidingSpec extends SparkSuite {
     // but an unsupported sibling (fp sum) still vetoes the whole node
     assert(!rewrote("""SELECT SUM(d) OVER win, SUM(x) OVER win FROM rs_scope
       WINDOW win AS (ORDER BY k RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)"""))
-    // DESC ordering: the threshold arithmetic assumes ASC NULLS FIRST
-    assert(!rewrote("""SELECT SUM(d) OVER (ORDER BY k DESC RANGE BETWEEN 3
+    // DESC ordering: the threshold arithmetic assumes ASC NULLS FIRST —
+    // DescOrderRule (round 11) canonicalizes the order first, then this
+    // rule fires (bit-equality pinned in DescOrderSpec)
+    assert(rewrote("""SELECT SUM(d) OVER (ORDER BY k DESC RANGE BETWEEN 3
       PRECEDING AND CURRENT ROW) FROM rs_scope"""))
     // ANSI long sum: a running prefix may overflow where every frame fits
     val before = spark.conf.getOption("spark.sql.ansi.enabled")
