@@ -1,12 +1,14 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Ascending, BitwiseNot, Cast, Descending, Expression, IsNotNull,
-  IsNull, NamedExpression, NullsFirst, NullsLast, RangeFrame, SortOrder,
-  SpecifiedWindowFrame, WindowExpression, WindowSpecDefinition}
+  Alias, Ascending, BitwiseNot, Cast, DateDiff, Descending, Expression,
+  IsNotNull, IsNull, Literal, NamedExpression, NullsFirst, NullsLast,
+  RangeFrame, SortOrder, SpecifiedWindowFrame, UnixMicros, WindowExpression,
+  WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType,
+  ShortType, TimestampType}
 
 /** Canonicalizes GLOBAL window orders to ASC NULLS FIRST so the
   * frame-algebra rewrite families ([[RangeSlidingRule]],
@@ -51,9 +53,14 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * stock Spark too.
   *
   * Scope: global window (empty partition spec), unbounded input, at
-  * least one non-canonical sort, deterministic keys; DESC keys must be
-  * integral (no monotone total inverse exists for strings; dates and
-  * timestamps would need interval-typed RANGE bounds). A key the rule
+  * least one non-canonical sort, deterministic keys; DESC keys must
+  * have a strictly-increasing BIGINT image — integrals (exact widen),
+  * DATE (day number via `datediff`), TIMESTAMP (epoch micros) — so the
+  * natural `ORDER BY ts DESC ROWS BETWEEN n PRECEDING AND m FOLLOWING`
+  * rides too; strings/fp have no monotone total inverse. (DESC
+  * date/timestamp keys only ever reach the ROWS/rank/running families:
+  * RANGE frames over them carry interval bounds, which no downstream
+  * rule accepts — checked, so the node stays stock.) A key the rule
   * cannot re-express leaves the node untouched (linted by
   * [[PlanChecks]], the ever-correct fallback).
   *
@@ -85,17 +92,30 @@ object DescOrderRule extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** A strictly-increasing injective BIGINT image of the key, for types
+    * a DESC order can be inverted on: integrals widen exactly; DATE is
+    * its day number (`datediff` from the epoch — the cast the analyzer
+    * would reject, expressed through an always-legal function);
+    * TIMESTAMP is its epoch micros. Null maps to null (the segregation
+    * key owns placement). Strings/fp/ntz have no such image — None.
+    */
+  private def asLongImage(e: Expression): Option[Expression] =
+    e.dataType match {
+      case LongType => Some(e)
+      case dt if integral(dt) => Some(Cast(e, LongType))
+      case DateType => Some(Cast(DateDiff(e, Literal(0, DateType)), LongType))
+      case TimestampType => Some(UnixMicros(e))
+      case _ => None
+    }
+
   /** The ASC NULLS FIRST re-expression of one sort key, or None when the
-    * key cannot be re-expressed (non-integral DESC).
+    * key cannot be re-expressed (DESC with no monotone BIGINT image).
     */
   private def rewriteOrder(
       o: SortOrder, needNullKey: Boolean): Option[Seq[SortOrder]] = {
     val valueKey: Option[Expression] = o.direction match {
       case Ascending => Some(o.child)
-      case Descending if integral(o.child.dataType) =>
-        Some(BitwiseNot(
-          if (o.child.dataType == LongType) o.child
-          else Cast(o.child, LongType)))
+      case Descending => asLongImage(o.child).map(BitwiseNot)
       case _ => None
     }
     valueKey.map { vk =>

@@ -140,6 +140,36 @@ class DescOrderSpec extends SparkSuite {
       "desc-shift")
   }
 
+  test("DESC DATE / TIMESTAMP keys ride through their BIGINT images") {
+    val rnd = new scala.util.Random(37L)
+    val rows = (1 to 700).map { i =>
+      val day: Option[Int] = if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(400))
+      val v: Option[Double] =
+        if (rnd.nextInt(6) == 0) None else Some((rnd.nextInt(200000) - 100000) / 100.0)
+      (i.toLong, day, v)
+    }
+    rows.toDF("id", "dayoff", "x")
+      .withColumn("d", col("x").cast("decimal(12,2)"))
+      .withColumn("dt", date_add(lit("2024-01-01").cast("date"), col("dayoff")))
+      .withColumn("ts", timestamp_micros(
+        unix_micros(to_timestamp(col("dt"))) + col("id") * 1000000L))
+      .createOrReplaceTempView("do_dt")
+    // timestamp DESC + unique tiebreak: a total order, ROWS-FOLLOWING food
+    compare(
+      """SELECT id, SUM(d) OVER w AS sd, MIN(d) OVER w AS mn,
+              COUNT(*) OVER w AS cs
+         FROM do_dt
+         WINDOW w AS (ORDER BY ts DESC, id DESC
+                      ROWS BETWEEN 6 PRECEDING AND 3 FOLLOWING)""",
+      "desc-ts-rows")
+    // date DESC (tied, nullable) — running prefixes + ranks, nulls LAST
+    compare(
+      """SELECT id, SUM(d) OVER w AS sd, RANK() OVER w AS rk
+         FROM do_dt
+         WINDOW w AS (ORDER BY dt DESC)""",
+      "desc-date-running")
+  }
+
   test("scope: non-integral DESC keys and the kill-switch stay stock") {
     corpus(31L, 200)
       .withColumn("s", concat(lit("v"), col("id")))
