@@ -115,6 +115,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // the rules above fire on "latest-first" SQL — see
     // graft.plans.DescOrderRule
     ext.injectOptimizerRule(_ => graft.plans.DescOrderRule)
+    // suffix frames (CURRENT ROW .. UNBOUNDED FOLLOWING) reverse into
+    // running prefixes over the reversed order — see
+    // graft.plans.SuffixFrameRule
+    ext.injectOptimizerRule(_ => graft.plans.SuffixFrameRule)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
   }
 }

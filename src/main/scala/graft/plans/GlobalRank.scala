@@ -1511,6 +1511,10 @@ object GlobalRank {
     // becomes food for all the rules above on the same batch
     if (!exp.extraOptimizations.contains(DescOrderRule))
       exp.extraOptimizations = exp.extraOptimizations :+ DescOrderRule
+    // SUFFIX frames (CURRENT ROW .. UNBOUNDED FOLLOWING) reverse into
+    // running prefixes over the reversed order — GlobalRankRule food
+    if (!exp.extraOptimizations.contains(SuffixFrameRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ SuffixFrameRule
     if (!exp.extraStrategies.contains(GlobalRankStrategy))
       exp.extraStrategies = exp.extraStrategies :+ GlobalRankStrategy
   }

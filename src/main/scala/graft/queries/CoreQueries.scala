@@ -1919,6 +1919,36 @@ object CoreQueries {
          ORDER BY o_orderkey""")
   }
 
+  /** E25: the SUFFIX frame — `ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+    * FOLLOWING` over a global total order: the "remaining total / final
+    * value from here on" SQL (a trader's remaining-day volume, a
+    * curriculum's remaining-shard mass). [[graft.plans.SuffixFrameRule]]
+    * REVERSES the node — a suffix frame over an order is a running
+    * prefix over the reversed order, `first_value ↔ last_value` — and
+    * [[graft.plans.GlobalRankRule]] distributes the reversed running
+    * aggregates directly (its exec is direction-agnostic), where stock
+    * Spark plans the one-task cliff. Oracle = DuckDB's native window
+    * engine on the identical suffix-frame text.
+    */
+  def e25SuffixFramesSql(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GlobalRank.ensureRegistered(s)
+    t(s, dir, "orders").createOrReplaceTempView("e25_orders")
+    s.sql(
+      """SELECT o_orderkey,
+                CAST(SUM(px) OVER w AS DOUBLE) AS remaining_total,
+                COUNT(*) OVER w AS remaining_cnt,
+                CAST(MIN(px2) OVER w AS DOUBLE) AS remaining_min,
+                CAST(MAX(px2) OVER w AS DOUBLE) AS remaining_max,
+                CAST(LAST_VALUE(px2) OVER w AS DOUBLE) AS final_px
+         FROM (SELECT o_orderkey, o_orderdate,
+                      CAST(o_totalprice AS DECIMAL(25,4)) AS px,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS px2
+               FROM e25_orders)
+         WINDOW w AS (ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderkey""")
+  }
+
   /** E17: the raw-SQL GLOBAL MOVING TOTAL/AVERAGE —
     * `SUM(x) OVER (ORDER BY … ROWS BETWEEN k PRECEDING AND CURRENT ROW)`.
     * [[graft.plans.GlobalRankRule]] rewrites the sliding frame into a
@@ -2333,6 +2363,7 @@ object CoreQueries {
     "e23b_rows_centered_lib" -> (e23bRowsCenteredLib _),
     "e24_desc_sliding_sql" -> (e24DescSlidingSql _),
     "e24b_desc_rows_sql" -> (e24bDescRowsSql _),
+    "e25_suffix_frames_sql" -> (e25SuffixFramesSql _),
     "a26_salted_skew_join" -> ((s: SparkSession, d: String) => a26SaltedSkewJoin(s, d)),
     "c9_fixed_size_sample" -> ((s: SparkSession, d: String) => c9FixedSizeSample(s, d)),
     "c10_weighted_sample" -> ((s: SparkSession, d: String) => c10WeightedSample(s, d)),
@@ -2942,6 +2973,22 @@ object CoreQueries {
          FROM o
          WINDOW w AS (ORDER BY dnum DESC, o_orderkey DESC
                       ROWS BETWEEN 6 PRECEDING AND 3 FOLLOWING)
+         ORDER BY o_orderkey""",
+    "e25_suffix_frames_sql" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderdate,
+                  CAST(o_totalprice AS DECIMAL(25,4)) AS px,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS px2
+           FROM orders)
+         SELECT o_orderkey,
+                CAST(SUM(px) OVER w AS DOUBLE) AS remaining_total,
+                COUNT(*) OVER w AS remaining_cnt,
+                CAST(MIN(px2) OVER w AS DOUBLE) AS remaining_min,
+                CAST(MAX(px2) OVER w AS DOUBLE) AS remaining_max,
+                CAST(LAST_VALUE(px2) OVER w AS DOUBLE) AS final_px
+         FROM o
+         WINDOW w AS (ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey""",
     "e18_firstlast_sql" ->
       // decimal running avg replicated in exact HUGEINT unit arithmetic:

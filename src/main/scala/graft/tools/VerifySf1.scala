@@ -70,7 +70,8 @@ object VerifySf1 {
         graft.plans.RangeSlidingRule.EnabledKey,
         graft.plans.RangeMinMaxRule.EnabledKey,
         graft.plans.RowsFollowingRule.EnabledKey,
-        graft.plans.DescOrderRule.EnabledKey)
+        graft.plans.DescOrderRule.EnabledKey,
+        graft.plans.SuffixFrameRule.EnabledKey)
       keys.foreach(spark.conf.set(_, "false"))
       try body.localCheckpoint() finally keys.foreach(spark.conf.unset)
     }
@@ -389,6 +390,45 @@ object VerifySf1 {
       ("e24b_desc_rows_sql",
         () => CoreQueries.e24bDescRowsSql(spark, work),
         () => stockWindows(CoreQueries.e24bDescRowsSql(spark, work))),
+      // e25: the suffix-frame reversal vs an INDEPENDENT stock-exec
+      // formulation. NOT the stock suffix window itself: Spark's
+      // [CURRENT ROW, UNBOUNDED FOLLOWING] frame RECOMPUTES the aggregate
+      // per row — O(n²) per partition, hours at 1.5M rows (which is half
+      // of why SuffixFrameRule exists). Sums/counts come from
+      // total − exclusive-prefix (a different identity entirely);
+      // min/max/last from stock running frames over the reversed order —
+      // all O(n) on the kill-switched stock exec. The reversal identity
+      // itself is DuckDB-pinned at sf0.01 and spec-pinned vs the true
+      // stock suffix window at spec scale.
+      ("e25_suffix_frames_sql",
+        () => CoreQueries.e25SuffixFramesSql(spark, work),
+        () => stockWindows {
+          val o = graft.Tables(spark, work, "orders").select(col("o_orderkey"),
+            col("o_orderdate"),
+            col("o_totalprice").cast("decimal(25,4)").as("px"),
+            col("o_totalprice").cast("decimal(18,2)").as("px2"))
+          val asc = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
+          val desc = Window.orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+          val n = o.count()
+          // exact decimal scalars of the whole corpus (bounded collect)
+          val tot = o.agg(sum(col("px"))).head.getDecimal(0)
+          o.withColumn("rn", row_number().over(asc))
+            .withColumn("pexcl", sum(col("px"))
+              .over(asc.rowsBetween(Window.unboundedPreceding, -1)))
+            .withColumn("remaining_total",
+              (lit(tot) - coalesce(col("pexcl"),
+                lit(java.math.BigDecimal.ZERO).cast("decimal(35,4)")))
+                .cast("double"))
+            .withColumn("remaining_cnt", lit(n) - col("rn") + 1L)
+            .withColumn("remaining_min", min(col("px2"))
+              .over(desc.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+            .withColumn("remaining_max", max(col("px2"))
+              .over(desc.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+            .withColumn("final_px", first(col("px2"))
+              .over(desc.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+            .select("o_orderkey", "remaining_total", "remaining_cnt",
+              "remaining_min", "remaining_max", "final_px")
+        }),
       // e3d: the FILE-SKIPPING slice read (stats-clustered merge +
       // sidecar-pruned readSlice) ↔ lake-free LWW algebra + a plain
       // filter — pruning may drop files, never rows, at 1.5M events
