@@ -103,9 +103,14 @@ object Bench {
       // re-derivation.
       val p = Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_BENCH.json"))
+      // Both branches emit the SAME artifact schema: baseline_file always a
+      // string (the path that was looked for), baseline_missing always a
+      // boolean, noise_factor/abs_floor_sec always present (the defaults a
+      // present-but-sparse baseline would get).
       if (!Files.exists(p))
         ("{}", Seq.empty[String],
-          s""""baseline_file":null,"baseline_missing":${jq(p.toString)}""")
+          s""""baseline_file":${jq(p.toString)},"baseline_missing":true,""" +
+            s""""noise_factor":2.0,"abs_floor_sec":1.0""")
       else {
         val b = org.json4s.jackson.JsonMethods.parse(Files.readString(p))
         import org.json4s.DefaultFormats
@@ -123,8 +128,8 @@ object Bench {
           case (k, v, b0) if v > noiseFactor * b0 && v - b0 > absFloor => k
         }
         (rj, fl,
-          s""""baseline_file":${jq(p.toString)},"noise_factor":$noiseFactor,""" +
-            s""""abs_floor_sec":$absFloor""")
+          s""""baseline_file":${jq(p.toString)},"baseline_missing":false,""" +
+            s""""noise_factor":$noiseFactor,"abs_floor_sec":$absFloor""")
       }
     }
     val flaggedJson = flagged.map(jq).mkString("[", ",", "]")

@@ -281,7 +281,15 @@ object SnapshotLake {
       s"tiebreakers\t${spec.tieBreakers.map(enc).mkString(",")}\n" +
       s"statscols\t${spec.statsCols.map(enc).mkString(",")}\n"
 
-  /** Persist the merge contract (idempotent; caller holds the lease). */
+  /** Persist the merge contract (idempotent; caller holds the lease).
+    *
+    * An unchanged spec is left untouched; a changed one is replaced by
+    * delete-then-rename, which is NOT atomic — the contract making that
+    * safe is that every spec read on a WRITE path happens inside the same
+    * [[LakeLease]] ([[mergeViaSpec]] — the SQL `INSERT INTO` route), so no
+    * writer can observe the delete window. [[mergeSpecOf]] outside the
+    * lease is for inspection only.
+    */
   private def writeMergeSpec(fs: FileSystem, path: String, spec: MergeSpec): Unit = {
     val p = metaPath(path)
     val text = specText(spec)
@@ -326,16 +334,47 @@ object SnapshotLake {
       s"statsCols ${statsCols.mkString(",")} must be update columns")
     val deduped = Upsert.lastWriteWins(updates, keys, versionCol, tieBreakers)
     LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
-      prepareMerge(spark, path, deduped, keys, versionCol, partitionCol,
-        tieBreakers, statsCols).foreach { case (fs, m) =>
+      mergeLocked(spark, path, deduped,
+        MergeSpec(keys, versionCol, partitionCol, tieBreakers, statsCols))
+    }
+  }
+
+  /** [[merge]] with the contract resolved from the lake's own persisted
+    * spec, ALL inside the lease — the SQL write faces (`INSERT INTO`,
+    * `MERGE INTO` via [[graft.sources.LakeCatalog]]) route here, so a
+    * concurrent merge re-stamping the spec can never expose its
+    * delete-then-rename window to them (it holds the same lease).
+    */
+  def mergeViaSpec(spark: SparkSession, path: String, updates: DataFrame): Unit =
+    LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
+      val spec = mergeSpecOf(spark, path).getOrElse(
+        throw new UnsupportedOperationException(
+          s"lake at $path has no persisted merge contract " +
+            "(_manifests/table-meta) — run one SnapshotLake.merge " +
+            "through the API to establish keys/version/partition, " +
+            "then SQL writes route through the same LWW commit"))
+      require(updates.columns.contains(spec.partitionCol),
+        s"updates must carry partition column '${spec.partitionCol}'")
+      require(spec.statsCols.forall(updates.columns.contains),
+        s"statsCols ${spec.statsCols.mkString(",")} must be update columns")
+      val deduped = Upsert.lastWriteWins(
+        updates, spec.keys, spec.versionCol, spec.tieBreakers)
+      mergeLocked(spark, path, deduped, spec)
+    }
+
+  /** The commit body shared by [[merge]] and [[mergeViaSpec]]; the caller
+    * holds the lease, `deduped` is already one-row-per-key.
+    */
+  private def mergeLocked(spark: SparkSession, path: String,
+      deduped: DataFrame, spec: MergeSpec): Unit =
+    prepareMerge(spark, path, deduped, spec.keys, spec.versionCol,
+      spec.partitionCol, spec.tieBreakers, spec.statsCols).foreach {
+      case (fs, m) =>
         publish(fs, path, m)
         // stamp the merge contract so `INSERT INTO` through the SQL face
         // can route later batches into the same keyed LWW commit
-        writeMergeSpec(fs, path,
-          MergeSpec(keys, versionCol, partitionCol, tieBreakers, statsCols))
-      }
+        writeMergeSpec(fs, path, spec)
     }
-  }
 
   /** Everything EXCEPT the publish: GC orphans, stage the merged affected
     * partitions, install their new gen dirs, and return the pending

@@ -147,9 +147,11 @@ object DescOrderRule extends Rule[LogicalPlan] {
           w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
           w.windowExpressions.nonEmpty && !PlanChecks.bounded(w.child) &&
           w.orderSpec.exists(o => !canonical(o)) &&
-          w.orderSpec.forall(_.child.deterministic) &&
-          rewritten(w).isDefined =>
-      rewritten(w).get
+          w.orderSpec.forall(_.child.deterministic) =>
+      // the rewrite runs ONCE per matched node per fixed-point pass;
+      // returning the untouched node on a reject leaves the plan unchanged
+      // (same instance), so the executor still reaches its fixed point
+      rewritten(w).getOrElse(w)
   }
 
   private def rewritten(w: Window): Option[LogicalPlan] = {

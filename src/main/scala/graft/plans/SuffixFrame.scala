@@ -67,15 +67,20 @@ object SuffixFrameRule extends Rule[LogicalPlan] {
       val prefixFrame = SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow)
       val spec = WindowSpecDefinition(Nil, order.map(reverse), prefixFrame)
       val mappedAf = af match {
-        // fp SUM/AVG: add order reverses with the frame — stays stock
+        // fp SUM: add order reverses with the frame — stays stock
         case Sum(e, _) if fp(e.dataType) => None
-        case Average(e, _) if fp(e.dataType) &&
-          !e.dataType.isInstanceOf[DecimalType] => None
         case s: Sum => Some(s)
         case c: Count => Some(c)
         case m: Min => Some(m)
         case m: Max => Some(m)
-        case av: Average => Some(av)
+        // AVG accumulates its sum in a DOUBLE buffer for every non-decimal
+        // input — INTEGRAL included (Average.sumDataType is DoubleType
+        // unless the input is DecimalType) — so add order, which reversal
+        // flips, can reach the last ulp once the running sum passes 2^53;
+        // only DECIMAL avg is order-independent and rides
+        case av @ Average(e, _) if e.dataType.isInstanceOf[DecimalType] =>
+          Some(av)
+        case _: Average => None
         case First(e, ign) => Some(Last(e, ign))
         case Last(e, ign) => Some(First(e, ign))
         case _ => None
@@ -97,9 +102,11 @@ object SuffixFrameRule extends Rule[LogicalPlan] {
     case w: Window
         if conf.getConfString(EnabledKey, "true") != "false" &&
           w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
-          w.windowExpressions.nonEmpty && !PlanChecks.bounded(w.child) &&
-          rewritten(w).isDefined =>
-      rewritten(w).get
+          w.windowExpressions.nonEmpty && !PlanChecks.bounded(w.child) =>
+      // the rewrite runs ONCE per matched node per fixed-point pass;
+      // returning the untouched node on a reject leaves the plan unchanged
+      // (same instance), so the executor still reaches its fixed point
+      rewritten(w).getOrElse(w)
   }
 
   private def rewritten(w: Window): Option[LogicalPlan] = {

@@ -254,16 +254,10 @@ private[sources] class LakeTable(
                 s"lake table $tableName is append-merge only: INSERT " +
                   "OVERWRITE would discard history; use SnapshotLake " +
                   "vacuum/retention for lifecycle management")
-              val s = data.sparkSession
-              val spec = SnapshotLake.mergeSpecOf(s, lakePath).getOrElse(
-                throw new UnsupportedOperationException(
-                  s"lake table $tableName has no persisted merge contract " +
-                    "(_manifests/table-meta) — run one SnapshotLake.merge " +
-                    "through the API to establish keys/version/partition, " +
-                    "then INSERT INTO routes through the same LWW commit"))
-              SnapshotLake.merge(s, lakePath, data, spec.keys,
-                spec.versionCol, spec.partitionCol, spec.tieBreakers,
-                spec.statsCols)
+              // spec resolution happens INSIDE the lease (mergeViaSpec):
+              // a concurrent merge re-stamping the contract can never
+              // expose its spec-replacement window to this write
+              SnapshotLake.mergeViaSpec(data.sparkSession, lakePath, data)
             }
         }
     }
