@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SNAPSHOT-ISOLATED partitioned parquet lake: a manifest-pointer commit
@@ -85,6 +85,7 @@ object SnapshotLake {
 
   private val ManifestName = """manifest-(\d{20})""".r
   private val StatsName = """stats-(\d{20})""".r
+  private val SchemaName = """schema-(\d{20})""".r
   // digits-only, like ManifestName: stray non-numeric `gen=` debris (manual
   // copies, partial syncs) must be skipped, not NumberFormatException every
   // future merge/compact/vacuum into a brick
@@ -132,6 +133,85 @@ object SnapshotLake {
       Entry(a(0), a(1).toLong, a.drop(2).mkString("\t"))
     }
     Manifest(gen, header(1), entries, publishedAt)
+  }
+
+  // ---- per-snapshot SCHEMA sidecars (the schema-evolution contract) ----
+
+  private def schemaPath(path: String, gen: Long) =
+    new Path(manifestDir(path), f"schema-$gen%020d")
+
+  /** Record snapshot `gen`'s schema (Spark's own JSON form) BEFORE its
+    * manifest publishes — the per-snapshot schema is what makes the
+    * widen-only evolution contract readable: a mixed-generation read pins
+    * the UNION schema (old gens fill the added columns with null), and
+    * time travel to a pre-widen snapshot still answers with that
+    * snapshot's own narrower schema. Crash between sidecar and publish
+    * leaves an orphan, GC'd with the orphan gens.
+    */
+  private def writeSchemaSidecar(fs: FileSystem, path: String, gen: Long,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    fs.mkdirs(manifestDir(path))
+    val tmp = new Path(manifestDir(path), s".tmp-schema-$gen-${System.nanoTime()}")
+    val out = fs.create(tmp, false)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    Upsert.renameOrThrow(fs, tmp, schemaPath(path, gen))
+  }
+
+  private def readSchemaSidecar(fs: FileSystem, path: String,
+      gen: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val p = schemaPath(path, gen)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(text))
+      .toOption.collect { case s: org.apache.spark.sql.types.StructType => s }
+  }
+
+  /** The schema snapshot `m` answers with: its own recorded sidecar when
+    * present (every post-evolution-contract commit writes one), else the
+    * legacy fallback — one head gen dir's parquet footer (correct for
+    * lakes that never evolved, which is every pre-sidecar lake). None for
+    * a snapshot with no entries and no sidecar.
+    */
+  private[graft] def snapshotSchema(spark: SparkSession, path: String,
+      m: Manifest): Option[org.apache.spark.sql.types.StructType] = {
+    val fs = fsOf(spark, path)
+    readSchemaSidecar(fs, path, m.gen).orElse {
+      if (m.entries.isEmpty) None
+      else scala.util.Try(
+        spark.read.parquet(genDirOf(path, m.entries.head).toString).schema)
+        .toOption
+    }
+  }
+
+  /** The widen-only evolution check: every CURRENT table column must
+    * arrive in the batch with the SAME type (a missing column would
+    * silently truncate merged partitions; a retyped column would corrupt
+    * mixed-generation reads) — brand-new batch columns are the one legal
+    * evolution (add-column; old gens read them as null, the reference's
+    * own `ALTER TABLE ADD COLUMN IF NOT EXISTS` semantics,
+    * ≙ postgres_writer.py:94-101). Nullability is not compared: parquet
+    * footers and frames disagree on it harmlessly.
+    */
+  private def checkEvolution(
+      table: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType): Unit = {
+    val batchTypes = batch.fields.map(f => f.name -> f.dataType).toMap
+    val missing = table.fields.filterNot(f => batchTypes.contains(f.name))
+    require(missing.isEmpty,
+      s"merge batch is missing table column(s) ${missing.map(_.name).mkString(", ")} — " +
+        "the lake evolves widen-only (new columns may be ADDED, existing " +
+        "ones never dropped); carry the column (null-filled) in the batch " +
+        "or backfill it first")
+    val retyped = table.fields.filter(f =>
+      batchTypes.get(f.name).exists(_ != f.dataType))
+    require(retyped.isEmpty,
+      s"merge batch retypes column(s) ${retyped.map(f =>
+        s"${f.name}: ${f.dataType.simpleString} -> " +
+          batchTypes(f.name).simpleString).mkString(", ")} — " +
+        "a lake column's type is fixed at creation; cast the batch to the " +
+        "table's type upstream")
   }
 
   /** PUBLISH: the one atomic cut. Write to a temp name, then a single
@@ -219,18 +299,59 @@ object SnapshotLake {
       case Some(vs) => m.entries.filter(e => vs.contains(e.value))
       case None => m.entries
     }
-    if (picked.nonEmpty)
-      spark.read.parquet(picked.map(e => genDirOf(path, e).toString): _*)
-    else if (m.entries.nonEmpty) {
-      // pruned-to-nothing read still carries the TABLE's shape: an empty
-      // frame with the snapshot's schema, so df.select/filter on table
-      // columns keeps working (a zero-column emptyDataFrame would throw
-      // UNRESOLVED_COLUMN)
-      val schema = spark.read
-        .parquet(genDirOf(path, m.entries.head).toString).schema
+    // the snapshot's recorded schema pins mixed-generation reads: after a
+    // widen-only evolution, gens written before the ADD COLUMN lack the
+    // new column in their footers — the explicit union schema makes them
+    // read it as null instead of footer-sampling nondeterminism deciding
+    // whether the column exists at all
+    val pinned = readSchemaSidecar(fsOf(spark, path), path, m.gen)
+    if (picked.nonEmpty) pinned match {
+      case Some(s) =>
+        spark.read.schema(s).parquet(picked.map(e => genDirOf(path, e).toString): _*)
+      case None =>
+        spark.read.parquet(picked.map(e => genDirOf(path, e).toString): _*)
+    } else {
+      // pruned-to-nothing (or emptied-by-delete) read still carries the
+      // TABLE's shape: an empty frame with the snapshot's schema, so
+      // df.select/filter on table columns keeps working (a zero-column
+      // emptyDataFrame would throw UNRESOLVED_COLUMN). An empty SNAPSHOT
+      // resolves its schema from its sidecar, else from history
+      // (schemaFallback); only a table that never held a row has no
+      // schema at all.
+      val schema = pinned.orElse {
+        if (m.entries.nonEmpty)
+          scala.util.Try(spark.read
+            .parquet(genDirOf(path, m.entries.head).toString).schema).toOption
+        else schemaFallback(spark, path, m.gen)
+      }.getOrElse(return spark.emptyDataFrame)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else spark.emptyDataFrame // a table with zero partitions has no schema
+    }
+  }
+
+  /** The schema an EMPTY snapshot still answers with: resolved from the
+    * newest retained manifest at or below `gen` that lists at least one
+    * entry (an unconditional DELETE empties the entry list but the prior
+    * snapshots' gen dirs stay on disk until [[vacuum]] — and vacuum keeps
+    * every gen dir a retained manifest references, so a parseable
+    * manifest implies readable files). None for a table that never
+    * published a row.
+    */
+  private[graft] def schemaFallback(spark: SparkSession, path: String,
+      gen: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val fs = fsOf(spark, path)
+    val dir = manifestDir(path)
+    if (!fs.exists(dir)) return None
+    val gens = fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case ManifestName(g) => g.toLong }
+      .filter(_ <= gen).sorted.reverse
+    gens.iterator
+      .map(g => parseManifest(fs, new Path(dir, f"manifest-$g%020d"), g))
+      .collectFirst { case m if m.entries.nonEmpty =>
+        scala.util.Try(
+          spark.read.parquet(genDirOf(path, m.entries.head).toString).schema
+        ).toOption
+      }.flatten
   }
 
   /** The merge contract a lake was created with — keys, version column,
@@ -370,10 +491,102 @@ object SnapshotLake {
     prepareMerge(spark, path, deduped, spec.keys, spec.versionCol,
       spec.partitionCol, spec.tieBreakers, spec.statsCols).foreach {
       case (fs, m) =>
+        // the commit's schema sidecar lands BEFORE the manifest publish:
+        // a reader resolving the new snapshot always finds its schema.
+        // The batch schema IS the snapshot schema — checkEvolution
+        // (inside prepareMerge) guaranteed it is a widening superset of
+        // the table's, and merged partitions were rewritten under it.
+        writeSchemaSidecar(fs, path, m.gen, deduped.schema)
         publish(fs, path, m)
         // stamp the merge contract so `INSERT INTO` through the SQL face
         // can route later batches into the same keyed LWW commit
         writeMergeSpec(fs, path, spec)
+    }
+
+  /** Row-level DELETE — the takedown / right-to-be-forgotten operator an
+    * LLM-data corpus needs (drop doc_ids as one atomic commit): removes
+    * every row where `predicate` evaluates TRUE (SQL DELETE semantics —
+    * rows where it evaluates NULL survive, exactly `WHERE` polarity) as a
+    * partition-scoped manifest commit. Only partitions CONTAINING a
+    * matching row are rewritten (their survivors become a new gen);
+    * untouched partitions keep their entries and their gen dirs stay
+    * byte-identical; a partition whose every row matches stages nothing
+    * and is DROPPED from the manifest. The publish is the usual single
+    * atomic manifest create, so readers see wholly-before or
+    * wholly-after — and time travel ([[readAt]]) still resolves
+    * pre-delete snapshots until [[vacuum]] expires them (a takedown that
+    * must also purge history is `delete` + `vacuum`). Stats sidecars are
+    * re-captured for the rewritten gens from the persisted merge spec's
+    * statsCols, so file skipping survives deletion.
+    *
+    * Cost shape: one scan of the snapshot to find affected partitions +
+    * one partition-scoped rewrite of only those — the same write cost a
+    * merge touching the same partitions pays. Lease-guarded like every
+    * mutator. Returns the number of rows deleted.
+    */
+  def delete(spark: SparkSession, path: String, predicate: Column): Long =
+    deleteCore(spark, path, df => df.filter(coalesce(predicate, lit(false))),
+      df => df.filter(!coalesce(predicate, lit(false))))
+
+  /** [[delete]] by KEY BATCH — every row whose `keyRows.columns` tuple
+    * appears in `keyRows` is removed (the bulk-takedown shape: a frame of
+    * doc_ids, not an IN-list literal). Null-containing key tuples never
+    * match (SQL join semantics), the safe polarity for a delete.
+    */
+  def deleteKeys(spark: SparkSession, path: String, keyRows: DataFrame): Long = {
+    require(keyRows.columns.nonEmpty, "keyRows must carry at least one column")
+    val keys = keyRows.columns.toSeq
+    val distinctKeys = keyRows.distinct()
+    deleteCore(spark, path,
+      df => df.join(distinctKeys, keys, "left_semi"),
+      df => df.join(distinctKeys, keys, "left_anti"))
+  }
+
+  /** The delete commit: `hitOf` selects the rows to remove, `survivorsOf`
+    * their complement (two faces of one contract so both predicate and
+    * anti-join deletes share the commit path). Caller-visible behavior is
+    * documented on [[delete]].
+    */
+  private def deleteCore(
+      spark: SparkSession,
+      path: String,
+      hitOf: DataFrame => DataFrame,
+      survivorsOf: DataFrame => DataFrame): Long =
+    LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
+      val fs = fsOf(spark, path)
+      val m = currentManifest(spark, path).getOrElse(
+        throw new IllegalStateException(s"$path has no published snapshot"))
+      gcOrphans(fs, path, m.gen)
+      val partitionCol = m.partitionCol
+      val full = readManifest(spark, path, m, None)
+      val castStr = expr(s"cast(`$partitionCol` as string)")
+      val routeKey = concat(lit("h"), hex(castStr))
+      // bounded collect: one row per partition that LOSES a row
+      val affected = hitOf(full)
+        .select(castStr.as("__v"), routeKey.as("__h")).distinct()
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      if (affected.isEmpty) 0L
+      else {
+        val affectedValues = affected.map(_._1).toSet
+        val hitEntries = m.entries.filter(e => affectedValues.contains(e.value))
+        // survivors of ONLY the affected partitions, read through the
+        // manifest's gen dirs (untouched partitions are never re-read)
+        val existing = spark.read.schema(full.schema)
+          .parquet(hitEntries.map(e => genDirOf(path, e).toString): _*)
+        val deleted = hitOf(existing).count()
+        val newGen = m.gen + 1
+        val statsCols = mergeSpecOf(spark, path).map(_.statsCols).getOrElse(Nil)
+          .filter(full.schema.fieldNames.contains)
+        val newEntries = stageInstall(spark, fs, path, survivorsOf(existing),
+          partitionCol, affected.map { case (v, h) => h -> v }.toMap, newGen,
+          statsCols, full.schema)
+        val kept = m.entries.filterNot(e => affectedValues.contains(e.value))
+        // a delete never changes the schema: the new snapshot re-records
+        // the one it read (keeps emptied/truncated tables answerable)
+        writeSchemaSidecar(fs, path, newGen, full.schema)
+        publish(fs, path, Manifest(newGen, partitionCol, kept ++ newEntries))
+        deleted
+      }
     }
 
   /** Everything EXCEPT the publish: GC orphans, stage the merged affected
@@ -396,6 +609,11 @@ object SnapshotLake {
     val curGen = cur.map(_.gen).getOrElse(0L)
     cur.foreach(m => require(m.partitionCol == partitionCol,
       s"$path is partitioned by ${m.partitionCol}, not $partitionCol"))
+    // the widen-only evolution contract: refuse narrowing/retyping batches
+    // BEFORE any data moves (a missing column would silently truncate the
+    // merged partitions; see checkEvolution's messages for remediation)
+    cur.flatMap(m => snapshotSchema(spark, path, m))
+      .foreach(t => checkEvolution(t, deduped.schema))
     gcOrphans(fs, path, curGen)
     val staging = new Path(path, "_staging")
     if (fs.exists(staging)) fs.delete(staging, true)
@@ -463,23 +681,49 @@ object SnapshotLake {
           keys, "__gen", versionCol +: tieBreakers).drop("__gen")
       case None => deduped
     }
-    // ONE write job for every affected partition: route rows by the hex
-    // dir key (a derived column, so partitionCol itself STAYS in the
-    // files), then install each staged dir as the partition's next gen.
-    // With statsCols, range-cluster rows by (dir, statsCols) first so each
-    // file covers a NARROW slice of the stats columns — the layout that
-    // makes the per-file min/max sidecar actually prune (a hash-shuffled
-    // write gives every file the full value range). In-job sampling
-    // nondeterminism is harmless: stats are recorded from the files
-    // actually written, never re-derived.
-    val routed = merged.withColumn("__pdir", concat(lit("h"), hex(castStr)))
+    val newEntries = stageInstall(spark, fs, path, merged, partitionCol,
+      affected.map { case (v, h) => h -> v }.toMap, newGen, statsCols,
+      deduped.schema)
+    val kept = cur.map(_.entries.filterNot(e => affectedValues.contains(e.value)))
+      .getOrElse(Nil)
+    Some((fs, Manifest(newGen, partitionCol, kept ++ newEntries)))
+  }
+
+  /** ONE write job for a commit's affected partitions: route `rows` by the
+    * hex dir key (a derived column, so `partitionCol` itself STAYS in the
+    * files), stage under `_staging`, install each staged dir as its
+    * partition's gen `newGen`, record the stats sidecar when `statsCols`
+    * asked for one, and return the installed entries. With statsCols the
+    * rows are range-clustered by (dir, statsCols) first so each file
+    * covers a NARROW slice of the stats columns — the layout that makes
+    * the per-file min/max sidecar actually prune (a hash-shuffled write
+    * gives every file the full value range); in-job sampling
+    * nondeterminism is harmless because stats are recorded from the files
+    * actually written, never re-derived. A partition whose `rows` slice is
+    * EMPTY stages no dir and gets no entry — [[delete]] uses exactly this
+    * to drop emptied partitions from the manifest. Caller holds the lease
+    * and publishes the returned entries itself.
+    */
+  private def stageInstall(
+      spark: SparkSession,
+      fs: FileSystem,
+      path: String,
+      rows: DataFrame,
+      partitionCol: String,
+      valueOfHex: Map[String, String],
+      newGen: Long,
+      statsCols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Seq[Entry] = {
+    val staging = new Path(path, "_staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val castStr = expr(s"cast(`$partitionCol` as string)")
+    val routed = rows.withColumn("__pdir", concat(lit("h"), hex(castStr)))
     val clustered =
       if (statsCols.isEmpty) routed
       else routed.repartitionByRange((col("__pdir") +: statsCols.map(col)): _*)
     clustered.write.partitionBy("__pdir").parquet(staging.toString)
     val staged = fs.listStatus(staging)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__pdir="))
-    val valueOfHex = affected.map { case (v, h) => h -> v }.toMap
     val newEntries = staged.map { s =>
       val hexName = s.getPath.getName.stripPrefix("__pdir=")
       val dirName = s"$partitionCol=$hexName"
@@ -491,11 +735,9 @@ object SnapshotLake {
           s"staged dir $hexName has no affected value — hex routing diverged")))
     }.toSeq
     fs.delete(staging, true)
-    if (statsCols.nonEmpty)
-      writeStats(spark, fs, path, newGen, newEntries, deduped.schema, statsCols)
-    val kept = cur.map(_.entries.filterNot(e => affectedValues.contains(e.value)))
-      .getOrElse(Nil)
-    Some((fs, Manifest(newGen, partitionCol, kept ++ newEntries)))
+    if (statsCols.nonEmpty && newEntries.nonEmpty)
+      writeStats(spark, fs, path, newGen, newEntries, schema, statsCols)
+    newEntries
   }
 
   // ---- per-file column statistics (advisory sidecars for readSlice) ----
@@ -798,6 +1040,7 @@ object SnapshotLake {
     if (fs.exists(mdir)) fs.listStatus(mdir).foreach { s =>
       s.getPath.getName match {
         case StatsName(g) if g.toLong > curGen => fs.delete(s.getPath, false)
+        case SchemaName(g) if g.toLong > curGen => fs.delete(s.getPath, false)
         case _ => ()
       }
     }
@@ -895,6 +1138,11 @@ object SnapshotLake {
                 writeStats(spark, fs, path, newGen, newEntries, schema, usable)
             }
             val bumped = picked.map(_._1.dirName).toSet
+            // compaction never changes the schema: carry the snapshot's
+            // recorded one forward so mixed-generation pinning survives
+            // maintenance (legacy lakes without a sidecar stay legacy)
+            readSchemaSidecar(fs, path, m.gen)
+              .foreach(s => writeSchemaSidecar(fs, path, newGen, s))
             publish(fs, path, Manifest(newGen, m.partitionCol,
               m.entries.map(e =>
                 if (bumped.contains(e.dirName)) e.copy(gen = newGen) else e)))
@@ -950,11 +1198,15 @@ object SnapshotLake {
         }
         // stats sidecars live per GEN: drop the ones no kept manifest's
         // entries still reference (a kept manifest can reference entries
-        // of much older gens, whose sidecars must survive)
+        // of much older gens, whose sidecars must survive). Schema
+        // sidecars live per MANIFEST: drop them with their manifests.
         val referencedGens = referenced.map(_._2)
+        val keptGens = kept.map(_._1).toSet
         if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
           s.getPath.getName match {
             case StatsName(g) if !referencedGens.contains(g.toLong) =>
+              fs.delete(s.getPath, false)
+            case SchemaName(g) if !keptGens.contains(g.toLong) =>
               fs.delete(s.getPath, false)
             case _ => ()
           }

@@ -91,6 +91,21 @@ object RangeWindows {
       s"order key '$keyCol' must be BIGINT (cast dates/timestamps to day " +
         s"numbers / epoch micros), got ${df.schema(keyCol).dataType.simpleString}")
 
+    ghostProbeSum(df, passthrough, keyCol, valueCol, w, outPrefix)
+  }
+
+  /** The ghost-probe composition shared by [[rangeSlidingSum]] (DECIMAL,
+    * bit-stable) and [[rangeSlidingSumDouble]] (fp, opt-in): callers own
+    * the value-type contract.
+    */
+  private def ghostProbeSum(
+      df: DataFrame,
+      passthrough: Seq[String],
+      keyCol: String,
+      valueCol: String,
+      w: Long,
+      outPrefix: String): DataFrame = {
+    val vType = df.schema(valueCol).dataType
     val keep = passthrough.filterNot(c => c == keyCol || c == valueCol)
     val reals = df.select(
       (keep.map(col) ++ Seq(col(keyCol).as("__rw_sort"),
@@ -147,6 +162,65 @@ object RangeWindows {
     rangeSlidingSum(df, passthrough, keyCol, valueCol, w)
       .withColumn(outCol,
         col("frame_sum").cast("double") / col("frame_cnt").cast("double"))
+
+  /** OPT-IN fp (double) face of [[rangeSlidingSum]] — the one window
+    * shape [[graft.plans.PlanChecks]] otherwise only LINTS: a genuinely
+    * double-typed column gets the same distributed ghost-probe plan
+    * instead of the one-task cliff, at the price of bit-stability.
+    *
+    * NON-BIT-STABLE BY CONSTRUCTION — not hash-gate eligible: the frame
+    * value is `prefix(k) − prefix(k − w − 1)` on IEEE doubles, so (a)
+    * the result differs from the stock in-frame summation order in the
+    * last ulps, and (b) when a frame's true sum is small relative to its
+    * prefix magnitude the subtraction cancels catastrophically (relative
+    * error up to `|prefix| / |frame sum|` ulps). VALUE-compatible, not
+    * bit-compatible: RangeWindowsSpec pins `|Δ| ≤ 1e-9 × Σ|v|` against
+    * the kill-switched stock Window at 1.5M rows. When exactness matters,
+    * cast to DECIMAL and take [[rangeSlidingSum]] — this face exists for
+    * the user who measured that trade and still wants fp.
+    *
+    * Emits `<outPrefix>_sum` (DOUBLE, null on an all-null frame) and
+    * `<outPrefix>_cnt`; float inputs widen to double first (the widening
+    * is itself exact).
+    */
+  def rangeSlidingSumDouble(
+      df: DataFrame,
+      passthrough: Seq[String],
+      keyCol: String,
+      valueCol: String,
+      w: Long,
+      outPrefix: String = "frame"): DataFrame = {
+    require(w >= 0L && w < Long.MaxValue,
+      s"frame width must be in [0, Long.MaxValue), got $w")
+    graft.plans.GlobalRank.ensureRegistered(df.sparkSession)
+    val vType = df.schema(valueCol).dataType
+    require(vType == org.apache.spark.sql.types.DoubleType ||
+      vType == org.apache.spark.sql.types.FloatType,
+      s"value column '$valueCol' must be DOUBLE/FLOAT for the fp face, got " +
+        s"${vType.simpleString} — decimal/integral inputs take the exact " +
+        "rangeSlidingSum")
+    require(df.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"order key '$keyCol' must be BIGINT, got ${df.schema(keyCol).dataType.simpleString}")
+    val widened =
+      if (vType == org.apache.spark.sql.types.FloatType)
+        df.withColumn(valueCol, col(valueCol).cast("double"))
+      else df
+    ghostProbeSum(widened, passthrough, keyCol, valueCol, w, outPrefix)
+  }
+
+  /** The fp frame's average: sum ÷ count on the [[rangeSlidingSumDouble]]
+    * lanes — same opt-in, same non-bit-stable caveat.
+    */
+  def rangeSlidingAvgDouble(
+      df: DataFrame,
+      passthrough: Seq[String],
+      keyCol: String,
+      valueCol: String,
+      w: Long,
+      outCol: String = "frame_avg"): DataFrame =
+    rangeSlidingSumDouble(df, passthrough, keyCol, valueCol, w)
+      .withColumn(outCol, col("frame_sum") / col("frame_cnt").cast("double"))
 
   /** `RANGE BETWEEN before PRECEDING AND after FOLLOWING` — the CENTERED
     * value-bounded frame (the pandas `rolling(center=True)` shape) — via
@@ -410,9 +484,18 @@ object RangeWindows {
     * [[graft.plans.GlobalRankRule]] rewrite it). Output: `keep` columns +
     * `<p>_sum/_cnt/_avg/_min/_max`.
     *
+    * Checkpoint trade (100 TB note): the default `localCheckpoint` stores
+    * the materialized cascade on EXECUTOR storage — fast, but an executor
+    * loss forfeits its partitions with no lineage fallback (the job
+    * fails and retries whole). Pass `reliableCheckpoint = true` (with
+    * `sc.setCheckpointDir` on a fault-tolerant store) to pay one extra
+    * corpus write+read for executor-loss survival — the right default on
+    * a large shared cluster; local/batch callers keep the fast path.
+    *
     * RangeWindowsSpec pins bit-equality vs the kill-switched stock
-    * Window; `e23b_rows_centered_lib` pins the face against the same
-    * DuckDB oracle as e23.
+    * Window (both checkpoint modes); `e23b_rows_centered_lib` /
+    * `e24c_desc_rows_lib` pin the face against the same DuckDB oracles
+    * as e23/e24b.
     */
   def rowsSlidingAll(
       df: DataFrame,
@@ -422,7 +505,8 @@ object RangeWindows {
       m: Long,
       sumCol: String,
       extremaCol: String,
-      outPrefix: String = "frame"): DataFrame = {
+      outPrefix: String = "frame",
+      reliableCheckpoint: Boolean = false): DataFrame = {
     require(m >= 1, s"m FOLLOWING must be >= 1 (got $m); m = 0 is the " +
       "in-exec trailing family — use a plain window")
     require(n >= 0 && n + m + 1 <= 1024,
@@ -454,7 +538,23 @@ object RangeWindows {
     require(graft.plans.PlanChecks.unboundedGlobalWindows(cascade0).isEmpty,
       "rowsSlidingAll: the window cascade did not distribute — a stage " +
         "stayed on the single-partition Window")
-    val cascade = cascade0.localCheckpoint()
+    // the checkpoint freezes tie order ONCE for every consumer (tail
+    // patch, totals, the output join) — a mere persist would recompute on
+    // partition loss and could re-break ties differently mid-query.
+    // localCheckpoint keeps blocks on executor storage: fast, but an
+    // executor loss forfeits its partitions WITH NO LINEAGE FALLBACK (the
+    // documented 100 TB trade). reliableCheckpoint=true writes the
+    // materialized cascade to the cluster's checkpoint dir
+    // (sc.setCheckpointDir — HDFS/object store) instead: one extra
+    // write+read of the corpus buys executor-loss survival.
+    val cascade =
+      if (!reliableCheckpoint) cascade0.localCheckpoint()
+      else {
+        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "reliableCheckpoint=true needs spark.sparkContext.setCheckpointDir " +
+            "(a fault-tolerant location, e.g. HDFS) before calling")
+        cascade0.checkpoint()
+      }
     val total = cascade.count() // cached blocks — no recompute
     // tail patch: true [i−n, N] frames for the last m rows, from the last
     // n+m+1 rows, through Spark's own aggregates (identical arithmetic)

@@ -26,8 +26,12 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Glob
   * mixed-node split also covers min/max + sum sharing one node); `ROWS n
   * PRECEDING AND m FOLLOWING` → [[RowsFollowingRule]] (re-expressed as
   * RANGE over row_number, then the rules above). Remaining flags:
-  *  - fp (double) sliding sum/avg — vetoed on subtraction-cancellation
-  *    grounds; cast to DECIMAL if the rewrite semantics are acceptable;
+  *  - fp (double) sliding sum/avg — the AUTO-rewrite stays vetoed on
+  *    subtraction-cancellation grounds; cast to DECIMAL for the exact
+  *    rules, or OPT IN to the explicitly non-bit-stable distributed face
+  *    [[graft.operators.RangeWindows.rangeSlidingSumDouble]] /
+  *    `rangeSlidingAvgDouble` (value-compatible, tolerance-spec'd, never
+  *    hash-gate eligible);
   *  - multi-argument aggregates (covar/corr): native `COVAR_POP OVER`
   *    stays stock BY DOCTRINE (double Welford accumulation is
   *    order-dependent fp — no bit-compatible rewrite exists); compose

@@ -250,6 +250,79 @@ object CoreQueries {
          ORDER BY user_id, event_type""")
   }
 
+  /** E3f — ROW-LEVEL DELETE through the lake's SQL face: the takedown /
+    * right-to-be-forgotten operator a production corpus needs (drop keys
+    * as one atomic, history-preserving commit). `DELETE FROM <cat>.<t>
+    * WHERE …` plans onto [[graft.sources.LakeTable]]'s `SupportsDelete`
+    * and routes through [[graft.etl.SnapshotLake.delete]]: only
+    * partitions CONTAINING a matching row are rewritten (survivors into a
+    * new gen; the `event_type='error'` conjunct empties that whole
+    * partition, which simply leaves the manifest), untouched partitions'
+    * gen dirs stay byte-identical, and pre-delete snapshots remain
+    * readable via time travel until vacuum (SnapshotLakeSpec /
+    * LakeCatalogSpec pin both). Oracle = the LWW winners MINUS the
+    * deleted predicate — the exact SQL-DELETE polarity (rows where the
+    * condition is TRUE go; NULL-evaluating rows survive).
+    */
+  def e3fLakeDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = ScratchLakes.fresh("e3f")
+    val lake = s"$root/events"
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+    graft.etl.SnapshotLake.merge(s, lake, ev,
+      Seq("user_id", "event_type"), "ts", "event_type", Seq("event_id"))
+    s.conf.set("spark.sql.catalog.graftlakedel",
+      classOf[graft.sources.LakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftlakedel.root", root)
+    s.sql(
+      """DELETE FROM graftlakedel.events
+         WHERE user_id IN (2, 3, 5, 7, 11, 13) OR event_type = 'error'""")
+    s.sql(
+      """SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP_NTZ) AS timestamp_utc, value
+         FROM graftlakedel.events
+         ORDER BY user_id, event_type""")
+  }
+
+  /** E3g — `MERGE INTO` through the lake's SQL face: the idiomatic
+    * lakehouse verb for "upsert this staging table".
+    * [[graft.sources.LakeMergeStrategy]] (auto-registered by the catalog)
+    * intercepts the analyzed plan — stock Spark refuses MERGE for any
+    * table without row-level ops — validates the ON keys against the
+    * lake's persisted merge contract, and routes the source through the
+    * SAME [[graft.etl.SnapshotLake.mergeViaSpec]] LWW commit the API and
+    * `INSERT INTO` use, so all three write faces share one semantics
+    * (LakeCatalogSpec pins the UPDATE-only / INSERT-only / DELETE verb
+    * shapes and the refusals). Same two-batch split and oracle as
+    * e3b/e3c: the three faces must be value-identical.
+    */
+  def e3gLakeMergeSql(s: SparkSession, dir: String): DataFrame = {
+    val root = ScratchLakes.fresh("e3g")
+    val lake = s"$root/events"
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+    // batch 1 through the API merge — bootstraps the lake AND stamps the
+    // merge contract whose keys the MERGE's ON clause must name
+    graft.etl.SnapshotLake.merge(s, lake, ev.filter(col("event_id") % 2 === 0),
+      Seq("user_id", "event_type"), "ts", "event_type", Seq("event_id"))
+    s.conf.set("spark.sql.catalog.graftlakemrg",
+      classOf[graft.sources.LakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftlakemrg.root", root)
+    ev.filter(col("event_id") % 2 === 1).createOrReplaceTempView("e3g_batch2")
+    s.sql(
+      """MERGE INTO graftlakemrg.events AS t USING e3g_batch2 AS s
+         ON t.user_id = s.user_id AND t.event_type = s.event_type
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    s.sql(
+      """SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP_NTZ) AS timestamp_utc, value
+         FROM graftlakemrg.events
+         ORDER BY user_id, event_type""")
+  }
+
   /** E4 — OHLCV resampling (SURVEY §2.2 Aggregations): per-key daily candles
     * from finer-grained ticks via `min_by`/`max_by` — open/close ride on
     * the extreme timestamps, high/low/volume are plain extremes/sums, all in
@@ -1919,6 +1992,33 @@ object CoreQueries {
          ORDER BY o_orderkey""")
   }
 
+  /** E24c — e24b's PRODUCTION face: the same latest-first centered ROWS
+    * window through [[graft.operators.RangeWindows.rowsSlidingAll]],
+    * whose cascade (running count, trailing retract slide, lead) is
+    * direction-agnostic GlobalRank food — the DESC multi-column order
+    * rides the SAME materialize-once pipeline as e23b's ASC twin, so the
+    * latest-first SQL shape stops paying e24b's per-consumer rank-cascade
+    * re-run (the four-rule optimizer composition re-runs the rank
+    * pipeline above the reused exchange once per family — its documented
+    * structural cost, here traded away exactly as e23 → e23b). Same
+    * DuckDB oracle as e24b: the two faces must be value-identical.
+    */
+  def e24cDescRowsLib(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_totalprice").cast("decimal(25,4)").as("px"),
+      col("o_totalprice").cast("decimal(18,2)").as("px2"),
+      expr("CAST(datediff(o_orderdate, DATE'1992-01-01') AS BIGINT)").as("dnum"))
+    graft.operators.RangeWindows
+      .rowsSlidingAll(o, Seq("o_orderkey"),
+        Seq(col("dnum").desc, col("o_orderkey").desc), 6L, 3L, "px", "px2")
+      .select(col("o_orderkey"),
+        col("frame_sum").cast("double").as("c_total"),
+        col("frame_cnt").as("c_cnt"),
+        col("frame_min").cast("double").as("c_min"),
+        col("frame_max").cast("double").as("c_max"))
+      .orderBy("o_orderkey")
+  }
+
   /** E25: the SUFFIX frame — `ROWS BETWEEN CURRENT ROW AND UNBOUNDED
     * FOLLOWING` over a global total order: the "remaining total / final
     * value from here on" SQL (a trader's remaining-day volume, a
@@ -2288,6 +2388,8 @@ object CoreQueries {
     "e3c_lake_sql" -> (e3cLakeSql _),
     "e3d_lake_slice" -> (e3dLakeSlice _),
     "e3e_lake_in" -> (e3eLakeIn _),
+    "e3f_lake_delete" -> (e3fLakeDelete _),
+    "e3g_lake_merge_sql" -> (e3gLakeMergeSql _),
     "e4_ohlcv_resample" -> (e4OhlcvResample _),
     "e13_weekly_candles" -> (e13WeeklyCandles _),
     "e5_gap_fill" -> (e5GapFill _),
@@ -2363,6 +2465,7 @@ object CoreQueries {
     "e23b_rows_centered_lib" -> (e23bRowsCenteredLib _),
     "e24_desc_sliding_sql" -> (e24DescSlidingSql _),
     "e24b_desc_rows_sql" -> (e24bDescRowsSql _),
+    "e24c_desc_rows_lib" -> (e24cDescRowsLib _),
     "e25_suffix_frames_sql" -> (e25SuffixFramesSql _),
     "a26_salted_skew_join" -> ((s: SparkSession, d: String) => a26SaltedSkewJoin(s, d)),
     "c9_fixed_size_sample" -> ((s: SparkSession, d: String) => c9FixedSizeSample(s, d)),
@@ -2436,6 +2539,29 @@ object CoreQueries {
          SELECT user_id, event_type, event_id,
                 CAST(ts AS TIMESTAMP) AS timestamp_utc, value
          FROM merged ORDER BY user_id, event_type""",
+    "e3g_lake_merge_sql" ->
+      // e3c's oracle verbatim — MERGE INTO is the THIRD write face of the
+      // same keyed LWW commit (API merge, INSERT INTO, MERGE INTO) and
+      // all three must land the identical table
+      """WITH b0 AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 0)
+           WHERE rn = 1),
+         b1 AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 1)
+           WHERE rn = 1),
+         merged AS (
+           SELECT * FROM b1
+           UNION ALL
+           SELECT b0.* FROM b0 ANTI JOIN b1 USING (user_id, event_type))
+         SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP) AS timestamp_utc, value
+         FROM merged ORDER BY user_id, event_type""",
     "e3d_lake_slice" ->
       // single-batch LWW winners, then the ten-day slice — byte-identical
       // to the engine's pruned read (skipping may drop FILES, never rows)
@@ -2466,6 +2592,20 @@ object CoreQueries {
          FROM w
          WHERE event_type IN ('click', 'purchase', 'error')
            AND user_id IN (2, 3, 5, 7, 11, 13)
+         ORDER BY user_id, event_type""",
+    "e3f_lake_delete" ->
+      // single-batch LWW winners MINUS the deleted predicate — the SQL
+      // DELETE polarity (TRUE rows go, NULL-evaluating rows would stay)
+      """WITH w AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events)
+           WHERE rn = 1)
+         SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP) AS timestamp_utc, value
+         FROM w
+         WHERE NOT (user_id IN (2, 3, 5, 7, 11, 13) OR event_type = 'error')
          ORDER BY user_id, event_type""",
     "a26_salted_skew_join" ->
       """WITH ts_stats AS (
@@ -2886,37 +3026,6 @@ object CoreQueries {
                   AS DOUBLE) / 100000000.0 AS c_avg,
                 c_min, c_max
          FROM w1 ORDER BY o_orderkey""",
-    "e24_desc_sliding_sql" ->
-      """WITH o AS (
-           SELECT o_orderkey,
-                  CAST(o_totalprice AS DECIMAL(25,4)) AS px,
-                  CAST(o_totalprice AS DECIMAL(18,2)) AS px2,
-                  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dnum
-           FROM orders)
-         SELECT o_orderkey,
-                CAST(SUM(px) OVER win AS DOUBLE) AS frame_total,
-                COUNT(*) OVER win AS frame_cnt,
-                CAST(MIN(px2) OVER win AS DOUBLE) AS frame_min,
-                CAST(MAX(px2) OVER win AS DOUBLE) AS frame_max
-         FROM o
-         WINDOW win AS (ORDER BY dnum DESC RANGE BETWEEN 6 PRECEDING AND 2 FOLLOWING)
-         ORDER BY o_orderkey""",
-    "e24b_desc_rows_sql" ->
-      """WITH o AS (
-           SELECT o_orderkey,
-                  CAST(o_totalprice AS DECIMAL(25,4)) AS px,
-                  CAST(o_totalprice AS DECIMAL(18,2)) AS px2,
-                  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dnum
-           FROM orders)
-         SELECT o_orderkey,
-                CAST(SUM(px) OVER w AS DOUBLE) AS c_total,
-                COUNT(*) OVER w AS c_cnt,
-                CAST(MIN(px2) OVER w AS DOUBLE) AS c_min,
-                CAST(MAX(px2) OVER w AS DOUBLE) AS c_max
-         FROM o
-         WINDOW w AS (ORDER BY dnum DESC, o_orderkey DESC
-                      ROWS BETWEEN 6 PRECEDING AND 3 FOLLOWING)
-         ORDER BY o_orderkey""",
     "e23b_rows_centered_lib" ->
       // e23's oracle verbatim — the library face must be value-identical
       // to the optimizer composition (and to DuckDB's native ROWS engine)
@@ -2959,6 +3068,24 @@ object CoreQueries {
          WINDOW win AS (ORDER BY dnum DESC RANGE BETWEEN 6 PRECEDING AND 2 FOLLOWING)
          ORDER BY o_orderkey""",
     "e24b_desc_rows_sql" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  CAST(o_totalprice AS DECIMAL(25,4)) AS px,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS px2,
+                  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dnum
+           FROM orders)
+         SELECT o_orderkey,
+                CAST(SUM(px) OVER w AS DOUBLE) AS c_total,
+                COUNT(*) OVER w AS c_cnt,
+                CAST(MIN(px2) OVER w AS DOUBLE) AS c_min,
+                CAST(MAX(px2) OVER w AS DOUBLE) AS c_max
+         FROM o
+         WINDOW w AS (ORDER BY dnum DESC, o_orderkey DESC
+                      ROWS BETWEEN 6 PRECEDING AND 3 FOLLOWING)
+         ORDER BY o_orderkey""",
+    "e24c_desc_rows_lib" ->
+      // e24b's oracle verbatim — the library face must be value-identical
+      // to the optimizer composition (and to DuckDB's native ROWS engine)
       """WITH o AS (
            SELECT o_orderkey,
                   CAST(o_totalprice AS DECIMAL(25,4)) AS px,

@@ -90,8 +90,12 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       Seq(catName) ++ ident.namespace() :+ ident.name())
 
   private def parquetTable(ident: Identifier, m: SnapshotLake.Manifest,
-      path: String): Table =
+      path: String): Table = {
+    // any session that resolves a lake table can MERGE INTO it — the
+    // strategy registry is the session's, so stamp it here (idempotent)
+    LakeMergeExec.ensureRegistered(spark)
     new LakeTable(ident.name(), path, m, spark)
+  }
 
   override def loadTable(ident: Identifier): Table = {
     val path = tablePath(ident)
@@ -209,7 +213,10 @@ private[sources] class LakeTable(
     spark: SparkSession)
   extends Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  private[sources] def path: String = lakePath
 
   private[sources] def genDirs: Seq[String] = manifest.entries
     .map(e => new Path(new Path(new Path(lakePath, "data"), e.dirName),
@@ -223,7 +230,19 @@ private[sources] class LakeTable(
   override def name(): String = tableName
 
   override lazy val schema: StructType =
-    parquetOver(genDirs, None, CaseInsensitiveStringMap.empty()).schema
+    // the snapshot's RECORDED schema first (the widen-only evolution
+    // contract: after an add-column merge the catalog must answer with
+    // the union, and time travel with each snapshot's own shape); legacy
+    // sidecar-less snapshots fall back to their files' footers, and an
+    // EMPTY snapshot (unconditional DELETE) to the newest retained
+    // non-empty manifest's files. A table that never held a row answers
+    // with the empty struct.
+    SnapshotLake.snapshotSchema(spark, lakePath, manifest)
+      .orElse {
+        if (manifest.entries.nonEmpty)
+          Some(parquetOver(genDirs, None, CaseInsensitiveStringMap.empty()).schema)
+        else SnapshotLake.schemaFallback(spark, lakePath, manifest.gen)
+      }.getOrElse(new StructType())
 
   override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
     util.EnumSet.of(
@@ -261,6 +280,69 @@ private[sources] class LakeTable(
             }
         }
     }
+
+  /** The SQL DELETE face: `DELETE FROM <cat>.<table> WHERE …` routes
+    * through [[SnapshotLake.delete]]'s partition-scoped atomic manifest
+    * commit — the takedown operator (drop doc_ids from a corpus as one
+    * commit, history intact until vacuum). Spark only calls this when the
+    * WHOLE condition translated to source filters ([[canDeleteWhere]];
+    * V2 predicates arrive pre-converted by the `SupportsDelete` default
+    * methods), so a condition this face cannot re-express — a UDF, a
+    * subquery, arithmetic — refuses at analysis instead of silently
+    * deleting the wrong rows. Filters are conjuncts; an empty array is
+    * SQL's unconditional `DELETE FROM t` (every partition dropped,
+    * manifest emptied, history retained).
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => LakeTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val pred = filters.map(f => LakeTable.filterToColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"lake table $tableName cannot translate $f into a delete " +
+            "predicate — rewrite the DELETE condition with plain " +
+            "column/literal comparisons")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    SnapshotLake.delete(SparkSession.active, lakePath, pred)
+  }
+}
+
+private[sources] object LakeTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  /** V1 source `Filter` → `Column`, the exact-semantics subset (None =
+    * not expressible, the caller refuses). Attribute names are
+    * backtick-quoted — lake schemas are flat, so a dotted name is a
+    * literal column name, not a struct path.
+    */
+  private[sources] def filterToColumn(f: Filter): Option[Column] = {
+    def c(a: String) = col(s"`$a`")
+    f match {
+      case EqualTo(a, v) => Some(c(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(c(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case LessThan(a, v) => Some(c(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+      case In(a, vs) => Some(c(a).isin(vs.toSeq.map(lit): _*))
+      case IsNull(a) => Some(c(a).isNull)
+      case IsNotNull(a) => Some(c(a).isNotNull)
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(x) => filterToColumn(x).map(!_)
+      case StringStartsWith(a, v) => Some(c(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(c(a).endsWith(v))
+      case StringContains(a, v) => Some(c(a).contains(v))
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
 }
 
 private[sources] class LakeScanBuilder(

@@ -1,0 +1,234 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable,
+  SubqueryAlias, UpdateAction}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, V2CommandExec}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+import graft.etl.SnapshotLake
+
+/** The SQL `MERGE INTO` face of the snapshot lake — the idiomatic
+  * lakehouse verb for "upsert this staging table":
+  * {{{
+  *   MERGE INTO lake.t AS t USING staged AS s ON t.k1 = s.k1 AND t.k2 = s.k2
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  * Stock Spark refuses the statement at PLANNING for any table that does
+  * not implement row-level operations (`SparkStrategies.BasicOperators`
+  * throws UNSUPPORTED_FEATURE.TABLE_OPERATION), so this strategy — tried
+  * BEFORE the built-ins via `experimental.extraStrategies`, registered
+  * automatically by [[LakeCatalog.loadTable]] — intercepts the analyzed
+  * [[MergeIntoTable]] over a [[LakeTable]] and routes it into the lake's
+  * own keyed LWW commit machinery:
+  *
+  *  - `UPDATE SET *` + `INSERT *`  → [[SnapshotLake.mergeViaSpec]] on the
+  *    whole source (the full upsert — exactly what the API merge and SQL
+  *    `INSERT INTO` already do);
+  *  - `UPDATE SET *` only          → source SEMI-joined to the current
+  *    snapshot's keys, then mergeViaSpec (touch only existing keys);
+  *  - `INSERT *` only              → source ANTI-joined, then mergeViaSpec
+  *    (insert only new keys);
+  *  - `DELETE` only                → [[SnapshotLake.deleteKeys]] on the
+  *    source's key columns (the takedown verb).
+  *
+  * The ON condition must be the conjunction of equality over EXACTLY the
+  * lake's persisted merge keys ([[SnapshotLake.MergeSpec]]) — the LWW
+  * commit has one key identity, and a MERGE keyed differently would not
+  * mean what it says. Anything the LWW algebra cannot honor — clause
+  * conditions (`WHEN MATCHED AND …`), explicit non-identity `SET`
+  * assignments, `WHEN NOT MATCHED BY SOURCE`, `WITH SCHEMA EVOLUTION`,
+  * mixed DELETE+INSERT — refuses loudly at planning with the reason, never
+  * silently approximates. For UPDATE-only / INSERT-only, the matched key
+  * set resolves against the snapshot current at statement start (the usual
+  * snapshot-isolation reading); the commit itself is lease-serialized like
+  * every lake mutation.
+  *
+  * LakeCatalogSpec pins all four verb shapes and the refusals; the
+  * `e3c_lake_sql` gate family pins SQL-vs-API write equivalence.
+  */
+object LakeMergeStrategy extends SparkStrategy {
+
+  private def refuse(why: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"lake MERGE INTO: $why — supported shapes: WHEN MATCHED THEN " +
+        "UPDATE SET * and/or WHEN NOT MATCHED THEN INSERT * (keyed LWW " +
+        "upsert), or WHEN MATCHED THEN DELETE alone (key takedown), with " +
+        "ON = equality on exactly the lake's merge keys and no clause " +
+        "conditions")
+
+  /** The target's [[LakeTable]], through alias wrappers and through the
+    * optimizer's scan-relation rewrite (by planning time the bare
+    * `DataSourceV2Relation` may have become a `DataSourceV2ScanRelation`).
+    */
+  private def lakeTableOf(p: LogicalPlan): Option[LakeTable] = p match {
+    case SubqueryAlias(_, child) => lakeTableOf(child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: LakeTable => Some(t)
+      case _ => None
+    }
+    case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      s.relation.table match {
+        case t: LakeTable => Some(t)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** The ON condition's equality column pairs, or None when any conjunct
+    * is not a plain target-col = source-col equality.
+    */
+  private def keyPairs(cond: Expression, targetOut: Seq[Attribute],
+      sourceOut: Seq[Attribute]): Option[Seq[String]] = {
+    val tIds = targetOut.map(_.exprId).toSet
+    val sIds = sourceOut.map(_.exprId).toSet
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    val pairs = split(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if tIds.contains(a.exprId) && sIds.contains(b.exprId) &&
+            a.name.equalsIgnoreCase(b.name) => Some(a.name)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if tIds.contains(a.exprId) && sIds.contains(b.exprId) &&
+            a.name.equalsIgnoreCase(b.name) => Some(a.name)
+      case _ => None
+    }
+    if (pairs.exists(_.isEmpty)) None else Some(pairs.flatten)
+  }
+
+  /** Every assignment the identity `target.c := source.c` (what `SET *` /
+    * `INSERT *` align to) — an explicit expression would need per-row
+    * update arithmetic the LWW commit does not model.
+    */
+  private def identityAssignments(as: Seq[Assignment],
+      sourceOut: Seq[Attribute]): Boolean = {
+    val sIds = sourceOut.map(_.exprId).toSet
+    as.forall {
+      case Assignment(k: AttributeReference, v: AttributeReference) =>
+        sIds.contains(v.exprId) && k.name.equalsIgnoreCase(v.name)
+      case _ => false
+    }
+  }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case m: MergeIntoTable =>
+      lakeTableOf(m.targetTable) match {
+        case Some(lake) =>
+          val spark = SparkSession.active
+          val spec = SnapshotLake.mergeSpecOf(spark, lake.path).getOrElse(
+            refuse(s"table ${lake.name()} has no persisted merge contract " +
+              "(_manifests/table-meta); run one SnapshotLake.merge first"))
+          if (m.withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION is not supported")
+          if (m.notMatchedBySourceActions.nonEmpty)
+            refuse("WHEN NOT MATCHED BY SOURCE is not supported")
+          val sourceOut = m.sourceTable.output
+          val onKeys = keyPairs(m.mergeCondition, m.targetTable.output, sourceOut)
+            .getOrElse(refuse(
+              "the ON condition must be a conjunction of target.k = source.k " +
+                "equalities"))
+          val want = spec.keys.map(_.toLowerCase).toSet
+          if (onKeys.map(_.toLowerCase).toSet != want || onKeys.length != want.size)
+            refuse(s"ON keys (${onKeys.mkString(", ")}) must be exactly the " +
+              s"lake's merge keys (${spec.keys.mkString(", ")})")
+          val update = m.matchedActions.collect { case u: UpdateAction => u }
+          val delete = m.matchedActions.collect { case d: DeleteAction => d }
+          val insert = m.notMatchedActions.collect { case i: InsertAction => i }
+          if (update.length + delete.length != m.matchedActions.length ||
+            insert.length != m.notMatchedActions.length)
+            refuse("unrecognized merge action")
+          if ((update ++ delete ++ insert).exists(_.condition.isDefined))
+            refuse("clause conditions (WHEN MATCHED AND …) are not supported")
+          if (update.length > 1 || delete.length > 1 || insert.length > 1)
+            refuse("duplicate clauses")
+          if (delete.nonEmpty && (update.nonEmpty || insert.nonEmpty))
+            refuse("DELETE cannot be combined with UPDATE/INSERT clauses")
+          if (!update.forall(u => identityAssignments(u.assignments, sourceOut)))
+            refuse("UPDATE must be SET * (or the explicit identity assignments)")
+          if (!insert.forall(i => identityAssignments(i.assignments, sourceOut)))
+            refuse("INSERT must be INSERT * (or the explicit identity assignments)")
+          val mode =
+            if (delete.nonEmpty) LakeMergeExec.DeleteKeys
+            else if (update.nonEmpty && insert.nonEmpty) LakeMergeExec.Upsert
+            else if (update.nonEmpty) LakeMergeExec.UpdateOnly
+            else if (insert.nonEmpty) LakeMergeExec.InsertOnly
+            else refuse("at least one WHEN clause is required")
+          LakeMergeExec(lake.path, mode, spec.keys,
+            m.sourceTable.schema, planLater(m.sourceTable)) :: Nil
+        case None => Nil
+      }
+    case _ => Nil
+  }
+}
+
+/** Driver-side command exec for [[LakeMergeStrategy]]: evaluates the
+  * source plan ONCE (distributed), rebuilds it as a DataFrame, and routes
+  * it through the lake's lease-serialized commit. Returns no rows (the
+  * SQL MERGE contract).
+  */
+case class LakeMergeExec(
+    lakePath: String,
+    mode: LakeMergeExec.Mode,
+    keys: Seq[String],
+    sourceSchema: StructType,
+    child: SparkPlan) extends V2CommandExec {
+
+  override def output: Seq[Attribute] = Nil
+  override def children: Seq[SparkPlan] = child :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SparkPlan =
+    copy(child = newChildren.head)
+
+  override def run(): Seq[InternalRow] = {
+    val spark = SparkSession.active
+    // InternalRow → Row through Spark's own converters, so the rebuilt
+    // frame is exactly the source's rows — no driver collect anywhere
+    val conv = CatalystTypeConverters.createToScalaConverter(sourceSchema)
+    val rows: RDD[Row] =
+      child.execute().map(ir => conv(ir.copy()).asInstanceOf[Row])
+    val source = spark.createDataFrame(rows, sourceSchema)
+    mode match {
+      case LakeMergeExec.Upsert =>
+        SnapshotLake.mergeViaSpec(spark, lakePath, source)
+      case LakeMergeExec.UpdateOnly =>
+        val cur = SnapshotLake.read(spark, lakePath)
+          .select(keys.map(col): _*).distinct()
+        SnapshotLake.mergeViaSpec(spark, lakePath,
+          source.join(cur, keys, "left_semi"))
+      case LakeMergeExec.InsertOnly =>
+        val cur = SnapshotLake.read(spark, lakePath)
+          .select(keys.map(col): _*).distinct()
+        SnapshotLake.mergeViaSpec(spark, lakePath,
+          source.join(cur, keys, "left_anti"))
+      case LakeMergeExec.DeleteKeys =>
+        SnapshotLake.deleteKeys(spark, lakePath, source.select(keys.map(col): _*))
+    }
+    Nil
+  }
+}
+
+object LakeMergeExec {
+  sealed trait Mode
+  case object Upsert extends Mode
+  case object UpdateOnly extends Mode
+  case object InsertOnly extends Mode
+  case object DeleteKeys extends Mode
+
+  /** Idempotent session registration (the GlobalRank idiom); done
+    * automatically whenever [[LakeCatalog]] resolves a table, so any
+    * session with a lake catalog speaks MERGE INTO.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(LakeMergeStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ LakeMergeStrategy
+  }
+}

@@ -390,6 +390,13 @@ object VerifySf1 {
       ("e24b_desc_rows_sql",
         () => CoreQueries.e24bDescRowsSql(spark, work),
         () => stockWindows(CoreQueries.e24bDescRowsSql(spark, work))),
+      // e24c: the materialize-once library face on the DESC multi-column
+      // order ↔ the four-rule optimizer composition (e24b) — two disjoint
+      // distributions of the same latest-first centered ROWS frame,
+      // value-identical by contract (the e23b ↔ e23 pattern)
+      ("e24c_desc_rows_lib",
+        () => CoreQueries.e24cDescRowsLib(spark, work),
+        () => CoreQueries.e24bDescRowsSql(spark, work)),
       // e25: the suffix-frame reversal vs an INDEPENDENT stock-exec
       // formulation. NOT the stock suffix window itself: Spark's
       // [CURRENT ROW, UNBOUNDED FOLLOWING] frame RECOMPUTES the aggregate
@@ -464,12 +471,49 @@ object VerifySf1 {
               col("ts").cast("timestamp_ntz").as("timestamp_utc"), col("value"))
             .localCheckpoint()
         }),
+      // e3f: the SQL DELETE commit (partition-scoped survivor rewrite +
+      // atomic manifest swap) ↔ lake-free LWW algebra + the NOT-filter —
+      // the delete may drop partitions and rewrite files, never touch a
+      // surviving row, at 1.5M events
+      ("e3f_lake_delete",
+        () => CoreQueries.e3fLakeDelete(spark, work),
+        () => {
+          import graft.etl.Upsert
+          Upsert.lastWriteWins(
+            ev.select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts"), col("value")),
+            Seq("user_id", "event_type"), "ts", Seq("event_id"))
+            .filter(!(col("user_id").isin(2L, 3L, 5L, 7L, 11L, 13L) ||
+              col("event_type") === "error"))
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts").cast("timestamp_ntz").as("timestamp_utc"), col("value"))
+            .localCheckpoint()
+        }),
       // e3b: the snapshot-lake merge path ↔ a lake-free in-engine
       // formulation of the same two-batch semantics (within-batch LWW,
       // cross-batch update-wins) — 1.5M rows through manifest commits,
       // hash-compared against pure dataframe algebra
       ("e3b_upsert_lake",
         () => CoreQueries.e3bUpsertLake(spark, work),
+        () => {
+          import graft.etl.Upsert
+          val evb = ev.select(col("user_id"), col("event_type"),
+            col("event_id"), col("ts"), col("value"))
+          val keys = Seq("user_id", "event_type")
+          val b0 = Upsert.lastWriteWins(
+            evb.filter(col("event_id") % 2 === 0), keys, "ts", Seq("event_id"))
+          val b1 = Upsert.lastWriteWins(
+            evb.filter(col("event_id") % 2 === 1), keys, "ts", Seq("event_id"))
+          b1.unionByName(b0.join(b1.select(keys.map(col): _*), keys, "left_anti"))
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts").cast("timestamp_ntz").as("timestamp_utc"), col("value"))
+        }),
+      // e3g: the MERGE INTO write face (strategy-intercepted plan → the
+      // lease-serialized LWW commit) ↔ the same lake-free two-batch
+      // algebra as e3b — the THIRD write face must land the identical
+      // table at 1.5M rows
+      ("e3g_lake_merge_sql",
+        () => CoreQueries.e3gLakeMergeSql(spark, work),
         () => {
           import graft.etl.Upsert
           val evb = ev.select(col("user_id"), col("event_type"),

@@ -349,6 +349,106 @@ class SnapshotLakeSpec extends SparkSuite {
     assert(multi.count() == 61)
   }
 
+  test("delete: partition-scoped commit, emptied partitions dropped, history intact") {
+    val dir = tmp()
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt") // gen 1
+    SnapshotLake.merge(spark, dir, b2, Seq("key"), "v", "dt") // gen 2
+    // entry gens before: 01→2 (b2 updated k1), 02→1, 03→1, 04→2
+    val before = SnapshotLake.currentManifest(spark, dir).get
+      .entries.map(e => e.value -> e.gen).toMap
+    assert(before == Map("2025-01-01" -> 2L, "2025-01-02" -> 1L,
+      "2025-01-03" -> 1L, "2025-01-04" -> 2L))
+    val n = SnapshotLake.delete(spark, dir, col("key") === "k1")
+    assert(n == 1L, "exactly the matching row is deleted")
+    assert(state(SnapshotLake.read(spark, dir)) ==
+      Map("k2" -> ((1L, 20.0)), "k3" -> ((1L, 30.0)), "k4" -> ((1L, 40.0))))
+    val after = SnapshotLake.currentManifest(spark, dir).get
+    assert(after.gen == 3L)
+    // k1 was 2025-01-01's only row: the emptied partition LEFT the manifest
+    // entirely; untouched partitions keep their exact pre-delete gens (no
+    // rewrite — their gen dirs were never re-staged)
+    assert(after.entries.map(e => e.value -> e.gen).toMap ==
+      Map("2025-01-02" -> 1L, "2025-01-03" -> 1L, "2025-01-04" -> 2L))
+    // time travel still sees the pre-delete snapshot until vacuum
+    assert(state(SnapshotLake.readAt(spark, dir, 2L)).contains("k1"),
+      "pre-delete snapshot must stay readable")
+    // key-batch face: k2 goes, the unknown key is a no-op inside the batch
+    val n2 = SnapshotLake.deleteKeys(spark, dir,
+      Seq("k2", "k_absent").toDF("key"))
+    assert(n2 == 1L)
+    assert(state(SnapshotLake.read(spark, dir)).keySet == Set("k3", "k4"))
+    // a no-hit delete publishes NOTHING (no empty commit)
+    val gen0 = SnapshotLake.currentManifest(spark, dir).get.gen
+    assert(SnapshotLake.delete(spark, dir, col("key") === "zzz") == 0L)
+    assert(SnapshotLake.currentManifest(spark, dir).get.gen == gen0)
+  }
+
+  test("delete: NULL-evaluating predicate rows survive (SQL WHERE polarity)") {
+    val dir = tmp()
+    val rows = Seq(("k1", "p", 1L, Some(1.0)), ("k2", "p", 1L, None),
+      ("k3", "p", 1L, Some(3.0))).toDF("key", "dt", "v", "price")
+    SnapshotLake.merge(spark, dir, rows, Seq("key"), "v", "dt")
+    // price > 2.0 is NULL for k2 — DELETE removes only TRUE rows, so the
+    // null-valued row survives exactly as a WHERE would keep it out
+    assert(SnapshotLake.delete(spark, dir, col("price") > 2.0) == 1L)
+    assert(SnapshotLake.read(spark, dir).collect()
+      .map(_.getAs[String]("key")).toSet == Set("k1", "k2"))
+  }
+
+  test("delete: stats sidecars re-captured for rewritten gens (file skipping survives)") {
+    val dir = tmp()
+    val rows = (1 to 200).map(i => (s"k$i", "p", 1L, i.toDouble))
+      .toDF("key", "dt", "v", "price").repartition(4)
+    SnapshotLake.merge(spark, dir, rows, Seq("key"), "v", "dt",
+      statsCols = Seq("price"))
+    assert(SnapshotLake.delete(spark, dir, col("price") > 190.0) == 10L)
+    val gen = SnapshotLake.currentManifest(spark, dir).get.gen
+    val sidecar = new java.io.File(s"$dir/_manifests/stats-${"%020d".format(gen)}")
+    assert(sidecar.exists(), "delete must re-record stats for the new gen")
+    // and the slice read still returns exactly the surviving rows
+    assert(SnapshotLake.readSlice(spark, dir, "price", Some(100.0), None)
+      .count() == 91L)
+  }
+
+  test("schema evolution: widen-only add-column; mixed-generation reads pin the union") {
+    val dir = tmp()
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt") // gen 1, 4 cols
+    // add-column merge: the batch carries a NEW column; only its touched
+    // partitions rewrite under the union schema
+    val b2w = b2.withColumn("venue", concat(lit("x-"), col("key")))
+    SnapshotLake.merge(spark, dir, b2w, Seq("key"), "v", "dt") // gen 2, 5 cols
+    val now = SnapshotLake.read(spark, dir)
+    assert(now.columns.contains("venue"), "union schema must carry the added column")
+    val venues = now.collect()
+      .map(r => r.getAs[String]("key") -> Option(r.getAs[String]("venue"))).toMap
+    // gens written BEFORE the widen read the added column as NULL; the
+    // batch's own rows carry their values
+    assert(venues == Map("k1" -> Some("x-k1"), "k2" -> None, "k3" -> None,
+      "k4" -> Some("x-k4")))
+    // time travel answers with each snapshot's OWN schema: pre-widen has
+    // no venue column at all
+    assert(!SnapshotLake.readAt(spark, dir, 1L).columns.contains("venue"))
+    // a later narrow batch that DROPS the column refuses loudly (the
+    // silent-truncation direction), as does a retype
+    val exNarrow = intercept[IllegalArgumentException](
+      SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt"))
+    assert(exNarrow.getMessage.contains("widen-only"))
+    val exRetype = intercept[IllegalArgumentException](
+      SnapshotLake.merge(spark, dir,
+        b2w.withColumn("price", col("price").cast("string")),
+        Seq("key"), "v", "dt"))
+    assert(exRetype.getMessage.contains("retypes"))
+    // the refusals committed nothing
+    assert(SnapshotLake.currentManifest(spark, dir).get.gen == 2L)
+    // a widened batch (null-filled venue) is the documented remediation
+    SnapshotLake.merge(spark, dir,
+      b1.withColumn("venue", lit(null).cast("string")), Seq("key"), "v", "dt")
+    assert(SnapshotLake.read(spark, dir).columns.contains("venue"))
+    // compaction and delete carry the recorded schema forward
+    assert(SnapshotLake.delete(spark, dir, col("key") === "k4") == 1L)
+    assert(SnapshotLake.read(spark, dir).columns.contains("venue"))
+  }
+
   test("legacy bare-hex partition dirs migrate on merge (entries match by VALUE)") {
     import org.apache.hadoop.fs.Path
     val dir = tmp()

@@ -155,6 +155,103 @@ class RangeWindowsSpec extends SparkSuite {
     }
   }
 
+  test("rowsSlidingAll: DESC / multi-column total orders match the stock window") {
+    def allStock[A](body: => A): A = {
+      val keys = Seq(graft.plans.GlobalRankRule.EnabledKey,
+        graft.plans.RangeSlidingRule.EnabledKey,
+        graft.plans.RangeMinMaxRule.EnabledKey,
+        graft.plans.RowsFollowingRule.EnabledKey,
+        graft.plans.DescOrderRule.EnabledKey)
+      keys.foreach(spark.conf.set(_, "false"))
+      try body finally keys.foreach(spark.conf.unset)
+    }
+    // the latest-first shape (e24b/e24c): a composite DESC order that is
+    // total only through its tie-breaker column — the cascade's stages
+    // (running count, trailing slide, lead) are all direction-agnostic
+    // GlobalRank food, so the face must distribute it unchanged
+    for ((seed, size, n, m, ords) <- Seq(
+      (3L, 900, 6L, 3L, Seq(col("k").desc, col("id").desc)),
+      (17L, 500, 4L, 2L, Seq(col("k"), col("id").desc)),
+      (29L, 7, 6L, 3L, Seq(col("k").desc, col("id").desc)))) {
+      val df = corpus(seed, size)
+      val got = RangeWindows
+        .rowsSlidingAll(df, Seq("id"), ords, n, m, "v", "v")
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).map(String.valueOf))
+        .toMap
+      val sw = org.apache.spark.sql.expressions.Window
+        .orderBy(ords: _*).rowsBetween(-n, m)
+      val want = allStock {
+        df.withColumn("frame_sum", sum(col("v")).over(sw))
+          .withColumn("frame_cnt", count(lit(1)).over(sw))
+          .withColumn("frame_avg", avg(col("v")).over(sw))
+          .withColumn("frame_min", min(col("v")).over(sw))
+          .withColumn("frame_max", max(col("v")).over(sw))
+          .select("id", "frame_sum", "frame_cnt", "frame_avg",
+            "frame_min", "frame_max")
+          .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).map(String.valueOf))
+          .toMap
+      }
+      val bad = got.keys.filter(k => got(k) != want(k)).take(3)
+        .map(k => s"id=$k got=${got(k)} want=${want(k)}")
+      assert(bad.isEmpty, s"seed=$seed n=$n m=$m diverged: ${bad.mkString("; ")}")
+      assert(got.size == want.size)
+    }
+  }
+
+  test("rangeSlidingSumDouble: opt-in fp face within 1e-9 × Σ|v| of stock at 1.5M rows") {
+    // deterministic 1.5M-row corpus: heavy key ties, ~1/6 null values
+    val n = 1500000L
+    val df = spark.range(n).select(col("id"),
+      pmod(xxhash64(col("id")), lit(20000L)).as("k"),
+      when(pmod(xxhash64(col("id"), lit(1)), lit(6)) === 0,
+        lit(null).cast("double"))
+        .otherwise((pmod(xxhash64(col("id"), lit(2)), lit(200000L))
+          .cast("double") - 100000.0) / 100.0).as("x"))
+      .localCheckpoint()
+    val got = RangeWindows.rangeSlidingSumDouble(df, Seq("id"), "k", "x", 17L)
+      .select(col("id"), col("frame_sum").as("gs"), col("frame_cnt").as("gc"))
+    assert(graft.plans.PlanChecks.unboundedGlobalWindows(got).isEmpty,
+      "the fp face must distribute (that is its whole point)")
+    val sw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("k")).rangeBetween(-17L, 0L)
+    val want = stock {
+      df.withColumn("ws", sum(col("x")).over(sw))
+        .withColumn("wc", count(col("x")).over(sw))
+        .select(col("id"), col("ws"), col("wc")).localCheckpoint()
+    }
+    val totalAbs = df.agg(sum(abs(col("x")))).head.getDouble(0)
+    val tol = 1e-9 * totalAbs
+    val r = got.join(want, "id")
+      .agg(
+        max(abs(col("gs") - col("ws"))).as("maxd"),
+        sum(when(col("gs").isNull =!= col("ws").isNull, 1L).otherwise(0L)).as("nullmis"),
+        sum(when(col("gc") =!= col("wc"), 1L).otherwise(0L)).as("cntmis"),
+        count(lit(1)).as("n")).head
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("nullmis") == 0L, "all-null-frame NULLs must agree exactly")
+    assert(r.getAs[Long]("cntmis") == 0L, "counts are integral and must agree exactly")
+    assert(r.getAs[Double]("maxd") <= tol,
+      s"fp face drifted beyond the documented bound: max |Δ| = ${r.getAs[Double]("maxd")}, tol = $tol")
+  }
+
+  test("rowsSlidingAll: reliableCheckpoint face bit-matches the localCheckpoint default") {
+    val df = corpus(43L, 600)
+    // without a checkpoint dir the option must refuse up front
+    intercept[IllegalArgumentException](RangeWindows.rowsSlidingAll(
+      df, Seq("id"), Seq(col("id")), 5L, 2L, "v", "v",
+      reliableCheckpoint = true))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rwchk").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    def m(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1).map(String.valueOf)).toMap
+    val reliable = m(RangeWindows.rowsSlidingAll(
+      df, Seq("id"), Seq(col("id")), 5L, 2L, "v", "v",
+      reliableCheckpoint = true))
+    val default = m(RangeWindows.rowsSlidingAll(
+      df, Seq("id"), Seq(col("id")), 5L, 2L, "v", "v"))
+    assert(reliable == default)
+  }
+
   test("rowsSlidingAll: one GlobalRank cascade, no stock global Window, guardrails") {
     val df = corpus(7L, 400)
     val out = RangeWindows

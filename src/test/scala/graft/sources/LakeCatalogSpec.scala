@@ -315,6 +315,118 @@ class LakeCatalogSpec extends SparkSuite {
     assert(e2.getMessage.contains("merge contract"), e2.getMessage)
   }
 
+  test("SQL DELETE routes through the atomic lake delete; opaque conditions refuse") {
+    val dir = s"$root/deltest"
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    SnapshotLake.merge(spark, dir, b2, Seq("key"), "v", "dt")
+    spark.sql("DELETE FROM glake.deltest WHERE key IN ('k1', 'k3')")
+    assert(state(spark.sql("SELECT * FROM glake.deltest").collect()) ==
+      Map("k2" -> ((1L, 20.0)), "k4" -> ((1L, 40.0))))
+    // the SQL face and the API face share one commit mechanism: history
+    // (pre-delete snapshot) still resolves through time travel
+    assert(state(spark.sql(
+      "SELECT * FROM glake.deltest VERSION AS OF 2").collect())
+      .keySet == Set("k1", "k2", "k3", "k4"))
+    // a condition that cannot translate to source filters must refuse at
+    // planning (canDeleteWhere=false), never silently delete wrong rows
+    val before = state(spark.sql("SELECT * FROM glake.deltest").collect())
+    intercept[Throwable](
+      spark.sql("DELETE FROM glake.deltest WHERE length(key) > 1000"))
+    assert(state(spark.sql("SELECT * FROM glake.deltest").collect()) == before,
+      "a refused DELETE must not change the table")
+    // unconditional DELETE = SQL truncate: manifest emptied, history kept
+    spark.sql("DELETE FROM glake.deltest")
+    assert(spark.sql("SELECT * FROM glake.deltest").count() == 0L)
+    assert(state(spark.sql(
+      "SELECT * FROM glake.deltest VERSION AS OF 2").collect()).size == 4)
+  }
+
+  test("catalog schema reflects the union after add-column; time travel keeps the old shape") {
+    val dir = s"$root/evolve"
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    SnapshotLake.merge(spark, dir,
+      b2.withColumn("venue", concat(lit("x-"), col("key"))),
+      Seq("key"), "v", "dt")
+    val now = spark.sql("SELECT * FROM glake.evolve")
+    assert(now.columns.contains("venue"),
+      "the catalog must answer with the UNION schema after a widen")
+    val venues = now.collect()
+      .map(r => r.getAs[String]("key") -> Option(r.getAs[String]("venue"))).toMap
+    assert(venues("k2").isEmpty && venues("k1").contains("x-k1"),
+      "pre-widen generations must read the added column as NULL")
+    // time travel answers with the snapshot's OWN (narrower) schema
+    assert(!spark.sql("SELECT * FROM glake.evolve VERSION AS OF 1")
+      .columns.contains("venue"))
+  }
+
+  test("MERGE INTO: upsert / update-only / insert-only / delete verbs share the LWW commit") {
+    val dir = s"$root/mergetest"
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    // full upsert: k1 updated (v=2 wins LWW), k4 inserted
+    b2.createOrReplaceTempView("mrg_src")
+    spark.sql(
+      """MERGE INTO glake.mergetest AS t USING mrg_src AS s ON t.key = s.key
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(state(spark.sql("SELECT * FROM glake.mergetest").collect()) ==
+      Map("k1" -> ((2L, 15.0)), "k2" -> ((1L, 20.0)),
+        "k3" -> ((1L, 30.0)), "k4" -> ((1L, 40.0))))
+    // UPDATE-only: the new key k9 must NOT land, k2's update must
+    Seq(("k2", "2025-01-02", 3L, 25.0), ("k9", "2025-01-09", 1L, 90.0))
+      .toDF("key", "dt", "v", "price").createOrReplaceTempView("mrg_upd")
+    spark.sql(
+      """MERGE INTO glake.mergetest AS t USING mrg_upd AS s ON t.key = s.key
+         WHEN MATCHED THEN UPDATE SET *""")
+    val afterUpd = state(spark.sql("SELECT * FROM glake.mergetest").collect())
+    assert(afterUpd("k2") == ((3L, 25.0)) && !afterUpd.contains("k9"))
+    // INSERT-only: existing k3 must NOT change, new k5 must land
+    Seq(("k3", "2025-01-03", 9L, 99.0), ("k5", "2025-01-05", 1L, 50.0))
+      .toDF("key", "dt", "v", "price").createOrReplaceTempView("mrg_ins")
+    spark.sql(
+      """MERGE INTO glake.mergetest AS t USING mrg_ins AS s ON t.key = s.key
+         WHEN NOT MATCHED THEN INSERT *""")
+    val afterIns = state(spark.sql("SELECT * FROM glake.mergetest").collect())
+    assert(afterIns("k3") == ((1L, 30.0)) && afterIns("k5") == ((1L, 50.0)))
+    // DELETE verb: matched keys leave the table (the takedown shape)
+    Seq("k1", "k5", "k_absent").toDF("key").createOrReplaceTempView("mrg_del")
+    spark.sql(
+      """MERGE INTO glake.mergetest AS t USING mrg_del AS s ON t.key = s.key
+         WHEN MATCHED THEN DELETE""")
+    assert(state(spark.sql("SELECT * FROM glake.mergetest").collect())
+      .keySet == Set("k2", "k3", "k4"))
+  }
+
+  test("MERGE INTO: shapes the LWW commit cannot honor refuse loudly") {
+    val dir = s"$root/mergeref"
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    b2.createOrReplaceTempView("mrgr_src")
+    def refused(sql: String, why: String): Unit = {
+      val e = intercept[Throwable](spark.sql(sql))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(why)), s"wrong refusal for: $sql\n  got $e")
+    }
+    // ON keys must be exactly the persisted merge keys
+    refused(
+      """MERGE INTO glake.mergeref AS t USING mrgr_src AS s ON t.dt = s.dt
+         WHEN MATCHED THEN UPDATE SET *""", "merge keys")
+    // clause conditions are out of the LWW algebra
+    refused(
+      """MERGE INTO glake.mergeref AS t USING mrgr_src AS s ON t.key = s.key
+         WHEN MATCHED AND s.price > 20 THEN UPDATE SET *""", "clause conditions")
+    // explicit non-identity assignments would need per-row update arithmetic
+    refused(
+      """MERGE INTO glake.mergeref AS t USING mrgr_src AS s ON t.key = s.key
+         WHEN MATCHED THEN UPDATE SET t.price = s.price + 1""", "identity")
+    // DELETE cannot mix with INSERT under one LWW pass
+    refused(
+      """MERGE INTO glake.mergeref AS t USING mrgr_src AS s ON t.key = s.key
+         WHEN MATCHED THEN DELETE
+         WHEN NOT MATCHED THEN INSERT *""", "DELETE cannot be combined")
+    // nothing committed by any refusal
+    assert(SnapshotLake.currentManifest(spark, dir).get.gen == 1L)
+  }
+
   test("read-only: DDL through the catalog refuses loudly; missing tables throw") {
     intercept[UnsupportedOperationException](
       spark.sql("CREATE TABLE glake.t2 (a INT) USING parquet"))
