@@ -37,14 +37,21 @@ import graft.etl.SnapshotLake
   *  - `INSERT *` only              → source ANTI-joined, then mergeViaSpec
   *    (insert only new keys);
   *  - `DELETE` only                → [[SnapshotLake.deleteKeys]] on the
-  *    source's key columns (the takedown verb).
+  *    source's key columns (the takedown verb);
+  *  - `WHEN NOT MATCHED BY SOURCE THEN DELETE` (alone or beside the
+  *    upsert clauses) → a SYNC pass: target keys absent from the source
+  *    are dropped via deleteKeys — "make the table mirror this frame".
+  *    The upsert and the sync land as two atomic commits (disjoint key
+  *    sets; a reader between them sees the merged-but-not-yet-synced
+  *    snapshot, never a torn one).
   *
   * The ON condition must be the conjunction of equality over EXACTLY the
   * lake's persisted merge keys ([[SnapshotLake.MergeSpec]]) — the LWW
   * commit has one key identity, and a MERGE keyed differently would not
   * mean what it says. Anything the LWW algebra cannot honor — clause
   * conditions (`WHEN MATCHED AND …`), explicit non-identity `SET`
-  * assignments, `WHEN NOT MATCHED BY SOURCE`, `WITH SCHEMA EVOLUTION`,
+  * assignments, conditional/UPDATE forms of NOT-MATCHED-BY-SOURCE,
+  * `WITH SCHEMA EVOLUTION`,
   * mixed DELETE+INSERT — refuses loudly at planning with the reason, never
   * silently approximates. For UPDATE-only / INSERT-only, the matched key
   * set resolves against the snapshot current at statement start (the usual
@@ -128,8 +135,15 @@ object LakeMergeStrategy extends SparkStrategy {
             refuse(s"table ${lake.name()} has no persisted merge contract " +
               "(_manifests/table-meta); run one SnapshotLake.merge first"))
           if (m.withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION is not supported")
-          if (m.notMatchedBySourceActions.nonEmpty)
-            refuse("WHEN NOT MATCHED BY SOURCE is not supported")
+          // WHEN NOT MATCHED BY SOURCE THEN DELETE — the table-SYNC verb
+          // (drop target keys the source no longer carries); unconditional
+          // DELETE only, and only beside upsert clauses (see below)
+          val syncDelete = m.notMatchedBySourceActions match {
+            case Nil => false
+            case Seq(DeleteAction(None)) => true
+            case _ => refuse("WHEN NOT MATCHED BY SOURCE supports only an " +
+              "unconditional THEN DELETE (the sync verb)")
+          }
           val sourceOut = m.sourceTable.output
           val onKeys = keyPairs(m.mergeCondition, m.targetTable.output, sourceOut)
             .getOrElse(refuse(
@@ -155,14 +169,19 @@ object LakeMergeStrategy extends SparkStrategy {
             refuse("UPDATE must be SET * (or the explicit identity assignments)")
           if (!insert.forall(i => identityAssignments(i.assignments, sourceOut)))
             refuse("INSERT must be INSERT * (or the explicit identity assignments)")
+          if (syncDelete && delete.nonEmpty)
+            refuse("WHEN MATCHED DELETE + WHEN NOT MATCHED BY SOURCE DELETE " +
+              "would empty the table — use DELETE FROM t instead")
           val mode =
             if (delete.nonEmpty) LakeMergeExec.DeleteKeys
             else if (update.nonEmpty && insert.nonEmpty) LakeMergeExec.Upsert
             else if (update.nonEmpty) LakeMergeExec.UpdateOnly
             else if (insert.nonEmpty) LakeMergeExec.InsertOnly
+            else if (syncDelete) LakeMergeExec.SyncOnly
             else refuse("at least one WHEN clause is required")
           LakeMergeExec(lake.path, mode, spec.keys,
-            m.sourceTable.schema, planLater(m.sourceTable)) :: Nil
+            m.sourceTable.schema, planLater(m.sourceTable),
+            syncDelete = syncDelete) :: Nil
         case None => Nil
       }
     case _ => Nil
@@ -179,7 +198,8 @@ case class LakeMergeExec(
     mode: LakeMergeExec.Mode,
     keys: Seq[String],
     sourceSchema: StructType,
-    child: SparkPlan) extends V2CommandExec {
+    child: SparkPlan,
+    syncDelete: Boolean = false) extends V2CommandExec {
 
   override def output: Seq[Attribute] = Nil
   override def children: Seq[SparkPlan] = child :: Nil
@@ -194,7 +214,11 @@ case class LakeMergeExec(
     val conv = CatalystTypeConverters.createToScalaConverter(sourceSchema)
     val rows: RDD[Row] =
       child.execute().map(ir => conv(ir.copy()).asInstanceOf[Row])
-    val source = spark.createDataFrame(rows, sourceSchema)
+    // the source executes distributed but may be re-evaluated by the
+    // commits below (the usual lazy-plan property); checkpoint once so the
+    // sync-delete pass and the LWW merge see the SAME source rows even
+    // for nondeterministic source plans
+    val source = spark.createDataFrame(rows, sourceSchema).localCheckpoint()
     mode match {
       case LakeMergeExec.Upsert =>
         SnapshotLake.mergeViaSpec(spark, lakePath, source)
@@ -210,6 +234,18 @@ case class LakeMergeExec(
           source.join(cur, keys, "left_anti"))
       case LakeMergeExec.DeleteKeys =>
         SnapshotLake.deleteKeys(spark, lakePath, source.select(keys.map(col): _*))
+      case LakeMergeExec.SyncOnly => () // the sync pass below is the verb
+    }
+    if (syncDelete) {
+      // the SYNC pass: drop target keys the source does not carry. A
+      // separate atomic commit AFTER the upsert (the two key sets are
+      // disjoint — deleted keys are exactly the ones the merge did not
+      // touch); a reader between the two commits sees the merged-but-not-
+      // yet-synced snapshot, each cut itself atomic.
+      val stale = SnapshotLake.read(spark, lakePath)
+        .select(keys.map(col): _*).distinct()
+        .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      SnapshotLake.deleteKeys(spark, lakePath, stale)
     }
     Nil
   }
@@ -221,6 +257,7 @@ object LakeMergeExec {
   case object UpdateOnly extends Mode
   case object InsertOnly extends Mode
   case object DeleteKeys extends Mode
+  case object SyncOnly extends Mode
 
   /** Idempotent session registration (the GlobalRank idiom); done
     * automatically whenever [[LakeCatalog]] resolves a table, so any

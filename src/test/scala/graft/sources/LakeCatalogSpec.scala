@@ -396,6 +396,36 @@ class LakeCatalogSpec extends SparkSuite {
       .keySet == Set("k2", "k3", "k4"))
   }
 
+  test("MERGE INTO: NOT MATCHED BY SOURCE DELETE syncs the table to the source frame") {
+    val dir = s"$root/mergesync"
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt") // k1 k2 k3
+    // source carries k1 (update), k4 (new) — k2/k3 must LEAVE the table
+    b2.createOrReplaceTempView("sync_src")
+    spark.sql(
+      """MERGE INTO glake.mergesync AS t USING sync_src AS s ON t.key = s.key
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *
+         WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(state(spark.sql("SELECT * FROM glake.mergesync").collect()) ==
+      Map("k1" -> ((2L, 15.0)), "k4" -> ((1L, 40.0))))
+    // sync-only (no upsert clauses): keep exactly the source's keys
+    Seq("k1").toDF("key").createOrReplaceTempView("sync_keep")
+    spark.sql(
+      """MERGE INTO glake.mergesync AS t USING sync_keep AS s ON t.key = s.key
+         WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(state(spark.sql("SELECT * FROM glake.mergesync").collect())
+      .keySet == Set("k1"))
+    // conditional / UPDATE forms of the clause refuse
+    intercept[Throwable](spark.sql(
+      """MERGE INTO glake.mergesync AS t USING sync_keep AS s ON t.key = s.key
+         WHEN NOT MATCHED BY SOURCE AND t.price > 10 THEN DELETE"""))
+    // matched-DELETE + sync-DELETE would empty the table: refuse
+    intercept[Throwable](spark.sql(
+      """MERGE INTO glake.mergesync AS t USING sync_keep AS s ON t.key = s.key
+         WHEN MATCHED THEN DELETE
+         WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
+  }
+
   test("MERGE INTO: shapes the LWW commit cannot honor refuse loudly") {
     val dir = s"$root/mergeref"
     SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
