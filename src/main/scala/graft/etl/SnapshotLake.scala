@@ -542,6 +542,85 @@ object SnapshotLake {
       df => df.join(distinctKeys, keys, "left_anti"))
   }
 
+  /** CHANGES between two retained snapshots — the CDC read an incremental
+    * consumer needs at 100 TB: instead of re-reading the whole table and
+    * diffing (or worse, reprocessing it), a downstream job asks "what
+    * changed between the snapshot I last saw and now" and gets one frame
+    * with a `_change_type` column ∈ {insert, update, delete}:
+    *
+    *  - `insert`: the key exists only in `toGen` (row = post-image);
+    *  - `update`: the key exists in both and ANY column differs
+    *    (null-safely compared; row = post-image);
+    *  - `delete`: the key exists only in `fromGen` (row = PRE-image —
+    *    there is no post-image to show).
+    *
+    * PARTITION-SCOPED by construction: the manifests' entry lists are
+    * diffed first, and partitions serving the SAME generation in both
+    * snapshots are never read at all — the cost is proportional to the
+    * partitions the commits in (fromGen, toGen] actually touched, not to
+    * the table (the same locality the merge/delete writes have). Within a
+    * touched partition, untouched keys compare equal and emit nothing
+    * (the LWW merge rewrites whole partitions, so most rows are identical
+    * copies — the keyed full-outer join filters them out).
+    *
+    * Keys come from the persisted merge contract ([[MergeSpec]] — the
+    * same identity every write face upserts by). Rows are read under
+    * `toGen`'s schema (widen-only evolution: pre-widen rows surface the
+    * added columns as null, so pre/post images align). Both snapshots
+    * must still be retained (see [[vacuum]]); `fromGen < toGen` — a
+    * reverse diff is the same frame with insert/delete swapped, which the
+    * caller can do.
+    */
+  def changes(spark: SparkSession, path: String,
+      fromGen: Long, toGen: Long): DataFrame = {
+    require(fromGen < toGen,
+      s"changes wants fromGen < toGen, got $fromGen >= $toGen")
+    val mOld = manifestAt(spark, path, fromGen)
+    val mNew = manifestAt(spark, path, toGen)
+    val spec = mergeSpecOf(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"$path has no persisted merge contract (_manifests/table-meta) — " +
+          "changes() needs the key identity every write face upserts by"))
+    val oldByVal = mOld.entries.map(e => e.value -> e).toMap
+    val newByVal = mNew.entries.map(e => e.value -> e).toMap
+    // the partition-scoped core: same gen in both snapshots = untouched,
+    // never read
+    val touchedOld = mOld.entries.filter(e =>
+      newByVal.get(e.value).forall(_.gen != e.gen))
+    val touchedNew = mNew.entries.filter(e =>
+      oldByVal.get(e.value).forall(_.gen != e.gen))
+    val schema = snapshotSchema(spark, path, mNew)
+      .orElse(snapshotSchema(spark, path, mOld)).getOrElse(
+        return spark.emptyDataFrame)
+    def readEntries(es: Seq[Entry]): DataFrame =
+      if (es.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(es.map(e => genDirOf(path, e).toString): _*)
+    val keys = spec.keys
+    val dataCols = schema.fieldNames.toSeq.filterNot(keys.contains)
+    val pre = readEntries(touchedOld)
+      .select((keys.map(col) ++ dataCols.map(c => col(c).as(s"__pre_$c"))): _*)
+    val post = readEntries(touchedNew)
+      .select((keys.map(col) ++ dataCols.map(c => col(c).as(s"__post_$c"))): _*)
+    // presence flags survive the outer join even for all-null data rows
+    val j = pre.withColumn("__in_pre", lit(true))
+      .join(post.withColumn("__in_post", lit(true)), keys, "full_outer")
+    val differs = dataCols
+      .map(c => !(col(s"__pre_$c") <=> col(s"__post_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val changeType =
+      when(col("__in_pre").isNull, lit("insert"))
+        .when(col("__in_post").isNull, lit("delete"))
+        .when(differs, lit("update"))
+    // image: post for insert/update, pre for delete
+    val image = dataCols.map(c =>
+      when(col("__in_post").isNull, col(s"__pre_$c"))
+        .otherwise(col(s"__post_$c")).as(c))
+    j.withColumn("_change_type", changeType)
+      .filter(col("_change_type").isNotNull)
+      .select((keys.map(col) ++ image :+ col("_change_type")): _*)
+  }
+
   /** The delete commit: `hitOf` selects the rows to remove, `survivorsOf`
     * their complement (two faces of one contract so both predicate and
     * anti-join deletes share the commit path). Caller-visible behavior is

@@ -323,6 +323,36 @@ object CoreQueries {
          ORDER BY user_id, event_type""")
   }
 
+  /** E3h — CDC between lake snapshots: [[graft.etl.SnapshotLake.changes]]
+    * gives an incremental consumer "what changed between the snapshot I
+    * last saw and now" as one frame with `_change_type` ∈
+    * {insert, update, delete} — at 100 TB the alternative is re-reading
+    * the whole table and diffing. Partition-scoped by manifest diff
+    * (partitions serving the same gen in both snapshots are never read);
+    * within touched partitions a keyed full-outer join drops the
+    * untouched copies. History: gen 1 = even-id batch, gen 2 = odd-id
+    * LWW merge, gen 3 = key takedown — so all three change types appear.
+    * Oracle = the same diff derived in DuckDB from the LWW algebra
+    * (FULL OUTER JOIN + IS DISTINCT FROM).
+    */
+  def e3hLakeChanges(s: SparkSession, dir: String): DataFrame = {
+    val root = ScratchLakes.fresh("e3h")
+    val lake = s"$root/events"
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+    graft.etl.SnapshotLake.merge(s, lake, ev.filter(col("event_id") % 2 === 0),
+      Seq("user_id", "event_type"), "ts", "event_type", Seq("event_id"))
+    graft.etl.SnapshotLake.merge(s, lake, ev.filter(col("event_id") % 2 === 1),
+      Seq("user_id", "event_type"), "ts", "event_type", Seq("event_id"))
+    graft.etl.SnapshotLake.delete(s, lake,
+      col("user_id").isin(2L, 3L, 5L, 7L, 11L, 13L))
+    graft.etl.SnapshotLake.changes(s, lake, 1L, 3L)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        ntz(col("ts")).as("timestamp_utc"), col("value"), col("_change_type"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** E4 — OHLCV resampling (SURVEY §2.2 Aggregations): per-key daily candles
     * from finer-grained ticks via `min_by`/`max_by` — open/close ride on
     * the extreme timestamps, high/low/volume are plain extremes/sums, all in
@@ -2390,6 +2420,7 @@ object CoreQueries {
     "e3e_lake_in" -> (e3eLakeIn _),
     "e3f_lake_delete" -> (e3fLakeDelete _),
     "e3g_lake_merge_sql" -> (e3gLakeMergeSql _),
+    "e3h_lake_changes" -> (e3hLakeChanges _),
     "e4_ohlcv_resample" -> (e4OhlcvResample _),
     "e13_weekly_candles" -> (e13WeeklyCandles _),
     "e5_gap_fill" -> (e5GapFill _),
@@ -2562,6 +2593,50 @@ object CoreQueries {
          SELECT user_id, event_type, event_id,
                 CAST(ts AS TIMESTAMP) AS timestamp_utc, value
          FROM merged ORDER BY user_id, event_type""",
+    "e3h_lake_changes" ->
+      // the CDC diff derived from the LWW algebra: a = state at gen 1
+      // (even-id LWW), b = state at gen 3 (two-batch merge minus the
+      // deleted keys); insert/update carry b's image, delete carries a's
+      """WITH b0 AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 0)
+           WHERE rn = 1),
+         b1 AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 1)
+           WHERE rn = 1),
+         merged AS (
+           SELECT * FROM b1
+           UNION ALL
+           SELECT b0.* FROM b0 ANTI JOIN b1 USING (user_id, event_type)),
+         a AS (SELECT user_id, event_type, event_id,
+                      CAST(ts AS TIMESTAMP) AS tsx, value FROM b0),
+         b AS (SELECT user_id, event_type, event_id,
+                      CAST(ts AS TIMESTAMP) AS tsx, value FROM merged
+               WHERE user_id NOT IN (2, 3, 5, 7, 11, 13)),
+         j AS (SELECT a.user_id AS au, a.event_type AS at, a.event_id AS ae,
+                      a.tsx AS ats, a.value AS av,
+                      b.user_id AS bu, b.event_type AS bt, b.event_id AS be,
+                      b.tsx AS bts, b.value AS bv
+               FROM a FULL OUTER JOIN b
+                 ON a.user_id = b.user_id AND a.event_type = b.event_type)
+         SELECT * FROM (
+           SELECT COALESCE(bu, au) AS user_id, COALESCE(bt, at) AS event_type,
+                  CASE WHEN bu IS NULL THEN ae ELSE be END AS event_id,
+                  CASE WHEN bu IS NULL THEN ats ELSE bts END AS timestamp_utc,
+                  CASE WHEN bu IS NULL THEN av ELSE bv END AS value,
+                  CASE WHEN au IS NULL THEN 'insert'
+                       WHEN bu IS NULL THEN 'delete'
+                       WHEN (ae IS DISTINCT FROM be) OR (ats IS DISTINCT FROM bts)
+                            OR (av IS DISTINCT FROM bv) THEN 'update'
+                       END AS _change_type
+           FROM j)
+         WHERE _change_type IS NOT NULL
+         ORDER BY user_id, event_type""",
     "e3d_lake_slice" ->
       // single-batch LWW winners, then the ten-day slice — byte-identical
       // to the engine's pruned read (skipping may drop FILES, never rows)

@@ -527,6 +527,43 @@ object VerifySf1 {
             .select(col("user_id"), col("event_type"), col("event_id"),
               col("ts").cast("timestamp_ntz").as("timestamp_utc"), col("value"))
         }),
+      // e3h: the manifest-diff CDC read ↔ the same diff derived from
+      // lake-free LWW algebra (full-outer join + null-safe compare) —
+      // the partition-scoped read must produce exactly the full diff
+      ("e3h_lake_changes",
+        () => CoreQueries.e3hLakeChanges(spark, work),
+        () => {
+          import graft.etl.Upsert
+          val evb = ev.select(col("user_id"), col("event_type"),
+            col("event_id"), col("ts"), col("value"))
+          val keys = Seq("user_id", "event_type")
+          val b0 = Upsert.lastWriteWins(
+            evb.filter(col("event_id") % 2 === 0), keys, "ts", Seq("event_id"))
+          val b1 = Upsert.lastWriteWins(
+            evb.filter(col("event_id") % 2 === 1), keys, "ts", Seq("event_id"))
+          val merged = b1.unionByName(
+            b0.join(b1.select(keys.map(col): _*), keys, "left_anti"))
+          val a = b0.select(col("user_id"), col("event_type"),
+            col("event_id").as("ae"), col("ts").as("ats"), col("value").as("av"))
+          val b = merged.filter(!col("user_id").isin(2L, 3L, 5L, 7L, 11L, 13L))
+            .select(col("user_id"), col("event_type"),
+              col("event_id").as("be"), col("ts").as("bts"), col("value").as("bv"))
+          val j = a.withColumn("__a", lit(true))
+            .join(b.withColumn("__b", lit(true)), keys, "full_outer")
+          val differs = !(col("ae") <=> col("be")) ||
+            !(col("ats") <=> col("bts")) || !(col("av") <=> col("bv"))
+          j.withColumn("_change_type",
+              when(col("__a").isNull, lit("insert"))
+                .when(col("__b").isNull, lit("delete"))
+                .when(differs, lit("update")))
+            .filter(col("_change_type").isNotNull)
+            .select(col("user_id"), col("event_type"),
+              when(col("__b").isNull, col("ae")).otherwise(col("be")).as("event_id"),
+              when(col("__b").isNull, col("ats")).otherwise(col("bts"))
+                .cast("timestamp_ntz").as("timestamp_utc"),
+              when(col("__b").isNull, col("av")).otherwise(col("bv")).as("value"),
+              col("_change_type"))
+        }),
       // a13d: nearest+tolerance through the exec ↔ the candidate-pair
       // range join ranked by (|Δts|, backward-first) — the quadratic
       // formulation the merge's two-candidate compare replaces

@@ -36,6 +36,26 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: lake delete law — read-after-delete == read-before minus TRUE rows") {
+    (1 to 4).foreach { trial =>
+      val dir = Files.createTempDirectory(s"graft_propdel$trial").toString + "/t"
+      val b = randomBatch(60).toDF("key", "v", "price")
+        .withColumn("dt", concat(lit("p"), (col("v") % 3).cast("string")))
+      SnapshotLake.merge(spark, dir, b, Seq("key"), "v", "dt")
+      val before = SnapshotLake.read(spark, dir).collect().map(_.toString).toSet
+      // a random predicate per trial, including one with NULL semantics
+      val pred =
+        if (trial % 2 == 0) col("price") > lit(rnd.nextInt(80).toDouble)
+        else col("key").isin((0 to rnd.nextInt(6)).map(i => s"k$i"): _*)
+      val kept = SnapshotLake.read(spark, dir)
+        .filter(!coalesce(pred, lit(false))).collect().map(_.toString).toSet
+      val n = SnapshotLake.delete(spark, dir, pred)
+      val after = SnapshotLake.read(spark, dir).collect().map(_.toString).toSet
+      assert(after == kept, s"trial $trial: delete broke the WHERE-complement law")
+      assert(n == before.size - kept.size, s"trial $trial: deleted-count drifted")
+    }
+  }
+
   test("property: last-write-wins is independent of input row order") {
     (1 to 5).foreach { trial =>
       val rows = randomBatch(60)

@@ -449,6 +449,42 @@ class SnapshotLakeSpec extends SparkSuite {
     assert(SnapshotLake.read(spark, dir).columns.contains("venue"))
   }
 
+  test("changes: CDC between snapshots — insert/update/delete, partition-scoped reads") {
+    val dir = tmp()
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt") // gen 1: k1 k2 k3
+    SnapshotLake.merge(spark, dir, b2, Seq("key"), "v", "dt") // gen 2: k1 updated, k4 new
+    assert(SnapshotLake.delete(spark, dir, col("key") === "k2") == 1L) // gen 3
+    val ch = SnapshotLake.changes(spark, dir, 1L, 3L).collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[String]("_change_type"), r.getAs[Long]("v"), r.getAs[Double]("price"))))
+      .toMap
+    // k1 updated (post-image), k4 inserted, k2 deleted (pre-image), k3
+    // untouched (its partition rewrote nothing — no row at all)
+    assert(ch == Map(
+      "k1" -> (("update", 2L, 15.0)),
+      "k4" -> (("insert", 1L, 40.0)),
+      "k2" -> (("delete", 1L, 20.0))))
+    // adjacent diff: gen 2 -> 3 is just the delete
+    val ch23 = SnapshotLake.changes(spark, dir, 2L, 3L).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("_change_type")))
+    assert(ch23.toSeq == Seq(("k2", "delete")))
+    // PARTITION-SCOPING, proven physically: remove the untouched
+    // partition's data from disk — changes() must still answer, because
+    // a partition serving the same gen in both snapshots is NEVER read
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val k3dir = SnapshotLake.currentManifest(spark, dir).get.entries
+      .find(_.value == "2025-01-03").get
+    fs.delete(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir, "data"), k3dir.dirName), true)
+    val again = SnapshotLake.changes(spark, dir, 1L, 3L)
+      .select("key", "_change_type").collect().map(r => r.getString(0)).toSet
+    assert(again == Set("k1", "k2", "k4"),
+      "changes() read a partition whose gen did not move")
+    // guardrails: reversed range refuses; spec-less lake refuses
+    intercept[IllegalArgumentException](SnapshotLake.changes(spark, dir, 3L, 1L))
+  }
+
   test("legacy bare-hex partition dirs migrate on merge (entries match by VALUE)") {
     import org.apache.hadoop.fs.Path
     val dir = tmp()
