@@ -49,10 +49,12 @@ import org.apache.spark.sql.functions._
   *    manifest create leaves the old snapshot fully readable; the next
   *    writer GCs the unpublished orphan gens (single-writer lease) and
   *    re-runs to convergence (idempotent LWW).
-  *  - SHARED MECHANISM: [[merge]] (keyed last-write-wins upsert) and
-  *    [[compact]] (small-file maintenance) both commit through the same
+  *  - SHARED MECHANISM: [[merge]] (keyed last-write-wins upsert),
+  *    [[delete]]/[[deleteKeys]] (row-level takedown), and [[compact]]
+  *    (small-file maintenance) all commit through the same
   *    prepare→publish path; [[readAt]] gives time travel over retained
-  *    manifests for free.
+  *    manifests for free, and [[changes]] diffs two retained snapshots
+  *    into the CDC frame an incremental consumer wants.
   *
   * Scale shape (100 TB): a commit's metadata cost is O(#partitions) manifest
   * lines + one file create — no recursive listing anywhere (the manifest IS

@@ -483,6 +483,14 @@ class SnapshotLakeSpec extends SparkSuite {
       "changes() read a partition whose gen did not move")
     // guardrails: reversed range refuses; spec-less lake refuses
     intercept[IllegalArgumentException](SnapshotLake.changes(spark, dir, 3L, 1L))
+    // plan shape: the diff is ONE keyed join — no nested-loop/cartesian,
+    // no one-task global window anywhere in the CDC read
+    val plan = SnapshotLake.changes(spark, dir, 1L, 2L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"CDC planned a scale cliff:\n$plan")
+    assert(graft.plans.PlanChecks.unboundedGlobalWindows(
+      SnapshotLake.changes(spark, dir, 1L, 2L)).isEmpty)
   }
 
   test("legacy bare-hex partition dirs migrate on merge (entries match by VALUE)") {
