@@ -349,11 +349,11 @@ object SnapshotLake {
       .filter(_ <= gen).sorted.reverse
     gens.iterator
       .map(g => parseManifest(fs, new Path(dir, f"manifest-$g%020d"), g))
-      .collectFirst { case m if m.entries.nonEmpty =>
-        scala.util.Try(
-          spark.read.parquet(genDirOf(path, m.entries.head).toString).schema
-        ).toOption
-      }.flatten
+      .filter(_.entries.nonEmpty)
+      .map(m => scala.util.Try(
+        spark.read.parquet(genDirOf(path, m.entries.head).toString).schema
+      ).toOption)
+      .collectFirst { case Some(s) => s } // an unreadable gen falls through
   }
 
   /** The merge contract a lake was created with — keys, version column,
@@ -532,16 +532,23 @@ object SnapshotLake {
 
   /** [[delete]] by KEY BATCH — every row whose `keyRows.columns` tuple
     * appears in `keyRows` is removed (the bulk-takedown shape: a frame of
-    * doc_ids, not an IN-list literal). Null-containing key tuples never
-    * match (SQL join semantics), the safe polarity for a delete.
+    * doc_ids, not an IN-list literal). Key matching is NULL-SAFE — the
+    * lake's own LWW identity (lastWriteWins groups null keys as one key),
+    * so a null-keyed row IS addressable for takedown by a null-keyed
+    * batch tuple, exactly as it was addressable for upsert.
     */
   def deleteKeys(spark: SparkSession, path: String, keyRows: DataFrame): Long = {
     require(keyRows.columns.nonEmpty, "keyRows must carry at least one column")
     val keys = keyRows.columns.toSeq
     val distinctKeys = keyRows.distinct()
+    def nullSafe(df: DataFrame, how: String) = {
+      val l = df.alias("__dl"); val r = distinctKeys.alias("__dr")
+      val cond = keys.map(k => col(s"__dl.`$k`") <=> col(s"__dr.`$k`")).reduce(_ && _)
+      l.join(r, cond, how)
+    }
     deleteCore(spark, path,
-      df => df.join(distinctKeys, keys, "left_semi"),
-      df => df.join(distinctKeys, keys, "left_anti"))
+      df => nullSafe(df, "left_semi"),
+      df => nullSafe(df, "left_anti"))
   }
 
   /** CHANGES between two retained snapshots — the CDC read an incremental
@@ -601,12 +608,24 @@ object SnapshotLake {
     val keys = spec.keys
     val dataCols = schema.fieldNames.toSeq.filterNot(keys.contains)
     val pre = readEntries(touchedOld)
-      .select((keys.map(col) ++ dataCols.map(c => col(c).as(s"__pre_$c"))): _*)
+      .select((keys.map(c => col(c).as(s"__prek_$c")) ++
+        dataCols.map(c => col(c).as(s"__pre_$c"))): _*)
     val post = readEntries(touchedNew)
-      .select((keys.map(col) ++ dataCols.map(c => col(c).as(s"__post_$c"))): _*)
-    // presence flags survive the outer join even for all-null data rows
+      .select((keys.map(c => col(c).as(s"__postk_$c")) ++
+        dataCols.map(c => col(c).as(s"__post_$c"))): _*)
+    // NULL-SAFE key equality: the lake's LWW identity groups null keys as
+    // one key (lastWriteWins windows by them), so the diff must match the
+    // same way — a plain equi-join would surface an unchanged null-key
+    // row as a phantom delete+insert whenever its partition rewrites.
+    // Presence flags survive the outer join even for all-null data rows.
+    val joinCond = keys.map(k => col(s"__prek_$k") <=> col(s"__postk_$k"))
+      .reduce(_ && _)
     val j = pre.withColumn("__in_pre", lit(true))
-      .join(post.withColumn("__in_post", lit(true)), keys, "full_outer")
+      .join(post.withColumn("__in_post", lit(true)), joinCond, "full_outer")
+      .select((keys.map(k =>
+        when(col("__in_post").isNull, col(s"__prek_$k"))
+          .otherwise(col(s"__postk_$k")).as(k)) ++
+        Seq(col("*"))): _*)
     val differs = dataCols
       .map(c => !(col(s"__pre_$c") <=> col(s"__post_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
@@ -654,19 +673,28 @@ object SnapshotLake {
         // manifest's gen dirs (untouched partitions are never re-read)
         val existing = spark.read.schema(full.schema)
           .parquet(hitEntries.map(e => genDirOf(path, e).toString): _*)
-        val deleted = hitOf(existing).count()
+        // row counts come from parquet METADATA (empty-projection counts
+        // read footers, not data), so the predicate itself is evaluated
+        // only twice — finding affected partitions and writing survivors
+        // — never in a third dedicated counting pass over the data
+        val totalExisting = existing.count()
         val newGen = m.gen + 1
         val statsCols = mergeSpecOf(spark, path).map(_.statsCols).getOrElse(Nil)
           .filter(full.schema.fieldNames.contains)
         val newEntries = stageInstall(spark, fs, path, survivorsOf(existing),
           partitionCol, affected.map { case (v, h) => h -> v }.toMap, newGen,
           statsCols, full.schema)
+        val survivorCount =
+          if (newEntries.isEmpty) 0L
+          else spark.read
+            .parquet(newEntries.map(e => genDirOf(path, e).toString): _*)
+            .count()
         val kept = m.entries.filterNot(e => affectedValues.contains(e.value))
         // a delete never changes the schema: the new snapshot re-records
         // the one it read (keeps emptied/truncated tables answerable)
         writeSchemaSidecar(fs, path, newGen, full.schema)
         publish(fs, path, Manifest(newGen, partitionCol, kept ++ newEntries))
-        deleted
+        totalExisting - survivorCount
       }
     }
 

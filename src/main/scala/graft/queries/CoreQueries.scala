@@ -2670,7 +2670,9 @@ object CoreQueries {
          ORDER BY user_id, event_type""",
     "e3f_lake_delete" ->
       // single-batch LWW winners MINUS the deleted predicate — the SQL
-      // DELETE polarity (TRUE rows go, NULL-evaluating rows would stay)
+      // DELETE polarity pinned EXACTLY (TRUE rows go, NULL-evaluating
+      // rows stay): NOT coalesce(pred, false), not NOT pred, so a
+      // null-keyed corpus row would stay on both sides of the compare
       """WITH w AS (
            SELECT user_id, event_type, event_id, ts, value
            FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
@@ -2680,7 +2682,8 @@ object CoreQueries {
          SELECT user_id, event_type, event_id,
                 CAST(ts AS TIMESTAMP) AS timestamp_utc, value
          FROM w
-         WHERE NOT (user_id IN (2, 3, 5, 7, 11, 13) OR event_type = 'error')
+         WHERE NOT coalesce(
+           user_id IN (2, 3, 5, 7, 11, 13) OR event_type = 'error', false)
          ORDER BY user_id, event_type""",
     "a26_salted_skew_join" ->
       """WITH ts_stats AS (

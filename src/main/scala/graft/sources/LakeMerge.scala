@@ -219,19 +219,30 @@ case class LakeMergeExec(
     // sync-delete pass and the LWW merge see the SAME source rows even
     // for nondeterministic source plans
     val source = spark.createDataFrame(rows, sourceSchema).localCheckpoint()
+    // key matching is NULL-SAFE throughout — the lake's LWW identity
+    // groups null keys as one key (every write face upserts by it), so
+    // MERGE's matched/not-matched sets must split by the SAME identity.
+    // This deviates from strict SQL MERGE (where NULL never equals NULL)
+    // exactly as the lake's own upsert does; a null-unsafe split would
+    // let an INSERT-only verb silently OVERWRITE an existing null-key
+    // row, and the sync pass would never drop a stale null-key row.
+    def nullSafeJoin(left: org.apache.spark.sql.DataFrame,
+        right: org.apache.spark.sql.DataFrame, how: String) = {
+      val l = left.alias("__l"); val r = right.alias("__r")
+      val cond = keys.map(k => col(s"__l.`$k`") <=> col(s"__r.`$k`")).reduce(_ && _)
+      l.join(r, cond, how)
+    }
+    def currentKeys() = SnapshotLake.read(spark, lakePath)
+      .select(keys.map(col): _*).distinct()
     mode match {
       case LakeMergeExec.Upsert =>
         SnapshotLake.mergeViaSpec(spark, lakePath, source)
       case LakeMergeExec.UpdateOnly =>
-        val cur = SnapshotLake.read(spark, lakePath)
-          .select(keys.map(col): _*).distinct()
         SnapshotLake.mergeViaSpec(spark, lakePath,
-          source.join(cur, keys, "left_semi"))
+          nullSafeJoin(source, currentKeys(), "left_semi"))
       case LakeMergeExec.InsertOnly =>
-        val cur = SnapshotLake.read(spark, lakePath)
-          .select(keys.map(col): _*).distinct()
         SnapshotLake.mergeViaSpec(spark, lakePath,
-          source.join(cur, keys, "left_anti"))
+          nullSafeJoin(source, currentKeys(), "left_anti"))
       case LakeMergeExec.DeleteKeys =>
         SnapshotLake.deleteKeys(spark, lakePath, source.select(keys.map(col): _*))
       case LakeMergeExec.SyncOnly => () // the sync pass below is the verb
@@ -242,9 +253,8 @@ case class LakeMergeExec(
       // disjoint — deleted keys are exactly the ones the merge did not
       // touch); a reader between the two commits sees the merged-but-not-
       // yet-synced snapshot, each cut itself atomic.
-      val stale = SnapshotLake.read(spark, lakePath)
-        .select(keys.map(col): _*).distinct()
-        .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      val stale = nullSafeJoin(currentKeys(),
+        source.select(keys.map(col): _*).distinct(), "left_anti")
       SnapshotLake.deleteKeys(spark, lakePath, stale)
     }
     Nil
@@ -265,7 +275,12 @@ object LakeMergeExec {
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     val exp = spark.experimental
-    if (!exp.extraStrategies.contains(LakeMergeStrategy))
-      exp.extraStrategies = exp.extraStrategies :+ LakeMergeStrategy
+    // check-and-append under a lock: extraStrategies is a plain var, and
+    // two concurrent table loads (or a load racing another extension)
+    // would otherwise lose one of the read-modify-write appends
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(LakeMergeStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ LakeMergeStrategy
+    }
   }
 }

@@ -483,8 +483,8 @@ object VerifySf1 {
             ev.select(col("user_id"), col("event_type"), col("event_id"),
               col("ts"), col("value")),
             Seq("user_id", "event_type"), "ts", Seq("event_id"))
-            .filter(!(col("user_id").isin(2L, 3L, 5L, 7L, 11L, 13L) ||
-              col("event_type") === "error"))
+            .filter(!coalesce(col("user_id").isin(2L, 3L, 5L, 7L, 11L, 13L) ||
+              col("event_type") === "error", lit(false)))
             .select(col("user_id"), col("event_type"), col("event_id"),
               col("ts").cast("timestamp_ntz").as("timestamp_utc"), col("value"))
             .localCheckpoint()

@@ -493,6 +493,28 @@ class SnapshotLakeSpec extends SparkSuite {
       SnapshotLake.changes(spark, dir, 1L, 2L)).isEmpty)
   }
 
+  test("null-key rows follow the LWW identity: addressable by deleteKeys, stable in changes") {
+    val dir = tmp()
+    val rows = Seq((Option("k1"), "p", 1L, 10.0), (Option.empty[String], "p", 1L, 20.0),
+      (Option("k3"), "p", 1L, 30.0)).toDF("key", "dt", "v", "price")
+    SnapshotLake.merge(spark, dir, rows, Seq("key"), "v", "dt") // gen 1
+    // a later update to k1 rewrites the partition; the untouched null-key
+    // row must NOT surface as a phantom delete+insert in the diff
+    SnapshotLake.merge(spark, dir,
+      Seq((Option("k1"), "p", 2L, 11.0)).toDF("key", "dt", "v", "price"),
+      Seq("key"), "v", "dt") // gen 2
+    val ch = SnapshotLake.changes(spark, dir, 1L, 2L).collect()
+      .map(r => Option(r.getAs[String]("key")) -> r.getAs[String]("_change_type"))
+    assert(ch.toSeq == Seq(Some("k1") -> "update"),
+      s"null-key row leaked into the diff: ${ch.mkString(", ")}")
+    // the null-keyed row IS addressable for takedown by a null tuple —
+    // the same identity the LWW upsert groups it under
+    assert(SnapshotLake.deleteKeys(spark, dir,
+      Seq(Option.empty[String]).toDF("key")) == 1L)
+    assert(SnapshotLake.read(spark, dir).collect()
+      .map(_.getAs[String]("key")).toSet == Set("k1", "k3"))
+  }
+
   test("legacy bare-hex partition dirs migrate on merge (entries match by VALUE)") {
     import org.apache.hadoop.fs.Path
     val dir = tmp()

@@ -426,6 +426,38 @@ class LakeCatalogSpec extends SparkSuite {
          WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
   }
 
+  test("MERGE INTO: null keys split by the lake's null-safe identity, not SQL's") {
+    val dir = s"$root/mergenull"
+    SnapshotLake.merge(spark, dir,
+      Seq((Option("k1"), "2025-01-01", 1L, 10.0),
+        (Option.empty[String], "2025-01-02", 1L, 20.0))
+        .toDF("key", "dt", "v", "price"),
+      Seq("key"), "v", "dt")
+    // INSERT-only with a null-key source row: under the lake's identity
+    // the null key MATCHES the existing null-key row, so the insert-only
+    // verb must NOT touch it (a null-unsafe split would overwrite it)
+    Seq((Option.empty[String], "2025-01-02", 9L, 99.0),
+      (Option("k5"), "2025-01-05", 1L, 50.0))
+      .toDF("key", "dt", "v", "price").createOrReplaceTempView("null_src")
+    spark.sql(
+      """MERGE INTO glake.mergenull AS t USING null_src AS s ON t.key = s.key
+         WHEN NOT MATCHED THEN INSERT *""")
+    val rows = spark.sql("SELECT * FROM glake.mergenull").collect()
+      .map(r => Option(r.getAs[String]("key")) ->
+        ((r.getAs[Long]("v"), r.getAs[Double]("price")))).toMap
+    assert(rows(None) == ((1L, 20.0)),
+      "INSERT-only overwrote the existing null-key row")
+    assert(rows(Some("k5")) == ((1L, 50.0)))
+    // sync pass: a source WITHOUT a null-key row drops the stale one
+    Seq("k1", "k5").toDF("key").createOrReplaceTempView("null_sync")
+    spark.sql(
+      """MERGE INTO glake.mergenull AS t USING null_sync AS s ON t.key = s.key
+         WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(spark.sql("SELECT * FROM glake.mergenull").collect()
+      .map(r => Option(r.getAs[String]("key"))).toSet ==
+      Set(Some("k1"), Some("k5")))
+  }
+
   test("MERGE INTO: shapes the LWW commit cannot honor refuse loudly") {
     val dir = s"$root/mergeref"
     SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
