@@ -43,6 +43,16 @@ object LakeLease {
 
   final class LeaseHeldException(msg: String) extends IllegalStateException(msg)
 
+  /** Opt-in bounded retry under contention (Hadoop conf key, settable as
+    * `spark.hadoop.graft.lake.lease.retry.max.wait.ms`): when > 0, an
+    * acquire that finds the lease held RETRIES with exponential backoff
+    * until the budget elapses, so a standing multi-job pipeline's
+    * serializable writers QUEUE instead of failing. 0 (the default) keeps
+    * the immediate-fail contract — for one-shot batch jobs the loud error
+    * IS the operational signal this guard exists to surface.
+    */
+  val RetryMaxWaitKey: String = "graft.lake.lease.retry.max.wait.ms"
+
   /** Default lease TTL. Generous: a heartbeat misses only if the holder JVM
     * is dead or wedged for minutes, and a premature takeover is the one
     * failure mode this guard must never introduce.
@@ -63,7 +73,7 @@ object LakeLease {
     val fs = leasePath(tablePath).getFileSystem(conf)
     val lp = leasePath(tablePath)
     val owner = java.util.UUID.randomUUID().toString
-    acquire(fs, lp, owner, ttlMs)
+    acquireWithRetry(fs, lp, owner, ttlMs, conf.getLong(RetryMaxWaitKey, 0L))
     val beat = new java.util.concurrent.atomic.AtomicBoolean(true)
     val t = new Thread(() => {
       while (beat.get()) {
@@ -91,6 +101,28 @@ object LakeLease {
   // still two writers and must contend; only nested calls on one thread share.
   private val held = ThreadLocal.withInitial[java.util.HashSet[String]](
     () => new java.util.HashSet[String]())
+
+  /** [[acquire]], retried with exponential backoff while `maxWaitMs`
+    * budget remains (see [[RetryMaxWaitKey]]) — contention resolves by
+    * WAITING for the holder's release/TTL, so two serializable writers
+    * both land, one after the other. The final attempt's
+    * [[LeaseHeldException]] propagates when the budget runs out.
+    */
+  private def acquireWithRetry(fs: org.apache.hadoop.fs.FileSystem, lp: Path,
+      owner: String, ttlMs: Long, maxWaitMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + math.max(0L, maxWaitMs)
+    var backoffMs = 100L
+    while (true) {
+      try { acquire(fs, lp, owner, ttlMs); return }
+      catch {
+        case e: LeaseHeldException =>
+          val remaining = deadline - System.currentTimeMillis()
+          if (remaining <= 0) throw e
+          Thread.sleep(math.min(backoffMs, remaining))
+          backoffMs = math.min(backoffMs * 2, 2000L)
+      }
+    }
+  }
 
   private def acquire(fs: org.apache.hadoop.fs.FileSystem, lp: Path,
       owner: String, ttlMs: Long): Unit = {

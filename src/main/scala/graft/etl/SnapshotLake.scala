@@ -285,6 +285,21 @@ object SnapshotLake {
     }
   }
 
+  /** Every RETAINED snapshot generation, ascending — the manifest chain an
+    * incremental consumer ([[graft.streaming.LakeChangeFeed]]) follows.
+    * Gens are contiguous by construction (each commit publishes
+    * `current + 1`), so after a [[vacuum]] the retained chain is a suffix.
+    * Driver-side listing of `_manifests/` only: O(#retained) names, no
+    * data touched.
+    */
+  def retainedGens(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = fsOf(spark, path)
+    val dir = manifestDir(path)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case ManifestName(g) => g.toLong }.toSeq.sorted
+  }
+
   /** The RETAINED manifest `gen` — the metadata face of [[readAt]], also
     * serving [[graft.sources.LakeCatalog]]'s `VERSION/TIMESTAMP AS OF`.
     */
@@ -485,6 +500,40 @@ object SnapshotLake {
       mergeLocked(spark, path, deduped, spec)
     }
 
+  /** CREATE an empty lake table with a declared schema and merge contract —
+    * the DDL bootstrap `CREATE TABLE <cat>.<t> (…) TBLPROPERTIES
+    * ('merge_keys'=…)` routes through ([[graft.sources.LakeCatalog]]), so a
+    * SQL-only user can bootstrap a table and land batch 1 via INSERT
+    * INTO / MERGE INTO without ever touching the Scala API. Publishes
+    * snapshot generation 0: an EMPTY manifest (no entries), the declared
+    * schema as gen 0's sidecar (so reads of the empty table answer with
+    * the declared shape, and the first merge's [[checkEvolution]] enforces
+    * it — a batch missing a declared column, or retyping one, refuses
+    * exactly as it would against a merged table), and the persisted
+    * [[MergeSpec]] every write face resolves. The manifest create is the
+    * usual single atomic cut; creation is lease-guarded and refuses if the
+    * table already has a published snapshot or a stamped contract.
+    */
+  def create(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType, spec: MergeSpec): Unit = {
+    require(spec.keys.nonEmpty, "merge_keys must name at least one column")
+    val names = schema.fieldNames.toSet
+    (spec.keys ++ Seq(spec.versionCol, spec.partitionCol) ++
+      spec.tieBreakers ++ spec.statsCols).foreach(c =>
+      require(names.contains(c),
+        s"contract column '$c' is not in the declared schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+    LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
+      val fs = fsOf(spark, path)
+      require(currentManifest(spark, path).isEmpty && !fs.exists(metaPath(path)),
+        s"lake table at $path already exists (published snapshot or stamped " +
+          "merge contract) — CREATE TABLE refuses to re-stamp a live table")
+      writeSchemaSidecar(fs, path, 0L, schema)
+      writeMergeSpec(fs, path, spec)
+      publish(fs, path, Manifest(0L, spec.partitionCol, Nil))
+    }
+  }
+
   /** The commit body shared by [[merge]] and [[mergeViaSpec]]; the caller
     * holds the lease, `deduped` is already one-row-per-key.
     */
@@ -495,10 +544,24 @@ object SnapshotLake {
       case (fs, m) =>
         // the commit's schema sidecar lands BEFORE the manifest publish:
         // a reader resolving the new snapshot always finds its schema.
-        // The batch schema IS the snapshot schema — checkEvolution
+        // The batch defines the snapshot's COLUMN SET — checkEvolution
         // (inside prepareMerge) guaranteed it is a widening superset of
-        // the table's, and merged partitions were rewritten under it.
-        writeSchemaSidecar(fs, path, m.gen, deduped.schema)
+        // the table's — but the recorded COLUMN ORDER is normalized to
+        // the existing table's with genuinely new columns appended: a
+        // batch whose columns merely arrive reordered must not silently
+        // reorder the table's published order (SELECT * / positional
+        // INSERT INTO binding would change across commits). Parquet reads
+        // under a pinned schema match columns BY NAME, so the files'
+        // physical order is free to differ.
+        val batchByName = deduped.schema.fields.map(f => f.name -> f).toMap
+        val recorded = currentManifest(spark, path)
+          .flatMap(pm => snapshotSchema(spark, path, pm)) match {
+          case Some(t) => org.apache.spark.sql.types.StructType(
+            t.fields.map(f => batchByName(f.name)) ++
+              deduped.schema.fields.filterNot(f => t.fieldNames.contains(f.name)))
+          case None => deduped.schema
+        }
+        writeSchemaSidecar(fs, path, m.gen, recorded)
         publish(fs, path, m)
         // stamp the merge contract so `INSERT INTO` through the SQL face
         // can route later batches into the same keyed LWW commit
@@ -549,6 +612,107 @@ object SnapshotLake {
     deleteCore(spark, path,
       df => nullSafe(df, "left_semi"),
       df => nullSafe(df, "left_anti"))
+  }
+
+  /** Row-level UPDATE — `UPDATE t SET c = expr WHERE pred` as a
+    * partition-scoped manifest commit (the predicate-scoped rewrite
+    * [[delete]] pioneered, with the assignment applied instead of the row
+    * dropped): rows where `predicate` evaluates TRUE get `assignments`
+    * applied (NULL/false rows keep their values — `WHERE` polarity);
+    * only partitions CONTAINING a matching row are rewritten, untouched
+    * partitions' gen dirs stay byte-identical, the publish is one atomic
+    * manifest create, and pre-update snapshots stay time-travel-readable
+    * until [[vacuum]].
+    *
+    * Contract guards (each refuses loudly):
+    *  - assigned columns must exist; their values are cast to the column's
+    *    declared type (a lake column's type is fixed at creation — the
+    *    same rule [[merge]]'s checkEvolution enforces);
+    *  - the PARTITION column cannot be assigned (rows would have to move
+    *    between partition directories — express that as DELETE + merge);
+    *  - MERGE KEYS cannot be assigned (the key tuple is the row's LWW
+    *    identity; rewriting it could collide two rows onto one key —
+    *    key changes are a delete of one identity and an upsert of
+    *    another, two verbs that already exist);
+    *  - predicate and assignment expressions must be deterministic (the
+    *    predicate runs in independent passes, like [[delete]]'s).
+    *
+    * Cost shape: identical to [[delete]] — one snapshot scan to find
+    * affected partitions + a rewrite of only those; stats sidecars are
+    * re-captured so file skipping survives the update. Returns the number
+    * of rows updated.
+    */
+  def update(spark: SparkSession, path: String, predicate: Column,
+      assignments: Map[String, Column]): Long = {
+    require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
+    LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
+      val fs = fsOf(spark, path)
+      val m = currentManifest(spark, path).getOrElse(
+        throw new IllegalStateException(s"$path has no published snapshot"))
+      gcOrphans(fs, path, m.gen)
+      val partitionCol = m.partitionCol
+      val full = readManifest(spark, path, m, None)
+      val schema = full.schema
+      val spec = mergeSpecOf(spark, path)
+      assignments.keys.foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"UPDATE assigns unknown column '$c' (table columns: " +
+            s"${schema.fieldNames.mkString(", ")})")
+        require(c != partitionCol,
+          s"UPDATE cannot assign the partition column '$c' — rows would " +
+            "move between partitions; express a re-partitioning change as " +
+            "DELETE + merge")
+        require(!spec.exists(_.keys.contains(c)),
+          s"UPDATE cannot assign merge key '$c' — the key tuple is the " +
+            "row's LWW identity (rewriting it could collide two rows onto " +
+            "one key); a key change is deleteKeys + merge")
+      }
+      val pred = coalesce(predicate, lit(false))
+      val hits = full.filter(pred)
+      // rewritten shape: assigned columns switch on the predicate, all
+      // others pass through; declared types pinned by cast
+      def rewritten(df: DataFrame): DataFrame =
+        df.select(schema.fields.map { f =>
+          assignments.get(f.name) match {
+            case Some(v) =>
+              when(pred, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toSeq: _*)
+      // deterministic, for the same two-pass reason delete refuses — and
+      // the assignment values additionally must not vary per evaluation
+      require(!rewritten(hits).queryExecution.analyzed.exists(
+        _.expressions.exists(!_.deterministic)),
+        "UPDATE predicate and SET expressions must be deterministic — the " +
+          "predicate is evaluated once to find affected partitions and " +
+          "again in the rewrite, and a nondeterministic expression would " +
+          "split the passes inconsistently")
+      val castStr = expr(s"cast(`$partitionCol` as string)")
+      val routeKey = concat(lit("h"), hex(castStr))
+      // bounded collect: one row per partition that CONTAINS an updated row
+      val affected = hits
+        .select(castStr.as("__v"), routeKey.as("__h")).distinct()
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      if (affected.isEmpty) 0L
+      else {
+        val affectedValues = affected.map(_._1).toSet
+        val hitEntries = m.entries.filter(e => affectedValues.contains(e.value))
+        val existing = spark.read.schema(schema)
+          .parquet(hitEntries.map(e => genDirOf(path, e).toString): _*)
+        val updatedCount = existing.filter(pred).count()
+        val newGen = m.gen + 1
+        val statsCols = spec.map(_.statsCols).getOrElse(Nil)
+          .filter(schema.fieldNames.contains)
+        val newEntries = stageInstall(spark, fs, path, rewritten(existing),
+          partitionCol, affected.map { case (v, h) => h -> v }.toMap, newGen,
+          statsCols, schema)
+        val kept = m.entries.filterNot(e => affectedValues.contains(e.value))
+        // an update never changes the schema: re-record the one it read
+        writeSchemaSidecar(fs, path, newGen, schema)
+        publish(fs, path, Manifest(newGen, partitionCol, kept ++ newEntries))
+        updatedCount
+      }
+    }
   }
 
   /** CHANGES between two retained snapshots — the CDC read an incremental
@@ -661,8 +825,22 @@ object SnapshotLake {
       val full = readManifest(spark, path, m, None)
       val castStr = expr(s"cast(`$partitionCol` as string)")
       val routeKey = concat(lit("h"), hex(castStr))
+      val hits = hitOf(full)
+      // the predicate is evaluated in TWO independent passes (affected-
+      // partition discovery here, survivor rewrite below) — a
+      // nondeterministic predicate (rand(), time-dependent) would split
+      // inconsistently: rows neither deleted nor kept consistently and a
+      // drifting count. Refuse up front, as SQL engines refuse
+      // nondeterministic DELETE conditions. Checked on the ANALYZED plan:
+      // an unresolved function would report deterministic vacuously.
+      require(!hits.queryExecution.analyzed.exists(
+        _.expressions.exists(!_.deterministic)),
+        "delete predicate must be deterministic — it is evaluated once to " +
+          "find affected partitions and again to write survivors, and a " +
+          "nondeterministic condition (rand(), now()-relative, …) would " +
+          "split the two passes inconsistently")
       // bounded collect: one row per partition that LOSES a row
-      val affected = hitOf(full)
+      val affected = hits
         .select(castStr.as("__v"), routeKey.as("__h")).distinct()
         .collect().map(r => (r.getString(0), r.getString(1)))
       if (affected.isEmpty) 0L

@@ -353,6 +353,129 @@ object CoreQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** E3i — the STANDING CDC consumer loop ([[graft.streaming.LakeChangeFeed
+    * .followAvailableNow]]): e3h's point read (`changes(from, to)`) turned
+    * into the production shape — follow the manifest chain, receive each
+    * commit's delta exactly once (position = durable markers beside the
+    * checkpoint; replay-suppressed across restarts; vacuum outrunning the
+    * consumer fails LOUDLY naming the missing snapshot — LakeCdcSpec pins
+    * all three). History: gen 1 = even-id batch (delivered as the
+    * bootstrap all-insert snapshot), gen 2 = odd-id LWW merge, gen 3 = key
+    * takedown, each arriving as its own delta. The gate FOLDS the deltas
+    * in order into a downstream replica (keys replaced, deletes dropped —
+    * what a real consumer's keyed sink does), so the oracle-checked law is
+    * "per-commit consumption reconstructs the final snapshot": the folded
+    * replica must equal the two-batch LWW state minus the deleted keys.
+    */
+  def e3iLakeCdcFollow(s: SparkSession, dir: String): DataFrame = {
+    val root = ScratchLakes.fresh("e3i")
+    val lake = s"$root/events"
+    val consumer = s"$root/consumer"
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+    val keys = Seq("user_id", "event_type")
+    graft.etl.SnapshotLake.merge(s, lake, ev.filter(col("event_id") % 2 === 0),
+      keys, "ts", "event_type", Seq("event_id"))
+    graft.etl.SnapshotLake.merge(s, lake, ev.filter(col("event_id") % 2 === 1),
+      keys, "ts", "event_type", Seq("event_id"))
+    graft.etl.SnapshotLake.delete(s, lake,
+      col("user_id").isin(2L, 3L, 5L, 7L, 11L, 13L))
+    // the consumer's fold: per delta, every key it mentions is replaced —
+    // non-deletes re-land (post-image), deletes just drop. NULL-SAFE key
+    // match, the lake's own LWW identity.
+    var replica: DataFrame = null
+    graft.streaming.LakeChangeFeed.followAvailableNow(s, lake, consumer,
+      (delta, _) => {
+        val survivors =
+          delta.filter(col("_change_type") =!= "delete").drop("_change_type")
+        replica =
+          if (replica == null) survivors
+          else {
+            val cond = keys.map(k =>
+              col(s"__t.`$k`") <=> col(s"__d.`$k`")).reduce(_ && _)
+            replica.alias("__t")
+              .join(delta.select(keys.map(col): _*).distinct().alias("__d"),
+                cond, "left_anti")
+              .unionByName(survivors)
+          }
+      })
+    replica
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        ntz(col("ts")).as("timestamp_utc"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** E3j — SQL-ONLY lake bootstrap: `CREATE TABLE` through the catalog
+    * (TBLPROPERTIES declare the merge contract —
+    * [[graft.sources.LakeCatalog.createTable]] routes into
+    * [[graft.etl.SnapshotLake.create]]: empty gen-0 manifest + declared
+    * schema + stamped spec), then BOTH batches land via `INSERT INTO` —
+    * no Scala API call ever touches the table, closing the catalog's last
+    * bootstrap gap. The declared schema is enforced from commit 1 (the
+    * widen-only evolution check runs against the gen-0 sidecar;
+    * LakeCatalogSpec pins the refusals), and the result must equal the
+    * API-merged twin's — one LWW semantics across every write face, now
+    * including DDL-born tables.
+    */
+  def e3jLakeCreateSql(s: SparkSession, dir: String): DataFrame = {
+    val root = ScratchLakes.fresh("e3j")
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+    s.conf.set("spark.sql.catalog.graftlakeddl",
+      classOf[graft.sources.LakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftlakeddl.root", root)
+    s.sql(
+      s"""CREATE TABLE graftlakeddl.events (${ev.schema.toDDL})
+          PARTITIONED BY (event_type)
+          TBLPROPERTIES ('merge_keys'='user_id,event_type',
+                         'version_col'='ts', 'tie_breakers'='event_id')""")
+    ev.filter(col("event_id") % 2 === 0).createOrReplaceTempView("e3j_batch1")
+    ev.filter(col("event_id") % 2 === 1).createOrReplaceTempView("e3j_batch2")
+    s.sql("INSERT INTO graftlakeddl.events SELECT * FROM e3j_batch1")
+    s.sql("INSERT INTO graftlakeddl.events SELECT * FROM e3j_batch2")
+    s.sql(
+      """SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP_NTZ) AS timestamp_utc, value
+         FROM graftlakeddl.events
+         ORDER BY user_id, event_type""")
+  }
+
+  /** E3k — SQL `UPDATE` through the lake's catalog: the predicate-scoped
+    * rewrite DELETE pioneered, with the assignment applied instead of the
+    * row dropped ([[graft.etl.SnapshotLake.update]]). Stock Spark refuses
+    * UPDATE at planning for tables without row-level-operation support;
+    * [[graft.sources.LakeMergeStrategy]] intercepts the analyzed
+    * [[org.apache.spark.sql.catalyst.plans.logical.UpdateTable]] and
+    * re-binds condition + SET expressions by name. Only partitions
+    * CONTAINING a matching row rewrite (untouched gens stay byte-identical
+    * and keep their generations — LakeCdcSpec pins it); assigning the
+    * partition column or a merge key refuses loudly. Oracle = the LWW
+    * winners with the assignment applied under the predicate (`value * 2`
+    * is float-exact, so the hash gate holds bitwise).
+    */
+  def e3kLakeUpdateSql(s: SparkSession, dir: String): DataFrame = {
+    val root = ScratchLakes.fresh("e3k")
+    val lake = s"$root/events"
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+    graft.etl.SnapshotLake.merge(s, lake, ev,
+      Seq("user_id", "event_type"), "ts", "event_type", Seq("event_id"))
+    s.conf.set("spark.sql.catalog.graftlakeupd",
+      classOf[graft.sources.LakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftlakeupd.root", root)
+    s.sql(
+      """UPDATE graftlakeupd.events SET value = value * 2
+         WHERE event_type = 'click' AND user_id % 3 = 0""")
+    s.sql(
+      """SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP_NTZ) AS timestamp_utc, value
+         FROM graftlakeupd.events
+         ORDER BY user_id, event_type""")
+  }
+
   /** E4 — OHLCV resampling (SURVEY §2.2 Aggregations): per-key daily candles
     * from finer-grained ticks via `min_by`/`max_by` — open/close ride on
     * the extreme timestamps, high/low/volume are plain extremes/sums, all in
@@ -2421,6 +2544,9 @@ object CoreQueries {
     "e3f_lake_delete" -> (e3fLakeDelete _),
     "e3g_lake_merge_sql" -> (e3gLakeMergeSql _),
     "e3h_lake_changes" -> (e3hLakeChanges _),
+    "e3i_lake_cdc_follow" -> (e3iLakeCdcFollow _),
+    "e3j_lake_create_sql" -> (e3jLakeCreateSql _),
+    "e3k_lake_update_sql" -> (e3kLakeUpdateSql _),
     "e4_ohlcv_resample" -> (e4OhlcvResample _),
     "e13_weekly_candles" -> (e13WeeklyCandles _),
     "e5_gap_fill" -> (e5GapFill _),
@@ -2636,6 +2762,69 @@ object CoreQueries {
                        END AS _change_type
            FROM j)
          WHERE _change_type IS NOT NULL
+         ORDER BY user_id, event_type""",
+    "e3i_lake_cdc_follow" ->
+      // the consumer-fold law: per-commit CDC consumption reconstructs the
+      // final snapshot — two-batch LWW state minus the deleted keys
+      // (e3h's `b` CTE, the post-takedown table)
+      """WITH b0 AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 0)
+           WHERE rn = 1),
+         b1 AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 1)
+           WHERE rn = 1),
+         merged AS (
+           SELECT * FROM b1
+           UNION ALL
+           SELECT b0.* FROM b0 ANTI JOIN b1 USING (user_id, event_type))
+         SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP) AS timestamp_utc, value
+         FROM merged
+         WHERE user_id NOT IN (2, 3, 5, 7, 11, 13)
+         ORDER BY user_id, event_type""",
+    "e3j_lake_create_sql" ->
+      // e3c's oracle verbatim — a DDL-born table's INSERT INTO batches
+      // must land the identical LWW state the API-merged twin lands
+      """WITH b0 AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 0)
+           WHERE rn = 1),
+         b1 AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 1)
+           WHERE rn = 1),
+         merged AS (
+           SELECT * FROM b1
+           UNION ALL
+           SELECT b0.* FROM b0 ANTI JOIN b1 USING (user_id, event_type))
+         SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP) AS timestamp_utc, value
+         FROM merged ORDER BY user_id, event_type""",
+    "e3k_lake_update_sql" ->
+      // single-batch LWW winners with the UPDATE applied under its
+      // predicate (WHERE polarity: TRUE rows rewrite, others keep their
+      // values); value * 2 is float-exact so the compare is bitwise
+      """WITH w AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events)
+           WHERE rn = 1)
+         SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP) AS timestamp_utc,
+                CASE WHEN event_type = 'click' AND user_id % 3 = 0
+                     THEN value * 2 ELSE value END AS value
+         FROM w
          ORDER BY user_id, event_type""",
     "e3d_lake_slice" ->
       // single-batch LWW winners, then the ten-day slice — byte-identical

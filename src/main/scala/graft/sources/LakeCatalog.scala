@@ -152,13 +152,77 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$catName carries no DDL face over snapshot lakes: $op is not " +
-        "supported — a lake is bootstrapped by its first SnapshotLake.merge " +
-        "(which also stamps the contract INSERT INTO routes through)")
+      s"$catName carries no $op face over snapshot lakes — a lake is " +
+        "bootstrapped by CREATE TABLE (or its first SnapshotLake.merge), " +
+        "and lifecycle is vacuum/retention, never destructive DDL")
 
+  /** SQL `CREATE TABLE` — the DDL bootstrap, so a SQL-only user can create
+    * a lake table and land batch 1 via INSERT INTO / MERGE INTO without
+    * the Scala API:
+    * {{{
+    *   CREATE TABLE lake.quotes (user_id BIGINT, event_type STRING, …)
+    *   PARTITIONED BY (event_type)
+    *   TBLPROPERTIES ('merge_keys'='user_id,event_type', 'version_col'='ts',
+    *                  'tie_breakers'='event_id', 'stats_cols'='ts')
+    * }}}
+    * The properties declare the merge CONTRACT every write face resolves
+    * ([[graft.etl.SnapshotLake.MergeSpec]]): `merge_keys` and
+    * `version_col` are required; the partition column comes from
+    * `PARTITIONED BY (one identity column)` or a `partition_col` property
+    * (they must agree if both given); `tie_breakers`/`stats_cols` are
+    * optional lists. Routes through [[graft.etl.SnapshotLake.create]]:
+    * snapshot generation 0 publishes an empty manifest + the declared
+    * schema, so reads answer the declared shape immediately and the first
+    * INSERT's widen-only evolution check enforces it. Duplicate CREATE
+    * refuses (no IF NOT EXISTS shortcut — the refusal is the signal).
+    */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val path = tablePath(ident)
+    val props = properties.asScala
+    def listProp(k: String): Seq[String] =
+      props.get(k).map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil)
+    val keys = listProp("merge_keys")
+    require(keys.nonEmpty,
+      s"CREATE TABLE $catName.$ident needs TBLPROPERTIES " +
+        "('merge_keys'='k1,k2', …) — the lake's writes are keyed LWW " +
+        "merges and need the key identity declared up front")
+    val versionCol = props.get("version_col").map(_.trim).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE $catName.$ident needs TBLPROPERTIES " +
+          "('version_col'='<col>') — the column last-write-wins resolves on"))
+    // partition column: PARTITIONED BY (one identity column) and/or the
+    // 'partition_col' property — exactly one partition dimension, plain
+    // identity (bucket/days/etc. transforms have no lake layout)
+    val fromTransform = partitions.toSeq match {
+      case Nil => None
+      case Seq(t) => t.references().toSeq match {
+        case Seq(ref) if t.name() == "identity" && ref.fieldNames().length == 1 =>
+          Some(ref.fieldNames().head)
+        case _ => throw new IllegalArgumentException(
+          s"CREATE TABLE $catName.$ident: PARTITIONED BY must name one " +
+            s"plain column (got $t) — the lake partitions by one identity " +
+            "column")
+      }
+      case ts => throw new IllegalArgumentException(
+        s"CREATE TABLE $catName.$ident: the lake partitions by exactly one " +
+          s"column, got ${ts.mkString(", ")}")
+    }
+    val fromProp = props.get("partition_col").map(_.trim).filter(_.nonEmpty)
+    require(fromTransform.isEmpty || fromProp.isEmpty ||
+      fromTransform == fromProp,
+      s"PARTITIONED BY (${fromTransform.get}) and partition_col=" +
+        s"${fromProp.get} disagree")
+    val partitionCol = fromTransform.orElse(fromProp).getOrElse(
+      throw new IllegalArgumentException(
+        s"CREATE TABLE $catName.$ident needs a partition column — " +
+          "PARTITIONED BY (<col>) or TBLPROPERTIES ('partition_col'='<col>')"))
+    SnapshotLake.create(spark, path, schema,
+      SnapshotLake.MergeSpec(keys, versionCol, partitionCol,
+        listProp("tie_breakers"), listProp("stats_cols")))
+    parquetTable(ident, SnapshotLake.manifestAt(spark, path, 0L), path)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly("ALTER TABLE")
@@ -217,6 +281,12 @@ private[sources] class LakeTable(
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private[sources] def path: String = lakePath
+
+  /** The session that resolved this table — commits must run through IT
+    * (its Hadoop conf, its catalog state), never `SparkSession.active`,
+    * which in a multi-session application can be a different session.
+    */
+  private[sources] def session: SparkSession = spark
 
   private[sources] def genDirs: Seq[String] = manifest.entries
     .map(e => new Path(new Path(new Path(lakePath, "data"), e.dirName),
@@ -304,7 +374,7 @@ private[sources] class LakeTable(
             "column/literal comparisons")))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    SnapshotLake.delete(SparkSession.active, lakePath, pred)
+    SnapshotLake.delete(spark, lakePath, pred)
   }
 }
 

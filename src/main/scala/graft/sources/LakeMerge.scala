@@ -1,12 +1,12 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable,
-  SubqueryAlias, UpdateAction}
+  SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, V2CommandExec}
 import org.apache.spark.sql.functions.col
@@ -126,11 +126,72 @@ object LakeMergeStrategy extends SparkStrategy {
     }
   }
 
+  /** Re-express an analyzed expression over the TARGET table as a Column
+    * that re-resolves by NAME against the lake's re-read frame: the
+    * analyzed tree's `AttributeReference`s carry exprIds bound to the
+    * statement's scan, which mean nothing to the partition-scoped rewrite.
+    * Round-trip through the expression's canonical SQL form — attribute
+    * refs render as their (quoted) names, and lake schemas are flat, so
+    * the name IS the identity; re-parsing against the re-read frame
+    * re-resolves cleanly. None when the expression cannot be carried over
+    * (a subquery would need its own execution).
+    */
+  private def rebind(e: Expression): Option[Column] = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression])) return None
+    // drop qualifiers first: an attribute renders as `cat`.`t`.`col`
+    // otherwise, which cannot re-resolve against a bare frame
+    val unqualified = e.transform {
+      case a: AttributeReference => a.withQualifier(Nil)
+    }
+    Some(org.apache.spark.sql.functions.expr(unqualified.sql))
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // SQL `UPDATE <cat>.<t> SET c = expr WHERE pred` — stock Spark refuses
+    // it at planning for any table without row-level-operation support,
+    // exactly like MERGE; route it through the lake's partition-scoped
+    // UPDATE commit ([[SnapshotLake.update]], the delete rewrite with the
+    // assignment applied). Guards (assigned column exists / not the
+    // partition column / not a merge key / deterministic) live in
+    // SnapshotLake.update; here we only refuse what cannot be re-expressed
+    // at all (subqueries).
+    case u: UpdateTable =>
+      lakeTableOf(u.table) match {
+        case Some(lake) =>
+          def refuseUpdate(why: String): Nothing =
+            throw new UnsupportedOperationException(
+              s"lake UPDATE: $why — supported shape: UPDATE t SET col = " +
+                "expr[, …] WHERE pred, with plain column/literal " +
+                "expressions (no subqueries); keyed rewrites are MERGE INTO")
+          val predicate = u.condition match {
+            case None => org.apache.spark.sql.functions.lit(true)
+            case Some(c) => rebind(c).getOrElse(
+              refuseUpdate("the WHERE condition contains a subquery"))
+          }
+          // the analyzer may have ALIGNED the assignment list to every
+          // table column (identity assignments for untouched ones) —
+          // carry only the real rewrites
+          val sets: Map[String, Column] = u.assignments.flatMap {
+            case Assignment(k: AttributeReference, v: AttributeReference)
+                if k.exprId == v.exprId => None // identity (alignment filler)
+            case Assignment(k: AttributeReference, v) =>
+              Some(k.name -> rebind(v).getOrElse(
+                refuseUpdate(s"SET ${k.name} = … contains a subquery")))
+            case a => refuseUpdate(s"unrecognized assignment target ${a.key}")
+          }.toMap
+          if (sets.isEmpty)
+            refuseUpdate("every assignment is the identity — nothing to set")
+          LakeUpdateExec(lake.path, predicate, sets, lake.session) :: Nil
+        case None => Nil
+      }
     case m: MergeIntoTable =>
       lakeTableOf(m.targetTable) match {
         case Some(lake) =>
-          val spark = SparkSession.active
+          // the session that owns the catalog/plan, NOT SparkSession.active:
+          // in a multi-session application the thread's active session can
+          // be a different one, and the commit would run through the wrong
+          // session's Hadoop conf/catalog state
+          val spark = lake.session
           val spec = SnapshotLake.mergeSpecOf(spark, lake.path).getOrElse(
             refuse(s"table ${lake.name()} has no persisted merge contract " +
               "(_manifests/table-meta); run one SnapshotLake.merge first"))
@@ -181,7 +242,7 @@ object LakeMergeStrategy extends SparkStrategy {
             else refuse("at least one WHEN clause is required")
           LakeMergeExec(lake.path, mode, spec.keys,
             m.sourceTable.schema, planLater(m.sourceTable),
-            syncDelete = syncDelete) :: Nil
+            syncDelete = syncDelete, ownerSession = lake.session) :: Nil
         case None => Nil
       }
     case _ => Nil
@@ -199,7 +260,8 @@ case class LakeMergeExec(
     keys: Seq[String],
     sourceSchema: StructType,
     child: SparkPlan,
-    syncDelete: Boolean = false) extends V2CommandExec {
+    syncDelete: Boolean = false,
+    @transient ownerSession: SparkSession = null) extends V2CommandExec {
 
   override def output: Seq[Attribute] = Nil
   override def children: Seq[SparkPlan] = child :: Nil
@@ -208,7 +270,10 @@ case class LakeMergeExec(
     copy(child = newChildren.head)
 
   override def run(): Seq[InternalRow] = {
-    val spark = SparkSession.active
+    // the owning session threaded from the strategy (LakeTable holds it);
+    // SparkSession.active only as a last-resort fallback for hand-built
+    // instances — in a multi-session app the active one can be the WRONG one
+    val spark = Option(ownerSession).getOrElse(SparkSession.active)
     // InternalRow → Row through Spark's own converters, so the rebuilt
     // frame is exactly the source's rows — no driver collect anywhere
     val conv = CatalystTypeConverters.createToScalaConverter(sourceSchema)
@@ -234,29 +299,63 @@ case class LakeMergeExec(
     }
     def currentKeys() = SnapshotLake.read(spark, lakePath)
       .select(keys.map(col): _*).distinct()
-    mode match {
-      case LakeMergeExec.Upsert =>
-        SnapshotLake.mergeViaSpec(spark, lakePath, source)
-      case LakeMergeExec.UpdateOnly =>
-        SnapshotLake.mergeViaSpec(spark, lakePath,
-          nullSafeJoin(source, currentKeys(), "left_semi"))
-      case LakeMergeExec.InsertOnly =>
-        SnapshotLake.mergeViaSpec(spark, lakePath,
-          nullSafeJoin(source, currentKeys(), "left_anti"))
-      case LakeMergeExec.DeleteKeys =>
-        SnapshotLake.deleteKeys(spark, lakePath, source.select(keys.map(col): _*))
-      case LakeMergeExec.SyncOnly => () // the sync pass below is the verb
+    // The matched/not-matched SPLIT must resolve against the same snapshot
+    // the commit serializes on: currentKeys() pins a manifest eagerly, and
+    // a commit landing between that read and the lease acquisition inside
+    // mergeViaSpec/deleteKeys would make INSERT-only silently overwrite a
+    // concurrently inserted key (an update — contradicting the verb),
+    // UPDATE-only touch a just-deleted one, or the sync pass drop a
+    // just-inserted one. The lease is reentrant per (thread, path), so the
+    // inner commit calls share THIS hold instead of re-acquiring.
+    graft.etl.LakeLease.withLease(
+      spark.sparkContext.hadoopConfiguration, lakePath) {
+      mode match {
+        case LakeMergeExec.Upsert =>
+          SnapshotLake.mergeViaSpec(spark, lakePath, source)
+        case LakeMergeExec.UpdateOnly =>
+          SnapshotLake.mergeViaSpec(spark, lakePath,
+            nullSafeJoin(source, currentKeys(), "left_semi"))
+        case LakeMergeExec.InsertOnly =>
+          SnapshotLake.mergeViaSpec(spark, lakePath,
+            nullSafeJoin(source, currentKeys(), "left_anti"))
+        case LakeMergeExec.DeleteKeys =>
+          SnapshotLake.deleteKeys(spark, lakePath, source.select(keys.map(col): _*))
+        case LakeMergeExec.SyncOnly => () // the sync pass below is the verb
+      }
+      if (syncDelete) {
+        // the SYNC pass: drop target keys the source does not carry. A
+        // separate atomic commit AFTER the upsert (the two key sets are
+        // disjoint — deleted keys are exactly the ones the merge did not
+        // touch); a reader between the two commits sees the merged-but-not-
+        // yet-synced snapshot, each cut itself atomic — and both commits
+        // land under ONE lease hold, so no foreign writer interleaves.
+        val stale = nullSafeJoin(currentKeys(),
+          source.select(keys.map(col): _*).distinct(), "left_anti")
+        SnapshotLake.deleteKeys(spark, lakePath, stale)
+      }
     }
-    if (syncDelete) {
-      // the SYNC pass: drop target keys the source does not carry. A
-      // separate atomic commit AFTER the upsert (the two key sets are
-      // disjoint — deleted keys are exactly the ones the merge did not
-      // touch); a reader between the two commits sees the merged-but-not-
-      // yet-synced snapshot, each cut itself atomic.
-      val stale = nullSafeJoin(currentKeys(),
-        source.select(keys.map(col): _*).distinct(), "left_anti")
-      SnapshotLake.deleteKeys(spark, lakePath, stale)
-    }
+    Nil
+  }
+}
+
+/** Driver-side command exec for the SQL UPDATE verb: no child plan (the
+  * predicate and SET expressions were re-bound by name at planning), just
+  * the lease-serialized partition-scoped commit. Returns no rows.
+  */
+case class LakeUpdateExec(
+    lakePath: String,
+    predicate: Column,
+    sets: Map[String, Column],
+    @transient ownerSession: SparkSession) extends V2CommandExec {
+
+  override def output: Seq[Attribute] = Nil
+  override def children: Seq[SparkPlan] = Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SparkPlan = this
+
+  override def run(): Seq[InternalRow] = {
+    val spark = Option(ownerSession).getOrElse(SparkSession.active)
+    SnapshotLake.update(spark, lakePath, predicate, sets)
     Nil
   }
 }
