@@ -57,6 +57,47 @@ class LakeLeaseSpec extends SparkSuite {
       "lease released after the holder's block exits")
   }
 
+  test("opt-in retry: two interleaved writers BOTH land, commits serialized") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft_lease3").toString + "/t"
+    SnapshotLake.merge(spark,
+      table, Seq(("k0", "p", 1L)).toDF("key", "dt", "v"), Seq("key"), "v", "dt")
+    // writer A holds the lease for a while; writer B — with the bounded
+    // retry budget opted in — QUEUES instead of failing, and lands after
+    // A's release. Retry is read from the hadoop conf, so SQL-face writers
+    // (INSERT/MERGE/DELETE/UPDATE route through the same withLease) opt in
+    // via spark.hadoop.graft.lake.lease.retry.max.wait.ms without API
+    // changes.
+    conf.setLong(LakeLease.RetryMaxWaitKey, 20000L)
+    try {
+      val bStarted = new java.util.concurrent.CountDownLatch(1)
+      @volatile var bErr: Option[Throwable] = None
+      val holderDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val b = new Thread(() => {
+        try {
+          bStarted.countDown()
+          SnapshotLake.merge(spark, table,
+            Seq(("k2", "p", 1L)).toDF("key", "dt", "v"), Seq("key"), "v", "dt")
+          // B's merge must not START before A released (serialization, not
+          // interleaving): A flipped holderDone right before releasing
+          assert(holderDone.get(), "B committed while A still held the lease")
+        } catch { case e: Throwable => bErr = Some(e) }
+      })
+      LakeLease.withLease(conf, table) {
+        b.start(); bStarted.await()
+        Thread.sleep(1000) // B is now retrying against the held lease
+        SnapshotLake.merge(spark, table,
+          Seq(("k1", "p", 1L)).toDF("key", "dt", "v"), Seq("key"), "v", "dt")
+        holderDone.set(true)
+      }
+      b.join(30000)
+      assert(bErr.isEmpty, s"retrying writer should have landed, got $bErr")
+      assert(SnapshotLake.read(spark, table).collect()
+        .map(_.getAs[String]("key")).toSet == Set("k0", "k1", "k2"),
+        "both writers' commits must be present")
+    } finally conf.unset(LakeLease.RetryMaxWaitKey)
+  }
+
   test("admission loop is lease-guarded: a held index lease aborts the admit") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_lease3").toString

@@ -383,6 +383,88 @@ class SnapshotLakeSpec extends SparkSuite {
     assert(SnapshotLake.currentManifest(spark, dir).get.gen == gen0)
   }
 
+  test("update: predicate-scoped rewrite; untouched partitions keep their gens") {
+    val dir = tmp()
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt") // gen 1
+    SnapshotLake.merge(spark, dir, b2, Seq("key"), "v", "dt") // gen 2
+    val before = SnapshotLake.currentManifest(spark, dir).get
+      .entries.map(e => e.value -> e.gen).toMap
+    val n = SnapshotLake.update(spark, dir, col("key") === "k2",
+      Map("price" -> (col("price") * 10)))
+    assert(n == 1L, "exactly the matching row updates")
+    assert(state(SnapshotLake.read(spark, dir)) ==
+      Map("k1" -> ((2L, 15.0)), "k2" -> ((1L, 200.0)),
+        "k3" -> ((1L, 30.0)), "k4" -> ((1L, 40.0))))
+    val after = SnapshotLake.currentManifest(spark, dir).get
+    assert(after.gen == 3L)
+    // only k2's partition (2025-01-02) rewrote; every other entry keeps its
+    // exact pre-update gen — their dirs were never re-staged
+    assert(after.entries.map(e => e.value -> e.gen).toMap ==
+      before + ("2025-01-02" -> 3L))
+    // time travel still answers the pre-update value until vacuum
+    assert(state(SnapshotLake.readAt(spark, dir, 2L))("k2") == ((1L, 20.0)))
+    // NULL-evaluating predicate rows keep their values (WHERE polarity),
+    // and a no-hit update publishes NOTHING
+    assert(SnapshotLake.update(spark, dir, col("key") === "zzz",
+      Map("price" -> lit(0.0))) == 0L)
+    assert(SnapshotLake.currentManifest(spark, dir).get.gen == 3L)
+  }
+
+  test("update: guards refuse partition-column / key / unknown / nondeterministic sets") {
+    val dir = tmp()
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    def refusal(assign: Map[String, org.apache.spark.sql.Column],
+        pred: org.apache.spark.sql.Column = lit(true)): String =
+      intercept[IllegalArgumentException](
+        SnapshotLake.update(spark, dir, pred, assign)).getMessage
+    assert(refusal(Map("dt" -> lit("x"))).contains("partition column"))
+    assert(refusal(Map("key" -> lit("x"))).contains("merge key"))
+    assert(refusal(Map("nope" -> lit(1))).contains("unknown column"))
+    assert(refusal(Map("price" -> rand())).contains("deterministic"))
+    assert(refusal(Map("price" -> lit(0.0)), pred = rand() > 0.5)
+      .contains("deterministic"))
+    intercept[IllegalArgumentException](
+      SnapshotLake.update(spark, dir, lit(true), Map.empty))
+    // nothing committed by any refusal; values intact
+    assert(SnapshotLake.currentManifest(spark, dir).get.gen == 1L)
+    assert(state(SnapshotLake.read(spark, dir))("k1") == ((1L, 10.0)))
+    // assigned values cast to the column's declared type (int literal on a
+    // DOUBLE column stores as double — the type stays fixed at creation)
+    SnapshotLake.update(spark, dir, col("key") === "k1", Map("price" -> lit(99)))
+    assert(state(SnapshotLake.read(spark, dir))("k1") == ((1L, 99.0)))
+  }
+
+  test("delete/update refuse nondeterministic predicates (two-pass consistency)") {
+    val dir = tmp()
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    val e = intercept[IllegalArgumentException](
+      SnapshotLake.delete(spark, dir, rand() > 0.5))
+    assert(e.getMessage.contains("deterministic"))
+    assert(SnapshotLake.currentManifest(spark, dir).get.gen == 1L)
+  }
+
+  test("schema sidecar keeps the TABLE's column order across reordered batches") {
+    val dir = tmp()
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    assert(SnapshotLake.read(spark, dir).columns.toSeq ==
+      Seq("key", "dt", "v", "price"))
+    // batch 2 arrives with the same columns in a different order — the
+    // published column order must NOT silently flip (SELECT * / positional
+    // INSERT binding stay stable); values still merge correctly by name
+    SnapshotLake.merge(spark, dir,
+      b2.select(col("price"), col("v"), col("dt"), col("key")),
+      Seq("key"), "v", "dt")
+    assert(SnapshotLake.read(spark, dir).columns.toSeq ==
+      Seq("key", "dt", "v", "price"))
+    assert(state(SnapshotLake.read(spark, dir))("k1") == ((2L, 15.0)))
+    // a genuinely NEW column appends after the existing order
+    val widened = b2.withColumn("note", lit("n"))
+      .select(col("note"), col("price"), col("v"), col("dt"), col("key"))
+    SnapshotLake.merge(spark, dir, widened, Seq("key"), "v", "dt")
+    assert(SnapshotLake.read(spark, dir).columns.toSeq ==
+      Seq("key", "dt", "v", "price", "note"))
+  }
+
   test("delete: NULL-evaluating predicate rows survive (SQL WHERE polarity)") {
     val dir = tmp()
     val rows = Seq(("k1", "p", 1L, Some(1.0)), ("k2", "p", 1L, None),

@@ -489,11 +489,120 @@ class LakeCatalogSpec extends SparkSuite {
     assert(SnapshotLake.currentManifest(spark, dir).get.gen == 1L)
   }
 
-  test("read-only: DDL through the catalog refuses loudly; missing tables throw") {
-    intercept[UnsupportedOperationException](
+  test("destructive DDL refuses loudly; contract-less CREATE refuses; missing tables throw") {
+    // CREATE TABLE without the merge contract refuses with remediation
+    val c = intercept[Exception](
       spark.sql("CREATE TABLE glake.t2 (a INT) USING parquet"))
+    assert(c.getMessage.contains("merge_keys"))
     intercept[UnsupportedOperationException](spark.sql("DROP TABLE glake.quotes"))
+    intercept[UnsupportedOperationException](
+      spark.sql("ALTER TABLE glake.quotes ADD COLUMN z INT"))
     val e = intercept[Exception](spark.sql("SELECT * FROM glake.absent").collect())
     assert(e.getMessage.contains("absent") || e.getMessage.contains("TABLE_OR_VIEW"))
+  }
+
+  test("CREATE TABLE: SQL-only bootstrap → INSERT → read round-trip; declared schema enforced") {
+    spark.sql(
+      """CREATE TABLE glake.born_sql (key STRING, dt STRING, v BIGINT, price DOUBLE)
+         PARTITIONED BY (dt)
+         TBLPROPERTIES ('merge_keys'='key', 'version_col'='v',
+                        'stats_cols'='price')""")
+    // the empty table reads with its DECLARED shape immediately
+    val empty = spark.sql("SELECT * FROM glake.born_sql")
+    assert(empty.schema.fieldNames.toSeq == Seq("key", "dt", "v", "price"))
+    assert(empty.count() == 0)
+    assert(SnapshotLake.currentManifest(spark, s"$root/born_sql").get.gen == 0L)
+    // the stamped contract routes INSERT INTO through the keyed LWW merge
+    b1.createOrReplaceTempView("born_b1")
+    b2.createOrReplaceTempView("born_b2")
+    spark.sql("INSERT INTO glake.born_sql SELECT * FROM born_b1")
+    spark.sql("INSERT INTO glake.born_sql SELECT * FROM born_b2")
+    assert(state(spark.sql("SELECT * FROM glake.born_sql").collect()) ==
+      Map("k1" -> ((2L, 15.0)), "k2" -> ((1L, 20.0)),
+        "k3" -> ((1L, 30.0)), "k4" -> ((1L, 40.0))))
+    // stats sidecars recorded from the declared contract (file skipping on)
+    assert(new java.io.File(
+      s"$root/born_sql/_manifests/stats-${"%020d".format(1L)}").exists())
+    // gen 0 is retained history: VERSION AS OF 0 answers the empty table
+    assert(spark.sql("SELECT * FROM glake.born_sql VERSION AS OF 0").count() == 0)
+    // the declared schema is ENFORCED from commit 1: a batch missing a
+    // declared column refuses through the widen-only evolution check
+    Seq(("k9", "2025-01-09", 9L)).toDF("key", "dt", "v")
+      .createOrReplaceTempView("born_narrow")
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO glake.born_sql SELECT * FROM born_narrow"))
+    assert(e.getMessage.contains("price") || e.getMessage.contains("not enough"),
+      s"narrowing batch must refuse, got: ${e.getMessage}")
+    // duplicate CREATE refuses and commits nothing
+    val dup = intercept[Exception](spark.sql(
+      """CREATE TABLE glake.born_sql (key STRING, dt STRING, v BIGINT, price DOUBLE)
+         PARTITIONED BY (dt)
+         TBLPROPERTIES ('merge_keys'='key', 'version_col'='v')"""))
+    assert(dup.getMessage.contains("already exists"))
+    // nothing re-stamped: still the two INSERT commits on top of gen 0
+    assert(SnapshotLake.currentManifest(spark, s"$root/born_sql").get.gen == 2L)
+  }
+
+  test("CREATE TABLE: property validation refuses bad contracts up front") {
+    def refusal(sql: String): String =
+      intercept[Exception](spark.sql(sql)).getMessage
+    assert(refusal(
+      """CREATE TABLE glake.bad1 (k STRING, v BIGINT) PARTITIONED BY (k)
+         TBLPROPERTIES ('merge_keys'='k')""").contains("version_col"))
+    assert(refusal(
+      """CREATE TABLE glake.bad2 (k STRING, v BIGINT)
+         TBLPROPERTIES ('merge_keys'='k', 'version_col'='v')""")
+      .contains("partition column"))
+    assert(refusal(
+      """CREATE TABLE glake.bad3 (k STRING, v BIGINT) PARTITIONED BY (k)
+         TBLPROPERTIES ('merge_keys'='nope', 'version_col'='v')""")
+      .contains("not in the declared schema"))
+    assert(refusal(
+      """CREATE TABLE glake.bad4 (k STRING, v BIGINT) PARTITIONED BY (k)
+         TBLPROPERTIES ('merge_keys'='k', 'version_col'='v',
+                        'partition_col'='v')""").contains("disagree"))
+    assert(refusal(
+      """CREATE TABLE glake.bad5 (k STRING, v BIGINT, d STRING)
+         PARTITIONED BY (k, d)
+         TBLPROPERTIES ('merge_keys'='k', 'version_col'='v')""")
+      .contains("exactly one"))
+    // none of the refusals left a table behind
+    Seq("bad1", "bad2", "bad3", "bad4", "bad5").foreach { t =>
+      assert(!new java.io.File(s"$root/$t/_manifests").exists(), t)
+    }
+  }
+
+  test("SQL UPDATE: predicate-scoped rewrite through the catalog; guards refuse") {
+    val dir = s"$root/upd"
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt") // gen 1
+    SnapshotLake.merge(spark, dir, b2, Seq("key"), "v", "dt") // gen 2
+    val before = SnapshotLake.currentManifest(spark, dir).get
+      .entries.map(e => e.value -> e.gen).toMap
+    spark.sql("UPDATE glake.upd SET price = price * 10 WHERE key = 'k2'")
+    assert(state(spark.sql("SELECT * FROM glake.upd").collect()) ==
+      Map("k1" -> ((2L, 15.0)), "k2" -> ((1L, 200.0)),
+        "k3" -> ((1L, 30.0)), "k4" -> ((1L, 40.0))))
+    // untouched partitions keep their exact pre-update gens
+    val after = SnapshotLake.currentManifest(spark, dir).get
+    assert(after.gen == 3L)
+    assert(after.entries.map(e => e.value -> e.gen).toMap ==
+      before + ("2025-01-02" -> 3L))
+    // unconditional UPDATE (no WHERE) rewrites everything
+    spark.sql("UPDATE glake.upd SET price = 1.0")
+    assert(spark.sql("SELECT * FROM glake.upd").collect()
+      .map(_.getAs[Double]("price")).toSet == Set(1.0))
+    // guards surface through SQL: partition column / merge key / subquery
+    assert(intercept[Exception](
+      spark.sql("UPDATE glake.upd SET dt = 'x' WHERE key = 'k1'"))
+      .getMessage.contains("partition column"))
+    assert(intercept[Exception](
+      spark.sql("UPDATE glake.upd SET key = 'x' WHERE key = 'k1'"))
+      .getMessage.contains("merge key"))
+    assert(intercept[Exception](
+      spark.sql("""UPDATE glake.upd SET price = 0.0
+                   WHERE key IN (SELECT key FROM glake.quotes)"""))
+      .getMessage.contains("subquery"))
+    // refusals committed nothing
+    assert(SnapshotLake.currentManifest(spark, dir).get.gen == 4L)
   }
 }
