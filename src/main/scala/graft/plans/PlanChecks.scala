@@ -1,6 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{CurrentRow, RowFrame, SpecifiedWindowFrame, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, LocalLimit, LogicalPlan, Window}
 
 /** Static plan lints for the scale cliffs Catalyst accepts silently.
@@ -51,6 +53,68 @@ object PlanChecks {
   /** Convenience: lint a DataFrame's optimized plan. */
   def unboundedGlobalWindows(df: DataFrame): Seq[Window] =
     unboundedGlobalWindows(df.queryExecution.optimizedPlan)
+
+  /** The COST lint (vs the cliff lint above): global `ROWS n PRECEDING AND
+    * m FOLLOWING` windows carrying MULTIPLE aggregate families. The rule
+    * composition ([[RowsFollowingRule]] + [[RangeSlidingRule]] +
+    * [[RangeMinMaxRule]], with [[DescOrderRule]] for latest-first orders)
+    * rewrites the shape CORRECTLY at scale, but each consumer family's
+    * branch re-runs the rank pipeline above the shared exchange — measured
+    * ~3.5× the materialize-once library cascade at 10×
+    * (SURVEY §6.21/§6.19). The rewrite cannot be automated away: the
+    * cascade pins the sorted stream with a `localCheckpoint` (a side
+    * effect no pure `Rule[LogicalPlan]` may perform) — so the honest fix
+    * is remediation-by-name. REMEDIATION for a flagged window: route the
+    * query through [[graft.operators.RangeWindows.rowsSlidingAll]] (ASC or
+    * DESC multi-column orders alike — the e23b/e24c gate faces), which
+    * carries SUM/COUNT/AVG/MIN/MAX in one stacked cascade. Flagged only
+    * when every aggregate in the window IS one the cascade carries —
+    * anything else genuinely needs the optimizer composition.
+    */
+  def centeredRowsMultiFamily(plan: LogicalPlan): Seq[Window] = plan.collect {
+    case w: Window if w.partitionSpec.isEmpty && {
+      val wes = w.windowExpressions.flatMap(_.collect {
+        case we: WindowExpression => we })
+      // analyzed (pre-optimize) bounds arrive unfolded — `6 PRECEDING` is
+      // UnaryMinus(Literal(6)) — so evaluate foldable bounds
+      def boundVal(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Long] =
+        e match {
+          case CurrentRow => Some(0L)
+          case _ if e.foldable => e.eval() match {
+            case i: Int => Some(i.toLong)
+            case l: Long => Some(l)
+            case _ => None
+          }
+          case _ => None
+        }
+      val centered = wes.filter(we =>
+        we.windowSpec.frameSpecification match {
+          case SpecifiedWindowFrame(RowFrame, lo, hi) =>
+            boundVal(hi).exists(_ > 0) && boundVal(lo).exists(_ <= 0)
+          case _ => false
+        })
+      val families = centered.map(_.windowFunction).map {
+        case ae: AggregateExpression => ae.aggregateFunction match {
+          case _: Sum | _: Count | _: Average => Some("slide")
+          case _: Min | _: Max => Some("minmax")
+          case _ => None
+        }
+        case _ => None
+      }
+      // every centered aggregate is cascade-carried AND ≥ 2 consumer
+      // families would each re-run the rank pipeline
+      centered.nonEmpty && families.forall(_.isDefined) &&
+        families.flatten.distinct.length >= 2
+    } => w
+  }
+
+  /** Convenience: lint a DataFrame's ANALYZED plan — the rule composition
+    * rewrites the Window away in the optimized plan, and this lint's whole
+    * point is to catch the shape BEFORE it plans into the per-family
+    * re-run.
+    */
+  def centeredRowsMultiFamily(df: DataFrame): Seq[Window] =
+    centeredRowsMultiFamily(df.queryExecution.analyzed)
 
   /** Cardinality-bounded: every path from here to a leaf crosses an
     * Aggregate (cardinality ≤ the group-key domain), a Deduplicate (same

@@ -564,6 +564,61 @@ object VerifySf1 {
               when(col("__b").isNull, col("av")).otherwise(col("bv")).as("value"),
               col("_change_type"))
         }),
+      // e3i: the standing CDC consumer's fold (bootstrap + per-commit
+      // deltas applied in order) ↔ lake-free LWW algebra minus the
+      // deleted keys — per-commit consumption must reconstruct the final
+      // snapshot at 1.5M events
+      ("e3i_lake_cdc_follow",
+        () => CoreQueries.e3iLakeCdcFollow(spark, work),
+        () => {
+          import graft.etl.Upsert
+          val evb = ev.select(col("user_id"), col("event_type"),
+            col("event_id"), col("ts"), col("value"))
+          val keys = Seq("user_id", "event_type")
+          val b0 = Upsert.lastWriteWins(
+            evb.filter(col("event_id") % 2 === 0), keys, "ts", Seq("event_id"))
+          val b1 = Upsert.lastWriteWins(
+            evb.filter(col("event_id") % 2 === 1), keys, "ts", Seq("event_id"))
+          b1.unionByName(b0.join(b1.select(keys.map(col): _*), keys, "left_anti"))
+            .filter(!col("user_id").isin(2L, 3L, 5L, 7L, 11L, 13L))
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts").cast("timestamp_ntz").as("timestamp_utc"), col("value"))
+        }),
+      // e3j: the SQL-only bootstrap (CREATE TABLE + two INSERT INTO
+      // commits) ↔ the same lake-free two-batch algebra as e3b/e3g — a
+      // DDL-born table's write faces must land the identical LWW table
+      ("e3j_lake_create_sql",
+        () => CoreQueries.e3jLakeCreateSql(spark, work),
+        () => {
+          import graft.etl.Upsert
+          val evb = ev.select(col("user_id"), col("event_type"),
+            col("event_id"), col("ts"), col("value"))
+          val keys = Seq("user_id", "event_type")
+          val b0 = Upsert.lastWriteWins(
+            evb.filter(col("event_id") % 2 === 0), keys, "ts", Seq("event_id"))
+          val b1 = Upsert.lastWriteWins(
+            evb.filter(col("event_id") % 2 === 1), keys, "ts", Seq("event_id"))
+          b1.unionByName(b0.join(b1.select(keys.map(col): _*), keys, "left_anti"))
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts").cast("timestamp_ntz").as("timestamp_utc"), col("value"))
+        }),
+      // e3k: the SQL UPDATE commit (predicate-scoped partition rewrite)
+      // ↔ lake-free LWW algebra with the assignment applied under the
+      // predicate — the rewrite may restage whole partitions, never
+      // change a non-matching row, at 1.5M events
+      ("e3k_lake_update_sql",
+        () => CoreQueries.e3kLakeUpdateSql(spark, work),
+        () => {
+          import graft.etl.Upsert
+          Upsert.lastWriteWins(
+            ev.select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts"), col("value")),
+            Seq("user_id", "event_type"), "ts", Seq("event_id"))
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts").cast("timestamp_ntz").as("timestamp_utc"),
+              when(col("event_type") === "click" && col("user_id") % 3 === 0,
+                col("value") * 2).otherwise(col("value")).as("value"))
+        }),
       // a13d: nearest+tolerance through the exec ↔ the candidate-pair
       // range join ranked by (|Δts|, backward-first) — the quadratic
       // formulation the merge's two-candidate compare replaces
