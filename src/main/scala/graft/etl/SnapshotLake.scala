@@ -525,9 +525,17 @@ object SnapshotLake {
           s"(${schema.fieldNames.mkString(", ")})"))
     LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
       val fs = fsOf(spark, path)
-      require(currentManifest(spark, path).isEmpty && !fs.exists(metaPath(path)),
-        s"lake table at $path already exists (published snapshot or stamped " +
-          "merge contract) — CREATE TABLE refuses to re-stamp a live table")
+      require(currentManifest(spark, path).isEmpty,
+        s"lake table at $path already exists (published snapshot) — " +
+          "CREATE TABLE refuses to re-stamp a live table")
+      // With NO published manifest, a schema-0 sidecar or a table-meta can
+      // only be debris of a create that crashed before its publish (merges
+      // stamp their meta AFTER publishing, and vacuum always keeps >= 1
+      // manifest) — delete both so the retry's create-renames cannot
+      // collide and converge to a fresh table.
+      val orphanSchema = schemaPath(path, 0L)
+      if (fs.exists(orphanSchema)) fs.delete(orphanSchema, false)
+      if (fs.exists(metaPath(path))) fs.delete(metaPath(path), false)
       writeSchemaSidecar(fs, path, 0L, schema)
       writeMergeSpec(fs, path, spec)
       publish(fs, path, Manifest(0L, spec.partitionCol, Nil))

@@ -434,6 +434,31 @@ class SnapshotLakeSpec extends SparkSuite {
     assert(state(SnapshotLake.read(spark, dir))("k1") == ((1L, 99.0)))
   }
 
+  test("create: bootstraps an empty gen-0 table; a crashed create heals on retry") {
+    val dir = tmp()
+    val spec = SnapshotLake.MergeSpec(Seq("key"), "v", "dt", Nil, Nil)
+    SnapshotLake.create(spark, dir, b1.schema, spec)
+    assert(SnapshotLake.currentManifest(spark, dir).exists(m =>
+      m.gen == 0L && m.entries.isEmpty))
+    assert(SnapshotLake.read(spark, dir).schema == b1.schema)
+    assert(SnapshotLake.mergeSpecOf(spark, dir).contains(spec))
+    // a later merge lands gen 1 through the stamped contract
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    assert(state(SnapshotLake.read(spark, dir)).keySet == Set("k1", "k2", "k3"))
+    // duplicate create refuses on the live table
+    val e = intercept[IllegalArgumentException](
+      SnapshotLake.create(spark, dir, b1.schema, spec))
+    assert(e.getMessage.contains("already exists"))
+    // crashed-create debris (sidecar + meta, NO manifest) heals: the retry
+    // deletes the orphans and converges to a fresh table
+    val dir2 = tmp()
+    SnapshotLake.create(spark, dir2, b1.schema, spec)
+    val mdir = new java.io.File(s"$dir2/_manifests")
+    assert(new java.io.File(mdir, "manifest-" + "%020d".format(0L)).delete())
+    SnapshotLake.create(spark, dir2, b1.schema, spec) // must not collide
+    assert(SnapshotLake.currentManifest(spark, dir2).exists(_.gen == 0L))
+  }
+
   test("delete/update refuse nondeterministic predicates (two-pass consistency)") {
     val dir = tmp()
     SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
