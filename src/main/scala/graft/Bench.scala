@@ -139,8 +139,16 @@ object Bench {
         s""""regressions":$flaggedJson,"sf":"$sfDir"}"""
     println(json)
     // Also write to a file so the driver never has to scrape the JSON out of
-    // sbt's [info]/stderr noise.
-    Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    // sbt's [info]/stderr noise. The path is EXPLICIT (first arg, else
+    // GRAFT_BENCH_OUT, else /tmp) — never the repo root by default: two
+    // rounds in a row a smoke/probe run silently clobbered the committed
+    // sf0.1 bench_out.json (restored in 2819eff and again in round 13).
+    // Publishing the committed artifact is now an explicit act:
+    //   GRAFT_BENCH_OUT=/root/repo/bench_out.json sbt "runMain graft.Bench"
+    val outPath = args.headOption
+      .orElse(sys.env.get("GRAFT_BENCH_OUT"))
+      .getOrElse("/tmp/bench_out.json")
+    Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
     // A crashing query must fail the bench loudly, not record a fast fake
     // time and exit 0.

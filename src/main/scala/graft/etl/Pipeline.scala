@@ -169,6 +169,103 @@ object Pipeline {
       missingRate = m("missing_rate").asInstanceOf[Long])
   }
 
+  /** The reference's complete two-table load onto TWO SNAPSHOT LAKES —
+    * [[runJdbc]]'s twin for the lake face (≙ `/root/reference/src/main.py:97-138`,
+    * which loads `indices` then `quotes` inside one Postgres transaction).
+    *
+    * A filesystem lake has no cross-directory atomic rename, so instead of
+    * pretending at a two-table transaction this face commits under the
+    * FK-SAFE ORDERING CONTRACT, with both tables' leases held for the whole
+    * span:
+    *
+    *  1. Both lake leases are acquired up front in CANONICAL (sorted-path)
+    *     order — two concurrent `runLake`s serialize instead of
+    *     deadlocking, and no foreign writer can interleave between the two
+    *     commits.
+    *  2. The FK is checked BEFORE either commit (a bar whose ticker has no
+    *     dimension metadata fails the whole load — nothing lands, the
+    *     reference's rollback-and-raise, `main.py:128-132` /
+    *     `postgres_writer.py:265-270` ON DELETE RESTRICT), so a batch can
+    *     never publish facts that dangle.
+    *  3. The DIM commits first, facts second. A reader between the two
+    *     cuts sees the new dim + the old facts — every fact it can read
+    *     still joins (a dim is keyed LWW and never loses tickers); the
+    *     reverse order would expose dangling facts, which is why the order
+    *     is a CONTRACT, not a preference (PipelineLakeSpec pins it).
+    *  4. A crash between the commits leaves both snapshots readable and
+    *     consistent-under-the-contract; the re-run converges (idempotent
+    *     keyed LWW on both tables — the same recovery story as the JDBC
+    *     face's transaction replay).
+    *
+    * Quotes land date-partitioned (`p_date`): an incremental batch rewrites
+    * only the trade dates it carries — at 100 TB a 6-hour tick's commit
+    * cost is proportional to the tick, not the table.
+    */
+  def runLake(
+      spark: SparkSession,
+      bars: DataFrame,
+      dim: DataFrame,
+      rates: RateProvider,
+      indicesLake: String,
+      quotesLake: String,
+      targetCurrency: String = "USD",
+      sourceTz: Option[String] = None): RunMetrics = {
+    val standardized = Standardizer.standardize(bars, dim, sourceTz)
+    val converted =
+      CurrencyConverter.convertWithProvider(spark, standardized, rates, targetCurrency)
+    val obs = Observation()
+    val observed = converted.observe(
+      obs,
+      count(lit(1)).as("rows"),
+      sum(col("close").isNull.cast("long")).as("null_close"),
+      sum((col("close").isNotNull &&
+        col(s"close_${targetCurrency.toLowerCase}").isNull).cast("long"))
+        .as("missing_rate"))
+    val tieBreakers = observed.columns.toSeq
+      .filterNot(Seq("ticker", "timestamp_utc").contains)
+    val quotes = Upsert.lastWriteWins(
+      observed, keys = Seq("ticker", "timestamp_utc"),
+      versionCol = "timestamp_utc", tieBreakers = tieBreakers)
+      .withColumn("p_date", to_date(col("timestamp_utc")))
+      .localCheckpoint() // one evaluation serves FK check + both commits
+    val conf = spark.sparkContext.hadoopConfiguration
+    // both leases for the whole span, canonical order (see contract above);
+    // the inner merges' withLease calls share these reentrant holds
+    val Seq(first, second) = Seq(indicesLake, quotesLake).sorted
+    LakeLease.withLease(conf, first) {
+      LakeLease.withLease(conf, second) {
+        // FK gate BEFORE any commit: standardize's enrich join is a LEFT
+        // join, so a ticker with no dimension row surfaces as a null name
+        // (NOT NULL in the reference dim). Bounded collect: distinct rogue
+        // tickers only.
+        val rogue = quotes.filter(col("name").isNull)
+          .select(col("ticker")).distinct().limit(21)
+          .collect().map(_.getString(0))
+        if (rogue.nonEmpty)
+          throw new IllegalStateException(
+            s"ticker(s) ${rogue.take(20).mkString(", ")} carry no dimension " +
+              "metadata — loading their quotes would dangle the FK " +
+              "(reference ON DELETE RESTRICT semantics); nothing was " +
+              "committed to either lake")
+        // 1) dim first (FK target), keyed LWW by ticker
+        SnapshotLake.merge(spark, indicesLake,
+          quotes.select(col("ticker"), col("name"), col("country"),
+            col("exchange"), col("original_currency")).dropDuplicates("ticker"),
+          keys = Seq("ticker"), versionCol = "name", partitionCol = "ticker")
+        // 2) facts second — the FK-safe cut order
+        SnapshotLake.merge(spark, quotesLake, quotes,
+          keys = Seq("ticker", "timestamp_utc"), versionCol = "timestamp_utc",
+          partitionCol = "p_date", tieBreakers = tieBreakers,
+          statsCols = Seq("timestamp_utc"))
+      }
+    }
+    val m = obs.get
+    RunMetrics(
+      rows = m("rows").asInstanceOf[Long],
+      nullClose = m("null_close").asInstanceOf[Long],
+      missingRate = m("missing_rate").asInstanceOf[Long])
+  }
+
   /** Dim-upsert step of the composed load (≙ `upsert_indices`,
     * `postgres_writer.py:116-178`): metadata extracted from the standardized
     * frame, deduped per ticker. Metadata is constant per ticker (it came

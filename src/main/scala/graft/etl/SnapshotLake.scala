@@ -695,6 +695,13 @@ object SnapshotLake {
           "predicate is evaluated once to find affected partitions and " +
           "again in the rewrite, and a nondeterministic expression would " +
           "split the passes inconsistently")
+      // same per-execution substitution trap as delete's guard: now() is
+      // deterministic=true in Catalyst but varies across the passes
+      require(!timeDependent(rewritten(hits).queryExecution.analyzed),
+        "UPDATE predicate and SET expressions must not depend on " +
+          "evaluation time (now()/current_timestamp()/current_date() are " +
+          "substituted per execution and the rewrite runs in independent " +
+          "passes) — bind the timestamp to a literal upstream")
       val castStr = expr(s"cast(`$partitionCol` as string)")
       val routeKey = concat(lit("h"), hex(castStr))
       // bounded collect: one row per partition that CONTAINS an updated row
@@ -814,6 +821,23 @@ object SnapshotLake {
       .select((keys.map(col) ++ image :+ col("_change_type")): _*)
   }
 
+  /** True when any expression in the plan reads evaluation-time — the
+    * family `ComputeCurrentTime` substitutes once per EXECUTION
+    * (current_timestamp/now/localtimestamp/current_date). Catalyst marks
+    * them deterministic (within one execution they are), but delete/update
+    * evaluate their predicate in independent passes, so across passes they
+    * behave exactly like rand().
+    */
+  private def timeDependent(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      CurrentDate, CurrentTimestamp, LocalTimestamp, Now}
+    plan.exists(_.expressions.exists(_.exists {
+      case _: CurrentTimestamp | _: Now | _: LocalTimestamp | _: CurrentDate => true
+      case _ => false
+    }))
+  }
+
   /** The delete commit: `hitOf` selects the rows to remove, `survivorsOf`
     * their complement (two faces of one contract so both predicate and
     * anti-join deletes share the commit path). Caller-visible behavior is
@@ -845,8 +869,17 @@ object SnapshotLake {
         _.expressions.exists(!_.deterministic)),
         "delete predicate must be deterministic — it is evaluated once to " +
           "find affected partitions and again to write survivors, and a " +
-          "nondeterministic condition (rand(), now()-relative, …) would " +
-          "split the two passes inconsistently")
+          "nondeterministic condition (rand(), …) would split the two " +
+          "passes inconsistently")
+      // now()/current_date() are deterministic=true in Catalyst (substituted
+      // per EXECUTION by ComputeCurrentTime) — which is exactly the problem:
+      // each pass is its own execution, so a time-dependent predicate would
+      // split the passes just like rand() does. Reject explicitly.
+      require(!timeDependent(hits.queryExecution.analyzed),
+        "delete predicate must not depend on evaluation time " +
+          "(now()/current_timestamp()/current_date() are substituted per " +
+          "execution and the predicate runs in independent passes) — bind " +
+          "the cutoff to a literal timestamp upstream")
       // bounded collect: one row per partition that LOSES a row
       val affected = hits
         .select(castStr.as("__v"), routeKey.as("__h")).distinct()
@@ -1510,4 +1543,32 @@ object SnapshotLake {
       }
     }
   }
+
+  /** DROP the table: a lease-guarded purge of the ENTIRE lake — every
+    * manifest, every gen dir, the merge contract, the stats/schema
+    * sidecars. The lifecycle symmetry of [[create]]: vacuum-to-zero plus
+    * metadata removal, as ONE deliberate act. After the drop, time travel
+    * to any former snapshot is GONE (the Delta/Iceberg DROP contract — a
+    * dropped table keeps no history), reads throw "no published snapshot",
+    * and a re-[[create]] at the same path starts a fresh history at
+    * generation 0 (standing CDC consumers of the old table fail loudly on
+    * their reset guardrail rather than silently following the new one).
+    *
+    * Deliberately NOT exposed by default through the SQL face —
+    * [[graft.sources.LakeCatalog]] refuses `DROP TABLE` unless the catalog
+    * is configured with `allow_drop=true` — so the destructive verb stays
+    * behind an explicit operator decision. Returns false if no table
+    * exists at `path` (the TableCatalog dropTable contract).
+    */
+  def drop(spark: SparkSession, path: String): Boolean =
+    LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
+      val fs = fsOf(spark, path)
+      if (!fs.exists(manifestDir(path))) false
+      else {
+        // the lease file lives BESIDE the table dir (<path>__lease), so the
+        // recursive delete cannot pull the lock out from under this holder
+        fs.delete(new Path(path), true)
+        true
+      }
+    }
 }

@@ -120,5 +120,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // graft.plans.SuffixFrameRule
     ext.injectOptimizerRule(_ => graft.plans.SuffixFrameRule)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
+    // OPT-IN analyzer-time cost lint (spark.graft.lint.centeredRows=true):
+    // warns, at plan time, on the multi-family centered-ROWS shape the
+    // rules above execute correctly but expensively, naming the
+    // RangeWindows.rowsSlidingAll remediation — see
+    // graft.plans.CenteredRowsLintRule
+    ext.injectPostHocResolutionRule(session =>
+      graft.plans.CenteredRowsLintRule(session))
   }
 }

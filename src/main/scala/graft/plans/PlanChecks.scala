@@ -127,3 +127,60 @@ object PlanChecks {
     case _ => p.children.forall(bounded)
   }
 }
+
+/** The [[PlanChecks.centeredRowsMultiFamily]] cost lint as a LIVE analyzer
+  * warning — without this, the lint only fires when someone remembers to
+  * call it, and the raw-SQL user it exists for (e23/e24b's shape arriving
+  * via `spark.sql`) never sees the remediation. Deployed through
+  * [[graft.functions.GraftExtensions]] (post-hoc resolution — the lint
+  * reads the ANALYZED plan, before the rewrite rules consume the Window),
+  * OPT-IN via `spark.graft.lint.centeredRows=true`: a lint that logs on
+  * every analysis by default would be noise in pipelines that accepted the
+  * composition cost deliberately.
+  *
+  * Pure observer: the plan is returned UNCHANGED (the auto-rewrite is
+  * impossible for a pure rule — the fast cascade pins its sorted stream
+  * with a `localCheckpoint` side effect), the warning names the
+  * remediation ([[graft.operators.RangeWindows.rowsSlidingAll]]), and
+  * [[CenteredRowsLint.addListener]] gives programmatic surfaces (CI plan
+  * gates, notebook hooks) the same signal the log line carries.
+  */
+object CenteredRowsLint {
+  /** Boolean session conf enabling the analyzer-time lint (default off). */
+  val EnabledKey = "spark.graft.lint.centeredRows"
+
+  private val listeners =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+
+  /** Register an observer for fired lints (tests, CI plan gates). */
+  def addListener(f: String => Unit): Unit = listeners.add(f)
+  def removeListener(f: String => Unit): Unit = listeners.remove(f)
+
+  private[plans] def fire(msg: String): Unit = {
+    val it = listeners.iterator()
+    while (it.hasNext) it.next()(msg)
+  }
+}
+
+case class CenteredRowsLintRule(
+    session: org.apache.spark.sql.SparkSession)
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(CenteredRowsLint.EnabledKey, "false") == "true") {
+      PlanChecks.centeredRowsMultiFamily(plan).foreach { w =>
+        val families = w.windowExpressions.map(_.sql).mkString("; ")
+        val msg =
+          "[graft-lint] global centered-ROWS window carries MULTIPLE " +
+            "aggregate families — the optimizer composition executes " +
+            "correctly but re-runs the rank pipeline per family (~3.5x the " +
+            "library cascade at 10x); route the query through " +
+            "graft.operators.RangeWindows.rowsSlidingAll for the " +
+            s"materialize-once plan. Window expressions: $families"
+        logWarning(msg)
+        CenteredRowsLint.fire(msg)
+      }
+    }
+    plan
+  }
+}

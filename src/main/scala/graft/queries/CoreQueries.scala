@@ -476,6 +476,108 @@ object CoreQueries {
          ORDER BY user_id, event_type""")
   }
 
+  /** E3l — the lake's `spark.readStream` face
+    * ([[graft.sources.LakeCdcSource]]): e3i's standing consumer loop
+    * re-expressed as a Structured Streaming SOURCE — offsets are manifest
+    * generations, each micro-batch is the partition-scoped
+    * [[graft.etl.SnapshotLake.changes]] delta (+ the bootstrap snapshot as
+    * one all-insert batch), and position lives in the query's OWN
+    * checkpoint instead of a bespoke marker ledger, so
+    * `spark.readStream.format("graft-lake-cdc")` feeds any stock sink with
+    * the engine's exactly-once contract (LakeCdcStreamSpec pins restart
+    * resume, admission control, and the vacuum/reset guardrails). Same
+    * 3-commit history as e3i; the drained CDC rows (parquet sink,
+    * `Trigger.AvailableNow`) fold by "last commit mentioning the key"
+    * (`_commit_gen` — per-commit attribution, ≙ Delta CDF's
+    * `_commit_version`), so the oracle-checked law is the same: streamed
+    * per-commit consumption reconstructs the final snapshot.
+    */
+  def e3lLakeStreamCdc(s: SparkSession, dir: String): DataFrame = {
+    val root = ScratchLakes.fresh("e3l")
+    val lake = s"$root/events"
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+    val keys = Seq("user_id", "event_type")
+    graft.etl.SnapshotLake.merge(s, lake, ev.filter(col("event_id") % 2 === 0),
+      keys, "ts", "event_type", Seq("event_id"))
+    graft.etl.SnapshotLake.merge(s, lake, ev.filter(col("event_id") % 2 === 1),
+      keys, "ts", "event_type", Seq("event_id"))
+    graft.etl.SnapshotLake.delete(s, lake,
+      col("user_id").isin(2L, 3L, 5L, 7L, 11L, 13L))
+    val out = s"$root/cdc_out"
+    val q = s.readStream.format("graft-lake-cdc").load(lake)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$root/cdc_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the consumer's fold over the drained CDC rows: a key's final state is
+    // its row in the HIGHEST commit that mentions it (each commit is keyed
+    // LWW, so a key appears at most once per gen); a last-mention delete
+    // drops it — the set-based equivalent of e3i's sequential fold
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_commit_gen").desc)
+    s.read.parquet(out)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("_change_type") =!= "delete")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        ntz(col("ts")).as("timestamp_utc"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** E3m — the reference's complete TWO-TABLE load onto two snapshot lakes
+    * ([[graft.etl.Pipeline.runLake]], ≙ `main.py:97-138`'s one-transaction
+    * indices+quotes load): standardize → convert → FK gate → dim commit →
+    * fact commit, both leases held for the span, dim first — the FK-SAFE
+    * ordering contract that replaces cross-directory atomicity a
+    * filesystem cannot give (PipelineLakeSpec pins the order, the
+    * crash-window read, convergence, and the rogue-ticker refusal). Bars
+    * are the events table pre-deduped to one row per (ticker, ts) (so the
+    * oracle states the pipeline math, not the tie-break); the dim derives
+    * from the event types; rates are a deterministic day-of-month formula
+    * both engines compute identically. The answer reads the QUOTES lake
+    * joined to the INDICES lake — the FK law visible in the output — so
+    * the oracle-checked claim is "the two-lake pipeline lands exactly the
+    * standardized, converted, joined state".
+    */
+  def e3mLakePipeline(s: SparkSession, dir: String): DataFrame = {
+    val root = ScratchLakes.fresh("e3m")
+    val ev = t(s, dir, "events")
+    // one bar per (ticker, ts): LWW by (value, event_id) so the pipeline's
+    // own within-batch dedup has nothing left to decide
+    val w = Window.partitionBy(col("event_type"), col("ts"))
+      .orderBy(col("value").desc, col("event_id").desc)
+    val bars = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("ts"), col("event_type").as("ticker"),
+        (col("value") - 1.0).as("Open"), (col("value") + 2.0).as("High"),
+        (col("value") - 2.0).as("Low"), col("value").as("Close"),
+        col("value").as("Adj Close"), col("event_id").as("Volume"))
+    val dim = ev.select(col("event_type")).distinct()
+      .select(col("event_type").as("ticker"),
+        upper(col("event_type")).as("name"), lit("GLOBAL").as("country"),
+        lit("GX").as("exchange"), lit("EUR").as("currency"))
+    // deterministic daily EUR→USD rate: 1 + day-of-month/100 (both engines
+    // derive it from the same integer with the same IEEE ops)
+    val rates = new graft.etl.RateProvider {
+      override def rates(pairs: Seq[(String, java.sql.Date)],
+          target: String): Seq[graft.etl.FxRate] =
+        pairs.map { case (c, d) => graft.etl.FxRate(c, target, d,
+          1.0 + d.toLocalDate.getDayOfMonth / 100.0) }
+    }
+    graft.etl.Pipeline.runLake(s, bars, dim, rates,
+      s"$root/indices", s"$root/quotes")
+    val quotes = graft.etl.SnapshotLake.read(s, s"$root/quotes")
+      .select(col("ticker"), col("timestamp_utc"), col("close"), col("close_usd"))
+    val indices = graft.etl.SnapshotLake.read(s, s"$root/indices")
+      .select(col("ticker"), col("name"))
+    quotes.join(indices, Seq("ticker"))
+      .select(col("ticker"), ntz(col("timestamp_utc")).as("timestamp_utc"),
+        col("close"), col("close_usd"), col("name"))
+      .orderBy("ticker", "timestamp_utc")
+  }
+
   /** E4 — OHLCV resampling (SURVEY §2.2 Aggregations): per-key daily candles
     * from finer-grained ticks via `min_by`/`max_by` — open/close ride on
     * the extreme timestamps, high/low/volume are plain extremes/sums, all in
@@ -2547,6 +2649,8 @@ object CoreQueries {
     "e3i_lake_cdc_follow" -> (e3iLakeCdcFollow _),
     "e3j_lake_create_sql" -> (e3jLakeCreateSql _),
     "e3k_lake_update_sql" -> (e3kLakeUpdateSql _),
+    "e3l_lake_stream_cdc" -> (e3lLakeStreamCdc _),
+    "e3m_lake_pipeline" -> (e3mLakePipeline _),
     "e4_ohlcv_resample" -> (e4OhlcvResample _),
     "e13_weekly_candles" -> (e13WeeklyCandles _),
     "e5_gap_fill" -> (e5GapFill _),
@@ -2788,6 +2892,48 @@ object CoreQueries {
          FROM merged
          WHERE user_id NOT IN (2, 3, 5, 7, 11, 13)
          ORDER BY user_id, event_type""",
+    "e3l_lake_stream_cdc" ->
+      // e3i's oracle verbatim — the streaming face must fold to the same
+      // final snapshot the batch follower reconstructs: two-batch LWW
+      // state minus the deleted keys
+      """WITH b0 AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 0)
+           WHERE rn = 1),
+         b1 AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 1)
+           WHERE rn = 1),
+         merged AS (
+           SELECT * FROM b1
+           UNION ALL
+           SELECT b0.* FROM b0 ANTI JOIN b1 USING (user_id, event_type))
+         SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP) AS timestamp_utc, value
+         FROM merged
+         WHERE user_id NOT IN (2, 3, 5, 7, 11, 13)
+         ORDER BY user_id, event_type""",
+    "e3m_lake_pipeline" ->
+      // the pipeline law: the two-lake load lands exactly standardize +
+      // convert over the deduped bars, facts joined to the dim (FK law);
+      // rate = 1 + day-of-month/100, close_usd = close * rate — identical
+      // IEEE ops on identical operands in both engines
+      """WITH bars AS (
+           SELECT event_type AS ticker, CAST(ts AS TIMESTAMP) AS tsx, value,
+                  row_number() OVER (PARTITION BY event_type, ts
+                    ORDER BY value DESC, event_id DESC) AS rn
+           FROM events),
+         b AS (SELECT ticker, tsx, value FROM bars WHERE rn = 1)
+         SELECT ticker, tsx AS timestamp_utc, value AS close,
+                value * (1.0 + CAST(EXTRACT(day FROM tsx) AS DOUBLE) / 100.0)
+                  AS close_usd,
+                UPPER(ticker) AS name
+         FROM b
+         ORDER BY ticker, timestamp_utc""",
     "e3j_lake_create_sql" ->
       // e3c's oracle verbatim — a DDL-born table's INSERT INTO batches
       // must land the identical LWW state the API-merged twin lands

@@ -56,12 +56,16 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catName: String = _
   private var root: String = _
+  private var allowDrop: Boolean = false
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
     root = options.get("root")
     require(root != null && root.nonEmpty,
       s"catalog '$name' needs spark.sql.catalog.$name.root = <lakes dir>")
+    // DROP TABLE stays a loud refusal unless the operator opts the CATALOG
+    // in — destructive DDL is a deployment decision, not a query decision
+    allowDrop = options.getBoolean("allow_drop", false)
   }
 
   override def name(): String = catName
@@ -227,7 +231,26 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly("ALTER TABLE")
 
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  /** SQL `DROP TABLE` — the lifecycle symmetry of `CREATE TABLE`, routed
+    * through [[graft.etl.SnapshotLake.drop]]'s lease-guarded purge
+    * (every manifest, gen dir, and sidecar removed; time travel to any
+    * former snapshot is gone; a re-CREATE starts a fresh history at gen 0).
+    * Refuses loudly UNLESS the catalog opted in with
+    * `spark.sql.catalog.<name>.allow_drop = true` — a takedown verb this
+    * destructive stays behind an explicit operator decision, the same
+    * posture as vacuum retention.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!allowDrop)
+      throw new UnsupportedOperationException(
+        s"$catName refuses DROP TABLE by default — a dropped lake loses " +
+          "its ENTIRE manifest history (no time travel back). If that is " +
+          s"intended, opt the catalog in: spark.sql.catalog.$catName" +
+          ".allow_drop = true")
+    val path = tablePath(ident)
+    if (SnapshotLake.currentManifest(spark, path).isEmpty) false
+    else SnapshotLake.drop(spark, path)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")

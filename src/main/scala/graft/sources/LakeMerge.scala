@@ -134,7 +134,10 @@ object LakeMergeStrategy extends SparkStrategy {
     * refs render as their (quoted) names, and lake schemas are flat, so
     * the name IS the identity; re-parsing against the re-read frame
     * re-resolves cleanly. None when the expression cannot be carried over
-    * (a subquery would need its own execution).
+    * (a subquery would need its own execution, and an analyzed tree whose
+    * `.sql` form does not re-parse — a column name containing a backtick,
+    * an analyzer-inserted construct with no SQL syntax — must surface as
+    * the typed refusal, not as a parse error from inside the commit).
     */
   private def rebind(e: Expression): Option[Column] = {
     if (e.exists(_.isInstanceOf[SubqueryExpression])) return None
@@ -143,7 +146,7 @@ object LakeMergeStrategy extends SparkStrategy {
     val unqualified = e.transform {
       case a: AttributeReference => a.withQualifier(Nil)
     }
-    Some(org.apache.spark.sql.functions.expr(unqualified.sql))
+    scala.util.Try(org.apache.spark.sql.functions.expr(unqualified.sql)).toOption
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -166,7 +169,8 @@ object LakeMergeStrategy extends SparkStrategy {
           val predicate = u.condition match {
             case None => org.apache.spark.sql.functions.lit(true)
             case Some(c) => rebind(c).getOrElse(
-              refuseUpdate("the WHERE condition contains a subquery"))
+              refuseUpdate("the WHERE condition contains a subquery or " +
+                "cannot be re-expressed over the table's columns"))
           }
           // the analyzer may have ALIGNED the assignment list to every
           // table column (identity assignments for untouched ones) —
@@ -176,12 +180,17 @@ object LakeMergeStrategy extends SparkStrategy {
                 if k.exprId == v.exprId => None // identity (alignment filler)
             case Assignment(k: AttributeReference, v) =>
               Some(k.name -> rebind(v).getOrElse(
-                refuseUpdate(s"SET ${k.name} = … contains a subquery")))
+                refuseUpdate(s"SET ${k.name} = … contains a subquery or " +
+                  "cannot be re-expressed over the table's columns")))
             case a => refuseUpdate(s"unrecognized assignment target ${a.key}")
           }.toMap
           if (sets.isEmpty)
-            refuseUpdate("every assignment is the identity — nothing to set")
-          LakeUpdateExec(lake.path, predicate, sets, lake.session) :: Nil
+            // every assignment is the identity (an explicit `SET a = a`):
+            // standard SQL executes it and changes nothing — honor it as a
+            // no-op instead of burning a whole-partition rewrite (or a
+            // refusal) on a statement that cannot change a value
+            LakeNoopCommandExec("UPDATE with identity-only assignments") :: Nil
+          else LakeUpdateExec(lake.path, predicate, sets, lake.session) :: Nil
         case None => Nil
       }
     case m: MergeIntoTable =>
@@ -358,6 +367,17 @@ case class LakeUpdateExec(
     SnapshotLake.update(spark, lakePath, predicate, sets)
     Nil
   }
+}
+
+/** A recognized-but-no-effect lake command (e.g. `UPDATE t SET a = a`):
+  * executes as SQL requires, commits nothing, returns no rows.
+  */
+case class LakeNoopCommandExec(what: String) extends V2CommandExec {
+  override def output: Seq[Attribute] = Nil
+  override def children: Seq[SparkPlan] = Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SparkPlan = this
+  override def run(): Seq[InternalRow] = Nil
 }
 
 object LakeMergeExec {

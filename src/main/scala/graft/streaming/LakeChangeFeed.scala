@@ -126,14 +126,26 @@ object LakeChangeFeed {
           delivered += g0
           g0
       }
-      if (cursor < gens.last && !gens.contains(cursor))
+      // the cursor must name a RETAINED snapshot, in either direction:
+      // behind the retained window = a vacuum outran the consumer; AHEAD of
+      // it = the lake was deleted and re-created at the same path (its gen
+      // counter reset), and silently reporting "caught up" would skip the
+      // new table's entire history
+      if (!gens.contains(cursor))
         throw new IllegalStateException(
-          s"CDC consumer at $consumerDir last consumed snapshot $cursor of " +
-            s"$lakePath, but that snapshot is no longer retained (oldest " +
-            s"retained: ${gens.head}) — a vacuum outran this consumer and " +
-            "the incremental chain is broken. Raise vacuum retention above " +
-            "the consumer's lag, or reset the consumer (delete its state " +
-            "dir) to re-bootstrap from the current snapshot.")
+          if (cursor > gens.last)
+            s"CDC consumer at $consumerDir last consumed snapshot $cursor " +
+              s"of $lakePath, but the lake's newest retained snapshot is " +
+              s"${gens.last} — the lake was reset (deleted and re-created) " +
+              "under this consumer's position. Reset the consumer (delete " +
+              "its state dir) to re-bootstrap from the new table's history."
+          else
+            s"CDC consumer at $consumerDir last consumed snapshot $cursor of " +
+              s"$lakePath, but that snapshot is no longer retained (oldest " +
+              s"retained: ${gens.head}) — a vacuum outran this consumer and " +
+              "the incremental chain is broken. Raise vacuum retention above " +
+              "the consumer's lag, or reset the consumer (delete its state " +
+              "dir) to re-bootstrap from the current snapshot.")
       gens.filter(_ > cursor).foreach { g =>
         f(SnapshotLake.changes(spark, lakePath, cursor, g), g)
         mark(fs, consumerDir, g)

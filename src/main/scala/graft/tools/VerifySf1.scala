@@ -619,6 +619,45 @@ object VerifySf1 {
               when(col("event_type") === "click" && col("user_id") % 3 === 0,
                 col("value") * 2).otherwise(col("value")).as("value"))
         }),
+      // e3l: the spark.readStream CDC face (bootstrap + per-commit deltas
+      // through Structured Streaming's own checkpointing, folded by
+      // last-commit-per-key) ↔ the same lake-free LWW algebra as e3i —
+      // the streaming source must reconstruct the final snapshot at 1.5M
+      // events exactly as the batch follower does
+      ("e3l_lake_stream_cdc",
+        () => CoreQueries.e3lLakeStreamCdc(spark, work),
+        () => {
+          import graft.etl.Upsert
+          val evb = ev.select(col("user_id"), col("event_type"),
+            col("event_id"), col("ts"), col("value"))
+          val keys = Seq("user_id", "event_type")
+          val b0 = Upsert.lastWriteWins(
+            evb.filter(col("event_id") % 2 === 0), keys, "ts", Seq("event_id"))
+          val b1 = Upsert.lastWriteWins(
+            evb.filter(col("event_id") % 2 === 1), keys, "ts", Seq("event_id"))
+          b1.unionByName(b0.join(b1.select(keys.map(col): _*), keys, "left_anti"))
+            .filter(!col("user_id").isin(2L, 3L, 5L, 7L, 11L, 13L))
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts").cast("timestamp_ntz").as("timestamp_utc"), col("value"))
+        }),
+      // e3m: the two-lake FK-ordered pipeline ↔ the lake-free
+      // standardize+convert algebra over the deduped bars joined to the
+      // derived dim — the ordered commits must land exactly the math
+      ("e3m_lake_pipeline",
+        () => CoreQueries.e3mLakePipeline(spark, work),
+        () => {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("event_type"), col("ts"))
+            .orderBy(col("value").desc, col("event_id").desc)
+          ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("event_type").as("ticker"),
+              col("ts").cast("timestamp_ntz").as("timestamp_utc"),
+              col("value").as("close"),
+              (col("value") * (lit(1.0) +
+                dayofmonth(col("ts")).cast("double") / lit(100.0)))
+                .as("close_usd"),
+              upper(col("event_type")).as("name"))
+        }),
       // a13d: nearest+tolerance through the exec ↔ the candidate-pair
       // range join ranked by (|Δts|, backward-first) — the quadratic
       // formulation the merge's two-candidate compare replaces

@@ -468,6 +468,27 @@ class SnapshotLakeSpec extends SparkSuite {
     assert(SnapshotLake.currentManifest(spark, dir).get.gen == 1L)
   }
 
+  test("delete/update refuse time-dependent predicates (now() varies per pass)") {
+    // Catalyst marks current_timestamp()/current_date() deterministic (they
+    // are, WITHIN one execution — ComputeCurrentTime substitutes per run),
+    // but the delete/update passes are separate executions: a now()-relative
+    // predicate would split them inconsistently exactly like rand()
+    val dir = tmp()
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    val e1 = intercept[IllegalArgumentException](SnapshotLake.delete(spark, dir,
+      to_timestamp(col("dt")) < current_timestamp()))
+    assert(e1.getMessage.contains("evaluation time"))
+    val e2 = intercept[IllegalArgumentException](SnapshotLake.update(spark, dir,
+      to_date(col("dt")) < current_date(), Map("price" -> lit(0.0))))
+    assert(e2.getMessage.contains("evaluation time"))
+    val e4 = intercept[IllegalArgumentException](SnapshotLake.update(spark, dir,
+      col("key") === "k1",
+      Map("price" -> unix_timestamp(current_timestamp()).cast("double"))))
+    assert(e4.getMessage.contains("evaluation time"))
+    // nothing committed by any refusal
+    assert(SnapshotLake.currentManifest(spark, dir).get.gen == 1L)
+  }
+
   test("schema sidecar keeps the TABLE's column order across reordered batches") {
     val dir = tmp()
     SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")

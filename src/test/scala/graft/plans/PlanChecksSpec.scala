@@ -104,4 +104,57 @@ class PlanChecksSpec extends SparkSuite {
     assert(PlanChecks.centeredRowsMultiFamily(cascade).isEmpty &&
       PlanChecks.unboundedGlobalWindows(cascade).isEmpty)
   }
+
+  test("the lint fires LIVE at analysis under GraftExtensions (opt-in), naming the remediation") {
+    spark // ensure the shared suite session (and its SparkContext) exists
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val fired = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener: String => Unit = m => { fired.add(m); () }
+    graft.plans.CenteredRowsLint.addListener(listener)
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      Tables(s2, sf001, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").cast("decimal(25,4)").as("px"),
+          col("o_totalprice").cast("decimal(18,2)").as("px2"))
+        .createOrReplaceTempView("lint_orders")
+      val e23Sql =
+        """SELECT o_orderkey, SUM(px) OVER w AS s, MIN(px2) OVER w AS mn
+           FROM lint_orders
+           WINDOW w AS (ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 6 PRECEDING AND 3 FOLLOWING)"""
+      // OFF by default: raw SQL analyzes silently
+      s2.sql(e23Sql).queryExecution.analyzed
+      assert(fired.isEmpty, "the lint must be opt-in")
+      // ON: the flagged shape warns at ANALYSIS time, naming the cascade
+      s2.conf.set(graft.plans.CenteredRowsLint.EnabledKey, "true")
+      s2.sql(e23Sql).queryExecution.analyzed
+      assert(!fired.isEmpty, "the lint must fire on e23's raw-SQL shape")
+      assert(fired.get(0).contains("rowsSlidingAll"),
+        s"the warning must name the remediation, got: ${fired.get(0)}")
+      // clean shapes stay silent with the lint ON
+      fired.clear()
+      s2.sql(
+        """SELECT o_orderkey, SUM(px) OVER w AS s, COUNT(*) OVER w AS c
+           FROM lint_orders
+           WINDOW w AS (ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 6 PRECEDING AND 3 FOLLOWING)""")
+        .queryExecution.analyzed
+      s2.sql(
+        """SELECT o_orderkey, SUM(px) OVER w AS s, MIN(px2) OVER w AS mn
+           FROM lint_orders
+           WINDOW w AS (PARTITION BY o_orderdate ORDER BY o_orderkey
+                        ROWS BETWEEN 6 PRECEDING AND 3 FOLLOWING)""")
+        .queryExecution.analyzed
+      assert(fired.isEmpty, "clean shapes must not fire the lint")
+    } finally {
+      graft.plans.CenteredRowsLint.removeListener(listener)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
 }

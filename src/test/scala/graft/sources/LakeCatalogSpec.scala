@@ -605,4 +605,58 @@ class LakeCatalogSpec extends SparkSuite {
     // refusals committed nothing
     assert(SnapshotLake.currentManifest(spark, dir).get.gen == 4L)
   }
+
+  test("UPDATE with identity-only assignments is a no-op, not an error") {
+    val dir = s"$root/updnoop"
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    val before = state(spark.sql("SELECT * FROM glake.updnoop").collect())
+    // standard SQL executes `SET price = price`; the lake honors it as a
+    // no-op instead of burning a whole-partition rewrite on a statement
+    // that cannot change a value
+    spark.sql("UPDATE glake.updnoop SET price = price WHERE key = 'k1'")
+    assert(state(spark.sql("SELECT * FROM glake.updnoop").collect()) == before)
+    // no commit happened — the generation did not advance
+    assert(SnapshotLake.currentManifest(spark, dir).get.gen == 1L)
+  }
+
+  test("DROP TABLE: refused by default; allow_drop purges history, recreate starts fresh") {
+    // default catalog: loud refusal
+    val dir = s"$root/dropme"
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")
+    val e = intercept[Exception](spark.sql("DROP TABLE glake.dropme"))
+    assert(e.getMessage.contains("allow_drop"),
+      s"the refusal must name the opt-in, got: ${e.getMessage}")
+    assert(SnapshotLake.currentManifest(spark, dir).isDefined,
+      "a refused DROP must not touch the table")
+
+    // opted-in catalog over the same root
+    spark.conf.set("spark.sql.catalog.glakedrop", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.glakedrop.root", root)
+    spark.conf.set("spark.sql.catalog.glakedrop.allow_drop", "true")
+    SnapshotLake.merge(spark, dir, b2, Seq("key"), "v", "dt") // gen 2
+    spark.sql("DROP TABLE glakedrop.dropme")
+    // the ENTIRE history is gone: current read, time travel, catalog lookup
+    assert(SnapshotLake.currentManifest(spark, dir).isEmpty)
+    assert(SnapshotLake.retainedGens(spark, dir).isEmpty)
+    assert(intercept[Exception](
+      spark.sql("SELECT * FROM glakedrop.dropme").collect())
+      .getMessage.toLowerCase.contains("table"))
+    assert(intercept[Exception](
+      spark.sql("SELECT * FROM glakedrop.dropme VERSION AS OF 1").collect())
+      .getMessage.toLowerCase.contains("table"))
+    // recreate via DDL: a FRESH history at generation 0 — the old
+    // snapshots do not resurface
+    spark.sql(
+      """CREATE TABLE glakedrop.dropme
+           (key STRING, dt STRING, v BIGINT, price DOUBLE)
+         PARTITIONED BY (dt)
+         TBLPROPERTIES ('merge_keys'='key', 'version_col'='v')""")
+    assert(SnapshotLake.retainedGens(spark, dir) == Seq(0L))
+    assert(spark.sql("SELECT * FROM glakedrop.dropme").count() == 0)
+    b1.createOrReplaceTempView("drop_b1")
+    spark.sql("INSERT INTO glakedrop.dropme SELECT * FROM drop_b1")
+    assert(spark.sql("SELECT * FROM glakedrop.dropme").count() == 3)
+    // DROP of a table that does not exist reports false (no throw)
+    assert(!SnapshotLake.drop(spark, s"$root/never_existed"))
+  }
 }

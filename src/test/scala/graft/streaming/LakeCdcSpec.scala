@@ -104,6 +104,26 @@ class LakeCdcSpec extends SparkSuite {
     assert(got == List((3L, 2L))) // k1 + k3 as the bootstrap inserts
   }
 
+  test("reset guardrail: a re-created lake fails the follower instead of silently skipping") {
+    val root = tmp("reset")
+    val lake = s"$root/t"; val consumer = s"$root/c"
+    SnapshotLake.merge(spark, lake, b1, Seq("key"), "v", "dt") // gen 1
+    SnapshotLake.merge(spark, lake, b2, Seq("key"), "v", "dt") // gen 2
+    LakeChangeFeed.followAvailableNow(spark, lake, consumer, (_, _) => ())
+    // the lake is deleted and re-created at the same path: its generation
+    // counter resets BELOW the consumer's position — "caught up" would be
+    // a silent skip of the new table's entire history
+    val fs = new org.apache.hadoop.fs.Path(lake).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(lake), true)
+    SnapshotLake.merge(spark, lake, b1, Seq("key"), "v", "dt") // gen 1 again
+    val e = intercept[IllegalStateException] {
+      LakeChangeFeed.followAvailableNow(spark, lake, consumer, (_, _) => ())
+    }
+    assert(e.getMessage.contains("reset"),
+      s"error must name the lake reset, got: ${e.getMessage}")
+  }
+
   test("exactly-once end-to-end: follower composed with the atomic fold ledger") {
     val root = tmp("fold")
     val lake = s"$root/t"; val consumer = s"$root/c"
