@@ -366,6 +366,15 @@ object CoreQueries {
     * what a real consumer's keyed sink does), so the oracle-checked law is
     * "per-commit consumption reconstructs the final snapshot": the folded
     * replica must equal the two-batch LWW state minus the deleted keys.
+    *
+    * NOTE for long-history consumers: this gate's per-commit
+    * `left_anti` + `union` fold grows an unchained lineage per generation
+    * — fine for the gate's 3 commits, wrong for a standing consumer over
+    * hundreds. Production folds should compose the follower with
+    * [[graft.streaming.StreamingIngest.foldStateBatchOnce]] (gen as the
+    * batch id — the LakeChangeFeed scaladoc shows the composition), which
+    * checkpoints state per fold, or consume through the streaming face
+    * (e3l / [[graft.sources.LakeCdcSource]]) whose sink owns the state.
     */
   def e3iLakeCdcFollow(s: SparkSession, dir: String): DataFrame = {
     val root = ScratchLakes.fresh("e3i")
