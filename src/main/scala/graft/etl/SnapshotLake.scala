@@ -542,6 +542,139 @@ object SnapshotLake {
     }
   }
 
+  // ---- streaming write face: per-sink batch markers ----------------------
+
+  private def streamMarkerDir(path: String) = new Path(manifestDir(path), "streams")
+
+  /** One marker file per sink lineage. The file NAME is a digest (a sinkId
+    * is typically a checkpoint path — arbitrary length and characters);
+    * the sinkId itself is recorded verbatim inside for operators.
+    */
+  private def streamMarkerPath(path: String, sinkId: String): Path = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sinkId.getBytes("UTF-8")).take(16).map("%02x".format(_)).mkString
+    new Path(streamMarkerDir(path), s"sink-$d")
+  }
+
+  /** The highest micro-batch id this sink lineage has applied, or None for
+    * a lineage that never committed. Outside-lease reads are for
+    * inspection; [[mergeStreamBatch]] re-reads inside its lease.
+    */
+  def streamBatchApplied(spark: SparkSession, path: String,
+      sinkId: String): Option[Long] = {
+    val fs = fsOf(spark, path)
+    val p = streamMarkerPath(path, sinkId)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split('\n')
+    if (lines.isEmpty || lines.head != "graft-lake-stream-v1") None
+    else lines.lift(1).flatMap(_.toLongOption)
+  }
+
+  private def writeStreamMarker(fs: FileSystem, path: String, sinkId: String,
+      batchId: Long): Unit = {
+    val dir = streamMarkerDir(path)
+    fs.mkdirs(dir)
+    val p = streamMarkerPath(path, sinkId)
+    if (fs.exists(p)) fs.delete(p, false)
+    val tmp = new Path(dir, s".tmp-${System.nanoTime()}")
+    val out = fs.create(tmp, false)
+    try out.write(s"graft-lake-stream-v1\n$batchId\n$sinkId\n".getBytes("UTF-8"))
+    finally out.close()
+    Upsert.renameOrThrow(fs, tmp, p)
+  }
+
+  /** [[mergeViaSpec]] as a Structured Streaming micro-batch commit — the
+    * sink half of exactly-once over the lake
+    * ([[graft.sources.LakeStreamSink]] routes `writeStream
+    * .format("graft-lake")` here). The engine's sink contract is
+    * at-least-once (a crash between the sink write and the commit-log
+    * write replays the batch), so the lake records the highest applied
+    * `batchId` per `sinkId` (one marker file under `_manifests/streams`,
+    * ≙ [[graft.streaming.BatchLedger]] for the JDBC face, but
+    * filesystem-native and checked INSIDE the same lease as the commit):
+    *
+    *  - `batchId <= recorded` → replay; skipped without reading the batch
+    *    (returns false).
+    *  - otherwise → the usual keyed LWW commit, then the marker advances
+    *    before the lease releases. An EMPTY batch advances the marker
+    *    without publishing a generation.
+    *
+    * The one unguarded window — crash AFTER the manifest publish, BEFORE
+    * the marker write — replays into a re-merge of the same batch, which
+    * keyed LWW resolves to an IDENTICAL snapshot; the duplicate generation
+    * it publishes has an empty [[changes]] delta (the diff is by row
+    * VALUE), so even CDC consumers observe exactly-once. Batch ids are
+    * only unique per checkpoint lineage — `sinkId` must change when the
+    * checkpoint does (the sink derives it from `checkpointLocation`).
+    */
+  def mergeStreamBatch(spark: SparkSession, path: String, updates: DataFrame,
+      sinkId: String, batchId: Long): Boolean = {
+    require(sinkId.nonEmpty, "sinkId must be non-empty")
+    LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
+      val fs = fsOf(spark, path)
+      if (streamBatchApplied(spark, path, sinkId).exists(_ >= batchId)) false
+      else {
+        val spec = mergeSpecOf(spark, path).getOrElse(
+          throw new UnsupportedOperationException(
+            s"lake at $path has no persisted merge contract " +
+              "(_manifests/table-meta) — CREATE TABLE through the catalog " +
+              "or run one SnapshotLake.merge to establish " +
+              "keys/version/partition before streaming into it"))
+        require(updates.columns.contains(spec.partitionCol),
+          s"stream batch must carry partition column '${spec.partitionCol}'")
+        require(spec.statsCols.forall(updates.columns.contains),
+          s"statsCols ${spec.statsCols.mkString(",")} must be stream columns")
+        val deduped = Upsert.lastWriteWins(
+          updates, spec.keys, spec.versionCol, spec.tieBreakers)
+        mergeLocked(spark, path, deduped, spec)
+        writeStreamMarker(fs, path, sinkId, batchId)
+        true
+      }
+    }
+  }
+
+  /** `ALTER TABLE … ADD COLUMN` — the widen-only evolution contract's DDL
+    * verb, as a METADATA-ONLY commit: publishes generation `gen+1` with
+    * the SAME partition entries (not a byte of data moves — exactly how
+    * [[delete]] keeps untouched partitions) and a schema sidecar widened
+    * by the new column appended. Readers of the new snapshot resolve the
+    * widened shape (existing rows answer null — the parquet read is
+    * schema-pinned, missing columns null-fill); time travel to older
+    * generations answers their own recorded shapes; the [[changes]] delta
+    * across a metadata-only commit is EMPTY (no entry changed gen), so
+    * CDC consumers skip it. From this commit on, [[checkEvolution]]
+    * requires every batch to carry the column (declared-schema contract —
+    * null-fill upstream). The column must be nullable: the existing rows
+    * have no value for it. Rename / drop / retype remain refusals — the
+    * widen-only posture ([[graft.sources.LakeCatalog]] surfaces them as
+    * typed errors).
+    */
+  def addColumn(spark: SparkSession, path: String,
+      field: org.apache.spark.sql.types.StructField): Unit = {
+    require(field.nullable,
+      s"ADD COLUMN ${field.name} must be nullable — existing rows have no " +
+        "value for it; add it nullable, backfill, then constrain upstream")
+    LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
+      val fs = fsOf(spark, path)
+      val m = currentManifest(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"$path has no published snapshot — nothing to alter"))
+      val cur = snapshotSchema(spark, path, m).getOrElse(
+        throw new UnsupportedOperationException(
+          s"lake at $path predates schema sidecars — evolve it by merging " +
+            "one widened batch (which records a sidecar), then ALTER works"))
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(field.name)),
+        s"column ${field.name} already exists in $path " +
+          s"(${cur.fieldNames.mkString(", ")})")
+      writeSchemaSidecar(fs, path, m.gen + 1,
+        org.apache.spark.sql.types.StructType(cur.fields :+ field))
+      publish(fs, path, Manifest(m.gen + 1, m.partitionCol, m.entries))
+    }
+  }
+
   /** The commit body shared by [[merge]] and [[mergeViaSpec]]; the caller
     * holds the lease, `deduped` is already one-row-per-key.
     */

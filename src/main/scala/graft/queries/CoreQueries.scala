@@ -587,6 +587,121 @@ object CoreQueries {
       .orderBy("ticker", "timestamp_utc")
   }
 
+  /** E3n — `writeStream` INTO the lake ([[graft.sources.LakeStreamSink]]):
+    * the write half of the streaming story e3l's read face opened. A
+    * DDL-born table (declared schema + contract, no API merge ever), a
+    * file-source stream over two landings, two `Trigger.AvailableNow`
+    * drains through `.format("graft-lake")` — each micro-batch lands as
+    * the lake's usual keyed LWW merge commit, replay-guarded by the
+    * in-lake per-sink batch marker (LakeStreamSinkSpec pins replay skip,
+    * the crash-window convergence + empty CDC delta, and the refusal
+    * shapes). The oracle-checked law is e3j's verbatim: streamed
+    * batches land the identical LWW state the SQL INSERT twin lands —
+    * one write semantics across API, SQL, and streaming faces.
+    */
+  def e3nLakeStreamWrite(s: SparkSession, dir: String): DataFrame = {
+    val root = ScratchLakes.fresh("e3n")
+    val lake = s"$root/events"
+    val src = s"$root/src"
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+    graft.etl.SnapshotLake.create(s, lake, ev.schema,
+      graft.etl.SnapshotLake.MergeSpec(Seq("user_id", "event_type"), "ts",
+        "event_type", Seq("event_id"), Nil))
+    // one AvailableNow drain per landing: the file source delivers all
+    // files of a landing as ONE micro-batch (no admission limit set), so
+    // the commit order is deterministically even-batch then odd-batch —
+    // the same two-commit LWW the INSERT INTO twin (e3j) states
+    def drain(): Unit = {
+      val q = s.readStream.schema(ev.schema).parquet(src)
+        .writeStream.format("graft-lake")
+        .option("path", lake)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.filter(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    drain()
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    drain()
+    graft.etl.SnapshotLake.read(s, lake)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        ntz(col("ts")).as("timestamp_utc"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** E3o — SQL `ALTER TABLE … ADD COLUMN`: the widen-only evolution
+    * contract's DDL verb ([[graft.etl.SnapshotLake.addColumn]] via
+    * [[graft.sources.LakeCatalog.alterTable]]) as a METADATA-ONLY commit —
+    * a new generation with the SAME partition entries and a widened
+    * schema sidecar; not a byte of data moves, pre-ALTER rows answer
+    * null, and the commit's CDC delta is empty (LakeCatalogSpec pins the
+    * refusal shapes: rename/drop/retype/NOT NULL/positions/defaults).
+    * History: CREATE → even-batch INSERT → ALTER ADD note → odd-batch
+    * INSERT carrying note. The oracle states the widen law: the final
+    * table is the two-batch LWW state where note exists exactly on rows
+    * whose winning version arrived after the ALTER.
+    */
+  def e3oLakeAlterAdd(s: SparkSession, dir: String): DataFrame = {
+    val root = ScratchLakes.fresh("e3o")
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+    s.conf.set("spark.sql.catalog.graftlakealt",
+      classOf[graft.sources.LakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftlakealt.root", root)
+    s.sql(
+      s"""CREATE TABLE graftlakealt.events (${ev.schema.toDDL})
+          PARTITIONED BY (event_type)
+          TBLPROPERTIES ('merge_keys'='user_id,event_type',
+                         'version_col'='ts', 'tie_breakers'='event_id')""")
+    ev.filter(col("event_id") % 2 === 0).createOrReplaceTempView("e3o_batch1")
+    s.sql("INSERT INTO graftlakealt.events SELECT * FROM e3o_batch1")
+    s.sql("ALTER TABLE graftlakealt.events ADD COLUMN note STRING")
+    ev.filter(col("event_id") % 2 === 1)
+      .withColumn("note", concat_ws("-", col("event_type"), col("user_id")))
+      .createOrReplaceTempView("e3o_batch2")
+    s.sql("INSERT INTO graftlakealt.events SELECT * FROM e3o_batch2")
+    s.sql(
+      """SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP_NTZ) AS timestamp_utc, value, note
+         FROM graftlakealt.events
+         ORDER BY user_id, event_type""")
+  }
+
+  /** E3p — SQL `TRUNCATE TABLE` over the lake: rides the unconditional
+    * `DELETE FROM` face (`SupportsDelete.truncateTable`'s default routes
+    * into [[graft.etl.SnapshotLake.delete]] with an empty filter set) —
+    * every partition dropped as ONE atomic manifest commit, the merge
+    * contract and history RETAINED (time travel to the pre-truncate
+    * snapshot still answers until vacuum; LakeCatalogSpec pins both).
+    * History: full merge → TRUNCATE → odd-batch INSERT; the oracle is
+    * the odd-batch LWW state alone — the truncate visibly emptied the
+    * table, and the post-truncate INSERT landed on the declared schema.
+    */
+  def e3pLakeTruncateSql(s: SparkSession, dir: String): DataFrame = {
+    val root = ScratchLakes.fresh("e3p")
+    val lake = s"$root/events"
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+    graft.etl.SnapshotLake.merge(s, lake, ev,
+      Seq("user_id", "event_type"), "ts", "event_type", Seq("event_id"))
+    s.conf.set("spark.sql.catalog.graftlaketr",
+      classOf[graft.sources.LakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftlaketr.root", root)
+    s.sql("TRUNCATE TABLE graftlaketr.events")
+    ev.filter(col("event_id") % 2 === 1).createOrReplaceTempView("e3p_batch2")
+    s.sql("INSERT INTO graftlaketr.events SELECT * FROM e3p_batch2")
+    s.sql(
+      """SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP_NTZ) AS timestamp_utc, value
+         FROM graftlaketr.events
+         ORDER BY user_id, event_type""")
+  }
+
   /** E4 — OHLCV resampling (SURVEY §2.2 Aggregations): per-key daily candles
     * from finer-grained ticks via `min_by`/`max_by` — open/close ride on
     * the extreme timestamps, high/low/volume are plain extremes/sums, all in
@@ -2660,6 +2775,9 @@ object CoreQueries {
     "e3k_lake_update_sql" -> (e3kLakeUpdateSql _),
     "e3l_lake_stream_cdc" -> (e3lLakeStreamCdc _),
     "e3m_lake_pipeline" -> (e3mLakePipeline _),
+    "e3n_lake_stream_write" -> (e3nLakeStreamWrite _),
+    "e3o_lake_alter_add" -> (e3oLakeAlterAdd _),
+    "e3p_lake_truncate_sql" -> (e3pLakeTruncateSql _),
     "e4_ohlcv_resample" -> (e4OhlcvResample _),
     "e13_weekly_candles" -> (e13WeeklyCandles _),
     "e5_gap_fill" -> (e5GapFill _),
@@ -2980,6 +3098,69 @@ object CoreQueries {
                 CASE WHEN event_type = 'click' AND user_id % 3 = 0
                      THEN value * 2 ELSE value END AS value
          FROM w
+         ORDER BY user_id, event_type""",
+    "e3n_lake_stream_write" ->
+      // e3j's oracle verbatim — streamed micro-batches (even-batch drain,
+      // then odd-batch drain) must land the identical two-commit LWW
+      // state the SQL INSERT twin lands: one write semantics across API,
+      // SQL, and streaming faces
+      """WITH b0 AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 0)
+           WHERE rn = 1),
+         b1 AS (
+           SELECT user_id, event_type, event_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 1)
+           WHERE rn = 1),
+         merged AS (
+           SELECT * FROM b1
+           UNION ALL
+           SELECT b0.* FROM b0 ANTI JOIN b1 USING (user_id, event_type))
+         SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP) AS timestamp_utc, value
+         FROM merged
+         ORDER BY user_id, event_type""",
+    "e3o_lake_alter_add" ->
+      // the widen law: two-commit LWW state where `note` exists exactly on
+      // rows whose winning version arrived AFTER the ALTER (the odd
+      // batch); pre-ALTER winners answer null — the metadata-only commit
+      // never rewrote their files
+      """WITH b0 AS (
+           SELECT user_id, event_type, event_id, ts, value,
+                  CAST(NULL AS VARCHAR) AS note
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 0)
+           WHERE rn = 1),
+         b1 AS (
+           SELECT user_id, event_type, event_id, ts, value,
+                  event_type || '-' || CAST(user_id AS VARCHAR) AS note
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 1)
+           WHERE rn = 1),
+         merged AS (
+           SELECT * FROM b1
+           UNION ALL
+           SELECT b0.* FROM b0 ANTI JOIN b1 USING (user_id, event_type))
+         SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP) AS timestamp_utc, value, note
+         FROM merged
+         ORDER BY user_id, event_type""",
+    "e3p_lake_truncate_sql" ->
+      // the truncate law: the full-merge history is gone from the LIVE
+      // snapshot (retained only for time travel), so the table is exactly
+      // the post-truncate odd-batch LWW state
+      """SELECT user_id, event_type, event_id,
+                CAST(ts AS TIMESTAMP) AS timestamp_utc, value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+               FROM events WHERE event_id % 2 = 1)
+         WHERE rn = 1
          ORDER BY user_id, event_type""",
     "e3d_lake_slice" ->
       // single-batch LWW winners, then the ten-day slice — byte-identical

@@ -228,8 +228,52 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     parquetTable(ident, SnapshotLake.manifestAt(spark, path, 0L), path)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+  /** SQL `ALTER TABLE … ADD COLUMN(S)` — the widen-only evolution
+    * contract's one DDL verb, routed through
+    * [[graft.etl.SnapshotLake.addColumn]]'s metadata-only commit (new
+    * generation, same partition entries, widened schema sidecar; existing
+    * rows answer null; the CDC delta across it is empty). Only top-level
+    * nullable columns APPENDED to the schema are expressible — a position
+    * (`FIRST`/`AFTER`), a nested path, or NOT NULL refuses, and every
+    * other change class (rename, drop, retype, comment/property edits)
+    * refuses naming the contract: the lake widens, it never rewrites
+    * history to un-declare a column.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"ALTER TABLE $catName.$ident: nested column " +
+            s"${add.fieldNames.mkString(".")} — the lake adds TOP-LEVEL " +
+            "columns only (declare nested shapes as a struct column)")
+        require(add.position == null,
+          s"ALTER TABLE $catName.$ident: column position is fixed — new " +
+            "columns APPEND (the recorded order is what SELECT * and " +
+            "positional INSERT bind to across commits); drop FIRST/AFTER")
+        require(add.isNullable,
+          s"ALTER TABLE $catName.$ident: ADD COLUMN must be nullable — " +
+            "existing rows have no value for it")
+        require(add.defaultValue == null,
+          s"ALTER TABLE $catName.$ident: DEFAULT values are not part of " +
+            "the lake's contract (existing rows answer null; a default " +
+            "would make two reads of one row disagree across engines) — " +
+            "null-fill or backfill explicitly")
+        SnapshotLake.addColumn(spark, path,
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames.head, add.dataType, nullable = true,
+            Option(add.comment).map(c =>
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .putString("comment", c).build())
+              .getOrElse(org.apache.spark.sql.types.Metadata.empty)))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"$catName supports ALTER TABLE ADD COLUMN only (the lake " +
+            s"evolves widen-only; got ${other.getClass.getSimpleName}) — " +
+            "rename/drop/retype would re-write or un-declare history")
+    }
+    loadTable(ident)
+  }
 
   /** SQL `DROP TABLE` — the lifecycle symmetry of `CREATE TABLE`, routed
     * through [[graft.etl.SnapshotLake.drop]]'s lease-guarded purge

@@ -658,6 +658,61 @@ object VerifySf1 {
                 .as("close_usd"),
               upper(col("event_type")).as("name"))
         }),
+      // e3n: writeStream INTO the lake (two AvailableNow drains through
+      // the V1 sink, replay-guarded by the in-lake batch marker) ↔ the
+      // same two-commit LWW algebra as e3j — streamed batches must land
+      // the identical state the SQL INSERT twin lands, at 1.5M events
+      ("e3n_lake_stream_write",
+        () => CoreQueries.e3nLakeStreamWrite(spark, work),
+        () => {
+          import graft.etl.Upsert
+          val evb = ev.select(col("user_id"), col("event_type"),
+            col("event_id"), col("ts"), col("value"))
+          val keys = Seq("user_id", "event_type")
+          val b0 = Upsert.lastWriteWins(
+            evb.filter(col("event_id") % 2 === 0), keys, "ts", Seq("event_id"))
+          val b1 = Upsert.lastWriteWins(
+            evb.filter(col("event_id") % 2 === 1), keys, "ts", Seq("event_id"))
+          b1.unionByName(b0.join(b1.select(keys.map(col): _*), keys, "left_anti"))
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts").cast("timestamp_ntz").as("timestamp_utc"), col("value"))
+        }),
+      // e3o: ALTER TABLE ADD COLUMN (metadata-only widen between the two
+      // INSERT commits) ↔ the two-commit LWW algebra where `note` exists
+      // exactly on rows whose winning version arrived after the ALTER
+      ("e3o_lake_alter_add",
+        () => CoreQueries.e3oLakeAlterAdd(spark, work),
+        () => {
+          import graft.etl.Upsert
+          val evb = ev.select(col("user_id"), col("event_type"),
+            col("event_id"), col("ts"), col("value"))
+          val keys = Seq("user_id", "event_type")
+          val b0 = Upsert.lastWriteWins(
+            evb.filter(col("event_id") % 2 === 0), keys, "ts", Seq("event_id"))
+            .withColumn("note", lit(null).cast("string"))
+          val b1 = Upsert.lastWriteWins(
+            evb.filter(col("event_id") % 2 === 1), keys, "ts", Seq("event_id"))
+            .withColumn("note",
+              concat_ws("-", col("event_type"), col("user_id")))
+          b1.unionByName(b0.join(b1.select(keys.map(col): _*), keys, "left_anti"))
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts").cast("timestamp_ntz").as("timestamp_utc"),
+              col("value"), col("note"))
+        }),
+      // e3p: TRUNCATE TABLE (unconditional delete commit) + post-truncate
+      // INSERT ↔ the odd-batch LWW state alone — the truncate must have
+      // emptied the live snapshot while the contract kept accepting writes
+      ("e3p_lake_truncate_sql",
+        () => CoreQueries.e3pLakeTruncateSql(spark, work),
+        () => {
+          import graft.etl.Upsert
+          Upsert.lastWriteWins(
+            ev.select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts"), col("value")).filter(col("event_id") % 2 === 1),
+            Seq("user_id", "event_type"), "ts", Seq("event_id"))
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts").cast("timestamp_ntz").as("timestamp_utc"), col("value"))
+        }),
       // a13d: nearest+tolerance through the exec ↔ the candidate-pair
       // range join ranked by (|Δts|, backward-first) — the quadratic
       // formulation the merge's two-candidate compare replaces

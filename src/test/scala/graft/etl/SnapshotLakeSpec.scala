@@ -681,4 +681,26 @@ class SnapshotLakeSpec extends SparkSuite {
       SnapshotLake.merge(spark, dir, b2, Seq("key"), "v", "dt"))
     assert(e.getMessage.contains("multiple entries"))
   }
+
+  test("addColumn API: widens metadata-only; non-nullable and absent-table refuse") {
+    val dir = tmp()
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt") // gen 1
+    SnapshotLake.addColumn(spark, dir,
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType))
+    val df = SnapshotLake.read(spark, dir)
+    assert(df.schema.fieldNames.toSeq == Seq("key", "dt", "v", "price", "note"))
+    assert(df.count() == 3 && df.filter(col("note").isNotNull).count() == 0)
+    // a non-nullable add refuses naming the law
+    assert(intercept[IllegalArgumentException](
+      SnapshotLake.addColumn(spark, dir,
+        org.apache.spark.sql.types.StructField("req",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      .getMessage.contains("nullable"))
+    // a table with no published snapshot has nothing to alter
+    intercept[IllegalStateException](
+      SnapshotLake.addColumn(spark, tmp(),
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.IntegerType)))
+  }
 }

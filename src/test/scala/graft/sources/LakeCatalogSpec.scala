@@ -495,8 +495,11 @@ class LakeCatalogSpec extends SparkSuite {
       spark.sql("CREATE TABLE glake.t2 (a INT) USING parquet"))
     assert(c.getMessage.contains("merge_keys"))
     intercept[UnsupportedOperationException](spark.sql("DROP TABLE glake.quotes"))
+    // ALTER verbs other than ADD COLUMN stay refusals (widen-only contract)
     intercept[UnsupportedOperationException](
-      spark.sql("ALTER TABLE glake.quotes ADD COLUMN z INT"))
+      spark.sql("ALTER TABLE glake.quotes RENAME COLUMN price TO cost"))
+    intercept[UnsupportedOperationException](
+      spark.sql("ALTER TABLE glake.quotes DROP COLUMN price"))
     val e = intercept[Exception](spark.sql("SELECT * FROM glake.absent").collect())
     assert(e.getMessage.contains("absent") || e.getMessage.contains("TABLE_OR_VIEW"))
   }
@@ -617,6 +620,74 @@ class LakeCatalogSpec extends SparkSuite {
     assert(state(spark.sql("SELECT * FROM glake.updnoop").collect()) == before)
     // no commit happened — the generation did not advance
     assert(SnapshotLake.currentManifest(spark, dir).get.gen == 1L)
+  }
+
+  test("ALTER TABLE ADD COLUMN: metadata-only widen; every other shape refuses") {
+    val dir = s"$root/widen"
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt") // gen 1
+    val entriesBefore = SnapshotLake.currentManifest(spark, dir).get.entries
+      .map(e => (e.dirName, e.gen)).toSet
+
+    spark.sql("ALTER TABLE glake.widen ADD COLUMN note STRING")
+    // the widened shape answers immediately; existing rows answer null
+    val df = spark.sql("SELECT * FROM glake.widen")
+    assert(df.schema.fieldNames.toSeq == Seq("key", "dt", "v", "price", "note"))
+    assert(df.count() == 3 && df.filter($"note".isNotNull).count() == 0)
+    // metadata-only: gen advanced, SAME entries (not a byte moved), CDC
+    // delta across the commit empty, time travel keeps the old shape
+    val m = SnapshotLake.currentManifest(spark, dir).get
+    assert(m.gen == 2L)
+    assert(m.entries.map(e => (e.dirName, e.gen)).toSet == entriesBefore)
+    assert(SnapshotLake.changes(spark, dir, 1L, 2L).isEmpty)
+    assert(spark.sql("SELECT * FROM glake.widen VERSION AS OF 1")
+      .schema.fieldNames.toSeq == Seq("key", "dt", "v", "price"))
+
+    // from now on batches CARRY the column (declared-schema contract)
+    b2.withColumn("note", concat($"key", lit("!")))
+      .createOrReplaceTempView("widen_b2")
+    spark.sql("INSERT INTO glake.widen SELECT * FROM widen_b2")
+    val got = spark.sql("SELECT key, note FROM glake.widen").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("k1" -> "k1!", "k2" -> null, "k3" -> null, "k4" -> "k4!"))
+    // a batch missing the declared column refuses (positional INSERT
+    // can't even bind; the API face hits checkEvolution's message)
+    b1.createOrReplaceTempView("widen_b1")
+    intercept[Exception](
+      spark.sql("INSERT INTO glake.widen SELECT * FROM widen_b1"))
+
+    // refusal shapes, each naming its law
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE glake.widen ADD COLUMN note2 INT FIRST"))
+      .getMessage.contains("APPEND"))
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE glake.widen ADD COLUMN note STRING"))
+      .getMessage.contains("already exists"))
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE glake.widen ADD COLUMN req INT NOT NULL"))
+      .getMessage.contains("nullable"))
+    assert(intercept[UnsupportedOperationException](spark.sql(
+      "ALTER TABLE glake.widen ALTER COLUMN price TYPE STRING"))
+      .getMessage.contains("widen-only"))
+    assert(intercept[UnsupportedOperationException](spark.sql(
+      "ALTER TABLE glake.widen SET TBLPROPERTIES ('x'='y')"))
+      .getMessage.contains("widen-only"))
+  }
+
+  test("TRUNCATE TABLE empties the live snapshot; history and contract survive") {
+    val dir = s"$root/trunc"
+    SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt") // gen 1
+    spark.sql("TRUNCATE TABLE glake.trunc")
+    assert(spark.sql("SELECT * FROM glake.trunc").count() == 0)
+    // one atomic commit: gen advanced, manifest emptied, history retained
+    assert(SnapshotLake.currentManifest(spark, dir).get.gen == 2L)
+    assert(SnapshotLake.currentManifest(spark, dir).get.entries.isEmpty)
+    assert(state(spark.sql("SELECT * FROM glake.trunc VERSION AS OF 1")
+      .collect()).keySet == Set("k1", "k2", "k3"))
+    // the merge contract survives: INSERT INTO lands on the empty table
+    b2.createOrReplaceTempView("trunc_b2")
+    spark.sql("INSERT INTO glake.trunc SELECT * FROM trunc_b2")
+    assert(state(spark.sql("SELECT * FROM glake.trunc").collect()) ==
+      Map("k1" -> ((2L, 15.0)), "k4" -> ((1L, 40.0))))
   }
 
   test("DROP TABLE: refused by default; allow_drop purges history, recreate starts fresh") {
