@@ -149,15 +149,43 @@ object SnapshotLake {
     * time travel to a pre-widen snapshot still answers with that
     * snapshot's own narrower schema. Crash between sidecar and publish
     * leaves an orphan, GC'd with the orphan gens.
+    *
+    * The recorded shape is ALWAYS the nullable one (Spark's own
+    * file-relation posture): a parquet-backed snapshot can never promise
+    * non-null — on a widened history the pre-add generations null-fill
+    * the added column, so a batch-derived non-nullable field (e.g. a
+    * `concat_ws` product) recorded verbatim would be a LIE the first
+    * nullability-exploiting codegen consumer (a hash, a non-null-checked
+    * getter) turns into an executor NPE.
     */
   private def writeSchemaSidecar(fs: FileSystem, path: String, gen: Long,
       schema: org.apache.spark.sql.types.StructType): Unit = {
     fs.mkdirs(manifestDir(path))
     val tmp = new Path(manifestDir(path), s".tmp-schema-$gen-${System.nanoTime()}")
     val out = fs.create(tmp, false)
-    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    try out.write(toNullable(schema).json.getBytes("UTF-8")) finally out.close()
     Upsert.renameOrThrow(fs, tmp, schemaPath(path, gen))
   }
+
+  /** Recursive nullable form (what `DataType.asNullable` does privately). */
+  private def toNullable(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = toNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(toNullable(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(toNullable(m.keyType), toNullable(m.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
+  }
+  private def toNullable(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    toNullable(s: org.apache.spark.sql.types.DataType)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   private def readSchemaSidecar(fs: FileSystem, path: String,
       gen: Long): Option[org.apache.spark.sql.types.StructType] = {

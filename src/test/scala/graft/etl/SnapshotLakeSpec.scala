@@ -440,7 +440,12 @@ class SnapshotLakeSpec extends SparkSuite {
     SnapshotLake.create(spark, dir, b1.schema, spec)
     assert(SnapshotLake.currentManifest(spark, dir).exists(m =>
       m.gen == 0L && m.entries.isEmpty))
-    assert(SnapshotLake.read(spark, dir).schema == b1.schema)
+    // the recorded shape is the NULLABLE form of the declaration — a
+    // parquet-backed snapshot never promises non-null (see
+    // writeSchemaSidecar); names/types/order are the declared ones
+    assert(SnapshotLake.read(spark, dir).schema ==
+      org.apache.spark.sql.types.StructType(
+        b1.schema.fields.map(_.copy(nullable = true))))
     assert(SnapshotLake.mergeSpecOf(spark, dir).contains(spec))
     // a later merge lands gen 1 through the stamped contract
     SnapshotLake.merge(spark, dir, b1, Seq("key"), "v", "dt")

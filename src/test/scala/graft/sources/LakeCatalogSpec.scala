@@ -649,6 +649,14 @@ class LakeCatalogSpec extends SparkSuite {
     val got = spark.sql("SELECT key, note FROM glake.widen").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == Map("k1" -> "k1!", "k2" -> null, "k3" -> null, "k4" -> "k4!"))
+    // the recorded schema stays NULLABLE even though the batch's note was
+    // a non-nullable concat product: pre-ALTER generations null-fill the
+    // column, so a verbatim non-nullable record would NPE the first
+    // nullability-exploiting codegen consumer (e.g. xxhash64)
+    assert(spark.table("glake.widen").schema("note").nullable)
+    spark.table("glake.widen")
+      .select(org.apache.spark.sql.functions.xxhash64($"key", $"note"))
+      .collect()
     // a batch missing the declared column refuses (positional INSERT
     // can't even bind; the API face hits checkEvolution's message)
     b1.createOrReplaceTempView("widen_b1")
