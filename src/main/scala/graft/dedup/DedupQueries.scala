@@ -160,25 +160,42 @@ object DedupQueries {
     scratchPaths.add((path, conf))
   }
 
-  /** Distinct 3-gram word shingles per document: explode-based, so the
-    * (doc, shingle) stream partitions by shingle for inverted-index joins.
+  /** Raw (doc_id, shingle) explode stream, duplicates included — the input
+    * for consumers whose aggregation is duplicate-insensitive (the minhash
+    * `min()` lanes): they skip the per-doc dedup EXCHANGE entirely, because
+    * min over a multiset equals min over its support. Consumers that count
+    * shingles (Jaccard sizes, df caps, shared-shingle counts) must use
+    * [[shingles]]/[[cappedShingles]] instead.
     */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+  private def rawShingles(docs: DataFrame, n: Int = 3): DataFrame =
     spread(docs)
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(1, size(ws) - ${n - 1}), " +
           s"i -> concat_ws(' ', slice(ws, i, $n)))")).as("shingle"))
-      .distinct()
 
-  /** Shingles with corpus-common ones removed (df > maxDf). The df count is
-    * a window over the shingle key — the same hash partitioning the
-    * downstream inverted-index join shuffles on, so Catalyst reuses the
-    * exchange rather than adding one.
+  /** Distinct 3-gram word shingles per document: explode-based, so the
+    * (doc, shingle) stream partitions by shingle for inverted-index joins.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    rawShingles(docs, n).distinct()
+
+  /** Shingles with corpus-common ones removed (df > maxDf), in ONE exchange:
+    * the raw stream is hash-partitioned by `shingle` up front, which
+    * satisfies the (doc_id, shingle) dedup's clustered distribution (same
+    * shingle ⇒ same partition), the df window's shingle partitioning, AND
+    * the downstream inverted-index equi-join — so dedup, df cap and the
+    * self-join all run on one exchange where the earlier shape paid a
+    * (doc_id, shingle) distinct exchange and then a second shingle exchange
+    * for the window. Skew class is unchanged: a hot shingle concentrated one
+    * window partition before and does so now; the dedup aggregate and the
+    * window both spill, never collect a per-key set.
     */
   def cappedShingles(docs: DataFrame, n: Int = 3, maxDf: Int = MaxShingleDf): DataFrame =
-    shingles(docs, n)
+    rawShingles(docs, n)
+      .repartition(col("shingle"))
+      .dropDuplicates("doc_id", "shingle")
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("__df") <= maxDf)
       .drop("__df")
@@ -290,8 +307,12 @@ object DedupQueries {
     // action re-reads bounded data, never the corpus. Materializing the
     // FULL shingle table instead would trade a corpus read for a
     // ~3×-corpus WRITE — strictly worse at 100 TB.
-    val sh = shingles(t(s, dir, "documents"))
-    val bands = bandBuckets(sh)
+    val docs = t(s, dir, "documents")
+    val sh = shingles(docs)
+    // bands from the RAW explode stream: minhash min() lanes are
+    // duplicate-insensitive, so the per-doc distinct exchange is pure
+    // overhead on this branch (the Jaccard counts below keep `sh`)
+    val bands = bandBuckets(rawShingles(docs))
     // Corpus pass #1 happens here: candidate pairs are LSH-bounded (≪
     // corpus²), so materializing them is a tiny write that pins the minhash
     // work to one execution.
@@ -463,7 +484,9 @@ object DedupQueries {
     * (spec-pinned).
     */
   def x21MinhashEstimate(s: SparkSession, dir: String): DataFrame = {
-    val mh = materialize(minhashes(shingles(t(s, dir, "documents"))), "x21_minhash")
+    // raw explode stream: min() lanes are duplicate-insensitive (see
+    // [[rawShingles]]) — the distinct exchange would be pure overhead
+    val mh = materialize(minhashes(rawShingles(t(s, dir, "documents"))), "x21_minhash")
     val bands = bandsOf(mh)
     val cand = bands.as("x")
       .join(bands.as("y"),
@@ -589,18 +612,22 @@ object DedupQueries {
         .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("cluster_id")).as("n_min"))
+      // The per-row changed flag rides the SAME materialized pass as the new
+      // labels (a label changes iff a neighbor label undercuts it, i.e.
+      // n_min < cluster_id), so the convergence probe is one map-side
+      // aggregate over the just-checkpointed frame — the earlier formulation
+      // re-JOINED next against labels on doc_id every round (a full extra
+      // corpus exchange per round for one boolean).
       val next = labels
         .join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (col("n_min") < col("cluster_id")).as("__chg"))
         .localCheckpoint() // truncate lineage so plans stay constant-size
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .limit(1).count()
-      converged = changed == 0
-      labels = next
+      val changed = next.agg(sum(when(col("__chg"), 1L).otherwise(0L))).head()
+      converged = changed.isNullAt(0) || changed.getLong(0) == 0L
+      labels = next.drop("__chg")
       rounds += 1
     }
     // The 20-round cap is a backstop for pathological chain-shaped graphs
@@ -762,7 +789,12 @@ object DedupQueries {
     */
   def x9cIncrementalClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = x4Pairs(docs).select(col("doc_a"), col("doc_b"))
+    // The pair set is consumed three times (even-pair base edges, odd-pair
+    // fold edges through two broadcast resolves) — materialize the bounded
+    // result once so the corpus-scale shingle self-join behind x4 runs ONE
+    // time instead of once per consumer (the x2 scratch pattern).
+    val pairs = materialize(
+      x4Pairs(docs).select(col("doc_a"), col("doc_b")), "x9c_pairs")
     val even = col("doc_id") % 2 === 0
     val bothEven = col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0
     val base = x9ClustersFrom(docs.filter(even), pairs.filter(bothEven))
@@ -1146,7 +1178,9 @@ object DedupQueries {
     * probe; the decision layer adds no join wider than the bucket key).
     */
   def x18LshAdmission(s: SparkSession, dir: String): DataFrame = {
-    val bands = bandBuckets(shingles(t(s, dir, "documents")))
+    // raw explode stream: the minhash lanes behind the buckets are
+    // duplicate-insensitive, so the per-doc distinct exchange is skipped
+    val bands = bandBuckets(rawShingles(t(s, dir, "documents")))
     val oddBands = bands.filter(col("doc_id") % 2 === 1)
     val evenBuckets = bands.filter(col("doc_id") % 2 === 0)
       .select("band", "bh").distinct()
@@ -1187,8 +1221,11 @@ object DedupQueries {
     * cost, exactly the production gate's two bounded passes.
     */
   def x19LshAdmissionVerified(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(t(s, dir, "documents"))
-    val bands = bandBuckets(sh)
+    val docs = t(s, dir, "documents")
+    val sh = shingles(docs)
+    // buckets from the raw stream (duplicate-insensitive min lanes — no
+    // distinct exchange); the exact-Jaccard counts below keep distinct `sh`
+    val bands = bandBuckets(rawShingles(docs))
     val oddBands = bands.filter(col("doc_id") % 2 === 1)
     val evenBands = bands.filter(col("doc_id") % 2 === 0)
     val idxPairs = oddBands.as("o").join(evenBands.as("e"),
@@ -1244,8 +1281,9 @@ object DedupQueries {
     * index.
     */
   def x22LshAdmissionEstimated(s: SparkSession, dir: String, minLanes: Int = 12): DataFrame = {
-    val sh = shingles(t(s, dir, "documents"))
-    val mh = minhashes(sh)
+    // raw explode stream throughout: every consumer here is a min() lane
+    // (buckets + lane equality), so nothing needs the distinct exchange
+    val mh = minhashes(rawShingles(t(s, dir, "documents")))
     val bands = bandsOf(mh)
     val oddBands = bands.filter(col("doc_id") % 2 === 1)
     val evenBands = bands.filter(col("doc_id") % 2 === 0)
