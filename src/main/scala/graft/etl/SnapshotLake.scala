@@ -498,9 +498,8 @@ object SnapshotLake {
       s"updates must carry partition column '$partitionCol'")
     require(statsCols.forall(updates.columns.contains),
       s"statsCols ${statsCols.mkString(",")} must be update columns")
-    val deduped = Upsert.lastWriteWins(updates, keys, versionCol, tieBreakers)
     LakeLease.withLease(spark.sparkContext.hadoopConfiguration, path) {
-      mergeLocked(spark, path, deduped,
+      mergeLocked(spark, path, updates,
         MergeSpec(keys, versionCol, partitionCol, tieBreakers, statsCols))
     }
   }
@@ -523,9 +522,7 @@ object SnapshotLake {
         s"updates must carry partition column '${spec.partitionCol}'")
       require(spec.statsCols.forall(updates.columns.contains),
         s"statsCols ${spec.statsCols.mkString(",")} must be update columns")
-      val deduped = Upsert.lastWriteWins(
-        updates, spec.keys, spec.versionCol, spec.tieBreakers)
-      mergeLocked(spark, path, deduped, spec)
+      mergeLocked(spark, path, updates, spec)
     }
 
   /** CREATE an empty lake table with a declared schema and merge contract —
@@ -655,9 +652,7 @@ object SnapshotLake {
           s"stream batch must carry partition column '${spec.partitionCol}'")
         require(spec.statsCols.forall(updates.columns.contains),
           s"statsCols ${spec.statsCols.mkString(",")} must be stream columns")
-        val deduped = Upsert.lastWriteWins(
-          updates, spec.keys, spec.versionCol, spec.tieBreakers)
-        mergeLocked(spark, path, deduped, spec)
+        mergeLocked(spark, path, updates, spec)
         writeStreamMarker(fs, path, sinkId, batchId)
         true
       }
@@ -704,11 +699,13 @@ object SnapshotLake {
   }
 
   /** The commit body shared by [[merge]] and [[mergeViaSpec]]; the caller
-    * holds the lease, `deduped` is already one-row-per-key.
+    * holds the lease. `updates` is the RAW batch — the within-batch LWW is
+    * folded into [[prepareMerge]]'s single union-level window (see there),
+    * so pre-deduplicating here would pay the same window twice.
     */
   private def mergeLocked(spark: SparkSession, path: String,
-      deduped: DataFrame, spec: MergeSpec): Unit =
-    prepareMerge(spark, path, deduped, spec.keys, spec.versionCol,
+      updates: DataFrame, spec: MergeSpec): Unit =
+    prepareMerge(spark, path, updates, spec.keys, spec.versionCol,
       spec.partitionCol, spec.tieBreakers, spec.statsCols).foreach {
       case (fs, m) =>
         // the commit's schema sidecar lands BEFORE the manifest publish:
@@ -722,13 +719,13 @@ object SnapshotLake {
         // INSERT INTO binding would change across commits). Parquet reads
         // under a pinned schema match columns BY NAME, so the files'
         // physical order is free to differ.
-        val batchByName = deduped.schema.fields.map(f => f.name -> f).toMap
+        val batchByName = updates.schema.fields.map(f => f.name -> f).toMap
         val recorded = currentManifest(spark, path)
           .flatMap(pm => snapshotSchema(spark, path, pm)) match {
           case Some(t) => org.apache.spark.sql.types.StructType(
             t.fields.map(f => batchByName(f.name)) ++
-              deduped.schema.fields.filterNot(f => t.fieldNames.contains(f.name)))
-          case None => deduped.schema
+              updates.schema.fields.filterNot(f => t.fieldNames.contains(f.name)))
+          case None => updates.schema
         }
         writeSchemaSidecar(fs, path, m.gen, recorded)
         publish(fs, path, m)
@@ -1087,7 +1084,7 @@ object SnapshotLake {
   private[etl] def prepareMerge(
       spark: SparkSession,
       path: String,
-      deduped: DataFrame,
+      updates: DataFrame,
       keys: Seq[String],
       versionCol: String,
       partitionCol: String,
@@ -1102,7 +1099,7 @@ object SnapshotLake {
     // BEFORE any data moves (a missing column would silently truncate the
     // merged partitions; see checkEvolution's messages for remediation)
     cur.flatMap(m => snapshotSchema(spark, path, m))
-      .foreach(t => checkEvolution(t, deduped.schema))
+      .foreach(t => checkEvolution(t, updates.schema))
     gcOrphans(fs, path, curGen)
     val staging = new Path(path, "_staging")
     if (fs.exists(staging)) fs.delete(staging, true)
@@ -1115,7 +1112,18 @@ object SnapshotLake {
     // scaladoc) — a bare hex('') = '' routing key would partitionBy into
     // __HIVE_DEFAULT_PARTITION__ and die mid-install unmatchable
     val routeKey = concat(lit("h"), hex(castStr))
-    val affected = deduped
+    // Affected-partition detection. When partitionCol is one of the merge
+    // keys (the common contract), every key group's LWW winner carries its
+    // group's partition value, so the raw batch and its deduped winners
+    // span the SAME distinct values — detect from the raw batch and skip a
+    // full window pass (the scan below is column-pruned to partitionCol).
+    // When partitionCol is NOT a key, a group's winner can land in a
+    // different partition than its losers and "affected" has always meant
+    // the WINNERS' partitions — keep that semantics and pay the window.
+    val affectedSrc =
+      if (keys.contains(partitionCol)) updates
+      else Upsert.lastWriteWins(updates, keys, versionCol, tieBreakers)
+    val affected = affectedSrc
       .select(castStr.as("__v"), routeKey.as("__h")).distinct()
       .collect().map(r => (r.getString(0), r.getString(1)))
     if (affected.isEmpty) return None
@@ -1160,19 +1168,20 @@ object SnapshotLake {
     // partitionCol included — is a DATA column in the files).
     val existing =
       if (hit.isEmpty) None
-      else Some(spark.read.schema(deduped.schema)
+      else Some(spark.read.schema(updates.schema)
         .parquet(hit.map(e => genDirOf(path, e).toString): _*))
     val merged = existing match {
       case Some(ex) =>
         Upsert.lastWriteWins(
           ex.withColumn("__gen", lit(0L))
-            .unionByName(deduped.withColumn("__gen", lit(1L))),
+            .unionByName(Upsert.lastWriteWins(updates, keys, versionCol,
+              tieBreakers).withColumn("__gen", lit(1L))),
           keys, "__gen", versionCol +: tieBreakers).drop("__gen")
-      case None => deduped
+      case None => Upsert.lastWriteWins(updates, keys, versionCol, tieBreakers)
     }
     val newEntries = stageInstall(spark, fs, path, merged, partitionCol,
       affected.map { case (v, h) => h -> v }.toMap, newGen, statsCols,
-      deduped.schema)
+      updates.schema)
     val kept = cur.map(_.entries.filterNot(e => affectedValues.contains(e.value)))
       .getOrElse(Nil)
     Some((fs, Manifest(newGen, partitionCol, kept ++ newEntries)))
