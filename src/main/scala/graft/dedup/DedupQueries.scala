@@ -1013,12 +1013,18 @@ object DedupQueries {
     * raw spans: the downstream exchanges carry fixed-width keys.
     */
   private def spanDigests(docs: DataFrame, keyCol: String, spanLen: Int): DataFrame =
+    rawSpanDigests(docs, keyCol, spanLen).distinct()
+
+  /** [[spanDigests]] without the per-key dedup exchange — for consumers
+    * whose aggregation is duplicate-insensitive (the Bloom build: inserting
+    * a digest twice sets the same bits), mirroring [[rawShingles]].
+    */
+  private def rawSpanDigests(docs: DataFrame, keyCol: String, spanLen: Int): DataFrame =
     docs
       .filter(size(col("ws")) >= spanLen)
       .select(col(keyCol), explode(expr(
         s"transform(sequence(0, size(ws) - $spanLen), i -> md5(concat_ws(' ', slice(ws, i + 1, $spanLen))))"))
         .as("h"))
-      .distinct()
 
   /** X16 — cross-source overlap matrix: for every pair of sources that share
     * at least one distinct 8-token span, the shared-span count and the
@@ -1086,7 +1092,11 @@ object DedupQueries {
     */
   def x17NoveltyFrom(newDocs: DataFrame, oldDocs: DataFrame, spanLen: Int = 8): DataFrame = {
     val newSpans = spanDigests(newDocs, "doc_id", spanLen)
-    val oldSpans = spanDigests(oldDocs, "doc_id", spanLen).select("h").distinct()
+    // the snapshot side only needs the distinct DIGEST set: one global
+    // distinct on `h` straight off the raw stream (map-side partials dedup
+    // before the exchange) — the earlier (doc_id, h) distinct followed by a
+    // second h-distinct paid two exchanges for the same set
+    val oldSpans = rawSpanDigests(oldDocs, "doc_id", spanLen).select("h").distinct()
     val totals = newSpans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
     val novel = newSpans.join(oldSpans, Seq("h"), "left_anti")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
@@ -1134,13 +1144,26 @@ object DedupQueries {
     */
   def x17bNoveltyBloomFrom(s: SparkSession, newDocs: DataFrame, oldDocs: DataFrame,
       spanLen: Int = 8, fpp: Double = 0.01): DataFrame = {
-    val oldSpans = spanDigests(oldDocs, "doc_id", spanLen).select("h").distinct()
+    // one global distinct on `h` (see x17NoveltyFrom — the (doc_id, h)
+    // pre-distinct paid a second exchange for the same digest set)
+    val oldSpans = rawSpanDigests(oldDocs, "doc_id", spanLen).select("h").distinct()
     // Sketch build — once per snapshot in production, amortized over every
-    // subsequent batch; the count sizes the filter (bloom needs expected n
-    // upfront, and an undersized filter only raises fpp, never breaks
-    // correctness).
-    val nOld = oldSpans.count()
-    val bf = oldSpans.stat.bloomFilter("h", math.max(nOld, 1L), fpp)
+    // subsequent batch. Sizing needs only an UPPER bound on the distinct
+    // count (oversizing lowers fpp; results are fpp-invariant — every hit
+    // is exactly verified, DedupSpec pins it at a pathological fpp), so the
+    // raw per-doc span total — one narrow column-pruned aggregate, zero
+    // exchanges — replaces the earlier full explode+distinct+count pass.
+    // The filter itself builds over the RAW digest stream for the same
+    // reason: inserting a duplicate digest sets the same bits, so the
+    // per-key dedup exchange bought nothing on this branch either.
+    val nOld = oldDocs
+      .select(greatest(size(col("ws")).cast("long") - (spanLen - 1), lit(0L)).as("n"))
+      .agg(sum(col("n"))).head() match {
+      case r if r.isNullAt(0) => 1L
+      case r => math.max(r.getLong(0), 1L)
+    }
+    val bf = rawSpanDigests(oldDocs, "doc_id", spanLen)
+      .stat.bloomFilter("h", nOld, fpp)
     val bfB = s.sparkContext.broadcast(bf)
     // codegen'd Catalyst probe (graft.functions.BloomMightContainString) —
     // the span stream is the gate's hottest map stage, and a per-row Scala
