@@ -612,12 +612,20 @@ object DedupQueries {
     * composition and checks it against a driver-side union-find.
     */
   def x9ClustersFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions — checkpointed PRE-PARTITIONED
+    // on the probe key (and labels on doc_id), so every round's neighbor
+    // join streams both checkpointed layouts without re-exchanging them:
+    // the only per-round shuffle left is the groupBy(doc_a) aggregate
+    // (whose hash(doc_id) output in turn lines up with the labels side of
+    // the left join). localCheckpoint preserves outputPartitioning, so the
+    // alignment survives the round boundary.
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(col("doc_b"))
       .localCheckpoint()
     var labels = docs
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .repartition(col("doc_id"))
       .localCheckpoint()
     var converged = false
     var rounds = 0
