@@ -710,14 +710,22 @@ object DedupQueries {
     var rounds = 0
     while (!converged && rounds < 25) {
       // large-star over the SYMMETRIZED view: for each center u, hook every
-      // LARGER neighbor v onto m = min(N(u) ∪ {u})
-      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      // LARGER neighbor v onto m = min(N(u) ∪ {u}). One repartition(u) up
+      // front aligns the groupBy AND the self-join on the same exchange
+      // (ClusteredDistribution(u) serves both); the phase results are then
+      // checkpointed pre-partitioned on u via dropDuplicates-after-
+      // repartition, so the small-star phase and the next round's
+      // consumers add no exchange of their own — the earlier shape paid
+      // separate exchanges for each groupBy, join and distinct.
+      val sym = edges
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       val lsMin = sym.groupBy(col("u"))
         .agg(least(min(col("v")), first(col("u"))).as("m"))
       val afterLarge = sym.join(lsMin, Seq("u"))
         .filter(col("v") > col("u") && col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint()
+        .repartition(col("u")).dropDuplicates("u", "v").localCheckpoint()
       // small-star over the directed (hi → lo) view: hook u and all its
       // smaller neighbors onto the smallest of them
       val ssMin = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -725,7 +733,7 @@ object DedupQueries {
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(ssMin.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint()
+        .repartition(col("u")).dropDuplicates("u", "v").localCheckpoint()
       val nextSig = sig(next)
       converged = nextSig == edgeSig
       edges = next
@@ -847,7 +855,15 @@ object DedupQueries {
     val docs = t(s, dir, "documents")
     val evalSh = shingles(docs.filter(isEval))
       .withColumnRenamed("doc_id", "eval_id")
-    val corpusSh = shingles(docs.filter(!isEval))
+    // ONE exchange on the corpus side: hash-partitioning the raw explode
+    // stream by doc_id satisfies both the (doc_id, shingle) dedup and the
+    // (doc_id, eval_id) count below (same doc ⇒ same partition), where the
+    // earlier shape paid a (doc_id, shingle) distinct exchange AND a
+    // (doc_id, eval_id) aggregate exchange. The broadcast join in between
+    // is map-only either way.
+    val corpusSh = rawShingles(docs.filter(!isEval))
+      .repartition(col("doc_id"))
+      .dropDuplicates("doc_id", "shingle")
     corpusSh
       .join(broadcast(evalSh), "shingle")
       .groupBy(col("doc_id"), col("eval_id"))
