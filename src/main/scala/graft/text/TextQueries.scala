@@ -300,21 +300,42 @@ object TextQueries {
     * top 20 are ranked with a total (freq DESC, pair ASC) order so ties
     * are deterministic. Scale shape: pair extraction is a narrow codegen
     * projection (fan-out = chars/doc), the count is one keyed aggregate
-    * with map-side partials, and the ranking window runs over ≤ |Σ|²
-    * distinct pairs — alphabet-bounded, never corpus-bounded, so the
-    * unpartitioned row_number is a constant-size reduction at any corpus
-    * size (same argument as T5's vocabulary-bounded top-k).
+    * with map-side partials, and the top-20 ranking runs over the ≤ |Σ|²
+    * distinct pairs — alphabet-bounded, never corpus-bounded, and since
+    * round 15 the global sort is bucket-pre-cut ([[globalTopK]]) so no
+    * single partition ever sorts the whole pair table.
     */
+  /** Global top-k over a counted key frame WITHOUT an unbounded
+    * single-partition sort (round-15, verdict item 8): a salt-bucketed
+    * pre-cut keeps the k best rows per hash bucket in a PARTITIONED window
+    * (parallel at any vocab size), so the final global rank window sees at
+    * most `buckets × k` rows — a constant bound, never vocab-bounded.
+    * Selection and rank are identical to the direct global window by
+    * construction: `ord` is a total order and every global top-k row is
+    * top-k within its bucket. (A typed top-k Aggregator — the c9/c10 shape
+    * — was prototyped first and measured 0.1–0.2 s SLOWER per query at
+    * sf0.1 than these codegen-friendly windows: per-row encoder traffic;
+    * numbers in OPTIMIZATION_r15.md.)
+    */
+  private def globalTopK(
+      counted: DataFrame, k: Int, saltCol: Column, ord: Seq[Column]): DataFrame =
+    counted
+      .withColumn("__b", pmod(xxhash64(saltCol), lit(64L)))
+      .withColumn("__prk", row_number().over(
+        Window.partitionBy(col("__b")).orderBy(ord: _*)))
+      .filter(col("__prk") <= k)
+      .withColumn("rk", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .filter(col("rk") <= k)
+      .drop("__b", "__prk")
+
   def t12BpePairStats(s: SparkSession, dir: String): DataFrame = {
-    val byFreq = Window.orderBy(col("freq").desc, col("pair").asc)
-    t(s, dir, "documents")
+    val counts = t(s, dir, "documents")
       .select(explode(expr(
         """flatten(transform(filter(split(text, ' '), w -> length(w) >= 2),
              w -> transform(sequence(1, length(w) - 1),
                i -> substring(w, CAST(i AS INT), 2))))""")).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("freq"))
-      .withColumn("rk", row_number().over(byFreq).cast("long"))
-      .filter(col("rk") <= 20)
+    globalTopK(counts, 20, col("pair"), Seq(col("freq").desc, col("pair").asc))
       .select(col("rk"), col("pair"), col("freq"))
       .orderBy("rk")
   }
@@ -377,10 +398,10 @@ object TextQueries {
     * execution shape is identical.
     *
     * Scale shape: term counting is one term-keyed map-side-combined
-    * aggregate (T5's shape); the top-256 cut is a row_number over the
-    * DISTINCT-TERM table (vocab-bounded, never corpus-bounded — and at a
-    * truly huge vocab the same cut runs as a bounded partial top-k, the
-    * X6 `TopKAggregator` shape); the coverage pass joins exploded tokens
+    * aggregate (T5's shape); the top-256 cut runs over the DISTINCT-TERM
+    * table (vocab-bounded, never corpus-bounded) through the bucket-pre-cut
+    * [[globalTopK]], so since round 15 no single partition ever sorts the
+    * whole vocab; the coverage pass joins exploded tokens
     * against the 256-row vocab BROADCAST, so the corpus-side cost is one
     * narrow map + one doc-keyed aggregate. The only division is the final
     * per-doc rate.
@@ -388,10 +409,14 @@ object TextQueries {
   def t14VocabCoverage(s: SparkSession, dir: String, vocabSize: Int = 256): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("n").desc, col("term"))))
-      .filter(col("rk") <= vocabSize)
+    // Top-`vocabSize` cut via the salt-bucketed pre-cut ([[globalTopK]]):
+    // same (n DESC, term ASC) total order as the direct row_number window
+    // it replaces, so the selected vocabulary is identical — but the
+    // global sort now sees ≤ buckets × k rows, never the whole distinct-
+    // term table.
+    val vocab = globalTopK(
+      toks.groupBy(col("term")).agg(count(lit(1)).as("n")),
+      vocabSize, col("term"), Seq(col("n").desc, col("term")))
       .select(col("term"), lit(1L).as("in_vocab"))
     toks.join(broadcast(vocab), Seq("term"), "left")
       .groupBy(col("doc_id"))
@@ -435,10 +460,12 @@ object TextQueries {
       .select(explode(split(col("text"), " ")).as("term"))
     val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = toks.agg(count(lit(1)).as("n_total"))
-    val top10 = exact
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
-      .filter(col("rk") <= 10).drop("rk")
+    // Exact top-10 via the salt-bucketed pre-cut ([[globalTopK]]):
+    // identical (cnt DESC, term ASC) cut, global sort bounded to
+    // buckets × 10 rows instead of the full term table.
+    val top10 = globalTopK(exact, 10, col("term"),
+      Seq(col("cnt").desc, col("term")))
+      .select(col("term"), col("cnt"))
     top10.join(t15Summary(s, dir, k), Seq("term"), "left")
       .crossJoin(broadcast(total))
       .select(col("term"), col("cnt"),

@@ -116,6 +116,49 @@ class SnapshotLakeSpec extends SparkSuite {
     assert(SnapshotLake.compact(spark, dir, 1L << 30, 2).isEmpty)
   }
 
+  test("coalesced commit writes one file per partition value (round-15 knob)") {
+    val dir = tmp()
+    // a spread-out batch: each dt value spans 3 of the 6 upstream tasks, so
+    // the default fan-out write emits up to 3 files per gen dir; under the
+    // production layout knob the commit REBALANCE-clusters by the partition
+    // dir first, so every gen dir lands exactly ONE parquet file and
+    // compaction finds nothing to do
+    val wide = (1 to 6).map(i => (s"k$i", s"d${i % 2}", 1L, i.toDouble))
+      .toDF("key", "dt", "v", "price").repartition(6, col("key"))
+    spark.conf.set("graft.lake.coalesceCommit", "true")
+    try SnapshotLake.merge(spark, dir, wide, Seq("key"), "v", "dt")
+    finally spark.conf.unset("graft.lake.coalesceCommit")
+    val m = SnapshotLake.currentManifest(spark, dir).get
+    val files = m.entries.map { e =>
+      val gd = new java.io.File(s"$dir/data/${e.dirName}/gen=${e.gen}")
+      e.value -> gd.listFiles().count(_.getName.endsWith(".parquet"))
+    }.toMap
+    assert(files.nonEmpty && files.values.forall(_ == 1),
+      s"expected one file per partition value, got $files")
+    assert(state(SnapshotLake.read(spark, dir)).keySet ==
+      (1 to 6).map(i => s"k$i").toSet)
+    assert(SnapshotLake.compact(spark, dir, 1L << 30, 2).isEmpty)
+  }
+
+  test("guard: a batch touching too many partition values fails loudly") {
+    val dir = tmp()
+    spark.conf.set("graft.lake.maxAffectedPartitions", "3")
+    try {
+      val wide = (1 to 5).map(i => (s"k$i", s"d$i", 1L, i.toDouble))
+        .toDF("key", "dt", "v", "price")
+      val e = intercept[IllegalArgumentException] {
+        SnapshotLake.merge(spark, dir, wide, Seq("key"), "v", "dt")
+      }
+      assert(e.getMessage.contains("distinct dt"),
+        s"expected the affected-partition guard, got: ${e.getMessage}")
+      // under the default (100k) bound the same batch commits fine
+      spark.conf.unset("graft.lake.maxAffectedPartitions")
+      SnapshotLake.merge(spark, dir, wide, Seq("key"), "v", "dt")
+      assert(state(SnapshotLake.read(spark, dir)).keySet ==
+        (1 to 5).map(i => s"k$i").toSet)
+    } finally spark.conf.unset("graft.lake.maxAffectedPartitions")
+  }
+
   test("exact-type partitions: string '0025' never collides with int-ish '25'") {
     val dir = tmp()
     val b = Seq(("a", "0025", 1L, 1.0), ("b", "25", 1L, 2.0))
