@@ -184,24 +184,40 @@ object DedupQueries {
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     rawShingles(docs, n).distinct()
 
-  /** Shingles with corpus-common ones removed (df > maxDf), in ONE exchange:
-    * the raw stream is hash-partitioned by `shingle` up front, which
-    * satisfies the (doc_id, shingle) dedup's clustered distribution (same
-    * shingle ⇒ same partition), the df window's shingle partitioning, AND
-    * the downstream inverted-index equi-join — so dedup, df cap and the
-    * self-join all run on one exchange where the earlier shape paid a
+  /** Shingles with corpus-common ones removed (df > maxDf), default in ONE
+    * exchange: the raw stream is hash-partitioned by `shingle` up front,
+    * which satisfies the (doc_id, shingle) dedup's clustered distribution
+    * (same shingle ⇒ same partition), the df window's shingle partitioning,
+    * AND the downstream inverted-index equi-join — so dedup, df cap and the
+    * self-join all run on one exchange where the two-exchange shape paid a
     * (doc_id, shingle) distinct exchange and then a second shingle exchange
     * for the window. Skew class is unchanged: a hot shingle concentrated one
     * window partition before and does so now; the dedup aggregate and the
     * window both spill, never collect a per-key set.
+    *
+    * `oneExchange = false` restores the two-exchange shape — dedup FIRST on
+    * (doc_id, shingle), then re-partition by shingle for the window. That
+    * trades an extra exchange for shuffling the DEDUPED stream instead of
+    * the raw explode bytes, which wins when the corpus is duplicate-heavy
+    * relative to the shingle fan-out. Round-15 adjudication of the
+    * round-14 10× watch: x11_containment reads >1.1× its 10× baseline
+    * under the one-exchange shape (the raw bytes dominate on its high-dup
+    * input), so x11 pins `oneExchange = false`; x4 and every LSH consumer
+    * stay one-exchange (0.97–1.25× at 10×, within that pass's noise band).
     */
-  def cappedShingles(docs: DataFrame, n: Int = 3, maxDf: Int = MaxShingleDf): DataFrame =
-    rawShingles(docs, n)
-      .repartition(col("shingle"))
-      .dropDuplicates("doc_id", "shingle")
+  def cappedShingles(docs: DataFrame, n: Int = 3, maxDf: Int = MaxShingleDf,
+      oneExchange: Boolean = true): DataFrame = {
+    val deduped =
+      if (oneExchange)
+        rawShingles(docs, n)
+          .repartition(col("shingle"))
+          .dropDuplicates("doc_id", "shingle")
+      else shingles(docs, n)
+    deduped
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("__df") <= maxDf)
       .drop("__df")
+  }
 
   /** X1 — exact dedup via content hash: canonical doc per sha256(text)
     * group, plus the duplicate count. One hash-partitioned aggregate.
@@ -574,7 +590,9 @@ object DedupQueries {
       threshold: Double = 0.8,
       maxDf: Int = MaxShingleDf): DataFrame = {
     // Not persisted — see x2MinhashLsh (ReuseExchange covers the reuse).
-    val sh = cappedShingles(docs, 3, maxDf)
+    // oneExchange = false: the round-14 10× watch, adjudicated round 15 —
+    // see cappedShingles' scaladoc.
+    val sh = cappedShingles(docs, 3, maxDf, oneExchange = false)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     intersections(sh)
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))

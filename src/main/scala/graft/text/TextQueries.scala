@@ -302,31 +302,25 @@ object TextQueries {
     * projection (fan-out = chars/doc), the count is one keyed aggregate
     * with map-side partials, and the top-20 ranking runs over the ≤ |Σ|²
     * distinct pairs — alphabet-bounded, never corpus-bounded, and since
-    * round 15 the global sort is bucket-pre-cut ([[globalTopK]]) so no
+    * round 15 the cut is a TakeOrderedAndProject ([[globalTopK]]) so no
     * single partition ever sorts the whole pair table.
     */
   /** Global top-k over a counted key frame WITHOUT an unbounded
-    * single-partition sort (round-15, verdict item 8): a salt-bucketed
-    * pre-cut keeps the k best rows per hash bucket in a PARTITIONED window
-    * (parallel at any vocab size), so the final global rank window sees at
-    * most `buckets × k` rows — a constant bound, never vocab-bounded.
-    * Selection and rank are identical to the direct global window by
-    * construction: `ord` is a total order and every global top-k row is
-    * top-k within its bucket. (A typed top-k Aggregator — the c9/c10 shape
-    * — was prototyped first and measured 0.1–0.2 s SLOWER per query at
-    * sf0.1 than these codegen-friendly windows: per-row encoder traffic;
-    * numbers in OPTIMIZATION_r15.md.)
+    * single-partition sort (round-15, verdict item 8): `orderBy + limit(k)`
+    * plans as `TakeOrderedAndProject` — every partition keeps its k best
+    * rows in a bounded heap and only `partitions × k` rows are merged, so
+    * nothing ever sorts the whole vocab in one task (the row_number-window
+    * formulation this replaces moved every distinct term to ONE partition).
+    * `ord` must be a total order, so the selected set is identical to the
+    * window cut by construction. Two rejected alternates, both measured
+    * (numbers in OPTIMIZATION_r15.md): a typed mergeable top-k Aggregator
+    * (0.1–0.2 s slower per query — per-row encoder traffic) and a
+    * salt-bucketed two-window pre-cut (+0.3 s on t14 in bench context —
+    * an extra exchange + window pass).
     */
   private def globalTopK(
-      counted: DataFrame, k: Int, saltCol: Column, ord: Seq[Column]): DataFrame =
-    counted
-      .withColumn("__b", pmod(xxhash64(saltCol), lit(64L)))
-      .withColumn("__prk", row_number().over(
-        Window.partitionBy(col("__b")).orderBy(ord: _*)))
-      .filter(col("__prk") <= k)
-      .withColumn("rk", row_number().over(Window.orderBy(ord: _*)).cast("long"))
-      .filter(col("rk") <= k)
-      .drop("__b", "__prk")
+      counted: DataFrame, k: Int, ord: Seq[Column]): DataFrame =
+    counted.orderBy(ord: _*).limit(k)
 
   def t12BpePairStats(s: SparkSession, dir: String): DataFrame = {
     val counts = t(s, dir, "documents")
@@ -335,7 +329,11 @@ object TextQueries {
              w -> transform(sequence(1, length(w) - 1),
                i -> substring(w, CAST(i AS INT), 2))))""")).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("freq"))
-    globalTopK(counts, 20, col("pair"), Seq(col("freq").desc, col("pair").asc))
+    // rank assignment runs AFTER the bounded cut: the row_number window
+    // sees exactly 20 rows (limit-bounded at any corpus size)
+    globalTopK(counts, 20, Seq(col("freq").desc, col("pair").asc))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("freq").desc, col("pair").asc)).cast("long"))
       .select(col("rk"), col("pair"), col("freq"))
       .orderBy("rk")
   }
@@ -399,9 +397,9 @@ object TextQueries {
     *
     * Scale shape: term counting is one term-keyed map-side-combined
     * aggregate (T5's shape); the top-256 cut runs over the DISTINCT-TERM
-    * table (vocab-bounded, never corpus-bounded) through the bucket-pre-cut
-    * [[globalTopK]], so since round 15 no single partition ever sorts the
-    * whole vocab; the coverage pass joins exploded tokens
+    * table (vocab-bounded, never corpus-bounded) through
+    * [[globalTopK]]'s TakeOrderedAndProject, so since round 15 no single
+    * partition ever sorts the whole vocab; the coverage pass joins exploded tokens
     * against the 256-row vocab BROADCAST, so the corpus-side cost is one
     * narrow map + one doc-keyed aggregate. The only division is the final
     * per-doc rate.
@@ -416,7 +414,7 @@ object TextQueries {
     // term table.
     val vocab = globalTopK(
       toks.groupBy(col("term")).agg(count(lit(1)).as("n")),
-      vocabSize, col("term"), Seq(col("n").desc, col("term")))
+      vocabSize, Seq(col("n").desc, col("term")))
       .select(col("term"), lit(1L).as("in_vocab"))
     toks.join(broadcast(vocab), Seq("term"), "left")
       .groupBy(col("doc_id"))
@@ -460,11 +458,9 @@ object TextQueries {
       .select(explode(split(col("text"), " ")).as("term"))
     val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = toks.agg(count(lit(1)).as("n_total"))
-    // Exact top-10 via the salt-bucketed pre-cut ([[globalTopK]]):
-    // identical (cnt DESC, term ASC) cut, global sort bounded to
-    // buckets × 10 rows instead of the full term table.
-    val top10 = globalTopK(exact, 10, col("term"),
-      Seq(col("cnt").desc, col("term")))
+    // Exact top-10 via [[globalTopK]]: identical (cnt DESC, term ASC) cut,
+    // per-partition bounded heaps instead of a full single-task term sort.
+    val top10 = globalTopK(exact, 10, Seq(col("cnt").desc, col("term")))
       .select(col("term"), col("cnt"))
     top10.join(t15Summary(s, dir, k), Seq("term"), "left")
       .crossJoin(broadcast(total))
